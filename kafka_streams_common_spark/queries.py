@@ -1,0 +1,332 @@
+"""Named query registry — the driver-facing correctness surface.
+
+Every implemented operator from SURVEY.md §2 gets a named entry here: a
+callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) a
+DuckDB oracle SQL string over the same parquet fixtures. ``__spark_entry__``
+re-exports these; tests assert Spark-vs-DuckDB parity locally the same way
+the driver does (row count + schema + order-insensitive value hash).
+
+Float-sum discipline: aggregates over doubles are computed exactly via
+DECIMAL(18,2) then cast back to double on BOTH sides, so hashes cannot drift
+with partial-aggregation order at any scale/parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_common_spark.catalog import TableCatalog
+from kafka_streams_common_spark.compiler import BatchCompiler
+from kafka_streams_common_spark.config import (
+    AggregationSpec,
+    FieldMapping,
+    JoinStep,
+    JoinType,
+    KeyExtraction,
+    KeySource,
+    MappingSide,
+    PipelineDef,
+    ProcessingMode,
+    SourceDef,
+)
+from kafka_streams_common_spark.pipelines import (
+    ENRICHED_ORDERS,
+    EVENTS_PASSTHROUGH,
+    ORDER_COUNTS_BY_CUSTOMER,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query and (optionally) its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def compiler_for(spark: SparkSession, sf_dir: str) -> BatchCompiler:
+    return BatchCompiler(spark, TableCatalog.for_directory(sf_dir))
+
+
+# The latest-per-key CTE used by every oracle that consumes the events table
+# as a changelog (KTable/S2 semantics): max (ts, event_id) per user_id.
+LATEST_EVENTS_CTE = """
+WITH latest_events AS (
+  SELECT user_id, event_id, ts, event_type, value, props
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS __rn
+    FROM events
+  )
+  WHERE __rn = 1
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5 flagship: config-driven enrichment chain (orders ⟕ customer ⟕ nation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j5_enrichment_chain",
+    oracle="""
+    SELECT c.c_nationkey AS key,
+           o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+           c.c_name    AS customer_name,
+           c.c_acctbal AS customer_acctbal,
+           n.n_name    AS nation_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey   = c.c_custkey
+    LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def j5_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J5/J2 + §2.2 P1/P2: the SchemaService.java:30-33 pipeline."""
+    return compiler_for(spark, sf_dir).compile(ENRICHED_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 single-step stream-table joins, incl. P1 missing-field null-fill
+# ---------------------------------------------------------------------------
+
+_J2_MAPPINGS = (
+    FieldMapping(MappingSide.LEFT, "o_orderkey", "o_orderkey"),
+    FieldMapping(MappingSide.LEFT, "o_totalprice", "o_totalprice"),
+    FieldMapping(MappingSide.RIGHT, "c_name", "customer_name"),
+    FieldMapping(MappingSide.RIGHT, "c_mktsegment", "segment"),
+    # P1 contract: configured field absent from the right schema → explicit
+    # null column (DynamicPojoValueJoiner.java:59-63)
+    FieldMapping(MappingSide.RIGHT, "no_such_field", "missing_field"),
+)
+
+
+def _single_join_pipeline(join_type: JoinType) -> PipelineDef:
+    return PipelineDef(
+        id=f"orders-customer-{join_type.value.lower()}",
+        mode=ProcessingMode.JOIN_CHAIN,
+        source=SourceDef(name="orders"),
+        key_extraction=KeyExtraction(source=KeySource.VALUE, field_name="o_custkey"),
+        join_operations=(
+            JoinStep(
+                right=SourceDef(name="customer"),
+                join_type=join_type,
+                broadcast=True,
+                output_mappings=_J2_MAPPINGS,
+            ),
+        ),
+    )
+
+
+@query(
+    "j2_stream_table_left_join",
+    oracle="""
+    SELECT o.o_custkey AS key, o.o_orderkey, o.o_totalprice,
+           c.c_name AS customer_name, c.c_mktsegment AS segment,
+           CAST(NULL AS VARCHAR) AS missing_field
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compiler_for(spark, sf_dir).compile(_single_join_pipeline(JoinType.LEFT_JOIN))
+
+
+@query(
+    "j1_stream_table_inner_join",
+    oracle="""
+    SELECT o.o_custkey AS key, o.o_orderkey, o.o_totalprice,
+           c.c_name AS customer_name, c.c_mktsegment AS segment,
+           CAST(NULL AS VARCHAR) AS missing_field
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compiler_for(spark, sf_dir).compile(_single_join_pipeline(JoinType.INNER_JOIN))
+
+
+# ---------------------------------------------------------------------------
+# J3/J4 table-table joins over the latest-per-key view (S2)
+# ---------------------------------------------------------------------------
+
+_TT_MAPPINGS = (
+    FieldMapping(MappingSide.LEFT, "event_type", "event_type"),
+    FieldMapping(MappingSide.LEFT, "value", "event_value"),
+    FieldMapping(MappingSide.RIGHT, "c_name", "customer_name"),
+    FieldMapping(MappingSide.RIGHT, "c_acctbal", "customer_acctbal"),
+)
+
+
+def _table_table_pipeline(join_type: JoinType) -> PipelineDef:
+    return PipelineDef(
+        id=f"latest-events-customer-{join_type.value.lower()}",
+        mode=ProcessingMode.JOIN_CHAIN,
+        source=SourceDef(name="events"),
+        initial_source_is_stream=False,  # KTable-rooted chain (:125)
+        join_operations=(
+            JoinStep(
+                right=SourceDef(name="customer"),
+                join_type=join_type,
+                broadcast=True,
+                output_mappings=_TT_MAPPINGS,
+            ),
+        ),
+    )
+
+
+@query(
+    "j4_table_table_left_join",
+    oracle=LATEST_EVENTS_CTE
+    + """
+    SELECT e.user_id AS key, e.event_type, e.value AS event_value,
+           c.c_name AS customer_name, c.c_acctbal AS customer_acctbal
+    FROM latest_events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j4_table_table_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compiler_for(spark, sf_dir).compile(_table_table_pipeline(JoinType.LEFT_JOIN))
+
+
+@query(
+    "j3_table_table_inner_join",
+    oracle=LATEST_EVENTS_CTE
+    + """
+    SELECT e.user_id AS key, e.event_type, e.value AS event_value,
+           c.c_name AS customer_name, c.c_acctbal AS customer_acctbal
+    FROM latest_events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j3_table_table_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compiler_for(spark, sf_dir).compile(_table_table_pipeline(JoinType.INNER_JOIN))
+
+
+# ---------------------------------------------------------------------------
+# S2 latest-per-key view on its own
+# ---------------------------------------------------------------------------
+
+@query(
+    "s2_latest_per_key",
+    oracle=LATEST_EVENTS_CTE
+    + """
+    SELECT user_id, event_id, ts, event_type, value, props FROM latest_events
+    """,
+)
+def s2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = compiler_for(spark, sf_dir)
+    df = comp.registry.table(SourceDef(name="events"))
+    return df.select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# A1 aggregations (count stub generalized per AggregationDefinition.java:38)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a1_count_by_key",
+    oracle="SELECT o_custkey AS key, count(*) AS order_count FROM orders GROUP BY o_custkey",
+)
+def a1_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = PipelineDef(
+        id="order-count",
+        mode=ProcessingMode.AGGREGATION,
+        source=SourceDef(name="orders"),
+        group_by=KeyExtraction(source=KeySource.VALUE, field_name="o_custkey"),
+        aggregations=(AggregationSpec(fn="count", alias="order_count"),),
+    )
+    return compiler_for(spark, sf_dir).compile(p)
+
+
+@query(
+    "a1_multi_agg",
+    oracle="""
+    SELECT o_orderstatus AS key,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a1_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = PipelineDef(
+        id="orders-by-status",
+        mode=ProcessingMode.AGGREGATION,
+        source=SourceDef(name="orders"),
+        group_by=KeyExtraction(source=KeySource.VALUE, field_name="o_orderstatus"),
+        aggregations=(
+            AggregationSpec(fn="count", alias="n_orders"),
+            AggregationSpec(
+                fn="sum",
+                source_field="CAST(o_totalprice AS DECIMAL(18,2))",
+                alias="total_price",
+                cast="double",
+            ),
+            AggregationSpec(fn="min", source_field="o_totalprice", alias="min_price"),
+            AggregationSpec(fn="max", source_field="o_totalprice", alias="max_price"),
+            AggregationSpec(fn="count_distinct", source_field="o_custkey", alias="n_customers"),
+        ),
+    )
+    return compiler_for(spark, sf_dir).compile(p)
+
+
+# ---------------------------------------------------------------------------
+# P4 JSON parse (+ aggregation) over events.props
+# ---------------------------------------------------------------------------
+
+@query(
+    "p4_json_parse_agg",
+    oracle="""
+    SELECT event_type AS key,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def p4_json_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (JsonStringToObjectMapper ≈ from_json/get_json_object) feeding A1."""
+    p = PipelineDef(
+        id="events-json-agg",
+        mode=ProcessingMode.AGGREGATION,
+        source=SourceDef(name="events"),
+        group_by=KeyExtraction(source=KeySource.VALUE, field_name="event_type"),
+        aggregations=(
+            AggregationSpec(fn="count", alias="n_events"),
+            AggregationSpec(
+                fn="sum",
+                source_field="CAST(get_json_object(props, '$.k') AS BIGINT)",
+                alias="sum_k",
+            ),
+        ),
+    )
+    return compiler_for(spark, sf_dir).compile(p)
+
+
+# ---------------------------------------------------------------------------
+# SIMPLE_STREAM passthrough (P6 peek ≈ observe)
+# ---------------------------------------------------------------------------
+
+@query(
+    "simple_stream_passthrough",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props, user_id AS key
+    FROM events
+    """,
+)
+def simple_stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compiler_for(spark, sf_dir).compile(EVENTS_PASSTHROUGH)
+
+
+# re-exported for __spark_entry__.entry()
+FLAGSHIP = ENRICHED_ORDERS
+_ = ORDER_COUNTS_BY_CUSTOMER  # referenced by tests/bench
