@@ -1,0 +1,303 @@
+"""Deduplication operators over a document corpus.
+
+Four tiers, all shuffle-architected for 100 TB:
+
+- :func:`exact_dedup` — hash-groupBy on md5(text): the shuffle key is a
+  16-byte digest, not the document body, so shuffle volume is O(rows), not
+  O(corpus bytes).
+- :func:`ngram_jaccard_pairs` — exact set-similarity via shingle inverted
+  index (explode → equi-join on shingle hash → count). One shuffle on the
+  shingle hash; a ``max_df`` cap drops stop-shingles that would create
+  quadratic hot keys (standard frequent-item mitigation for skew).
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding: candidate
+  generation joins on (band, band-hash) buckets — O(n·bands) shuffle rows
+  instead of O(n²) comparisons — then exact-Jaccard verification on the
+  candidates only. This is the scale path for fuzzy dedup.
+- :func:`simhash_pairs` — 32-bit SimHash with 4-block pigeonhole banding:
+  for hamming distance ≤ 3, two of four 8-bit blocks cannot all differ, so
+  block-equality buckets generate candidates with ZERO false negatives —
+  the banded result is exactly the brute-force result.
+
+Everything is built-in expressions (md5/conv/explode/groupBy) — no UDFs —
+and reproducible in ANSI SQL for the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.functions.hashing import md5_int64
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one canonical (min-id) row per distinct text.
+
+    Returns ``(doc_id, n_copies)`` — the surviving id and how many rows it
+    represents. Grouping key is md5(text) so the exchange carries digests.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("__digest"))
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
+
+    Documents shorter than ``n`` words contribute their full text as the one
+    shingle (the ``greatest(1, ...)`` clamp).
+    """
+    tokens = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - (n - 1)))
+    shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
+    )
+
+
+def _hashed_shingles(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, sh) with sh = 60-bit shingle hash — narrow shuffle rows."""
+    return word_shingles(docs, n, text_col, id_col).select(
+        "doc_id", md5_int64("shingle").alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: ``(doc_a, doc_b, jaccard)``,
+    ``doc_a < doc_b``, ``jaccard >= tau``.
+
+    Inverted-index join: explode distinct shingle hashes, self-equi-join on
+    the hash, count common shingles per pair, compute
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_df`` drops shingles appearing in more
+    than that many documents — at corpus scale a handful of stop-shingles
+    otherwise produce O(df²) join rows (key skew); dropping them only lowers
+    jaccard estimates for unrelated pairs.
+    """
+    sh = _hashed_shingles(docs, n, text_col, id_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: ``(doc_id, h0..h{num_perm-1})``.
+
+    Permutation *i* is the md5-derived hash of ``"{i}:{shingle}"`` — fully
+    deterministic and oracle-reproducible. One hash-aggregate over the
+    exploded shingles computes all ``num_perm`` minima in a single shuffle
+    (partial aggregation does the map-side combine).
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    mins = [
+        F.min(md5_int64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified: ``(doc_a, doc_b, jaccard)``.
+
+    1. signatures (one shuffle);
+    2. band each signature into ``bands`` groups of ``num_perm/bands`` rows,
+       bucket key = md5 of the band's values; equi-join on (band, bucket) —
+       candidates only, never O(n²);
+    3. verify candidates with exact Jaccard over shingle sets
+       (``array_intersect`` on collect_set — candidate count is small).
+
+    With r=4 rows/band and 32 bands, a pair at jaccard 0.8 is missed with
+    probability (1-0.8⁴)³² ≈ 5e-8 — the verified output equals the exact
+    tau-threshold pair set with overwhelming probability, which is what the
+    semantic (brute-force) oracle asserts.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, n, num_perm, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = (
+        _hashed_shingles(docs, n, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("shset"), F.count(F.lit(1)).alias("sz"))
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (common / (F.col("sa.sz") + F.col("sb.sz") - common)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def simhash_values(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash per document: ``(doc_id, simhash)``.
+
+    Token-frequency-weighted: bit j of the hash of each token contributes
+    +count / -count to position j; the sign of the sum sets output bit j.
+    Bit extraction uses ``floor(h / 2^j) % 2`` (exact in doubles for h < 2³²)
+    so the DuckDB oracle reproduces it verbatim.
+    """
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.pmod(md5_int64("w"), F.lit(2 ** bits)))
+    )
+    expanded = tok.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    )
+    bit = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2).alias("bit")
+    contrib = F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+    sums = expanded.select("doc_id", "j", contrib.alias("c")).groupBy("doc_id", "j").agg(
+        F.sum("c").alias("s")
+    )
+    weight = F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(
+        F.lit(0)
+    )
+    return sums.groupBy("doc_id").agg(F.sum(weight).cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs ``(doc_a, doc_b, hamming)``, hamming ≤ 3.
+
+    Pigeonhole banding: the 32-bit hash splits into 4 bytes; two hashes
+    within hamming distance 3 must agree on ≥ 1 byte, so joining on
+    (block index, block value) yields candidates with NO false negatives —
+    banded output ≡ brute force, at O(n·4) bucket rows instead of O(n²).
+    """
+    assert max_hamming <= 3, "4-block pigeonhole guarantee only holds for hamming <= 3"
+    sim = simhash_values(docs, text_col, id_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk"),
+                (F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(8 * k))).cast("bigint") % 256).alias(
+                    "val"
+                ),
+            )
+            for k in range(4)
+        ]
+    )
+    bucketed = sim.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -13,12 +13,8 @@ with partial-aggregation order at any scale/parallelism.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_streams_common_spark.catalog import TableCatalog
-from kafka_streams_common_spark.compiler import BatchCompiler
 from kafka_streams_common_spark.config import (
     AggregationSpec,
     FieldMapping,
@@ -36,27 +32,7 @@ from kafka_streams_common_spark.pipelines import (
     EVENTS_PASSTHROUGH,
     ORDER_COUNTS_BY_CUSTOMER,
 )
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a named query and (optionally) its DuckDB oracle."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def compiler_for(spark: SparkSession, sf_dir: str) -> BatchCompiler:
-    return BatchCompiler(spark, TableCatalog.for_directory(sf_dir))
+from kafka_streams_common_spark.queries.registry import compiler_for, query
 
 
 # The latest-per-key CTE used by every oracle that consumes the events table

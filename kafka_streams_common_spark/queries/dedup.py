@@ -1,0 +1,117 @@
+"""Deduplication queries over ``documents`` with DuckDB oracles.
+
+The fuzzy oracles state the SEMANTIC ground truth (all pairs above the
+threshold, computed brute-force in SQL); the Spark implementations reach the
+same answer through scale-safe candidate generation (inverted index, LSH
+bands, simhash blocks) + exact verification. md5-derived hashing keeps both
+engines bit-identical (functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_common_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kafka_streams_common_spark.queries.registry import query, table
+
+# DuckDB twin of operators.dedup.word_shingles(n=3) + md5 hashing:
+# distinct hashed 3-word shingles per doc.
+_SHINGLES_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(1, len(t) - 2)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh_raw
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, common / (sa.sz + sb.sz - common) AS jaccard
+  FROM pairs
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLES_SQL + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.7 via shingle inverted index."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), n=3, tau=0.7)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLES_SQL + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32 bands × 4 rows) candidates, exact-verified at
+    τ=0.8. Oracle is the brute-force ground truth: miss probability per
+    qualifying pair ≈ (1-0.8⁴)³² ≈ 5e-8 — see operators.dedup."""
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), n=3, tau=0.8)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w
+    ),
+    hashed AS (
+      SELECT doc_id, cnt,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % 4294967296 AS h
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN CAST(floor(h / pow(2, j)) AS BIGINT) % 2 = 1
+                      THEN cnt ELSE -cnt END) AS s
+      FROM hashed, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash pairs within hamming ≤ 3. The 4-block pigeonhole
+    banding has zero false negatives, so the banded Spark result equals the
+    brute-force oracle exactly."""
+    return simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)

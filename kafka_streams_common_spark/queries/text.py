@@ -1,0 +1,89 @@
+"""Text-analysis queries over ``documents`` with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_common_spark.operators.text import (
+    LANG_PROFILES,
+    document_fingerprints,
+    lang_id,
+    text_quality,
+    token_counts,
+)
+from kafka_streams_common_spark.queries.registry import query, table
+
+
+@query(
+    "text_quality_metrics",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(t) AS n_tokens,
+           list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) / len(t)
+             AS avg_token_len,
+           len(list_distinct(t)) / len(t) AS distinct_token_ratio,
+           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text)
+             AS symbol_ratio
+    FROM toks
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS ws_tokens,
+           list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+             AS bpeish_tokens
+    FROM toks
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang, words in LANG_PROFILES:
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(f"len(list_filter(t, x -> x IN ({in_list}))) AS s_{lang}")
+    scores = ", ".join(score_exprs)
+    names = [lang for lang, _ in LANG_PROFILES]
+    best = "greatest(" + ", ".join(f"s_{n}" for n in names) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for n in names:  # profile order = tie-break order (matches Spark chain)
+        case += f"WHEN s_{n} = {best} THEN '{n}' "
+    case += "END"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    scored AS (SELECT doc_id, {scores} FROM toks)
+    SELECT doc_id, {case} AS lang_pred, {best} AS best_score FROM scored
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS full_digest,
+           list_min(list_transform(
+             generate_series(1, greatest(1, len(t) - 4)),
+             i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT
+           )) AS min_shingle_fp
+    FROM toks
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_fingerprints(table(spark, sf_dir, "documents"), n=5)

@@ -1,0 +1,46 @@
+"""Physical-plan assertions — the scale posture is part of correctness.
+
+These pin the plans we designed for: filters/projections reaching the
+parquet scan, dimension joins going broadcast, global top-k compiling to
+TakeOrderedAndProject (heap, not full sort).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_common_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = plan_of(QUERIES["filter_pushdown_scan"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: o_orderkey etc not in lineitem; check narrow ReadSchema
+    assert "l_returnflag" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_enrichment_chain_uses_broadcast_joins(spark):
+    plan = plan_of(QUERIES["j5_enrichment_chain"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(QUERIES["global_topk_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_latest_per_key_is_hash_aggregate_not_window_sort(spark):
+    plan = plan_of(QUERIES["s2_latest_per_key"](spark, SF_SMOKE))
+    # max_by compiles to (Sort)HashAggregate with partial agg; a window
+    # row_number implementation would show a Window + full Sort instead
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan
