@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Protocol (BASELINE.md): 1 warm-up + 3 timed runs per query, median recorded.
+Timing includes full plan execution to a count() action (results are not
+collected to the driver — we measure engine throughput, not pandas transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from kafka_streams_common_spark.queries import QUERIES
+from kafka_streams_common_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # reference-parity core
+    "j5_enrichment_chain",       # J5 join chain (orders ⟕ customer ⟕ nation)
+    "a1_count_by_key",           # A1 group-by count
+    "p4_json_parse_agg",         # P4 JSON parse + agg over events.props
+    "s2_latest_per_key",         # S2 changelog latest-per-key view
+    # analytical shapes
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "window_topk_orders_per_customer",
+    # extension operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_quality_metrics",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm-up (JIT, file listing, broadcast)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 3)
+        print(f"# {name}: {results[name]}s", file=sys.stderr)
+    total = round(sum(results.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

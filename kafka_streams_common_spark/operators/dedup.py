@@ -122,6 +122,22 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (aᵢ, bᵢ), md5-seeded."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h(f"a:{i}") % (_MERSENNE_31 - 1) + 1, h(f"b:{i}") % _MERSENNE_31)
+        for i in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -131,15 +147,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: ``(doc_id, h0..h{num_perm-1})``.
 
-    Permutation *i* is the md5-derived hash of ``"{i}:{shingle}"`` — fully
-    deterministic and oracle-reproducible. One hash-aggregate over the
-    exploded shingles computes all ``num_perm`` minima in a single shuffle
-    (partial aggregation does the map-side combine).
+    The classical affine-permutation family: ONE md5 per shingle reduced to
+    31 bits, then hᵢ = (aᵢ·h + bᵢ) mod (2³¹−1) per permutation — a
+    multiply-add instead of an md5 each, ~50× cheaper hashing than hashing
+    per-permutation (31-bit h keeps aᵢ·h < 2⁶² inside signed-64 range).
+    One hash-aggregate computes all ``num_perm`` minima in a single shuffle
+    with map-side partial aggregation.
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    sh = word_shingles(docs, n, text_col, id_col).withColumn(
+        "h31", F.pmod(md5_int64("shingle"), F.lit(_MERSENNE_31))
+    )
     mins = [
-        F.min(md5_int64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _MERSENNE_31).alias(f"h{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
     return sh.groupBy("doc_id").agg(*mins)
 
@@ -200,9 +220,20 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # candidates are consumed twice (verification join + the semi-join
+        # pruning below); caching this tiny set stops the signature pipeline
+        # from being recomputed for each consumer
+        .cache()
     )
+    # verification needs shingle sets only for docs that appear in a
+    # candidate pair — a tiny fraction of the corpus; semi-join before the
+    # expensive collect_set so the agg state stays proportional to candidates
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
     sets = (
         _hashed_shingles(docs, n, text_col, id_col)
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("shset"), F.count(F.lit(1)).alias("sz"))
     )
