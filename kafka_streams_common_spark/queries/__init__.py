@@ -18,6 +18,7 @@ from kafka_streams_common_spark.queries import dedup as _dedup  # noqa: F401,E40
 from kafka_streams_common_spark.queries import similarity as _similarity  # noqa: F401,E402
 from kafka_streams_common_spark.queries import text as _text  # noqa: F401,E402
 from kafka_streams_common_spark.queries import multimodal as _multimodal  # noqa: F401,E402
+from kafka_streams_common_spark.queries import streaming as _streaming  # noqa: F401,E402
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 

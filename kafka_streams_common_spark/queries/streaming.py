@@ -1,0 +1,106 @@
+"""Streaming queries, driven to completion for the oracle check.
+
+Each query builds a Structured Streaming plan (file-stream root), runs it to
+completion (``processAllAvailable``) and returns the final result as a batch
+DataFrame — so streaming execution participates in the same DuckDB-oracle
+correctness gate as the batch surface. Stream-batch equivalence is the
+property Kafka Streams' table duality gives by construction (SURVEY.md §5
+item 4); here it is asserted, not assumed.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_common_spark.catalog import TableCatalog
+from kafka_streams_common_spark.config import (
+    AggregationSpec,
+    FieldMapping,
+    JoinStep,
+    JoinType,
+    KeyExtraction,
+    KeySource,
+    MappingSide,
+    PipelineDef,
+    ProcessingMode,
+    SourceDef,
+)
+from kafka_streams_common_spark.queries.core import LATEST_EVENTS_CTE
+from kafka_streams_common_spark.queries.registry import query
+from kafka_streams_common_spark.streaming import (
+    StreamingCompiler,
+    run_changelog_materialization,
+    run_stream_to_memory,
+)
+
+
+def _streaming_compiler(spark: SparkSession, sf_dir: str) -> StreamingCompiler:
+    return StreamingCompiler(spark, TableCatalog.for_directory(sf_dir))
+
+
+@query(
+    "streaming_count_by_event_type",
+    oracle="SELECT event_type AS key, count(*) AS n_events FROM events GROUP BY event_type",
+)
+def streaming_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 streaming: update-mode aggregation over an event stream, final
+    state read back (complete-mode memory sink)."""
+    p = PipelineDef(
+        id="streaming-event-counts",
+        mode=ProcessingMode.AGGREGATION,
+        source=SourceDef(name="events"),
+        group_by=KeyExtraction(source=KeySource.VALUE, field_name="event_type"),
+        aggregations=(AggregationSpec(fn="count", alias="n_events"),),
+    )
+    sdf = _streaming_compiler(spark, sf_dir).compile(p)
+    return run_stream_to_memory(sdf, spark, output_mode="complete")
+
+
+@query(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT o.o_custkey AS key, o.o_orderkey, o.o_totalprice, c.c_name AS customer_name
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 streaming: order stream enriched against the static customer dim."""
+    p = PipelineDef(
+        id="streaming-orders-enrichment",
+        mode=ProcessingMode.JOIN_CHAIN,
+        source=SourceDef(name="orders"),
+        key_extraction=KeyExtraction(source=KeySource.VALUE, field_name="o_custkey"),
+        join_operations=(
+            JoinStep(
+                right=SourceDef(name="customer"),
+                join_type=JoinType.LEFT_JOIN,
+                broadcast=True,
+                output_mappings=(
+                    FieldMapping(MappingSide.LEFT, "o_orderkey", "o_orderkey"),
+                    FieldMapping(MappingSide.LEFT, "o_totalprice", "o_totalprice"),
+                    FieldMapping(MappingSide.RIGHT, "c_name", "customer_name"),
+                ),
+            ),
+        ),
+    )
+    sdf = _streaming_compiler(spark, sf_dir).compile(p)
+    return run_stream_to_memory(sdf, spark, output_mode="append")
+
+
+@query(
+    "streaming_latest_per_key",
+    oracle=LATEST_EVENTS_CTE
+    + "SELECT user_id, event_id, ts, event_type, value, props FROM latest_events",
+)
+def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 streaming: the stateful KTable materialization — foreachBatch
+    merge of the event changelog into a latest-per-key state table."""
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = comp.stream_source("events")
+    state_dir = tempfile.mkdtemp(prefix="kscs_state_")
+    state = run_changelog_materialization(
+        stream, spark, state_dir, key_field="user_id", seq_field="ts", tiebreak_field="event_id"
+    )
+    return state.select("user_id", "event_id", "ts", "event_type", "value", "props")

@@ -1,0 +1,104 @@
+"""Kafka source/sink wiring for Structured Streaming (S1/S4 streaming forms).
+
+This container has no Kafka broker or spark-sql-kafka package, so these
+builders produce the exact reader/writer configuration and the value
+(de)serialization expressions — the testable surface — while the physical
+``format("kafka")`` connection is exercised only when a broker and the
+connector jar are present (guarded by :func:`kafka_available`).
+
+Reference semantics preserved:
+- per-topic key/value serdes (SerdeFactory.java:48-82) → ``CAST(key)`` +
+  ``from_json(value, schema)`` column expressions;
+- FAILFAST parse to match throw-on-malformed
+  (JsonStringToObjectMapper.java:49-55, SerdeFactory.java:199-209), with
+  PERMISSIVE as the documented DLQ-style alternative;
+- sink serialization ``to_json(struct(*))`` (SerdeFactory.java:110-137).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath."""
+    try:
+        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def parse_json_value(
+    value_col: Column | str,
+    schema: T.StructType,
+    mode: str = "FAILFAST",
+) -> Column:
+    """P4: JSON bytes/string → typed struct. FAILFAST mirrors the
+    reference's stream-dies-on-malformed default."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.from_json(c.cast("string"), schema, {"mode": mode})
+
+
+def serialize_to_kafka(df: DataFrame, key_col: str) -> DataFrame:
+    """P5/S4: shape a DataFrame into Kafka sink columns (key, value)."""
+    payload_cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
+def kafka_stream_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: T.StructType,
+    key_type: str = "string",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 streaming: subscribe to a topic, decode key + JSON value.
+
+    Raises a clear error when the Kafka connector is absent (import-gated
+    per environment constraints).
+    """
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10 to spark.jars.packages"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast(key_type).alias("key"),
+        parse_json_value("value", value_schema).alias("value"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),  # the S2 seq_field for changelog materialization
+        F.col("timestamp"),
+    )
+
+
+def kafka_sink_writer(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_col: str,
+    checkpoint_dir: str,
+):
+    """S4 streaming: serialized writeStream into a topic. Returns the
+    DataStreamWriter (caller starts it) so tests can inspect options."""
+    shaped = serialize_to_kafka(df, key_col)
+    return (
+        shaped.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1,0 +1,170 @@
+"""Streaming pipeline execution.
+
+Three layers, mirroring SURVEY.md §4.2's staged plan for KTable semantics:
+
+1. :class:`StreamingCompiler` — the batch compiler with a streaming root:
+   the source reads via ``readStream`` (file source here; Kafka source wiring
+   in ``sources.kafka``), dimension tables stay batch DataFrames, so join
+   steps become stream-static joins (J1/J2 streaming) and aggregations
+   become update/complete-mode streaming aggs (A1 streaming). All
+   projection/join/agg expressions are inherited unchanged — stream-batch
+   equivalence by construction, asserted in tests.
+2. :func:`run_stream_to_memory` — bounded execution harness: drive a
+   streaming DataFrame to completion (``processAllAvailable``) into a memory
+   sink and return the final result as a batch DataFrame. This is what lets
+   streaming queries participate in the driver's DuckDB-oracle check.
+3. :func:`run_changelog_materialization` — the stateful piece
+   (S2 streaming): ``foreachBatch`` MERGE of each microbatch into a
+   parquet-backed latest-per-key state table (the RocksDB+changelog analog;
+   cited: KTableRegistry.java:41-50, SURVEY.md §4.2 "custom work needed").
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.catalog import TableCatalog
+from kafka_streams_common_spark.compiler import BatchCompiler
+from kafka_streams_common_spark.registry import latest_per_key
+
+
+class StreamingCompiler(BatchCompiler):
+    """Compile pipeline configs against a streaming root.
+
+    ``max_files_per_trigger`` bounds each microbatch so tests exercise true
+    multi-batch incremental execution, not a single-batch degenerate run.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        max_files_per_trigger: int | None = None,
+    ):
+        super().__init__(spark, catalog)
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def stream_source(self, name: str) -> DataFrame:
+        """File-based streaming source: schema taken from the batch read
+        (streaming file sources require an explicit schema)."""
+        ref = self.catalog.resolve(name)
+        # raw on-disk schema — normalization (nanos → timestamp) must happen
+        # AFTER the scan, or the reader would map int64-nanos columns to a
+        # timestamp schema and fail on type mismatch
+        raw_schema = self.spark.read.format(ref.format).load(ref.path).schema
+        reader = self.spark.readStream.format(ref.format).schema(raw_schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        # the file streaming source requires a directory input (it manages
+        # basePath internally); expose single-file tables through a temp
+        # directory of symlinks
+        path = ref.path
+        if os.path.isfile(path):
+            link_dir = tempfile.mkdtemp(prefix=f"kscs_stream_{name}_")
+            os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
+            path = link_dir
+        df = reader.load(path)
+        # re-apply nanos normalization on the streaming frame
+        from pyspark.sql import types as T
+
+        for c in ref.ts_nanos_cols:
+            if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+
+    def _root(self, p):
+        df = self.stream_source(p.source.name)
+        if p.filter:
+            df = df.filter(p.filter)
+        key_col = self._extract_key(df, p.source, p.key_extraction)
+        from kafka_streams_common_spark.compiler import KEY_COL
+
+        return df.withColumn(KEY_COL, key_col)
+
+    def _compile_simple_stream(self, p):
+        # observe() is unsupported on some streaming plans; identity is the
+        # semantic contract (P6 peek is a side-effect tap)
+        return self._root(p)
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion into a memory sink;
+    return the final contents as a batch DataFrame.
+
+    Aggregations should use ``output_mode='complete'`` so the memory table
+    holds exactly the final aggregate state.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def run_changelog_materialization(
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    key_field: str,
+    seq_field: str,
+    tiebreak_field: str | None = None,
+) -> DataFrame:
+    """Materialize a changelog stream as a latest-per-key state table
+    (KTable/S2 streaming semantics) via ``foreachBatch`` merge.
+
+    Each microbatch: new rows ∪ current state → latest-per-key → atomically
+    replace the state table (write to a versioned directory, then repoint a
+    marker file — plain-parquet MERGE without Delta). Latest-per-key is
+    order-insensitive (max over a total order), so correctness does not
+    depend on microbatch boundaries — asserted by the stream-batch
+    equivalence test.
+
+    Returns the final state as a batch DataFrame.
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "_CURRENT")
+
+    def current_state() -> DataFrame | None:
+        if not os.path.exists(marker):
+            return None
+        with open(marker, encoding="utf-8") as fh:
+            path = fh.read().strip()
+        return spark.read.parquet(path) if path else None
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state = current_state()
+        merged = batch_df if state is None else state.unionByName(batch_df)
+        new_state = latest_per_key(merged, key_field, seq_field, tiebreak_field)
+        version_path = os.path.join(state_dir, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+        new_state.write.mode("overwrite").parquet(version_path)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version_path)
+        os.replace(tmp, marker)  # atomic repoint
+
+    q = streaming_df.writeStream.foreachBatch(merge_batch).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    state = current_state()
+    assert state is not None, "no microbatch produced state"
+    return state

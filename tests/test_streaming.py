@@ -1,0 +1,143 @@
+"""Streaming layer tests: stream-batch equivalence under true multi-batch
+incremental execution (SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.catalog import TableCatalog, TableRef
+from kafka_streams_common_spark.registry import latest_per_key
+from kafka_streams_common_spark.streaming import (
+    StreamingCompiler,
+    run_changelog_materialization,
+    run_stream_to_memory,
+)
+from tests.conftest import SF_SMOKE, canonical_rows
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, tmp_path_factory):
+    """The events fixture re-written as 8 files so file streaming executes
+    several microbatches (one file per trigger)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    src = TableCatalog.for_directory(SF_SMOKE).resolve("events").read(spark)
+    src.repartition(8).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def stream_catalog(multi_file_events):
+    cat = TableCatalog.for_directory(SF_SMOKE)
+    cat.register(
+        TableRef(
+            name="events",
+            path=multi_file_events,
+            key_field="user_id",
+            seq_field="ts",
+            tiebreak_field="event_id",
+        )
+    )
+    return cat
+
+
+def test_streaming_agg_equals_batch(spark, stream_catalog):
+    comp = StreamingCompiler(spark, stream_catalog, max_files_per_trigger=1)
+    sdf = (
+        comp.stream_source("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    streamed = run_stream_to_memory(sdf, spark, output_mode="complete")
+    batch = (
+        stream_catalog.resolve("events")
+        .read(spark)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert canonical_rows(streamed.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_changelog_materialization_multibatch_equals_batch_view(spark, stream_catalog):
+    """The foreachBatch latest-per-key merge must converge to the batch
+    latest-per-key view regardless of microbatch boundaries."""
+    comp = StreamingCompiler(spark, stream_catalog, max_files_per_trigger=1)
+    stream = comp.stream_source("events")
+    state = run_changelog_materialization(
+        stream,
+        spark,
+        str(spark._jvm.java.io.File.createTempFile("state", "").getParent())
+        + f"/kscs_test_state_{id(stream)}",
+        key_field="user_id",
+        seq_field="ts",
+        tiebreak_field="event_id",
+    )
+    batch_view = latest_per_key(
+        stream_catalog.resolve("events").read(spark), "user_id", "ts", "event_id"
+    )
+    cols = sorted(state.columns)
+    assert canonical_rows(state.select(*cols).toPandas()) == canonical_rows(
+        batch_view.select(*cols).toPandas()
+    )
+
+
+def test_streaming_join_chain_equals_batch(spark, stream_catalog):
+    from kafka_streams_common_spark.compiler import BatchCompiler
+    from kafka_streams_common_spark.pipelines import ENRICHED_ORDERS
+
+    streamed = run_stream_to_memory(
+        StreamingCompiler(spark, stream_catalog).compile(ENRICHED_ORDERS),
+        spark,
+        output_mode="append",
+    )
+    batch = BatchCompiler(spark, stream_catalog).compile(ENRICHED_ORDERS)
+    assert canonical_rows(streamed.toPandas()) == canonical_rows(batch.toPandas())
+
+
+def test_kafka_wiring_surface(spark):
+    """Kafka connector absent here: builders must gate cleanly, and the
+    serialization expressions must round-trip."""
+    from kafka_streams_common_spark.sources.kafka import (
+        kafka_available,
+        kafka_stream_source,
+        parse_json_value,
+        serialize_to_kafka,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_stream_source(spark, "localhost:9092", "t", schema)
+
+    df = spark.createDataFrame([(1, "a", 2.0)], ["id", "s", "x"])
+    wire = serialize_to_kafka(df, key_col="id")
+    assert wire.columns == ["key", "value"]
+    row = wire.collect()[0]
+    assert row["key"] == "1"
+    back = spark.createDataFrame([(row["value"],)], ["value"]).select(
+        parse_json_value(
+            "value",
+            T.StructType(
+                [T.StructField("s", T.StringType()), T.StructField("x", T.DoubleType())]
+            ),
+        ).alias("v")
+    ).collect()[0]["v"]
+    assert back["s"] == "a" and back["x"] == 2.0
+
+
+def test_topic_provisioner_gating(tmp_path):
+    from kafka_streams_common_spark.config import OutputDef
+    from kafka_streams_common_spark.sources.admin import ensure_output_table, ensure_topic
+
+    disabled = OutputDef(name="t", enabled=False)
+    assert ensure_topic(disabled, "localhost:9092") is False  # gate, no client needed
+
+    enabled = OutputDef(name="t2", enabled=True)
+    with pytest.raises(RuntimeError, match="Kafka admin client"):
+        ensure_topic(enabled, "localhost:9092")
+
+    path = ensure_output_table(enabled, str(tmp_path))
+    import os
+
+    assert os.path.isdir(path)
