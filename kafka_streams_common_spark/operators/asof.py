@@ -1,0 +1,82 @@
+"""As-of (point-in-time) join — Spark lacks a native one (SURVEY.md §2.7
+range/as-of row).
+
+The scalable construction is the union+window technique: tag both inputs,
+union them, sort within each key partition by (time, tag) so right-side rows
+precede left-side rows at equal timestamps, and carry the right side forward
+with ``last_value(..., ignoreNulls)``. One shuffle + one partition-local
+sort — O(n log n) per key group, no range cross-product, no per-group pandas.
+
+Right-side timestamps must be unique per key for determinism; callers get a
+``dedup_right`` knob that keeps the highest-tiebreak row per (key, time) —
+matching engines whose ASOF picks an arbitrary row would otherwise be
+nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    dedup_right: bool = True,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time`` ≤ ``left_time`` within the same ``on`` key (backward
+    as-of, inclusive). Unmatched left rows keep null right columns.
+
+    ``on``: equality key column name present in both inputs.
+    ``right_cols``: right columns to carry (default: all but key/time).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_time)]
+
+    if dedup_right:
+        w_dd = Window.partitionBy(on, right_time).orderBy(
+            *[F.desc(c) for c in right_cols]
+        )
+        right = (
+            right.withColumn("__dd", F.row_number().over(w_dd))
+            .filter(F.col("__dd") == 1)
+            .drop("__dd")
+        )
+
+    left_cols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows sort before left rows at equal time → inclusive semantics
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__tag",
+        *left_cols,
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__tag") == 1).drop("__tag")

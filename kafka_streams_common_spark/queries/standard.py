@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_common_spark.operators.asof import asof_join
 from kafka_streams_common_spark.queries.registry import query, table
 
 
@@ -305,6 +306,76 @@ def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 0).alias("price_rounded"),
         F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
         F.when(F.col("o_totalprice") > 200000.0, "big").otherwise("small").alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (point-in-time enrichment) — absent in Spark and the reference
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join_last_order_before_event",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey, o_orderdate
+                 ORDER BY o_orderkey DESC, o_totalprice DESC
+               ) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           r.o_orderkey, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks the user's most recent order at
+    or before the event time (union+window construction, operators.asof)."""
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return asof_join(
+        events,
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot (portable CASE form so the oracle is plain ANSI SQL)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pivot_event_value_by_type",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_value,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_value
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum(dec).cast("double"))
+        .withColumnsRenamed(
+            {"click": "click_value", "purchase": "purchase_value", "view": "view_value"}
+        )
     )
 
 
