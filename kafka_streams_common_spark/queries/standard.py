@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_common_spark.operators.asof import asof_join
+from kafka_streams_common_spark.operators.rangejoin import interval_self_pairs
 from kafka_streams_common_spark.queries.registry import query, table
 
 
@@ -349,6 +350,60 @@ def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="o_orderdate",
         right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# range / interval join (bucketed equi-join construction)
+# ---------------------------------------------------------------------------
+
+@query(
+    "range_join_events_within_30min",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 1800000
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 30 minutes — bucketed interval join
+    (operators.rangejoin), exact per the brute-force inequality oracle."""
+    return interval_self_pairs(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        time_col="ts",
+        id_col="event_id",
+        max_gap_seconds=1800,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles / distribution analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "percentiles_value_by_event_type",
+    oracle="""
+    SELECT event_type AS key,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` — both linear interpolation)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
 
 

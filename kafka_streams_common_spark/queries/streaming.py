@@ -90,6 +90,36 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (1-hour windows). Complete
+    output mode → the final window set equals the batch time-bucket
+    grouping. (The watermark/append variant is exercised in tests — append
+    mode can't emit still-open windows under a bounded source.)"""
+    from pyspark.sql import functions as F
+
+    comp = _streaming_compiler(spark, sf_dir)
+    sdf = (
+        comp.stream_source("events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(sdf, spark, output_mode="complete")
+
+
+@query(
     "streaming_latest_per_key",
     oracle=LATEST_EVENTS_CTE
     + "SELECT user_id, event_id, ts, event_type, value, props FROM latest_events",

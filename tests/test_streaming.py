@@ -94,6 +94,37 @@ def test_streaming_join_chain_equals_batch(spark, stream_catalog):
     assert canonical_rows(streamed.toPandas()) == canonical_rows(batch.toPandas())
 
 
+def test_watermarked_update_mode_converges_to_batch(spark, stream_catalog):
+    """Watermarked windowed agg in update mode: after processing everything,
+    the latest emitted value per window equals the batch aggregate.
+
+    The multi-file fixture arrives in RANDOM time order (repartition is
+    hash-based), so the watermark must exceed the dataset's full time span —
+    a tighter watermark would correctly DROP out-of-order rows, which is
+    watermark semantics, not convergence. Machinery (state eviction wiring,
+    update-mode emission) is still exercised."""
+    comp = StreamingCompiler(spark, stream_catalog, max_files_per_trigger=1)
+    sdf = (
+        comp.stream_source("events")
+        .withWatermark("ts", "60 days")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    streamed = run_stream_to_memory(sdf, spark, output_mode="update")
+    # update mode re-emits a row each time a window changes: keep the last
+    # emission per (window, type) — max(n) since counts only grow
+    final = streamed.groupBy("ws", "event_type").agg(F.max("n").alias("n"))
+    batch = (
+        stream_catalog.resolve("events")
+        .read(spark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    assert canonical_rows(final.toPandas()) == canonical_rows(batch.toPandas())
+
+
 def test_kafka_wiring_surface(spark):
     """Kafka connector absent here: builders must gate cleanly, and the
     serialization expressions must round-trip."""
