@@ -62,11 +62,28 @@ class BatchCompiler:
     """
 
     def __init__(
-        self, spark: SparkSession, catalog: TableCatalog, cache_shared_tables: bool = False
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        cache_shared_tables: bool = False,
+        udfs: dict | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.registry = SourceRegistry(spark, catalog, cache_tables=cache_shared_tables)
+        # Bring-your-own-function extension point: the reference sketches
+        # FQCN hooks for custom joiners/extractors (commented
+        # ``valueJoinerClass`` / ``groupByKeyExtractorClass``,
+        # AggregationDefinition.java:24,81-82). Here a config references a
+        # registered function BY NAME inside any expression slot (filter,
+        # aggregation source_field) — idiomatic Spark UDF registration
+        # instead of classpath reflection. Values: plain callables decorated
+        # with pandas_udf/udf, or (fn, returnType) pairs.
+        for fname, fn in (udfs or {}).items():
+            if isinstance(fn, tuple):
+                self.spark.udf.register(fname, *fn)
+            else:
+                self.spark.udf.register(fname, fn)
 
     # -- public ------------------------------------------------------------
 

@@ -268,21 +268,18 @@ def simhash_values(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.pmod(md5_int64("w"), F.lit(2 ** bits)))
     )
-    expanded = tok.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-    )
-    bit = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2).alias("bit")
-    contrib = F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-    sums = expanded.select("doc_id", "j", contrib.alias("c")).groupBy("doc_id", "j").agg(
-        F.sum("c").alias("s")
-    )
-    weight = F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")).otherwise(
-        F.lit(0)
-    )
-    return sums.groupBy("doc_id").agg(F.sum(weight).cast("bigint").alias("simhash"))
+    # one agg with `bits` sum columns instead of exploding each token row
+    # `bits`× — same result, 1/bits the shuffle rows
+    def contrib(j: int):
+        bit = F.floor(F.col("h") / F.lit(float(2 ** j))).cast("bigint") % 2
+        return F.sum(F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{j}")
+
+    sums = tok.groupBy("doc_id").agg(*[contrib(j) for j in range(bits)])
+    simhash = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(

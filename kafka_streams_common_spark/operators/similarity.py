@@ -37,13 +37,24 @@ def brute_force_cosine_topk(
     Deterministic ranking: (score desc, vec_id asc) is a total order, so
     results are stable under any parallelism. Self-matches are excluded.
     """
+    # precompute per-vector norms once (linear pass) instead of per pair;
+    # the per-pair score dot/(na*nb) stays bit-identical to the inline form
+    corpus_n = corpus.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cn")
+    )
+    queries_n = queries.select(
+        query_id_col, query_vec_col, l2_norm(F.col(query_vec_col)).alias("__qn")
+    )
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        corpus_n.crossJoin(F.broadcast(queries_n))
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+            (
+                dot_product(F.col(vec_col), F.col(query_vec_col))
+                / (F.col("__cn") * F.col("__qn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))

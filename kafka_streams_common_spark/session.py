@@ -27,6 +27,7 @@ def get_spark(app_name: str = "kafka_streams_common_spark") -> SparkSession:
         # rejects (PARQUET_TYPE_ILLEGAL); read as long, normalized in catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/kscs_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator + bucketed co-located join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.catalog import TableCatalog, TableRef
+from kafka_streams_common_spark.streaming import StreamingCompiler
+from kafka_streams_common_spark.streaming.runner import run_stream_to_memory
+from kafka_streams_common_spark.streaming.stateful import running_counter
+from tests.conftest import SF_SMOKE
+
+
+def test_running_counter_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState: cumulative totals across microbatches must
+    equal the batch group counts (state persisted in the state store)."""
+    src = TableCatalog.for_directory(SF_SMOKE).resolve("events").read(spark)
+    stream_dir = str(tmp_path / "ev")
+    src.repartition(4).write.parquet(stream_dir)
+
+    cat = TableCatalog({"events": TableRef(name="events", path=stream_dir, key_field="user_id")})
+    comp = StreamingCompiler(spark, cat, max_files_per_trigger=1)
+    stream = comp.stream_source("events")
+    out = run_stream_to_memory(
+        running_counter(stream, "event_type"), spark, output_mode="update"
+    )
+    # last emission per key = cumulative total
+    final = out.groupBy("key").agg(F.max("total").alias("total"))
+    batch = src.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    got = {r["key"]: r["total"] for r in final.collect()}
+    want = {r["key"]: r["total"] for r in batch.collect()}
+    assert got == want
+    # multiple microbatches really happened: some key has >1 emission
+    assert out.count() > final.count()
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark):
+    """Pre-bucketing both sides on the join key removes the shuffle entirely
+    (the bucketing row of SURVEY.md §2.7 / pyspark guide): SortMergeJoin
+    without Exchange on either side."""
+    orders = TableCatalog.for_directory(SF_SMOKE).resolve("orders").read(spark)
+    cust = TableCatalog.for_directory(SF_SMOKE).resolve("customer").read(spark)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
+        "b_orders"
+    )
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable(
+        "b_customer"
+    )
+    joined = spark.table("b_orders").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # disable broadcast so the join strategy decision is about shuffling
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 1500
