@@ -311,6 +311,34 @@ def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sliding (hopping) time windows — batch form of the streaming window op
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_sliding_counts",
+    oracle="""
+    SELECT ws AS window_start, event_type, count(*) AS n_events FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS ws,
+             ts, event_type
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS k)
+    )
+    WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 minutes (each event lands in 4
+    windows). Spark's epoch-aligned window() reproduced in SQL via
+    time_bucket minus k slides."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # as-of join (point-in-time enrichment) — absent in Spark and the reference
 # ---------------------------------------------------------------------------
 

@@ -73,6 +73,29 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_top_words",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/flatten + top-k: corpus-wide token frequencies (the
+    explode-then-aggregate shape every vocab/BPE-training pass starts with)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
     "text_fingerprints",
     oracle="""
     WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

@@ -125,6 +125,7 @@ def run_changelog_materialization(
     key_field: str,
     seq_field: str,
     tiebreak_field: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Materialize a changelog stream as a latest-per-key state table
     (KTable/S2 streaming semantics) via ``foreachBatch`` merge.
@@ -159,7 +160,13 @@ def run_changelog_materialization(
             fh.write(version_path)
         os.replace(tmp, marker)  # atomic repoint
 
-    q = streaming_df.writeStream.foreachBatch(merge_batch).outputMode("append").start()
+    writer = streaming_df.writeStream.foreachBatch(merge_batch).outputMode("append")
+    if checkpoint_dir:
+        # source-offset checkpointing: a restart with the same checkpoint
+        # resumes after the last committed microbatch (already-processed
+        # input is NOT replayed into the state merge)
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

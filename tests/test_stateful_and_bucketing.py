@@ -46,6 +46,13 @@ def test_bucketed_join_has_no_exchange(spark):
     cust = TableCatalog.for_directory(SF_SMOKE).resolve("customer").read(spark)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    # the warehouse dir outlives the in-memory catalog: remove orphaned
+    # locations from prior sessions or saveAsTable hits LOCATION_ALREADY_EXISTS
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
         "b_orders"
     )
