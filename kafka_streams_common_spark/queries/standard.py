@@ -311,6 +311,27 @@ def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# array aggregation (collect_list) — order pinned by sorting for determinism
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_agg_order_keys_per_customer",
+    oracle="""
+    SELECT o_custkey AS key, list_sort(list(o_orderkey)) AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def array_agg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-family collect_list (AggregationSpec supports it); collection
+    order is nondeterministic under parallelism, so both sides sort."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # sliding (hopping) time windows — batch form of the streaming window op
 # ---------------------------------------------------------------------------
 

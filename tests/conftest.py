@@ -40,6 +40,8 @@ def _canon_cell(x) -> str:
         if math.isnan(x):
             return "NULL"
         return format(x, ".10g")
+    if hasattr(x, "tolist"):  # numpy arrays (array columns) → plain lists
+        x = x.tolist()
     return str(x)
 
 
