@@ -311,6 +311,126 @@ def scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# skew-salted aggregation — same answer as the plain GROUP BY oracle,
+# computed via the two-stage hot-key-spreading plan
+# ---------------------------------------------------------------------------
+
+@query(
+    "salted_agg_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o_orderstatus has 3 values over 150k rows at sf0.1 — a genuinely
+    skewed key. The salted two-stage plan answers identically to the naive
+    GROUP BY while spreading each hot key over 16 reducers."""
+    from kafka_streams_common_spark.functions.skew import salted_aggregate
+
+    out = salted_aggregate(
+        table(spark, sf_dir, "orders"),
+        key="o_orderstatus",
+        aggs={
+            "n_orders": ("count", "*"),
+            "total_price": ("sum", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        },
+        n_salt=16,
+    )
+    return out.withColumn("total_price", F.col("total_price").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt + explicit GROUPING SETS
+# ---------------------------------------------------------------------------
+
+@query(
+    "unpivot_customer_measures",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def unpivot_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("double")
+    )
+    return cust.unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure", F.regexp_replace("measure", "^c_", "")
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# native session windows (batch form of session_window streaming op)
+# ---------------------------------------------------------------------------
+
+@query(
+    "session_window_per_user",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-minute gap) — the oracle rebuilds the same
+    islands via lag + cumulative-sum (session end = last event + gap)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # array aggregation (collect_list) — order pinned by sorting for determinism
 # ---------------------------------------------------------------------------
 
