@@ -75,6 +75,33 @@ def _decode_payload(payload: bytes) -> list[float]:
     return [b / total for b in bins]
 
 
+def sample_frames(
+    multimodal: DataFrame,
+    frame_size: int = 64,
+    every_k: int = 4,
+) -> DataFrame:
+    """Frame sampling over the binary payload — the video-pipeline shape:
+    split the payload into fixed-size frames, keep every k-th.
+
+    Pure built-in expressions (substring over binary via sequence/transform)
+    — the sampling plan is JVM-side; a real video decoder would replace the
+    byte-windowing with keyframe extraction inside a ``mapInPandas`` stage
+    but keep this exact output schema ``(doc_id, frame_idx, frame binary)``.
+    """
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(frame_size)).cast("int")
+    idxs = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: i % every_k == 0,
+    )
+    return multimodal.select(
+        "doc_id",
+        F.explode(idxs).alias("frame_idx"),
+        F.expr(f"substring(payload, frame_idx * {frame_size} + 1, {frame_size})").alias(
+            "frame"
+        ),
+    )
+
+
 def extract_byte_histogram_features(multimodal: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from kafka_streams_common_spark.operators.multimodal import (
     attach_fake_image_payload,
     extract_byte_histogram_features,
+    sample_frames,
 )
 from kafka_streams_common_spark.queries.registry import query, table
 
@@ -37,6 +38,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").cast("bigint").alias("width"),
         F.col("meta.height").cast("bigint").alias("height"),
         F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_filter(generate_series(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
+                              i -> i % 4 = 0)) AS frame_idx,
+           CAST(length(substr(text, 1, 64)) > 0 AS BIGINT) AS has_bytes
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: every 4th 64-byte frame per payload. The
+    oracle checks the sampling geometry (doc, frame index, non-emptiness) —
+    frame bytes themselves are binary and checked in pytest."""
+    mm = attach_fake_image_payload(table(spark, sf_dir, "documents"))
+    frames = sample_frames(mm, frame_size=64, every_k=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.octet_length("frame") > 0).cast("bigint").alias("has_bytes"),
     )
 
 

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): operators vs brute-force reference
+implementations on randomized inputs — the §5 depth the reference never had.
+
+Data volumes stay tiny (Spark job per example is expensive); the value is
+randomized STRUCTURE: duplicate timestamps, empty sides, single-token docs,
+all-identical keys.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_common_spark.operators.asof import asof_join
+from kafka_streams_common_spark.operators.dedup import ngram_jaccard_pairs
+
+BASE = datetime(2024, 1, 1)
+
+_keys = st.integers(min_value=0, max_value=2)
+_offsets = st.integers(min_value=0, max_value=50)
+
+lefts = st.lists(st.tuples(_keys, _offsets), min_size=1, max_size=8)
+rights = st.lists(st.tuples(_keys, _offsets), min_size=0, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=lefts, rights=rights)
+def test_asof_join_matches_bruteforce(spark_, lefts, rights):
+    left_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(lefts)
+    ]
+    # unique (key, time) on the right: asof_join dedups ties internally, the
+    # brute force here assumes uniqueness for a well-defined expected value
+    seen = set()
+    right_rows = []
+    for i, (k, m) in enumerate(rights):
+        if (k, m) not in seen:
+            seen.add((k, m))
+            right_rows.append((k, BASE + timedelta(minutes=m), f"v{i}"))
+
+    left = spark_.createDataFrame(left_rows, ["k", "t", "lid"])
+    right = spark_.createDataFrame(right_rows, ["k", "t", "v"]) if right_rows else (
+        spark_.createDataFrame([], "k bigint, t timestamp, v string")
+    )
+    out = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", right_cols=["v"]
+        ).collect()
+    }
+
+    for lid, (k, m) in enumerate(lefts):
+        lt = BASE + timedelta(minutes=m)
+        candidates = [(t, v) for (rk, t, v) in right_rows if rk == k and t <= lt]
+        expect = max(candidates)[1] if candidates else None
+        assert out[lid] == expect, (lid, k, m)
+
+
+_doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc_words, min_size=2, max_size=5))
+def test_ngram_jaccard_matches_python_reference(spark_, docs):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark_.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, n=2, tau=0.0).collect()
+    }
+
+    def shingles(ws):
+        if len(ws) < 2:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            inter = len(a & b)
+            expect = inter / (len(a) + len(b) - inter)
+            if inter:
+                assert got[(i, j)] == round(expect, 9), (i, j)
+            else:
+                assert (i, j) not in got
+
+
+@pytest.fixture(scope="module")
+def spark_(spark):
+    return spark
