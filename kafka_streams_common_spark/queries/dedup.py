@@ -79,6 +79,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_connected_components",
+    oracle=_SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+    + """,
+    edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+    bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           UNION ALL SELECT doc_b, doc_a FROM edges),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (3-gram Jaccard ≥ 0.7) collapsed into clusters via
+    iterative min-label propagation; oracle = recursive-CTE transitive
+    closure. Singletons keep their own id as cluster_id."""
+    from kafka_streams_common_spark.operators.cluster import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.7)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH tok AS (
