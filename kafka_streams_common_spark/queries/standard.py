@@ -604,6 +604,43 @@ def pivot_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# date / interval arithmetic
+# ---------------------------------------------------------------------------
+
+@query(
+    "date_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d')      AS due_date,
+           strftime(o_orderdate, '%Y-%m-%d')                        AS order_day,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                                                                    AS days_since_95,
+           dayofweek(o_orderdate)                                   AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')   AS order_month,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def date_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalar coverage; date results rendered as ISO strings
+    on both sides (date vs datetime64 pandas representations otherwise
+    stringify differently). DuckDB dayofweek is 0-based Sunday; Spark is
+    1-based — normalized via -1."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        iso(F.date_add(d, 90)).alias("due_date"),
+        iso(d).alias("order_day"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        iso(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+        iso(F.last_day(d)).alias("month_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multi-join analytical queries (TPC-H-shaped) — the bench workhorses
 # ---------------------------------------------------------------------------
 
