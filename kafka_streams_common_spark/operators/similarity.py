@@ -36,6 +36,11 @@ def brute_force_cosine_topk(
 
     Deterministic ranking: (score desc, vec_id asc) is a total order, so
     results are stable under any parallelism. Self-matches are excluded.
+
+    Plan note: this intentionally compiles to a BroadcastNestedLoopJoin —
+    the corpus streams through ONCE scoring each row against the broadcast
+    query set; for exact scoring against a small query set that is the
+    optimal shape, not an accident (plan audited).
     """
     # precompute per-vector norms once (linear pass) instead of per pair;
     # the per-pair score dot/(na*nb) stays bit-identical to the inline form
