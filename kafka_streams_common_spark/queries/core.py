@@ -265,7 +265,7 @@ def a1_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type AS key,
            count(*) AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )

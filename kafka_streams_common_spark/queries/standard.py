@@ -437,17 +437,28 @@ def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "array_agg_order_keys_per_customer",
     oracle="""
-    SELECT o_custkey AS key, list_sort(list(o_orderkey)) AS order_keys
+    SELECT o_custkey AS key,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
     FROM orders GROUP BY o_custkey
     """,
 )
 def array_agg_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-family collect_list (AggregationSpec supports it); collection
-    order is nondeterministic under parallelism, so both sides sort."""
+    order is nondeterministic under parallelism, so both sides sort.
+
+    The array is emitted as a comma-joined string: the driver's pandas
+    canonicalization sorts rows and cannot hash list-typed cells
+    (``TypeError: unhashable type: 'list'``), so both engines render the
+    sorted array deterministically as text.  The array-agg semantics stay
+    under test (sort_array ∘ collect_list on the Spark side)."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("key"))
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderkey"))
+            ).alias("order_keys")
+        )
     )
 
 

@@ -39,8 +39,8 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS ws_tokens,
-           list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
-             AS bpeish_tokens
+           CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+                AS BIGINT) AS bpeish_tokens
     FROM toks
     """,
 )
