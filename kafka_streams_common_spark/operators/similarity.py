@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_streams_common_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from kafka_streams_common_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+    to_double_array,
+)
 
 
 def brute_force_cosine_topk(
@@ -91,11 +96,14 @@ def ivf_cosine_topk(
     scored per query. Approximate: recall < 1 when a true neighbor lives in
     an unprobed cell (tested against the brute-force baseline).
     """
-    w_id = Window.orderBy(F.asc(id_col))
+    # TakeOrderedAndProject — a top-N that partial-sorts per partition and
+    # merges n_centroids rows on the driver; never funnels the corpus
+    # through one partition (the naive row_number-over-unpartitioned-Window
+    # seeding would).
     centroids = (
-        corpus.withColumn("__rn", F.row_number().over(w_id))
-        .filter(F.col("__rn") <= n_centroids)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+        .orderBy(F.asc("c_id"))
+        .limit(n_centroids)
     )
 
     # corpus → nearest centroid (broadcast the tiny centroid set)
@@ -145,6 +153,118 @@ def ivf_cosine_topk(
     )
 
 
+def _hyperplanes(num_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes seeded by md5 — same
+    signature on every run/engine, which is what lets the banded result be
+    asserted against a brute-force oracle."""
+    import hashlib
+
+    out = []
+    for j in range(num_bits):
+        digest = b""
+        while len(digest) < dim:
+            digest += hashlib.md5(f"hp:{j}:{len(digest)}".encode()).digest()
+        out.append([1.0 if byte & 1 else -1.0 for byte in digest[:dim]])
+    return out
+
+
+def hyperplane_lsh_near_dup_pairs(
+    corpus: DataFrame,
+    tau: float = 0.9,
+    dim: int = 64,
+    num_bits: int = 128,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-safe cosine near-dup pairs ``(id_a, id_b, score)``, a < b,
+    score ≥ tau — random-hyperplane LSH candidates + exact verification,
+    mirroring :func:`operators.dedup.minhash_lsh_pairs`.
+
+    1. **Signatures** (one linear pass, zero shuffle): ``num_bits`` sign
+       bits per vector, bit_j = sign(v · h_j) over deterministic ±1
+       hyperplanes. The hyperplane matrix is one constant-folded array
+       literal; the per-row work is a built-in HOF fold — JVM-side.
+    2. **Banding**: bits split into ``bands`` groups of ``num_bits/bands``;
+       bucket key = md5 of the group. Candidates come from an equi-join on
+       (band, bucket) — never a cartesian/BNLJ; at 100 TB the shuffle
+       carries (id, 16-byte key) rows, O(n·bands).
+    3. **Verify**: exact double-fold cosine on the candidate pairs only,
+       then ``score ≥ tau``.
+
+    With 16 bits/band × 8 bands, a true near-dup at cos 0.99 (θ≈8°,
+    p=1−θ/π≈0.97 per bit) is missed with probability (1−0.97¹⁶)⁸ ≈ 2e-6,
+    while an unrelated pair at cos 0.5 collides in a band with probability
+    0.667¹⁶ ≈ 0.15% — the candidate set is a vanishing fraction of n².
+    Approximation is only in candidate RECALL; every emitted score is exact.
+    """
+    rows_per_band = num_bits // bands
+    vecs = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("v"),
+    )
+    hp = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(num_bits, dim)]
+    )
+    bits = F.transform(
+        hp,
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(h, F.col("v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        vecs.withColumn("sig", bits)
+        .select("id", F.explode(band_structs).alias("bs"))
+        .select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    score = dot_product(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= tau)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     tau: float = 0.95,
@@ -153,11 +273,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine near-duplicate pairs ``(id_a, id_b, score)``, a < b, score ≥ tau.
 
-    Norms are precomputed once per vector (cheap linear pass), then pairs are
-    scored with a single dot product. This exact form exists as the oracle-
-    checkable semantic definition; at corpus scale, generate candidates with
-    :func:`ivf_cosine_topk`-style cell bucketing or random-hyperplane LSH
-    first and verify with this scoring.
+    EXACT QUADRATIC FORM — the semantic definition used as the oracle and
+    in tests; the registered query runs the scale path
+    (:func:`hyperplane_lsh_near_dup_pairs`) and this form defines what that
+    path must produce. Do not register this over a large corpus: the
+    all-pairs theta-join is O(n²).
     """
     vecs = corpus.select(
         F.col(id_col).alias("id"),

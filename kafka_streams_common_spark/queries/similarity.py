@@ -11,9 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_common_spark.functions.vectors import to_double_array
 from kafka_streams_common_spark.operators.similarity import (
     brute_force_cosine_topk,
     embedding_near_dup_pairs,
+    hyperplane_lsh_near_dup_pairs,
     ivf_cosine_topk,
 )
 from kafka_streams_common_spark.queries.registry import query, table
@@ -69,20 +71,64 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_cosine_topk(corpus, queries, k=10)
 
 
+# The fixture embeddings top out at pairwise cosine ≈0.51 — no natural
+# near-dups — so the near-dup query plants them: every vector gets a copy
+# (vec_id + 1,000,000) with its FIRST component shifted by +0.01, a
+# deterministic double-arithmetic perturbation both engines reproduce
+# bit-for-bit (cast to DOUBLE first; DuckDB's generate_series index is
+# 1-based where Spark's transform index is 0-based). Each (original, copy)
+# pair sits at cosine ≈0.999; everything else stays below ≈0.52, so τ=0.95
+# separates them with a wide margin on both sides.
+_AUG_SQL = """
+    aug AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
+      FROM embeddings
+    )
+"""
+
+
+def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", to_double_array("embedding").alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionAll(pert)
+
+
 @query(
     "sim_embedding_near_dup",
     oracle=f"""
+    WITH {_AUG_SQL}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_cos_sql('a.embedding', 'b.embedding')} AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+           {_cos_sql('a.v', 'b.v')} AS score
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.95
     """,
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Production threshold is ~0.9;
-    the fixture embeddings top out at cosine 0.51, so the query uses τ=0.45
-    to exercise a non-empty result through the correctness gate."""
-    return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), tau=0.45)
+    """Embedding-cosine near-dup pairs at production threshold τ=0.95 via
+    random-hyperplane LSH banding + exact verify (the 100 TB path: banded
+    equi-join candidates, never an all-pairs join). The oracle is the
+    brute-force quadratic definition (operators.similarity.
+    embedding_near_dup_pairs semantics) over the same augmented corpus —
+    the banded result must equal it exactly."""
+    return hyperplane_lsh_near_dup_pairs(
+        _augmented_corpus(spark, sf_dir), tau=0.95, dim=64
+    )
 
 
 @query("sim_ivf_topk")  # approximate → rows-only driver check; recall tested in pytest

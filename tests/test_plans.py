@@ -38,6 +38,26 @@ def test_global_topk_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_near_dup_lsh_has_no_allpairs_join(spark):
+    """The registered near-dup query must run the banded candidate plan:
+    equi-joins only — an O(n²) theta-join shows up as CartesianProduct or
+    BroadcastNestedLoopJoin."""
+    plan = plan_of(QUERIES["sim_embedding_near_dup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_centroid_seeding_has_no_global_window(spark):
+    """Centroid seeding is a TakeOrderedAndProject top-N; an unpartitioned
+    Window (row_number over orderBy with no partitionBy) would funnel the
+    whole corpus through a single partition."""
+    plan = plan_of(QUERIES["sim_ivf_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    # the only Exchanges allowed are hashpartitioning shuffles; a global
+    # Window inserts Exchange SinglePartition before a full Sort
+    assert "SinglePartition" not in plan
+
+
 def test_latest_per_key_is_hash_aggregate_not_window_sort(spark):
     plan = plan_of(QUERIES["s2_latest_per_key"](spark, SF_SMOKE))
     # max_by compiles to (Sort)HashAggregate with partial agg; a window
