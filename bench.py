@@ -5,8 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Protocol (BASELINE.md): 1 warm-up + 3 timed runs per query, median recorded.
-Timing includes full plan execution to a count() action (results are not
-collected to the driver — we measure engine throughput, not pandas transfer).
+Timing writes the full result to the noop sink, which materializes EVERY
+output column — a count() action would let Catalyst prune per-row
+projections and understate map-shaped queries. The Spark cache is cleared
+before each timed run so operator-internal .cache() calls (legitimate
+within one query) cannot leak work across runs; results are not collected
+to the driver — we measure engine throughput, not pandas transfer.
 """
 
 from __future__ import annotations
@@ -43,13 +47,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     results: dict[str, float] = {}
+    def run(fn) -> None:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        fn(spark, sf_dir).count()  # warm-up (JIT, file listing, broadcast)
+        run(fn)  # warm-up (JIT, file listing, broadcast)
         times = []
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            run(fn)
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 3)
         print(f"# {name}: {results[name]}s", file=sys.stderr)

@@ -46,6 +46,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Parallelism guard for CPU-heavy per-row stages (shingling, hashing).
+
+    A small local corpus arrives as one or two parquet splits, which would
+    serialize the whole explode/md5 pipeline on one core. Repartition ONLY
+    when the scan has fewer partitions than the session's default
+    parallelism — on a real cluster a 100 TB table already has thousands of
+    splits, the branch is false, and no shuffle is inserted.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -54,6 +70,7 @@ def word_shingles(
     Documents shorter than ``n`` words contribute their full text as the one
     shingle (the ``greatest(1, ...)`` clamp).
     """
+    docs = fan_out(docs)
     tokens = F.split(F.col(text_col), " ")
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - (n - 1)))
     shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
@@ -220,10 +237,11 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        # candidates are consumed twice (verification join + the semi-join
-        # pruning below); caching this tiny set stops the signature pipeline
-        # from being recomputed for each consumer
-        .cache()
+        # candidates are consumed three times (verification join + both
+        # sides of the id-union below); Catalyst's ReuseExchange shares the
+        # shuffle output across the consumers, so NO .cache() here — an
+        # explicit cache forces a blocking materialization job and an AQE
+        # barrier that measured ~2× slower end-to-end
     )
     # verification needs shingle sets only for docs that appear in a
     # candidate pair — a tiny fraction of the corpus; semi-join before the
@@ -263,7 +281,8 @@ def simhash_values(
     so the DuckDB oracle reproduces it verbatim.
     """
     tok = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        fan_out(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.pmod(md5_int64("w"), F.lit(2 ** bits)))
