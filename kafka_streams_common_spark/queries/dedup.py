@@ -20,8 +20,25 @@ from kafka_streams_common_spark.operators.dedup import (
 from kafka_streams_common_spark.queries.registry import query, table
 
 # DuckDB twin of operators.dedup.word_shingles(n=3) + md5 hashing:
-# distinct hashed 3-word shingles per doc.
-_SHINGLES_SQL = """
+# distinct hashed 3-word shingles per doc. ``max_df`` mirrors the
+# operator's stop-shingle skew cap: shingles appearing in more than that
+# many documents are dropped BEFORE sizes/pairs, exactly as
+# ngram_jaccard_pairs does (fixture max df is 7 at sf0.01 / 25 at sf0.1,
+# so a cap of 20 prunes real hot shingles at sf0.1 while the sf0.01
+# correctness gate sees identical results).
+
+
+def _shingles_sql(max_df: int | None = None) -> str:
+    cap = (
+        f"""
+df AS (SELECT sh AS k, count(*) AS df FROM sh GROUP BY sh),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON s.sh = df.k
+        WHERE df.df <= {max_df}),
+"""
+        if max_df is not None
+        else "shf AS (SELECT doc_id, sh FROM sh),"
+    )
+    return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh_raw AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -32,10 +49,11 @@ sh_raw AS (
 sh AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh_raw
 ),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+{cap}
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -45,6 +63,10 @@ jac AS (
   JOIN sz sb ON doc_b = sb.doc_id
 )
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
+_MAX_DF = 20
 
 
 @query(
@@ -60,11 +82,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle=_SHINGLES_SQL + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7",
+    oracle=_shingles_sql(_MAX_DF)
+    + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.7 via shingle inverted index."""
-    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), n=3, tau=0.7)
+    """Exact 3-gram Jaccard pairs ≥ 0.7 via shingle inverted index, with the
+    max_df stop-shingle cap engaged (a hot shingle in df documents creates
+    O(df²) join rows — the cap bounds the worst key at corpus scale)."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=3, tau=0.7, max_df=_MAX_DF
+    )
 
 
 @query(
@@ -80,7 +107,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_connected_components",
-    oracle=_SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+    oracle=_shingles_sql(_MAX_DF).replace("WITH toks", "WITH RECURSIVE toks")
     + """,
     edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
     bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
@@ -100,7 +127,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.cluster import connected_components
 
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.7)
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.7, max_df=_MAX_DF)
     return connected_components(docs.select("doc_id"), pairs)
 
 

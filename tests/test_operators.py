@@ -57,6 +57,27 @@ def test_minhash_lsh_finds_near_dup(docs_df):
     assert not any(3 in p for p in pairs)
 
 
+def test_jaccard_max_df_prunes_hot_shingles(spark):
+    """The max_df skew cap drops stop-shingles: a shingle shared by every
+    document would generate O(df²) join rows; with the cap those
+    spurious low-similarity pairs vanish while true dups survive."""
+    hot = "common stop phrase"  # one 3-gram shared by all filler docs
+    rows = [(i, f"{hot} unique{i} token{i} filler{i}") for i in range(10)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, tau=0.01).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, tau=0.01, max_df=5).collect()
+    }
+    assert (100, 101) in capped  # true dup pair survives the cap
+    assert len(uncapped) == 45 + 1  # all C(10,2) hot-shingle pairs + the dup
+    assert capped == {(100, 101)}  # hot-shingle pairs pruned
+
+
 def test_simhash_exact_dup_distance_zero(docs_df):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
              simhash_pairs(docs_df, max_hamming=3).collect()}
