@@ -37,7 +37,11 @@ from kafka_streams_common_spark.registry import SourceRegistry
 
 KEY_COL = "__key"
 
-_JOIN_HOW = {JoinType.LEFT_JOIN: "left", JoinType.INNER_JOIN: "inner"}
+_JOIN_HOW = {
+    JoinType.LEFT_JOIN: "left",
+    JoinType.INNER_JOIN: "inner",
+    JoinType.FULL_OUTER_JOIN: "full_outer",
+}
 
 _AGG_FNS = {
     "count": F.count,
@@ -176,7 +180,13 @@ class BatchCompiler:
             on=F.col(f"l.{KEY_COL}") == F.col(f"r.{right_key}"),
             how=_JOIN_HOW[step.join_type],
         )
-        out_cols = [F.col(f"l.{KEY_COL}").alias(KEY_COL)]
+        key_col = F.col(f"l.{KEY_COL}")
+        if step.join_type == JoinType.FULL_OUTER_JOIN:
+            # a right-only row has no left key; the running key continues
+            # from whichever side matched (Kafka Streams outer-join
+            # semantics: output key = the join key, present on either side)
+            key_col = F.coalesce(key_col, F.col(f"r.{right_key}"))
+        out_cols = [key_col.alias(KEY_COL)]
         out_cols += _project_mappings(step.output_mappings, left.columns, right.columns)
         return joined.select(*out_cols)
 

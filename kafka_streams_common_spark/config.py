@@ -31,14 +31,15 @@ class ProcessingMode(str, Enum):
 
 
 class JoinType(str, Enum):
-    """AggregationDefinition.java:42-46 — LEFT_JOIN / INNER_JOIN only.
-
-    The reference's comment defers OUTER; we accept the full Spark set as a
-    superset but validate the reference pair strictly by default.
+    """AggregationDefinition.java:42-46 — LEFT_JOIN / INNER_JOIN, with the
+    OUTER variant the reference's comment explicitly defers ("Could add
+    OUTER_JOIN later") provided as FULL_OUTER_JOIN. The JSON loader also
+    accepts the reference's anticipated spelling ``OUTER_JOIN``.
     """
 
     LEFT_JOIN = "LEFT_JOIN"
     INNER_JOIN = "INNER_JOIN"
+    FULL_OUTER_JOIN = "FULL_OUTER_JOIN"
 
 
 class MappingSide(str, Enum):
@@ -281,6 +282,10 @@ def load_pipeline(obj: dict[str, Any]) -> PipelineDef:
         return default
 
     joins: list[JoinStep] = []
+    def _join_type_from(raw: str) -> JoinType:
+        # the reference's deferred-OUTER comment anticipates "OUTER_JOIN"
+        return JoinType("FULL_OUTER_JOIN" if raw == "OUTER_JOIN" else raw)
+
     for j in get("joinOperations", "join_operations", default=[]) or []:
         mappings = tuple(
             FieldMapping(
@@ -295,7 +300,7 @@ def load_pipeline(obj: dict[str, Any]) -> PipelineDef:
                 right=_source_from(
                     j.get("enrichmentTopic") or j.get("rightTopic") or j.get("right")
                 ),
-                join_type=JoinType(
+                join_type=_join_type_from(
                     j.get("type") or j.get("joinType") or j.get("join_type") or "LEFT_JOIN"
                 ),
                 output_mappings=mappings,

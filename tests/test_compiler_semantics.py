@@ -74,6 +74,75 @@ def test_inner_join_drops_unmatched(compiler):
     assert 0 < df.count() < 1500
 
 
+def test_full_outer_join_keeps_both_unmatched_sides(compiler):
+    """FULL_OUTER_JOIN (closes AggregationDefinition.java:42-46's deferred
+    OUTER): unmatched rows of BOTH sides survive, with the running key
+    coalesced from whichever side matched."""
+    # right-only direction: events.user_id spans 0..14 at sf0.001 while
+    # customer keys span 0..149 — customers 15..149 have no events
+    p = PipelineDef(
+        id="t-outer",
+        mode=ProcessingMode.JOIN_CHAIN,
+        source=SourceDef(name="events"),
+        key_extraction=KeyExtraction(source=KeySource.VALUE, field_name="user_id"),
+        join_operations=(
+            JoinStep(
+                right=SourceDef(name="customer"),
+                join_type=JoinType.FULL_OUTER_JOIN,
+                output_mappings=(
+                    FieldMapping(MappingSide.LEFT, "event_id", "event_id"),
+                    FieldMapping(MappingSide.RIGHT, "c_name", "customer_name"),
+                ),
+            ),
+        ),
+    )
+    df = compiler.compile(p)
+    assert df.filter(F.col("event_id").isNull()).count() > 0  # custs 15..149
+    assert df.filter(F.col("key").isNull()).count() == 0  # key coalesces
+
+    # left-only direction: orders keyed by o_orderkey (sparse, up to ~6k)
+    # against customer keys 0..149 — high order keys find no customer
+    p2 = _chain(
+        JoinType.FULL_OUTER_JOIN,
+        [
+            FieldMapping(MappingSide.LEFT, "o_orderkey", "order_id"),
+            FieldMapping(MappingSide.RIGHT, "c_name", "customer_name"),
+        ],
+        key_field="o_orderkey",
+    )
+    df2 = compiler.compile(p2)
+    assert df2.filter(F.col("customer_name").isNull()).count() > 0
+    assert df2.filter(F.col("key").isNull()).count() == 0
+
+
+def test_config_loader_accepts_deferred_outer_join_spelling():
+    """The reference comment anticipates the literal \"OUTER_JOIN\"; the
+    JSON loader normalizes it to FULL_OUTER_JOIN."""
+    from kafka_streams_common_spark.config import load_pipeline
+
+    p = load_pipeline(
+        {
+            "id": "outer-test",
+            "processingMode": "JOIN_CHAIN",
+            "sourceTopic": {"name": "orders"},
+            "joinOperations": [
+                {
+                    "enrichmentTopic": {"name": "customer"},
+                    "type": "OUTER_JOIN",
+                    "outputFieldsMapping": [
+                        {
+                            "source": "LEFT",
+                            "sourceFieldName": "o_orderkey",
+                            "outputFieldName": "order_id",
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    assert p.join_operations[0].join_type == JoinType.FULL_OUTER_JOIN
+
+
 def test_missing_mapped_field_yields_null_column(compiler):
     """P1 contract: a configured source field absent from the schema becomes
     an explicit null output column (DynamicPojoValueJoiner.java:59-63)."""
