@@ -186,6 +186,30 @@ def j3_table_table_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compiler_for(spark, sf_dir).compile(_table_table_pipeline(JoinType.INNER_JOIN))
 
 
+@query(
+    "j_full_outer_join",
+    oracle=LATEST_EVENTS_CTE
+    + """
+    SELECT COALESCE(e.user_id, c.c_custkey) AS key,
+           e.event_type, e.value AS event_value,
+           c.c_name AS customer_name, c.c_acctbal AS customer_acctbal
+    FROM latest_events e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL_OUTER_JOIN — the variant the reference's JoinType comment
+    explicitly defers (AggregationDefinition.java:42-46 "Could add
+    OUTER_JOIN later"). Unmatched right rows survive with null left
+    fields (customers ≥ 150 have no events at sf0.01 — a left join would
+    drop them, so the oracle distinguishes full-outer from left/inner);
+    the running key coalesces across sides and is never null. Both-sided
+    null handling is pinned by
+    tests/test_compiler_semantics.py::test_full_outer_join_keeps_both_unmatched_sides."""
+    return compiler_for(spark, sf_dir).compile(
+        _table_table_pipeline(JoinType.FULL_OUTER_JOIN)
+    )
+
+
 # ---------------------------------------------------------------------------
 # S2 latest-per-key view on its own
 # ---------------------------------------------------------------------------
@@ -286,6 +310,34 @@ def p4_json_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return compiler_for(spark, sf_dir).compile(p)
+
+
+@query(
+    "p4_json_schema_inference",
+    oracle="""
+    SELECT event_type AS key,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def p4_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic-Map deserialization path (SerdeFactory.java:49-56): the
+    ``props`` JSON column is parsed with NO declared schema — the engine
+    infers a StructType from a bounded sample (sources.kafka.
+    infer_json_schema) and parses with it, then aggregates the typed field.
+    Same answer as p4_json_parse_agg, reached through schema inference."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.sources.kafka import parse_json_inferred
+
+    events = table(spark, sf_dir, "events")
+    parsed = parse_json_inferred(events, "props")
+    return parsed.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("parsed.k").cast("bigint")).alias("sum_k"),
+    )
 
 
 # ---------------------------------------------------------------------------

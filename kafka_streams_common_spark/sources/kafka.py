@@ -42,6 +42,43 @@ def parse_json_value(
     return F.from_json(c.cast("string"), schema, {"mode": mode})
 
 
+def infer_json_schema(
+    df: DataFrame, json_col: str, sample_rows: int = 1000
+) -> T.StructType:
+    """Schema inference for sources with NO declared schema — the engine's
+    counterpart of the reference's generic-Map deserialization path
+    (``SerdeFactory.java:49-56``: a topic with no configured value class
+    deserializes to ``LinkedHashMap<String,Object>``).
+
+    Spark's static-schema model can't defer typing to read time, so the
+    equivalent is: run Spark's own JSON schema inference (the multi-record
+    merging ``spark.read.json`` reader) over a bounded driver-side sample,
+    then parse the full column with the inferred StructType. The sample is
+    ``limit(sample_rows)`` — one tiny job, independent of corpus size, so
+    the path is 100 TB-safe (inference cost is O(sample), parse is the
+    usual JVM ``from_json``).
+    """
+    sample = df.select(json_col).where(F.col(json_col).isNotNull()).limit(sample_rows)
+    strings = sample.rdd.map(lambda r: r[0])
+    return df.sparkSession.read.json(strings).schema
+
+
+def parse_json_inferred(
+    df: DataFrame, json_col: str, parsed_col: str = "parsed", sample_rows: int = 1000
+) -> DataFrame:
+    """P4 without a catalog schema: infer from a sample, then ``from_json``.
+
+    Parsing is PERMISSIVE (unknown/missing fields → null), matching the
+    reference's lenient unknown-property behavior for the generic path
+    (``SerdeFactory.java:30``, ``DynamicPojoKeyExtractor.java:35``) —
+    unlike the declared-schema path, which stays FAILFAST.
+    """
+    schema = infer_json_schema(df, json_col, sample_rows)
+    return df.withColumn(
+        parsed_col, F.from_json(F.col(json_col), schema, {"mode": "PERMISSIVE"})
+    )
+
+
 def serialize_to_kafka(df: DataFrame, key_col: str) -> DataFrame:
     """P5/S4: shape a DataFrame into Kafka sink columns (key, value)."""
     payload_cols = [c for c in df.columns if c != key_col]
