@@ -131,8 +131,56 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivf_topk")  # approximate → rows-only driver check; recall tested in pytest
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT id, v, cell FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, c.c_id AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_emb, cell FROM (
+        SELECT q.q_id, q.q_emb, c.c_id AS cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM q, cent c
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.q_id, a.id AS vec_id, {_cos_sql('a.v', 'p.q_emb')} AS score
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE p.q_id != a.id
+    )
+    SELECT q_id, vec_id, score FROM (
+      SELECT q_id, vec_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-10 (16 cells, 4 probes) — the scale path."""
+    """IVF-bucketed top-10 (16 cells, 4 probes) — the scale path.
+
+    Approximate relative to BRUTE-FORCE top-k (recall < 1 when a true
+    neighbor lives in an unprobed cell — pytest pins recall vs the exact
+    baseline), but fully DETERMINISTIC as an algorithm: centroid seeding,
+    cell assignment, probing and ranking are all total orders, so the
+    oracle replays the identical IVF definition in SQL and the driver can
+    hash-gate it like any exact query."""
     corpus, queries = _query_set(spark, sf_dir)
     return ivf_cosine_topk(corpus, queries, k=10, n_centroids=16, n_probe=4)
