@@ -170,6 +170,14 @@ def minhash_signatures(
     per-permutation (31-bit h keeps aᵢ·h < 2⁶² inside signed-64 range).
     One hash-aggregate computes all ``num_perm`` minima in a single shuffle
     with map-side partial aggregation.
+
+    Width note (r2 profiling): the 128 named agg columns were suspected of
+    a codegen blow-up, but raising spark.sql.codegen.maxFields to 300
+    changed nothing and the agg contributes ~0.7 s of the ~5 s sf0.1
+    pipeline — the dominant costs were input-partition serialization (see
+    :func:`fan_out`) and a candidate-cache barrier (removed; ReuseExchange
+    shares the subplan). An array-typed signature would not change the
+    shuffle or the arithmetic, so the named-column form stays.
     """
     sh = word_shingles(docs, n, text_col, id_col).withColumn(
         "h31", F.pmod(md5_int64("shingle"), F.lit(_MERSENNE_31))

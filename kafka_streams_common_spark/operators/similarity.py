@@ -75,12 +75,57 @@ def brute_force_cosine_topk(
     )
 
 
+def _lloyd_refine(
+    corpus: DataFrame, centroids: DataFrame, iters: int, vec_col: str
+) -> DataFrame:
+    """Refine IVF centroids with ``iters`` Lloyd (k-means) steps.
+
+    Each step: assign every corpus vector to its nearest centroid (one
+    broadcast join — the tiny centroid set replicates, the corpus never
+    shuffles), then recompute each centroid as the element-wise mean of
+    its members via posexplode → avg per (cell, dim) → re-assemble in dim
+    order. Shuffle volume per step is O(rows·dim) narrow (cell, dim, x)
+    triples with map-side partial aggregation; empty cells simply drop
+    out. Deterministic given deterministic seeding (double-avg ordering
+    aside, which is why the hash-gated driver query keeps iters=0 — see
+    queries/similarity.py).
+    """
+    for _ in range(iters):
+        assign_w = Window.partitionBy("__id").orderBy(F.desc("c_score"), F.asc("c_id"))
+        assigned = (
+            corpus.select(F.monotonically_increasing_id().alias("__id"), vec_col)
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "__id",
+                vec_col,
+                "c_id",
+                cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
+            )
+            .withColumn("rn", F.row_number().over(assign_w))
+            .filter(F.col("rn") == 1)
+        )
+        centroids = (
+            assigned.select("c_id", F.posexplode(to_double_array(F.col(vec_col))))
+            .groupBy("c_id", "pos")
+            .agg(F.avg("col").alias("x"))
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                    lambda s: s.x,
+                ).alias("c_emb")
+            )
+        )
+    return centroids
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
@@ -88,9 +133,10 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate cosine top-k: ``(q_id, vec_id, score)``.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic seeding (production would plug k-means here; the index
-    structure, not the centroid quality, is what this operator contributes).
+    Centroids seed as the ``n_centroids`` lowest-id corpus vectors
+    (deterministic, TakeOrderedAndProject), optionally refined with
+    ``kmeans_iters`` Lloyd steps (:func:`_lloyd_refine`) — refinement
+    re-balances cells and measurably lifts recall on clustered data.
     Corpus→cell assignment is one broadcast join; each query probes its
     ``n_probe`` nearest cells, so only ~n_probe/n_centroids of the corpus is
     scored per query. Approximate: recall < 1 when a true neighbor lives in
@@ -105,6 +151,8 @@ def ivf_cosine_topk(
         .orderBy(F.asc("c_id"))
         .limit(n_centroids)
     )
+    if kmeans_iters:
+        centroids = _lloyd_refine(corpus, centroids, kmeans_iters, vec_col)
 
     # corpus → nearest centroid (broadcast the tiny centroid set)
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("c_id"))

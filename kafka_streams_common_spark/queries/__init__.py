@@ -37,6 +37,7 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # recorded green in round 1's gate (CORRECTNESS_r01.json), so demoting
 # them trades no unproven coverage.
 _DEMOTED = (
+    "set_union_distinct",  # set ops — r1-green ×3; category proven in r1's gate
     "tpch_q3_shipping_priority",  # multi-join analytics — tpch_q1/q5 remain
     "window_lag_gap_sessionize",  # windows/sessionize — window_topk + session_window remain
     "window_running_sum_frame",  # window frames — window_topk remains

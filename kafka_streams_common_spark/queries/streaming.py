@@ -120,6 +120,57 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream windowed inner join — the one §2.7 streaming shape the
+    reference lacks entirely (no JoinWindows anywhere in its source): each
+    click joins purchases by the same user within the following 30
+    minutes. Both sides carry watermarks so the join state is evictable
+    (unbounded state otherwise); the time-range condition bounds the
+    per-key buffer. Oracle = the equivalent batch interval join."""
+    from pyspark.sql import functions as F
+
+    comp = _streaming_compiler(spark, sf_dir)
+    clicks = (
+        comp.stream_source("events")
+        .filter("event_type = 'click'")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        comp.stream_source("events")
+        .filter("event_type = 'purchase'")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+@query(
     "streaming_latest_per_key",
     oracle=LATEST_EVENTS_CTE
     + "SELECT user_id, event_id, ts, event_type, value, props FROM latest_events",
@@ -127,9 +178,15 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 streaming: the stateful KTable materialization — foreachBatch
     merge of the event changelog into a latest-per-key state table."""
+    import atexit
+    import shutil
+
     comp = _streaming_compiler(spark, sf_dir)
     stream = comp.stream_source("events")
     state_dir = tempfile.mkdtemp(prefix="kscs_state_")
+    # the state table lives on disk until the result is consumed; reap the
+    # directory at interpreter exit so repeated runs don't accumulate /tmp
+    atexit.register(shutil.rmtree, state_dir, True)
     state = run_changelog_materialization(
         stream, spark, state_dir, key_field="user_id", seq_field="ts", tiebreak_field="event_id"
     )

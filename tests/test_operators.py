@@ -99,6 +99,17 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall {recall:.2f} suspiciously low"
     assert len(a) == len(e)  # still returns k per query
 
+    # Lloyd refinement re-balances the first-K-ids seeding; on the
+    # clustered fixture it must not hurt, and typically lifts recall
+    refined = ivf_cosine_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, kmeans_iters=2
+    )
+    r = {(row["q_id"], row["vec_id"]) for row in refined.collect()}
+    recall_refined = len(e & r) / len(e)
+    assert recall_refined >= recall - 0.05, (
+        f"k-means refinement degraded recall: {recall_refined:.2f} < {recall:.2f}"
+    )
+
 
 def test_multimodal_plumbing(spark):
     docs = table(spark, SF_SMOKE, "documents")
