@@ -38,7 +38,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_apply_canonical_corpus",
     "sim_cosine_topk",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
     "text_quality_metrics",
 ]
 

@@ -37,6 +37,11 @@ def connected_components(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # materialize ONCE: the edge set is consumed every round (join +
+        # convergence count), and it is typically the output of an
+        # expensive near-dup pipeline — without this the whole upstream
+        # candidate/verify plan re-executes per iteration
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
 

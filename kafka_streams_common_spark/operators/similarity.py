@@ -26,6 +26,7 @@ from kafka_streams_common_spark.functions.vectors import (
     l2_norm,
     to_double_array,
 )
+from kafka_streams_common_spark.operators.dedup import fan_out
 
 
 def brute_force_cosine_topk(
@@ -49,7 +50,7 @@ def brute_force_cosine_topk(
     """
     # precompute per-vector norms once (linear pass) instead of per pair;
     # the per-pair score dot/(na*nb) stays bit-identical to the inline form
-    corpus_n = corpus.select(
+    corpus_n = fan_out(corpus).select(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cn")
     )
     queries_n = queries.select(
@@ -153,6 +154,7 @@ def ivf_cosine_topk(
     )
     if kmeans_iters:
         centroids = _lloyd_refine(corpus, centroids, kmeans_iters, vec_col)
+    corpus = fan_out(corpus)
 
     # corpus → nearest centroid (broadcast the tiny centroid set)
     assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
@@ -247,7 +249,7 @@ def hyperplane_lsh_near_dup_pairs(
     Approximation is only in candidate RECALL; every emitted score is exact.
     """
     rows_per_band = num_bits // bands
-    vecs = corpus.select(
+    vecs = fan_out(corpus).select(
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("v"),
     )

@@ -37,6 +37,8 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # recorded green in round 1's gate (CORRECTNESS_r01.json), so demoting
 # them trades no unproven coverage.
 _DEMOTED = (
+    "percentiles_value_by_event_type",  # r1-green; exact percentile documented
+    "pivot_event_value_by_type",  # r1-green; pivot/unpivot proven in r1's gate
     "set_union_distinct",  # set ops — r1-green ×3; category proven in r1's gate
     "tpch_q3_shipping_priority",  # multi-join analytics — tpch_q1/q5 remain
     "window_lag_gap_sessionize",  # windows/sessionize — window_topk + session_window remain

@@ -132,6 +132,41 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_apply_canonical_corpus",
+    oracle=_shingles_sql(_MAX_DF).replace("WITH toks", "WITH RECURSIVE toks")
+    + """,
+    edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+    bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           UNION ALL SELECT doc_b, doc_a FROM edges),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    ),
+    canon AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node)
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN canon c ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
+    """,
+)
+def dedup_apply_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of fuzzy dedup — materialize the deduplicated
+    training corpus: cluster near-dups (3-gram Jaccard ≥ 0.7, transitive),
+    keep only each cluster's canonical (min-id) member. This is the query
+    a data pipeline actually ships: `documents` in, surviving documents
+    out. Semi-join against the canonical-id set, so document bodies never
+    enter the clustering shuffles."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.cluster import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.7, max_df=_MAX_DF)
+    cc = connected_components(docs.select("doc_id"), pairs)
+    canonical_ids = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(canonical_ids, "doc_id", "left_semi").select("doc_id", "text")
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH tok AS (

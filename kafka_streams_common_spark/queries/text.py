@@ -73,6 +73,34 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_quality_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) / len(t) AS distinct_token_ratio
+      FROM toks
+    )
+    SELECT doc_id, n_chars, n_tokens FROM m
+    WHERE n_tokens >= 25 AND distinct_token_ratio >= 0.4
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of quality scoring — the C4-style corpus filter a
+    training pipeline actually runs: compute per-document metrics, keep
+    documents passing length and repetition thresholds. Thresholds chosen
+    to bite on the fixture (~half the corpus passes)."""
+    from pyspark.sql import functions as F
+
+    m = text_quality(table(spark, sf_dir, "documents"))
+    return m.filter(
+        (F.col("n_tokens") >= 25) & (F.col("distinct_token_ratio") >= 0.4)
+    ).select("doc_id", "n_chars", "n_tokens")
+
+
+@query(
     "text_top_words",
     oracle="""
     SELECT w AS word, count(*) AS n
