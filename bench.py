@@ -53,12 +53,21 @@ def main() -> None:
     def run(fn) -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def clear_state() -> None:
+        # drop cached plans AND pinned localCheckpoint RDDs (operators
+        # legitimately checkpoint tiny intermediates; they must not
+        # accumulate in the block manager across timed runs)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         run(fn)  # warm-up (JIT, file listing, broadcast)
         times = []
         for _ in range(3):
-            spark.catalog.clearCache()
+            clear_state()
             t0 = time.perf_counter()
             run(fn)
             times.append(time.perf_counter() - t0)

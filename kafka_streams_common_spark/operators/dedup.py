@@ -155,6 +155,50 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_sig_udf(n: int, num_perm: int):
+    """Arrow-batched MinHash signature kernel (one call per record batch).
+
+    Bit-identical to the declarative spelling (explode shingles →
+    ``pmod(md5_int64(shingle), M31)`` → groupBy(doc_id).agg(128 affine
+    minima)): same UTF-8 md5, same first-15-hex-digit 60-bit reduction,
+    same (aᵢ·h + bᵢ) mod (2³¹−1) arithmetic in int64 (aᵢ·h < 2⁶² — no
+    overflow). The declarative form measured ~4.5 s of the ~6 s sf0.1
+    pipeline: per-shingle interpreted HOF lambdas (slice/concat_ws) plus a
+    260k-row explode feeding a 128-column hash aggregate. The kernel does
+    the same work as a numpy broadcast + segment-min per batch AND turns
+    the signature stage map-only — the (doc, shingle) rows never exist in
+    the plan, so the only remaining shuffles in minhash dedup are the
+    candidate join and the verify agg.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ab = np.asarray(_perm_params(num_perm), dtype=np.int64)
+    A, B = ab[:, 0][None, :], ab[:, 1][None, :]
+
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = t.split(" ")
+            sh = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE_31
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            out.append(((A * h[:, None] + B) % _MERSENNE_31).min(axis=0))
+        return pd.Series(out)
+
+    sig.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<bigint>")
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -162,31 +206,18 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per document: ``(doc_id, h0..h{num_perm-1})``.
+    """MinHash signature per document: ``(doc_id, sig array<bigint>)``.
 
     The classical affine-permutation family: ONE md5 per shingle reduced to
-    31 bits, then hᵢ = (aᵢ·h + bᵢ) mod (2³¹−1) per permutation — a
-    multiply-add instead of an md5 each, ~50× cheaper hashing than hashing
-    per-permutation (31-bit h keeps aᵢ·h < 2⁶² inside signed-64 range).
-    One hash-aggregate computes all ``num_perm`` minima in a single shuffle
-    with map-side partial aggregation.
-
-    Width note (r2 profiling): the 128 named agg columns were suspected of
-    a codegen blow-up, but raising spark.sql.codegen.maxFields to 300
-    changed nothing and the agg contributes ~0.7 s of the ~5 s sf0.1
-    pipeline — the dominant costs were input-partition serialization (see
-    :func:`fan_out`) and a candidate-cache barrier (removed; ReuseExchange
-    shares the subplan). An array-typed signature would not change the
-    shuffle or the arithmetic, so the named-column form stays.
+    31 bits (60-bit hex prefix mod 2³¹−1), then hᵢ = (aᵢ·h + bᵢ) mod
+    (2³¹−1) per permutation — a multiply-add instead of an md5 each. The
+    minima are computed in an Arrow-batched kernel (:func:`_minhash_sig_udf`),
+    so the stage is map-only: no shingle explode, no signature shuffle.
     """
-    sh = word_shingles(docs, n, text_col, id_col).withColumn(
-        "h31", F.pmod(md5_int64("shingle"), F.lit(_MERSENNE_31))
+    return fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        _minhash_sig_udf(n, num_perm)(F.col(text_col)).alias("sig"),
     )
-    mins = [
-        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % _MERSENNE_31).alias(f"h{i}")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -213,7 +244,16 @@ def minhash_lsh_pairs(
     semantic (brute-force) oracle asserts.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, n, num_perm, text_col, id_col)
+    # materialize the signature table ONCE: it is map-only output (no
+    # exchange for ReuseExchange to share) consumed by both sides of the
+    # band self-join and, transitively, every candidate re-expansion —
+    # without this the Arrow kernel re-runs per consumer (measured 10
+    # ArrowEvalPython instances in the un-checkpointed plan). The table is
+    # O(rows · num_perm · 8B) — at 100 TB corpus scale this is the
+    # signature layer one would persist to parquet anyway.
+    sig = minhash_signatures(docs, n, num_perm, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -222,7 +262,7 @@ def minhash_lsh_pairs(
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
                             for r in range(rows_per_band)
                         ],
                     )
@@ -252,14 +292,17 @@ def minhash_lsh_pairs(
         # barrier that measured ~2× slower end-to-end
     )
     # verification needs shingle sets only for docs that appear in a
-    # candidate pair — a tiny fraction of the corpus; semi-join before the
-    # expensive collect_set so the agg state stays proportional to candidates
-    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
-        cand.select(F.col("doc_b").alias("doc_id"))
+    # candidate pair — a tiny fraction of the corpus; semi-join the DOCS
+    # (before shingling, not after) so the explode/hash work is
+    # proportional to candidates, not to the corpus
+    cand_ids = cand.select(F.col("doc_a").alias("__cid")).union(
+        cand.select(F.col("doc_b").alias("__cid"))
     ).distinct()
+    cand_docs = docs.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi"
+    )
     sets = (
-        _hashed_shingles(docs, n, text_col, id_col)
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        _hashed_shingles(cand_docs, n, text_col, id_col)
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("shset"), F.count(F.lit(1)).alias("sz"))
     )

@@ -218,6 +218,36 @@ def _hyperplanes(num_bits: int, dim: int) -> list[list[float]]:
     return out
 
 
+def _hyperplane_bits_udf(num_bits: int, dim: int):
+    """Arrow-batched signature kernel: one numpy matmul per batch.
+
+    The HOF spelling (``transform`` over 128 ``aggregate`` folds) is
+    semantically identical but evaluates ~num_bits·dim interpreted lambda
+    steps per row — measured ~6 s for 4k vectors at sf0.1, 95% of the
+    near-dup query. A ``(batch×dim) @ (dim×num_bits)`` matmul does the same
+    work vectorized; this is exactly the "vectorized Pandas UDF for
+    embedding columns" seam the engine reserves for when built-in
+    expressions can't stay on the fast path. Sign bits only need to be
+    self-consistent within a run (they gate candidate RECALL, not emitted
+    scores — those are exact JVM folds), so float summation order here is
+    immaterial.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    H = np.asarray(_hyperplanes(num_bits, dim), dtype="float64").T  # dim×bits
+
+    def sig(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy())  # batch×dim
+        bits = (M @ H >= 0.0).astype("int32")
+        return pd.Series(list(bits))
+
+    # explicit annotations (not the PEP-563 strings this module defers to)
+    sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(sig, "array<int>")
+
+
 def hyperplane_lsh_near_dup_pairs(
     corpus: DataFrame,
     tau: float = 0.9,
@@ -253,21 +283,7 @@ def hyperplane_lsh_near_dup_pairs(
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("v"),
     )
-    hp = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(num_bits, dim)]
-    )
-    bits = F.transform(
-        hp,
-        lambda h: F.when(
-            F.aggregate(
-                F.zip_with(h, F.col("v"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    bits = _hyperplane_bits_udf(num_bits, dim)(F.col("v"))
     band_structs = F.array(
         *[
             F.struct(
