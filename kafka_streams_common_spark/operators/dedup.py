@@ -321,6 +321,49 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_udf(bits: int):
+    """Arrow-batched SimHash kernel — one value per document text.
+
+    Bit-identical to the declarative spelling (explode tokens → group
+    counts → ``pmod(md5_int64(w), 2^bits)`` → ``bits`` signed
+    count-weighted sums → sign bits): same UTF-8 md5, same 60-bit hex
+    prefix reduction, and every step is INTEGER arithmetic, so parity with
+    the DuckDB oracle (which replays the same definition in SQL) is exact
+    by construction. Replaces a (doc, token) explode-shuffle + 32-column
+    conditional-sum aggregate with a map-only numpy bit-matrix per batch —
+    the declarative form measured ~2.5 s of the ~2.9 s sf0.1 query.
+    """
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    J = np.arange(bits, dtype=np.int64)
+
+    def sim(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=np.int64)
+        for k, t in enumerate(text.to_numpy()):
+            cnt = Counter(t.split(" "))
+            ws = list(cnt)
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % (1 << bits)
+                    for w in ws
+                ),
+                dtype=np.int64,
+                count=len(ws),
+            )
+            c = np.fromiter((cnt[w] for w in ws), dtype=np.int64, count=len(ws))
+            s = ((2 * ((h[:, None] >> J[None, :]) & 1) - 1) * c[:, None]).sum(axis=0)
+            out[k] = int(((s >= 0) * (np.int64(1) << J)).sum())
+        return pd.Series(out)
+
+    sim.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    return pandas_udf(sim, "bigint")
+
+
 def simhash_values(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
@@ -328,28 +371,15 @@ def simhash_values(
 
     Token-frequency-weighted: bit j of the hash of each token contributes
     +count / -count to position j; the sign of the sum sets output bit j.
-    Bit extraction uses ``floor(h / 2^j) % 2`` (exact in doubles for h < 2³²)
-    so the DuckDB oracle reproduces it verbatim.
+    Computed map-only in an Arrow-batched kernel (:func:`_simhash_udf`);
+    the definition (and the DuckDB oracle) is the declarative
+    ``floor(h / 2^j) % 2`` bit-sum form, which the kernel reproduces
+    bit-for-bit in integer arithmetic.
     """
-    tok = (
-        fan_out(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.pmod(md5_int64("w"), F.lit(2 ** bits)))
+    return fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        _simhash_udf(bits)(F.col(text_col)).alias("simhash"),
     )
-    # one agg with `bits` sum columns instead of exploding each token row
-    # `bits`× — same result, 1/bits the shuffle rows
-    def contrib(j: int):
-        bit = F.floor(F.col("h") / F.lit(float(2 ** j))).cast("bigint") % 2
-        return F.sum(F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{j}")
-
-    sums = tok.groupBy("doc_id").agg(*[contrib(j) for j in range(bits)])
-    simhash = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(
@@ -366,7 +396,9 @@ def simhash_pairs(
     banded output ≡ brute force, at O(n·4) bucket rows instead of O(n²).
     """
     assert max_hamming <= 3, "4-block pigeonhole guarantee only holds for hamming <= 3"
-    sim = simhash_values(docs, text_col, id_col)
+    # materialize once — map-only kernel output feeds both sides of the
+    # block self-join (same rationale as the minhash signature checkpoint)
+    sim = simhash_values(docs, text_col, id_col).localCheckpoint(eager=True)
     blocks = F.array(
         *[
             F.struct(
