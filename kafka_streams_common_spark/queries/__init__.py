@@ -37,6 +37,9 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # recorded green in round 1's gate (CORRECTNESS_r01.json), so demoting
 # them trades no unproven coverage.
 _DEMOTED = (
+    "anti_join_customers_without_orders",  # semi/anti — r1-green; semi_join remains
+    "window_sliding_counts",  # streaming windows — session + tumbling remain
+    "global_topk_orders",  # sorts/top-k — r1-green + TakeOrdered plan test; window_topk remains
     "percentiles_value_by_event_type",  # r1-green; exact percentile documented
     "pivot_event_value_by_type",  # r1-green; pivot/unpivot proven in r1's gate
     "set_union_distinct",  # set ops — r1-green ×3; category proven in r1's gate

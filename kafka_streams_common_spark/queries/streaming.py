@@ -191,3 +191,25 @@ def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, state_dir, key_field="user_id", seq_field="ts", tiebreak_field="event_id"
     )
     return state.select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+
+@query(
+    "streaming_dedup_distinct_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication — the "seen-set" stateful operator: emit each
+    (user_id, event_type) key the first time it appears in the stream,
+    suppress every later occurrence. State is the distinct-key set, exactly
+    the structure a streaming ingest pipeline uses to keep an append-only
+    corpus duplicate-free. Only the dedup KEY columns are emitted, so the
+    bounded-run result is deterministically the distinct key set (emitting
+    non-key columns of the first-seen row would tie the output to
+    micro-batch arrival order). The unbounded-stream variant bounds this
+    state with ``dropDuplicatesWithinWatermark`` — exercised in
+    tests/test_streaming.py, where arrival order is pinned."""
+    comp = _streaming_compiler(spark, sf_dir)
+    dedup = (
+        comp.stream_source("events").select("user_id", "event_type").dropDuplicates()
+    )
+    return run_stream_to_memory(dedup, spark, output_mode="append")

@@ -138,3 +138,78 @@ def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprints(table(spark, sf_dir, "documents"), n=5)
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-0100' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM salted
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before a corpus ships: count and mask email addresses and phone
+    numbers with built-in regexp functions (JVM-side, global replace; the
+    pattern set is a config surface in a real deployment). The fixture
+    corpus is synthetic and PII-free, so the query plants one email and one
+    phone per document deterministically — the scrub then has real work
+    whose output both engines must agree on byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100"),
+        ).alias("t"),
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "text_hash_sample",
+    oracle="SELECT doc_id, text FROM documents"
+    " WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0",
+)
+def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — reproducible corpus subsampling (the
+    ablation/holdout primitive): keep the ~10% of documents whose md5(id)
+    falls in bucket 0. Unlike ``DataFrame.sample``, the selection is a pure
+    function of the id — stable across runs, engines, partitionings and
+    cluster sizes, so a sampled training set can be reproduced bit-for-bit
+    anywhere. Filter is a scan-level predicate; no shuffle."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.pmod(md5_int64("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", "text"
+    )

@@ -172,3 +172,37 @@ def test_topic_provisioner_gating(tmp_path):
     import os
 
     assert os.path.isdir(path)
+
+
+@pytest.mark.parametrize("delay,exact", [("365 days", True), ("1 hour", False)])
+def test_streaming_dedup_within_watermark_bounds_state(
+    spark, stream_catalog, delay, exact
+):
+    """dropDuplicatesWithinWatermark semantics under multi-batch execution:
+    with a delay covering the whole fixture span the state never evicts and
+    the output is EXACTLY the batch distinct key set; with a short delay the
+    state is bounded and watermark semantics apply in full — a key may
+    re-emit after eviction AND a key arriving only in late-beyond-watermark
+    rows is dropped — so the distinct emitted keys are a subset of the
+    batch distinct set."""
+    comp = StreamingCompiler(spark, stream_catalog, max_files_per_trigger=1)
+    sdf = (
+        comp.stream_source("events")
+        .withWatermark("ts", delay)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    streamed = run_stream_to_memory(sdf, spark, output_mode="append")
+    batch = (
+        stream_catalog.resolve("events")
+        .read(spark)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    got, want = streamed.toPandas(), batch.toPandas()
+    if exact:
+        assert canonical_rows(got) == canonical_rows(want)
+    else:
+        assert len(got) > 0
+        assert set(canonical_rows(got.drop_duplicates())) <= set(canonical_rows(want))
