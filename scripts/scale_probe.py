@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Scale probe — empirical evidence that the dedup/similarity operators
+scale near-linearly in corpus size, including under heavy duplication.
+
+Builds an 8× corpus by unioning the sf0.1 fixture with id-offset copies —
+deliberately the ADVERSARIAL shape for dedup (every document now has 8
+exact copies, so every LSH bucket really collides and every candidate
+verifies positive), the profile of a genuinely dirty crawl corpus. A
+quadratic candidate generator or an unbounded bucket would blow up here;
+the banded operators should grow ~8× in time and emit C(8,2)=28 pairs per
+original document.
+
+Usage: python scripts/scale_probe.py  → one JSON line per operator with
+1× and 8× wall time, output rows, and the time ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.operators.cluster import connected_components
+from kafka_streams_common_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from kafka_streams_common_spark.operators.similarity import (
+    hyperplane_lsh_near_dup_pairs,
+)
+from kafka_streams_common_spark.queries.registry import table
+from kafka_streams_common_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+COPIES = 8
+
+
+def replicate(df, id_col: str, n: int):
+    """n id-offset copies of df (ids stay distinct across copies)."""
+    out = df
+    for k in range(1, n):
+        out = out.unionAll(
+            df.withColumn(id_col, F.col(id_col) + F.lit(k * 10_000_000))
+        )
+    return out
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    rows = fn().count()
+    return round(time.perf_counter() - t0, 2), rows
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    docs1 = table(spark, SF_DIR, "documents")
+    docs8 = replicate(docs1, "doc_id", COPIES).localCheckpoint(eager=True)
+    emb1 = table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    emb8 = replicate(emb1, "vec_id", COPIES).localCheckpoint(eager=True)
+
+    probes = {
+        "exact_dedup": (
+            lambda: exact_dedup(docs1),
+            lambda: exact_dedup(docs8),
+        ),
+        "minhash_lsh_pairs": (
+            lambda: minhash_lsh_pairs(docs1),
+            lambda: minhash_lsh_pairs(docs8),
+        ),
+        "simhash_pairs": (
+            lambda: simhash_pairs(docs1),
+            lambda: simhash_pairs(docs8),
+        ),
+        "hyperplane_near_dup": (
+            lambda: hyperplane_lsh_near_dup_pairs(emb1, tau=0.95, dim=64),
+            lambda: hyperplane_lsh_near_dup_pairs(emb8, tau=0.95, dim=64),
+        ),
+        "connected_components": (
+            lambda: connected_components(
+                docs1.select("doc_id"), minhash_lsh_pairs(docs1)
+            ),
+            lambda: connected_components(
+                docs8.select("doc_id"), minhash_lsh_pairs(docs8)
+            ),
+        ),
+    }
+
+    for name, (f1, f8) in probes.items():
+        f1().count()  # warm-up (JIT, python workers)
+        t1, r1 = timed(f1)
+        t8, r8 = timed(f8)
+        print(
+            json.dumps(
+                {
+                    "operator": name,
+                    "t_1x_sec": t1,
+                    "t_8x_sec": t8,
+                    "ratio": round(t8 / t1, 1) if t1 else None,
+                    "rows_1x": r1,
+                    "rows_8x": r8,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
