@@ -46,12 +46,16 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
 
     for _ in range(max_iterations):
-        labels = labels.localCheckpoint(eager=True)  # truncate the plan per round
         neighbor_min = (
             bi.join(labels, bi.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # checkpoint the ROUND RESULT (one blocking job running the round's
+        # joins exactly once); the convergence count and the next round both
+        # read the materialized rows — checkpointing `labels` instead would
+        # re-execute the round's joins for the count AND for the next
+        # round's checkpoint
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -61,6 +65,7 @@ def connected_components(
                 ),
                 "label",
             )
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
