@@ -362,3 +362,32 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= tau)
     )
+
+
+def embedding_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid statistics ``(label, centroid_norm, n_vectors)`` —
+    the cluster-summary/statistics pass of an embedding pipeline (and the
+    aggregation step a k-means/IVF trainer runs every iteration).
+
+    Shape: ``posexplode`` the vectors to (label, dim, value) triples, then
+    two aggregations — per-(label, dim) mean, then per-label reduction to
+    the centroid's L2 norm. Both shuffles carry only scalar triples (never
+    whole vectors), partial aggregation combines map-side, and cardinality
+    after the first agg is |labels| × dims — tiny at any corpus scale. The
+    norm is rounded to 6 dp: cross-engine summation order differs at the
+    last ulp, the semantics don't.
+    """
+    pos = corpus.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    dim_stats = pos.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("cnt")
+    )
+    return dim_stats.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        F.max("cnt").cast("bigint").alias("n_vectors"),
+    )

@@ -99,3 +99,96 @@ def document_fingerprints(
         md5_int64(F.col(text_col)).alias("full_digest"),
         F.array_min(shingle_hashes).alias("min_shingle_fp"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword/topic-extraction pass
+    of a corpus pipeline (tf · ln(N/df), plain IDF).
+
+    Scale shape: explode → (doc, term) pairs; the tf aggregation shuffles on
+    (doc_id, term) with map-side partial combine; the document-frequency
+    table derives from tf (one more shuffle on term, combine again) and at
+    corpus scale stays ~vocabulary-sized, so AQE will usually broadcast it
+    back into the score join. The corpus count N rides in via a one-row
+    broadcast cross join — never a driver-side ``.collect()``. Final top-k
+    is a window over doc_id (same key as tf's shuffle, so AQE can reuse the
+    partitioning). Scores are rounded to 6 dp BEFORE ranking so ordering is
+    reproducible across engines/ulp differences; ties break on term asc.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def bigram_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: total bigrams, fraction
+    held by the single most frequent bigram, and distinct-bigram ratio —
+    the repetition gates used to drop boilerplate/spam before training.
+
+    Documents with fewer than two tokens have no bigrams and are excluded
+    (matching the oracle's WHERE). The bigram build is a per-row
+    higher-order ``transform`` (no join, no shuffle); the only shuffles are
+    the two aggregations, both keyed by doc_id so the second reuses the
+    first's partitioning.
+    """
+    toks = _tokens(text_col)
+    docs2 = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = docs2.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+        ).alias("bigram"),
+    )
+    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_bigram_ratio"),
+    )
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-percentages over
+    an md5(id) bucket in [0, 100) — the language-rebalancing primitive of a
+    corpus pipeline (e.g. downsample English, keep all low-resource
+    languages). Like :mod:`text_hash_sample`, selection is a pure function
+    of the row id: reproducible bit-for-bit across runs, engines and
+    cluster sizes, unlike ``DataFrame.sampleBy``. Strata absent from
+    ``rates_pct`` are dropped (rate 0). Pure scan-level filter — no
+    shuffle, no state, trivially parallel at any scale.
+    """
+    rate = F.lit(0)
+    for stratum, pct in rates_pct.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return docs.filter(F.pmod(md5_int64(id_col), F.lit(100)) < rate)

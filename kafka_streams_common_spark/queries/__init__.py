@@ -37,6 +37,10 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # recorded green in round 1's gate (CORRECTNESS_r01.json), so demoting
 # them trades no unproven coverage.
 _DEMOTED = (
+    "a1_multi_agg",  # aggregation family — r1-green; a1_count_by_key (the reference's A1 semantics) remains
+    "simple_stream_passthrough",  # SIMPLE_STREAM/P6 — r1-green; identity semantics, compiler mode also covered by pytest
+    "session_window_per_user",  # streaming windows — r1-green; streaming_tumbling_window_counts remains
+    "tpch_q5_local_supplier_volume",  # multi-join analytics — r1-green; tpch_q1 remains
     "anti_join_customers_without_orders",  # semi/anti — r1-green; semi_join remains
     "window_sliding_counts",  # streaming windows — session + tumbling remain
     "global_topk_orders",  # sorts/top-k — r1-green + TakeOrdered plan test; window_topk remains
@@ -58,5 +62,9 @@ for _name in _DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)
     if _name in ORACLES:
         ORACLES[_name] = ORACLES.pop(_name)
+
+# Dead last: no-oracle-by-design (rows-only check either way, so it should
+# never displace a hash-gated query from the driver's budget).
+QUERIES["agg_approx_distinct_users"] = QUERIES.pop("agg_approx_distinct_users")
 
 __all__ = ["ORACLES", "QUERIES", "FLAGSHIP", "query"]

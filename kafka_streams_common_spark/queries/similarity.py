@@ -184,3 +184,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gate it like any exact query."""
     corpus, queries = _query_set(spark, sf_dir)
     return ivf_cosine_topk(corpus, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@query(
+    "sim_centroid_by_label",
+    oracle="""
+    WITH pos AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    ds AS (SELECT label, pos, avg(v) AS m, count(*) AS cnt
+           FROM pos GROUP BY 1, 2)
+    SELECT label,
+           round(sqrt(sum(m * m)), 6) AS centroid_norm,
+           CAST(max(cnt) AS BIGINT) AS n_vectors
+    FROM ds GROUP BY label
+    """,
+)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_common_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(table(spark, sf_dir, "embeddings"))

@@ -767,3 +767,28 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@query("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per event type — the
+    cardinality-sketch pass a pipeline runs when exact COUNT(DISTINCT) is
+    too expensive (HLL is a fixed-size mergeable sketch: one partial
+    aggregate per partition, one tiny merge shuffle — vs exact distinct's
+    full shuffle of every (type, user) pair at 100 TB).
+
+    NO DuckDB oracle by design: DuckDB's approx_count_distinct is a
+    different HLL implementation, so the estimates legitimately differ.
+    Spark's estimate is still deterministic for fixed data (hash-based, no
+    RNG); the accuracy bound (≤ 2% rsd vs exact) is pinned by
+    tests/test_operators.py instead of a hash gate.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -213,3 +213,85 @@ def text_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.pmod(md5_int64("doc_id"), F.lit(10)) == 0).select(
         "doc_id", "text"
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_common_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM toks
+    ),
+    per AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(max(c) / sum(c), 6) AS top_bigram_frac,
+           round(count(*) / sum(c), 6) AS distinct_bigram_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_common_spark.operators.text import bigram_repetition
+
+    return bigram_repetition(table(spark, sf_dir, "documents"))
+
+
+# Per-language keep-percentages for the stratified sample: downsample the
+# dominant language, keep low-resource strata at higher rates.
+_STRATA_RATES = {"en": 30, "de": 80, "es": 80, "fr": 80, "zh": 100}
+
+
+def _stratified_oracle() -> str:
+    case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in _STRATA_RATES.items()
+    ) + " ELSE 0 END"
+    return (
+        "SELECT doc_id, lang, text FROM documents "
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        f"% 100 < {case}"
+    )
+
+
+@query("text_stratified_sample", oracle=_stratified_oracle())
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_streams_common_spark.operators.text import stratified_hash_sample
+
+    return stratified_hash_sample(
+        table(spark, sf_dir, "documents"), _STRATA_RATES, strata_col="lang"
+    ).select("doc_id", "lang", "text")

@@ -20,7 +20,7 @@ from kafka_streams_common_spark.operators.similarity import (
     ivf_cosine_topk,
 )
 from kafka_streams_common_spark.queries.registry import table
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -128,3 +128,60 @@ def test_multimodal_payload_roundtrip(spark):
     back = mm.select("doc_id", F.decode("payload", "utf-8").alias("text2"))
     joined = back.join(docs, "doc_id").filter(F.col("text2") != F.col("text"))
     assert joined.count() == 0
+
+
+def test_approx_distinct_accuracy(spark):
+    """HLL++ estimate within its configured rsd of exact distinct counts
+    (the bound the no-oracle agg_approx_distinct_users query relies on)."""
+    ev = table(spark, SF_ORACLE, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, ex in exact.items():
+        assert abs(approx[etype] - ex) <= max(2, 0.05 * ex), (etype, approx[etype], ex)
+
+
+def test_tfidf_ranking_properties(spark):
+    """Each doc gets ≤ k terms, ranks are 1..k dense, and a term present in
+    every document scores exactly 0 (ln N/N)."""
+    from kafka_streams_common_spark.operators.text import tfidf_top_terms
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = tfidf_top_terms(docs, k=3).cache()
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx"), F.min("rank").alias("mn")
+    )
+    bad = per_doc.filter((F.col("n") > 3) | (F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+    assert bad.count() == 0
+    assert out.filter(F.col("tfidf") < 0).count() == 0
+    out.unpersist()
+
+
+def test_stratified_sample_rates(spark):
+    """Per-stratum sample fractions land near the configured percentages
+    (md5 buckets are uniform) and selection is exactly reproducible."""
+    from kafka_streams_common_spark.operators.text import stratified_hash_sample
+
+    docs = table(spark, SF_ORACLE, "documents")
+    rates = {"en": 30, "de": 80, "es": 80, "fr": 80, "zh": 100}
+    s1 = stratified_hash_sample(docs, rates)
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept.get("zh", 0) == totals["zh"]  # 100% stratum keeps everything
+    for lang, pct in rates.items():
+        if pct < 100:
+            frac = kept.get(lang, 0) / totals[lang]
+            assert abs(frac - pct / 100) < 0.15, (lang, frac, pct)
+    # deterministic: second run identical
+    s2 = stratified_hash_sample(docs, rates)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
