@@ -431,3 +431,35 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document that shares at
+    least one word ``n``-gram with a benchmark/eval set — the overlap
+    filter run before training so eval data never leaks into the corpus.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (an eval
+    suite, not a second corpus), so its distinct shingle-hash set is
+    broadcast; the corpus streams once through a broadcast inner join to
+    find contaminated doc ids, and once through a broadcast-able anti-join
+    to drop them. The corpus is never shuffled and document bodies never
+    leave their partitions — only (doc_id, hash) pairs flow.
+    """
+    bench_sh = (
+        _hashed_shingles(benchmark, n, text_col, id_col).select("sh").distinct()
+    )
+    corpus_sh = _hashed_shingles(corpus, n, text_col, id_col)
+    contaminated = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh").select("doc_id").distinct()
+    )
+    return corpus.join(
+        F.broadcast(contaminated),
+        corpus[id_col] == contaminated["doc_id"],
+        "left_anti",
+    )

@@ -203,3 +203,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding has zero false negatives, so the banded Spark result equals the
     brute-force oracle exactly."""
     return simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+    bsh AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM bench
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM corpus
+    ),
+    contaminated AS (
+      SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle)
+    )
+    SELECT doc_id, n_chars FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the fixture: treat every 50th document
+    as the 'eval benchmark', drop corpus documents sharing any 5-gram with
+    it. The fixture's planted near-duplicates guarantee real hits. The
+    oracle joins on shingle STRINGS while the engine joins on 60-bit md5
+    shingle hashes — identical result sets (the hash is injective on the
+    fixture and collisions at corpus scale only ever over-remove)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, bench, n=5).select("doc_id", "n_chars")

@@ -64,3 +64,12 @@ def test_latest_per_key_is_hash_aggregate_not_window_sort(spark):
     # row_number implementation would show a Window + full Sort instead
     assert "Window" not in plan
     assert "max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_decontaminate_is_broadcast_only(spark):
+    """Decontamination must never shuffle the corpus: the benchmark shingle
+    set and the contaminated-id set both ride broadcast joins."""
+    plan = plan_of(QUERIES["dedup_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
