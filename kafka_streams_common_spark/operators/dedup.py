@@ -158,17 +158,25 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
 def _minhash_sig_udf(n: int, num_perm: int):
     """Arrow-batched MinHash signature kernel (one call per record batch).
 
-    Bit-identical to the declarative spelling (explode shingles →
-    ``pmod(md5_int64(shingle), M31)`` → groupBy(doc_id).agg(128 affine
-    minima)): same UTF-8 md5, same first-15-hex-digit 60-bit reduction,
-    same (aᵢ·h + bᵢ) mod (2³¹−1) arithmetic in int64 (aᵢ·h < 2⁶² — no
-    overflow). The declarative form measured ~4.5 s of the ~6 s sf0.1
-    pipeline: per-shingle interpreted HOF lambdas (slice/concat_ws) plus a
-    260k-row explode feeding a 128-column hash aggregate. The kernel does
-    the same work as a numpy broadcast + segment-min per batch AND turns
-    the signature stage map-only — the (doc, shingle) rows never exist in
-    the plan, so the only remaining shuffles in minhash dedup are the
-    candidate join and the verify agg.
+    Map-only: the (doc, shingle) rows never exist in the plan, so the only
+    shuffles left in minhash dedup are the candidate join and the verify
+    agg. Per batch: md5 each DISTINCT TOKEN once (memoized across the
+    batch — corpus vocabularies are far smaller than token streams), then
+    build every shingle hash with a vectorized polynomial combine of the
+    token hashes (base powers mod 2³¹−1, Horner-free closed form) and take
+    the 128 affine minima as one numpy broadcast. No per-shingle string
+    construction, no per-shingle md5.
+
+    The shingle hash is deliberately NOT the md5-of-shingle-string used by
+    the exact-verify stage: signatures only need a deterministic,
+    well-mixed hash (the md5-seeded token hashes provide the mixing; the
+    polynomial distinguishes order), because banding is candidate
+    GENERATION — the exact Jaccard verify recomputes truth from md5
+    shingle sets, and the registered query's oracle is the brute-force
+    ground-truth pair set. Min over the shingle MULTISET equals min over
+    the set, so duplicate shingles need no dedup. v1 of this kernel
+    (md5 per shingle string) measured ~4.1 s of the ~4.3 s warm sf0.1
+    pipeline; this form cuts the signature stage to well under a second.
     """
     import hashlib
 
@@ -178,20 +186,38 @@ def _minhash_sig_udf(n: int, num_perm: int):
 
     ab = np.asarray(_perm_params(num_perm), dtype=np.int64)
     A, B = ab[:, 0][None, :], ab[:, 1][None, :]
+    # polynomial base powers: base^(n-1), ..., base^0 mod M31
+    base = 1_000_003
+    powers = [1]
+    for _ in range(n - 1):
+        powers.append((powers[-1] * base) % _MERSENNE_31)
+    powers = powers[::-1]
 
     def sig(text: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def tok_hash(w: str) -> int:
+            h = memo.get(w)
+            if h is None:
+                h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % _MERSENNE_31
+                memo[w] = h
+            return h
+
         out = []
         for t in text:
             toks = t.split(" ")
-            sh = {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE_31
-                    for s in sh
-                ),
-                dtype=np.int64,
-                count=len(sh),
-            )
+            ids = np.fromiter((tok_hash(w) for w in toks), dtype=np.int64, count=len(toks))
+            if len(toks) >= n:
+                m = len(toks) - n + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(n):
+                    h = (h + ids[j : j + m] * powers[j]) % _MERSENNE_31
+            else:
+                # short doc: whole token sequence as the one shingle
+                h = np.array(
+                    [sum(int(i) * base**k for k, i in enumerate(reversed(ids))) % _MERSENNE_31],
+                    dtype=np.int64,
+                )
             out.append(((A * h[:, None] + B) % _MERSENNE_31).min(axis=0))
         return pd.Series(out)
 
@@ -208,11 +234,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: ``(doc_id, sig array<bigint>)``.
 
-    The classical affine-permutation family: ONE md5 per shingle reduced to
-    31 bits (60-bit hex prefix mod 2³¹−1), then hᵢ = (aᵢ·h + bᵢ) mod
-    (2³¹−1) per permutation — a multiply-add instead of an md5 each. The
-    minima are computed in an Arrow-batched kernel (:func:`_minhash_sig_udf`),
-    so the stage is map-only: no shingle explode, no signature shuffle.
+    The classical affine-permutation family: a 31-bit shingle hash (md5
+    token hashes combined polynomially — see :func:`_minhash_sig_udf`),
+    then hᵢ = (aᵢ·h + bᵢ) mod (2³¹−1) per permutation — a multiply-add
+    instead of a hash each. The minima are computed in an Arrow-batched
+    kernel, so the stage is map-only: no shingle explode, no signature
+    shuffle.
     """
     return fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -343,18 +370,23 @@ def _simhash_udf(bits: int):
     J = np.arange(bits, dtype=np.int64)
 
     def sim(text: pd.Series) -> pd.Series:
+        # token md5s memoized across the batch (values unchanged — this
+        # must stay bit-identical to the oracle; corpus vocabularies are
+        # far smaller than token streams, so the cache hits dominate)
+        memo: dict[str, int] = {}
+
+        def tok_hash(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % (1 << bits)
+                memo[w] = v
+            return v
+
         out = np.empty(len(text), dtype=np.int64)
         for k, t in enumerate(text.to_numpy()):
             cnt = Counter(t.split(" "))
             ws = list(cnt)
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % (1 << bits)
-                    for w in ws
-                ),
-                dtype=np.int64,
-                count=len(ws),
-            )
+            h = np.fromiter((tok_hash(w) for w in ws), dtype=np.int64, count=len(ws))
             c = np.fromiter((cnt[w] for w in ws), dtype=np.int64, count=len(ws))
             s = ((2 * ((h[:, None] >> J[None, :]) & 1) - 1) * c[:, None]).sum(axis=0)
             out[k] = int(((s >= 0) * (np.int64(1) << J)).sum())
