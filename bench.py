@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "sim_embedding_near_dup",
     "sim_ivf_topk",
     "text_quality_metrics",
+    "text_tfidf_top_terms",
+    "dedup_decontaminate",
 ]
 
 
