@@ -29,7 +29,13 @@ from kafka_streams_common_spark.operators.dedup import (
     simhash_pairs,
 )
 from kafka_streams_common_spark.operators.similarity import (
+    embedding_centroids,
     hyperplane_lsh_near_dup_pairs,
+)
+from kafka_streams_common_spark.operators.dedup import decontaminate
+from kafka_streams_common_spark.operators.text import (
+    bigram_repetition,
+    tfidf_top_terms,
 )
 from kafka_streams_common_spark.queries.registry import table
 from kafka_streams_common_spark.session import get_spark
@@ -87,6 +93,24 @@ def main() -> None:
             lambda: connected_components(
                 docs8.select("doc_id"), minhash_lsh_pairs(docs8)
             ),
+        ),
+        "tfidf_top_terms": (
+            lambda: tfidf_top_terms(docs1),
+            lambda: tfidf_top_terms(docs8),
+        ),
+        "bigram_repetition": (
+            lambda: bigram_repetition(docs1),
+            lambda: bigram_repetition(docs8),
+        ),
+        # benchmark side fixed (an eval suite doesn't grow with the
+        # corpus); only the corpus scales
+        "decontaminate": (
+            lambda: decontaminate(docs1, docs1.limit(100).localCheckpoint(eager=True)),
+            lambda: decontaminate(docs8, docs1.limit(100).localCheckpoint(eager=True)),
+        ),
+        "embedding_centroids": (
+            lambda: embedding_centroids(emb1.withColumn("label", F.col("vec_id") % 10)),
+            lambda: embedding_centroids(emb8.withColumn("label", F.col("vec_id") % 10)),
         ),
     }
 
