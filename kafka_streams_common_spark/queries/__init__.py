@@ -42,6 +42,7 @@ _DEMOTED = (
     "session_window_per_user",  # streaming windows — r1-green; streaming_tumbling_window_counts remains
     "tpch_q5_local_supplier_volume",  # multi-join analytics — r1-green; tpch_q1 remains
     "rollup_orders_by_status_priority",  # grouping family — r1-green ×3 (rollup/cube/grouping_sets all proven in r1's gate)
+    "scalar_function_showcase",  # scalar library — r1-green ×2 (date_interval_arithmetic also proven in r1's gate)
     "anti_join_customers_without_orders",  # semi/anti — r1-green; semi_join remains
     "window_sliding_counts",  # streaming windows — session + tumbling remain
     "global_topk_orders",  # sorts/top-k — r1-green + TakeOrdered plan test; window_topk remains

@@ -246,3 +246,81 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(corpus, bench, n=5).select("doc_id", "n_chars")
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+    filtered AS (
+      SELECT * FROM corpus
+      WHERE len(string_split(text, ' ')) >= 25
+        AND len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' ')) >= 0.4
+    ),
+    dedup AS (
+      SELECT * FROM filtered
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM bench
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM dedup
+    ),
+    contaminated AS (
+      SELECT DISTINCT dsh.doc_id FROM dsh JOIN bsh USING (shingle)
+    ),
+    clean AS (
+      SELECT * FROM dedup
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, lang, n_chars FROM clean
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+          CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 WHEN 'es' THEN 80
+                    WHEN 'fr' THEN 80 WHEN 'zh' THEN 100 ELSE 0 END
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline a training-data run actually
+    executes, composed from the engine's own operators in the canonical
+    order: quality gate (map-only predicate) → exact dedup keeping the
+    min-id canonical row (the ONE body-carrying shuffle, via min_by over
+    md5(text) groups) → benchmark decontamination (broadcast-only) →
+    stratified language rebalancing (map-only md5-bucket predicate).
+    Everything downstream of the dedup shuffle is map-side or broadcast,
+    so the pipeline costs one wide exchange regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import decontaminate
+    from kafka_streams_common_spark.operators.text import stratified_hash_sample
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+
+    toks = F.split(F.col("text"), " ")
+    filtered = corpus.filter(
+        (F.size(toks) >= 25)
+        & ((F.size(F.array_distinct(toks)) / F.size(toks)) >= 0.4)
+    )
+    deduped = (
+        filtered.groupBy(F.md5(F.col("text")).alias("__dg"))
+        .agg(F.min_by(F.struct(*filtered.columns), F.col("doc_id")).alias("r"))
+        .select("r.*")
+    )
+    clean = decontaminate(deduped, bench, n=5)
+    from kafka_streams_common_spark.queries.text import _STRATA_RATES
+
+    return stratified_hash_sample(clean, _STRATA_RATES).select(
+        "doc_id", "lang", "n_chars"
+    )
