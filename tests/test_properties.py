@@ -93,3 +93,66 @@ def test_ngram_jaccard_matches_python_reference(spark_, docs):
 @pytest.fixture(scope="module")
 def spark_(spark):
     return spark
+
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_texts=_docs, bench_texts=_docs)
+def test_decontaminate_removes_all_overlap(spark_, corpus_texts, bench_texts):
+    """Post-condition: no surviving document shares any word n-gram with the
+    benchmark, and documents with no overlap all survive (brute-force set
+    check against the operator's broadcast-join implementation)."""
+    from kafka_streams_common_spark.operators.dedup import decontaminate
+
+    n = 2
+
+    def shingles(t: str) -> set:
+        toks = t.split(" ")
+        if len(toks) < n:
+            return {t}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_sh = set().union(*(shingles(t) for t in bench_texts))
+    expected = {
+        i for i, t in enumerate(corpus_texts) if not (shingles(t) & bench_sh)
+    }
+
+    corpus = spark_.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    bench = spark_.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in decontaminate(corpus, bench, n=n).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_docs)
+def test_bigram_repetition_bruteforce(spark_, texts):
+    """top_bigram_frac and n_bigrams match a per-doc brute force, including
+    single-token docs (excluded) and all-identical-token docs (frac 1.0)."""
+    from collections import Counter
+
+    from kafka_streams_common_spark.operators.text import bigram_repetition
+
+    docs = spark_.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_repetition(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) < 2:
+            assert i not in got
+            continue
+        bgs = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        total = sum(bgs.values())
+        assert got[i]["n_bigrams"] == total
+        assert abs(got[i]["top_bigram_frac"] - round(max(bgs.values()) / total, 6)) < 1e-9
