@@ -192,3 +192,83 @@ def stratified_hash_sample(
     for stratum, pct in rates_pct.items():
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
     return docs.filter(F.pmod(md5_int64(id_col), F.lit(100)) < rate)
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column assigned
+    by md5(id) bucket in [0, 100). ``weights`` maps split name → percent
+    (must sum to ≤ 100; remainder falls into the last split). Like
+    :func:`stratified_hash_sample`, assignment is a pure function of the
+    row id — disjoint, exhaustive, reproducible across runs, engines and
+    partitionings, immune to ``randomSplit``'s repartition sensitivity.
+    Map-only (no shuffle).
+    """
+    bucket = F.pmod(md5_int64(id_col), F.lit(100))
+    expr = None
+    lo = 0
+    names = list(weights)
+    for name in names:
+        hi = lo + weights[name]
+        cond = bucket < hi if name != names[-1] else F.lit(True)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return docs.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (training sequences) — ``(doc_id, n_tokens, pack_id)`` with every doc
+    in exactly one pack and no pack over budget (unless a single document
+    alone exceeds it).
+
+    Bin packing is inherently sequential, so the scalable shape is
+    two-level: hash documents into ``n_groups`` independent groups (the
+    only shuffle — set n_groups ≈ cluster parallelism at scale), then run
+    greedy first-fit-decreasing WITHIN each group as an Arrow-batched
+    ``applyInPandas`` (each group's doc list fits comfortably in one
+    worker: ids and token counts only, never bodies). pack_id is globally
+    unique by construction: group * 2³² + local bin index. FFD within a
+    hash group loses little efficiency vs global FFD (documents are
+    i.i.d. across hash groups) and parallelizes embarrassingly.
+    """
+    import pandas as pd
+
+    counts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(text_col)).cast("bigint").alias("n_tokens"),
+        F.pmod(md5_int64(id_col), F.lit(n_groups)).alias("grp"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["grp"].iloc[0])
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        for tok in pdf["n_tokens"]:
+            placed = None
+            for b, cap in enumerate(bins):
+                if tok <= cap:
+                    placed = b
+                    bins[b] = cap - tok
+                    break
+            if placed is None:
+                bins.append(max(0, budget_tokens - tok))
+                placed = len(bins) - 1
+            assign.append((grp << 32) + placed)
+        out = pdf[["doc_id", "n_tokens"]].copy()
+        out["pack_id"] = pd.Series(assign, index=pdf.index, dtype="int64")
+        return out
+
+    return counts.groupBy("grp").applyInPandas(
+        ffd, "doc_id bigint, n_tokens bigint, pack_id bigint"
+    )

@@ -185,3 +185,41 @@ def test_stratified_sample_rates(spark):
     # deterministic: second run identical
     s2 = stratified_hash_sample(docs, rates)
     assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from kafka_streams_common_spark.operators.text import hash_split
+
+    docs = table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    out = hash_split(docs, {"train": 80, "val": 10, "test": 10}).cache()
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(by.values()) == n  # exhaustive, disjoint (one row each)
+    assert abs(by["train"] / n - 0.8) < 0.1
+    # reproducible across invocations
+    again = hash_split(docs, {"train": 80, "val": 10, "test": 10})
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    from kafka_streams_common_spark.operators.text import pack_sequences
+
+    docs = table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    budget = 300
+    packed = pack_sequences(docs, budget_tokens=budget, n_groups=8).cache()
+    assert packed.count() == n  # every doc exactly once
+    assert packed.select("doc_id").distinct().count() == n
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("docs")
+    )
+    # over-budget packs may exist only as single oversized docs
+    bad = per_pack.filter((F.col("tok") > budget) & (F.col("docs") > 1))
+    assert bad.count() == 0
+    # packing does real work: fewer packs than docs, decent fill
+    n_packs = per_pack.count()
+    assert n_packs < n
+    total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_tokens / (n_packs * budget) > 0.5  # ≥50% fill on fixture
+    packed.unpersist()
