@@ -240,6 +240,12 @@ def pack_sequences(
     unique by construction: group * 2³² + local bin index. FFD within a
     hash group loses little efficiency vs global FFD (documents are
     i.i.d. across hash groups) and parallelizes embarrassingly.
+
+    The in-group pass is LINEAR, not classic O(d²) FFD: only a bounded
+    window of the most recently opened bins is scanned per document
+    (pure first-fit scans every open bin, which grows with the group).
+    With size-sorted input the fill loss vs full FFD is small, and the
+    linear bound is what lets a group hold millions of documents.
     """
     import pandas as pd
 
@@ -248,22 +254,24 @@ def pack_sequences(
         F.size(_tokens(text_col)).cast("bigint").alias("n_tokens"),
         F.pmod(md5_int64(id_col), F.lit(n_groups)).alias("grp"),
     )
+    window = 64  # open bins scanned per doc — the linearity bound
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["grp"].iloc[0])
         pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per bin
+        caps: list[int] = []  # remaining capacity per bin (all ever opened)
         assign = []
         for tok in pdf["n_tokens"]:
             placed = None
-            for b, cap in enumerate(bins):
-                if tok <= cap:
+            lo = max(0, len(caps) - window)
+            for b in range(lo, len(caps)):
+                if tok <= caps[b]:
                     placed = b
-                    bins[b] = cap - tok
+                    caps[b] -= tok
                     break
             if placed is None:
-                bins.append(max(0, budget_tokens - tok))
-                placed = len(bins) - 1
+                caps.append(max(0, budget_tokens - tok))
+                placed = len(caps) - 1
             assign.append((grp << 32) + placed)
         out = pdf[["doc_id", "n_tokens"]].copy()
         out["pack_id"] = pd.Series(assign, index=pdf.index, dtype="int64")
