@@ -35,6 +35,7 @@ from kafka_streams_common_spark.operators.similarity import (
 from kafka_streams_common_spark.operators.dedup import decontaminate
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
+    pack_sequences,
     tfidf_top_terms,
 )
 from kafka_streams_common_spark.queries.registry import table
@@ -111,6 +112,11 @@ def main() -> None:
         "embedding_centroids": (
             lambda: embedding_centroids(emb1.withColumn("label", F.col("vec_id") % 10)),
             lambda: embedding_centroids(emb8.withColumn("label", F.col("vec_id") % 10)),
+        ),
+        # bounded-window FFD: per-group work must stay linear in group size
+        "pack_sequences": (
+            lambda: pack_sequences(docs1, budget_tokens=300, n_groups=64),
+            lambda: pack_sequences(docs8, budget_tokens=300, n_groups=64),
         ),
     }
 
