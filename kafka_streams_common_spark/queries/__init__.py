@@ -65,8 +65,12 @@ for _name in _DEMOTED:
     if _name in ORACLES:
         ORACLES[_name] = ORACLES.pop(_name)
 
-# Dead last: no-oracle-by-design (rows-only check either way, so it should
-# never displace a hash-gated query from the driver's budget).
-QUERIES["agg_approx_distinct_users"] = QUERIES.pop("agg_approx_distinct_users")
+# Dead last: queries that must never displace the engineered top-50 —
+# no-oracle-by-design (rows-only either way) and new-coverage extras that
+# the LOCAL parity suite proves regardless of driver budget.
+for _name in ("text_hash_split", "agg_approx_distinct_users"):
+    QUERIES[_name] = QUERIES.pop(_name)
+    if _name in ORACLES:
+        ORACLES[_name] = ORACLES.pop(_name)
 
 __all__ = ["ORACLES", "QUERIES", "FLAGSHIP", "query"]

@@ -295,3 +295,30 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         table(spark, sf_dir, "documents"), _STRATA_RATES, strata_col="lang"
     ).select("doc_id", "lang", "text")
+
+
+_SPLIT_WEIGHTS = {"train": 80, "val": 10, "test": 10}
+
+
+def _split_oracle() -> str:
+    return """
+    SELECT doc_id, lang,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@query("text_hash_split", oracle=_split_oracle())
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (md5-bucket split —
+    see operators.text.hash_split). Registered past the driver's query
+    budget by design; the local parity suite proves it either way."""
+    from kafka_streams_common_spark.operators.text import hash_split
+
+    return hash_split(table(spark, sf_dir, "documents"), _SPLIT_WEIGHTS).select(
+        "doc_id", "lang", "split"
+    )
