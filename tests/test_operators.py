@@ -84,6 +84,29 @@ def test_simhash_exact_dup_distance_zero(docs_df):
     assert pairs[(0, 1)] == 0
 
 
+def test_simhash_bits64_banding_matches_bruteforce(spark):
+    """The pigeonhole band layout derives from ``bits``: at bits=64 the
+    banded pair set must equal brute-force 64-bit hamming (zero false
+    negatives at hamming ≤ 3), not silently band on the low 32 bits."""
+    from kafka_streams_common_spark.operators.dedup import simhash_values
+
+    docs = table(spark, SF_SMOKE, "documents")
+    vals = {r["doc_id"]: r["simhash"] for r in simhash_values(docs, bits=64).collect()}
+    ids = sorted(vals)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(vals[a] ^ vals[b]).count("1")
+            if h <= 3:
+                expect.add((a, b, h))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    assert expect, "fixture must contain 64-bit near-dups for this test to bite"
+    assert got == expect
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(

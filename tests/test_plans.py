@@ -66,10 +66,15 @@ def test_latest_per_key_is_hash_aggregate_not_window_sort(spark):
     assert "max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan
 
 
-def test_decontaminate_is_broadcast_only(spark):
-    """Decontamination must never shuffle the corpus: the benchmark shingle
-    set and the contaminated-id set both ride broadcast joins."""
+def test_decontaminate_corpus_side_is_broadcast(spark):
+    """Decontamination must never shuffle document bodies: the benchmark
+    shingle set rides a forced broadcast into the corpus-side inner join.
+    The final anti-join on the bare id column is deliberately LEFT TO AQE
+    (a corpus-derived contaminated-id set can be too big to force-broadcast)
+    — a shuffled anti-join there is allowed, but only on id columns, never
+    carrying `text`."""
     plan = plan_of(QUERIES["dedup_decontaminate"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "LeftAnti" in line, f"only the anti-join may shuffle: {line}"
