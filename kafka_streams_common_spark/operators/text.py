@@ -242,20 +242,31 @@ def pack_sequences(
 
     Bin packing is inherently sequential, so the scalable shape is
     two-level: hash documents into ``n_groups`` independent groups (the
-    only shuffle — set n_groups ≈ cluster parallelism at scale), then run
-    greedy first-fit-decreasing WITHIN each group as an Arrow-batched
-    ``applyInPandas`` (each group's doc list fits comfortably in one
-    worker: ids and token counts only, never bodies). pack_id is globally
-    unique by construction: group * 2³² + local bin index. FFD within a
-    hash group loses little efficiency vs global FFD (documents are
-    i.i.d. across hash groups) and parallelizes embarrassingly.
+    only shuffle — size ``n_groups ≈ cluster parallelism``: every group
+    runs on one core, so fewer groups than cores idles the cluster and
+    ~corpus/n_groups docs must be small enough for one worker's memory —
+    at 10⁹ docs and 10⁴ cores that is 10⁵ (id, count) pairs per group,
+    trivially fine), then pack WITHIN each group as an Arrow-batched
+    ``applyInPandas`` (each group holds ids and token counts only, never
+    bodies). pack_id is globally unique by construction:
+    group * 2³² + local pack index. In-group packing loses little fill
+    vs a global pass (documents are i.i.d. across hash groups) and
+    parallelizes embarrassingly.
 
-    The in-group pass is LINEAR, not classic O(d²) FFD: only a bounded
-    window of the most recently opened bins is scanned per document
-    (pure first-fit scans every open bin, which grows with the group).
-    With size-sorted input the fill loss vs full FFD is small, and the
-    linear bound is what lets a group hold millions of documents.
+    The in-group pass is big–small two-pointer packing, vectorized: sort
+    once by token count, then each pack takes the largest remaining
+    document plus a maximal run of the SMALLEST remaining documents —
+    located with one ``searchsorted`` against the precomputed prefix-sum
+    of the ascending size order, so the Python-level loop advances one
+    PACK (not one document) per iteration and every step inside it is
+    numpy. Linear total work, and with a stronger fill guarantee than a
+    bounded-window first-fit scan: a pack only closes when the smallest
+    remaining document no longer fits, so every closed pack's slack is
+    less than the smallest document still unpacked — no later document
+    could ever have used it, i.e. packs are maximally filled with
+    respect to the remaining multiset.
     """
+    import numpy as np
     import pandas as pd
 
     counts = docs.select(
@@ -263,29 +274,31 @@ def pack_sequences(
         F.size(_tokens(text_col)).cast("bigint").alias("n_tokens"),
         F.pmod(md5_int64(id_col), F.lit(n_groups)).alias("grp"),
     )
-    window = 64  # open bins scanned per doc — the linearity bound
 
-    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["grp"].iloc[0])
-        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        caps: list[int] = []  # remaining capacity per bin (all ever opened)
-        assign = []
-        for tok in pdf["n_tokens"]:
-            placed = None
-            lo = max(0, len(caps) - window)
-            for b in range(lo, len(caps)):
-                if tok <= caps[b]:
-                    placed = b
-                    caps[b] -= tok
-                    break
-            if placed is None:
-                caps.append(max(0, budget_tokens - tok))
-                placed = len(caps) - 1
-            assign.append((grp << 32) + placed)
+        # ascending (size, id) order; bigs are taken from the tail,
+        # smalls from the head — ties broken by doc_id for determinism
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[True, True])
+        toks = pdf["n_tokens"].to_numpy(dtype="int64")
+        d = len(toks)
+        csum = np.concatenate(([0], np.cumsum(toks)))  # csum[m] = first m smalls
+        assign = np.empty(d, dtype="int64")
+        i, j, p = d - 1, 0, 0  # big pointer (tail), small pointer (head), pack id
+        while j <= i:
+            cap = max(0, budget_tokens - int(toks[i]))  # oversized doc sits alone
+            assign[i] = p
+            # maximal run of smalls [j, j+m) with sum <= cap, not crossing i
+            m = int(np.searchsorted(csum, csum[j] + cap, side="right")) - 1 - j
+            m = min(m, i - j)
+            assign[j : j + m] = p
+            j += m
+            i -= 1
+            p += 1
         out = pdf[["doc_id", "n_tokens"]].copy()
-        out["pack_id"] = pd.Series(assign, index=pdf.index, dtype="int64")
+        out["pack_id"] = (grp << 32) + assign
         return out
 
     return counts.groupBy("grp").applyInPandas(
-        ffd, "doc_id bigint, n_tokens bigint, pack_id bigint"
+        pack, "doc_id bigint, n_tokens bigint, pack_id bigint"
     )

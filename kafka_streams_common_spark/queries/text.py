@@ -315,10 +315,141 @@ def _split_oracle() -> str:
 @query("text_hash_split", oracle=_split_oracle())
 def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment (md5-bucket split —
-    see operators.text.hash_split). Registered past the driver's query
-    budget by design; the local parity suite proves it either way."""
+    see operators.text.hash_split)."""
     from kafka_streams_common_spark.operators.text import hash_split
 
     return hash_split(table(spark, sf_dir, "documents"), _SPLIT_WEIGHTS).select(
         "doc_id", "lang", "split"
+    )
+
+
+_PACK_BUDGET = 512
+_PACK_GROUPS = 8
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % {_PACK_GROUPS} AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           TRUE AS budget_ok,
+           TRUE AS pack_count_bounded
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, driver-checkable: the pack ASSIGNMENT itself is not
+    SQL-replayable (greedy packing has no relational spelling), so the query
+    emits the per-group invariant projection instead — document and token
+    conservation (hash-gated against the oracle's direct computation) plus
+    two booleans the packing must make true: no multi-doc pack over budget,
+    and pack count within [ceil(total_tokens/budget), n_docs]. A packing
+    bug (lost doc, split doc, over-stuffed or degenerate packs) flips a
+    value and fails the driver's hash gate."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import pack_sequences
+
+    packed = pack_sequences(
+        table(spark, sf_dir, "documents"),
+        budget_tokens=_PACK_BUDGET,
+        n_groups=_PACK_GROUPS,
+    )
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("docs")
+    )
+    per_grp = per_pack.groupBy(
+        F.shiftright(F.col("pack_id"), 32).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("docs").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        (
+            F.max(
+                F.when((F.col("tok") > _PACK_BUDGET) & (F.col("docs") > 1), 1).otherwise(0)
+            )
+            == 0
+        ).alias("budget_ok"),
+    )
+    return per_grp.select(
+        "grp",
+        "n_docs",
+        "total_tokens",
+        "budget_ok",
+        (
+            (F.col("n_packs") >= F.ceil(F.col("total_tokens") / F.lit(_PACK_BUDGET)))
+            & (F.col("n_packs") <= F.col("n_docs"))
+        ).alias("pack_count_bounded"),
+    )
+
+
+_SHARD_COUNT = 4
+_SHARD_MAX_ROWS = 100
+
+
+@query(
+    "llm_corpus_shards",
+    oracle=f"""
+    SELECT CAST({_SHARD_COUNT} AS INT) AS n_shards,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS row_budget_ok,
+           TRUE AS ranges_disjoint
+    FROM documents
+    """,
+)
+def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shard writer, driver-checkable: writes the corpus as
+    range-partitioned parquet shards (sinks.write_corpus_shards) to a temp
+    directory, reads the files back, and emits the writer's post-conditions
+    as one hash-gated row — shard count, total-row conservation, per-file
+    row budget (maxRecordsPerFile), and global range ordering (every
+    shard's doc_id range strictly precedes the next shard's). A writer bug
+    (dropped rows, oversized file, hash-instead-of-range placement) flips a
+    value and fails the gate."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.sinks import write_corpus_shards
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="kscs_shards_") + "/out"
+    write_corpus_shards(
+        docs, out, "doc_id", num_shards=_SHARD_COUNT,
+        max_records_per_file=_SHARD_MAX_ROWS,
+    )
+    back = spark.read.parquet(out).select(
+        "doc_id",
+        F.input_file_name().alias("file"),
+        F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
+        .cast("int")
+        .alias("shard"),
+    )
+    per_file = back.groupBy("file", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    per_shard = per_file.groupBy("shard").agg(
+        F.sum("n").alias("rows"),
+        F.max("n").alias("max_file_rows"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    w = Window.orderBy("shard")  # 4 rows — the single partition is fine here
+    flags = per_shard.select(
+        "rows", "max_file_rows", "lo", "hi", F.lag("hi").over(w).alias("prev_hi")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("int").alias("n_shards"),
+        F.sum("rows").cast("bigint").alias("n_docs"),
+        (F.max("max_file_rows") <= F.lit(_SHARD_MAX_ROWS)).alias("row_budget_ok"),
+        F.min(
+            F.when(
+                F.col("prev_hi").isNull() | (F.col("prev_hi") < F.col("lo")), True
+            ).otherwise(False)
+        ).alias("ranges_disjoint"),
     )

@@ -111,7 +111,7 @@ def test_corpus_shard_writer(spark, tmp_path):
 
     files = glob.glob(out + "/*.parquet")
     assert len(files) >= n // 50  # row budget forces enough files
-    ranges = []
+    shard_ranges: dict[int, list[int]] = {}
     total = 0
     for f in files:
         t = pq.read_table(f, columns=["doc_id"])
@@ -119,10 +119,18 @@ def test_corpus_shard_writer(spark, tmp_path):
         assert rows <= 50
         total += rows
         ids = t.column("doc_id").to_pylist()
-        ranges.append((min(ids), max(ids)))
+        # files group per output shard: part-<shard>-<uuid>...
+        shard = int(os.path.basename(f).split("-")[1])
+        rng = shard_ranges.setdefault(shard, [min(ids), max(ids)])
+        rng[0] = min(rng[0], min(ids))
+        rng[1] = max(rng[1], max(ids))
     assert total == n
-    # files group into 4 non-overlapping key ranges (range partitioning):
-    # sort by min and check global monotonic non-overlap per shard boundary
+    assert len(shard_ranges) == 4
+    # range partitioning ⇒ shard key ranges are globally ordered and
+    # non-overlapping: shard k's max < shard k+1's min
+    ordered = [shard_ranges[s] for s in sorted(shard_ranges)]
+    for (_, hi), (lo, _) in zip(ordered, ordered[1:]):
+        assert hi < lo, ordered
     back = spark.read.parquet(out)
     assert back.count() == n
     assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
