@@ -81,6 +81,52 @@ def test_changelog_materialization_multibatch_equals_batch_view(spark, stream_ca
     )
 
 
+def test_latest_per_key_tws_equals_batch(spark, stream_catalog, tmp_path):
+    """transformWithStateInPandas latest-per-key (the native Spark 4
+    stateful path) must converge to the batch latest-per-key view across
+    microbatch boundaries, and resume from its checkpoint.
+
+    SKIPS when the ``protobuf`` package is unavailable: Spark's
+    transformWithState Python worker requires it (environment gate
+    documented in streaming/stateful.py); the foreachBatch path above
+    covers S2 streaming semantics in this container."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState python worker needs protobuf (not in container)",
+    )
+    from kafka_streams_common_spark.streaming.stateful import run_latest_per_key_tws
+
+    comp = StreamingCompiler(spark, stream_catalog, max_files_per_trigger=1)
+    stream = comp.stream_source("events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ckpt = str(tmp_path / "tws_ckpt")
+    state = run_latest_per_key_tws(
+        stream, spark, "user_id", "ts_us", "event_id", checkpoint_dir=ckpt
+    )
+    batch_view = latest_per_key(
+        stream_catalog.resolve("events")
+        .read(spark)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us")),
+        "user_id",
+        "ts_us",
+        "event_id",
+    )
+    got = {(r["user_id"], r["event_id"]) for r in state.collect()}
+    want = {(r["user_id"], r["event_id"]) for r in batch_view.collect()}
+    assert got == want
+    # restart with the same checkpoint: no replay, state intact
+    state2 = run_latest_per_key_tws(
+        stream, spark, "user_id", "ts_us", "event_id", checkpoint_dir=ckpt
+    )
+    assert {(r["user_id"], r["event_id"]) for r in state2.collect()} <= want
+
+
 def test_streaming_join_chain_equals_batch(spark, stream_catalog):
     from kafka_streams_common_spark.compiler import BatchCompiler
     from kafka_streams_common_spark.pipelines import ENRICHED_ORDERS
