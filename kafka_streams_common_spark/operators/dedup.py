@@ -495,6 +495,49 @@ def simhash_pairs(
     )
 
 
+def line_dedup(
+    corpus: DataFrame,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level (sentence-level) exact dedup — the C4/RefinedWeb
+    sub-document primitive: drop every line that appears in more than
+    ``max_doc_freq`` DISTINCT documents (boilerplate headers, cookie
+    banners, license blocks), rebuild each document from its surviving
+    lines in original order. Returns
+    ``(doc_id, clean_text, n_kept, n_dropped)`` for every input document
+    (a fully-boilerplate document survives with empty ``clean_text``).
+
+    Scale shape: lines explode to (doc_id, pos, md5-hash) — the
+    line-frequency table groups by the 16-byte digest (never the line
+    text), so its shuffle is O(total lines) narrow rows with map-side
+    combine and its cardinality is |distinct lines| (sublinear in corpus
+    under duplication). The rebuild joins frequencies back on the digest
+    and re-aggregates per doc_id, pinning line order inside the agg
+    (``array_sort(collect_list(struct(pos, line)))`` — collect_list alone
+    does not honor upstream order).
+    """
+    toks = F.split(F.col(text_col), "\\. ")
+    lines = fan_out(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    freq = lines.groupBy("lh").agg(
+        F.count_distinct(F.col("doc_id")).alias("ndocs")
+    )
+    joined = lines.join(freq, "lh")
+    kept = F.when(F.col("ndocs") <= max_doc_freq, F.struct("pos", "line"))
+    return joined.groupBy("doc_id").agg(
+        F.concat_ws(
+            ". ",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s.line),
+        ).alias("clean_text"),
+        F.count(kept).cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.count(kept)).cast("bigint").alias("n_dropped"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

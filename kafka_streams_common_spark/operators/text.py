@@ -173,6 +173,47 @@ def bigram_repetition(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram-LM quality score per document — the cheap stand-in
+    for a perplexity filter: score each token by −ln p(token) under the
+    corpus's own unigram distribution and average per document
+    (``(doc_id, n_scored, avg_neg_logprob)``). High values flag documents
+    full of rare/garbage tokens; low values flag stopword soup — both
+    standard pre-training gates.
+
+    Scale shape: identical to TF-IDF — one (doc, term) shuffle with
+    map-side combine for the vocabulary table (vocabulary-sized, AQE
+    broadcasts it back), corpus token total via a 1-row broadcast cross
+    join, then a doc-keyed aggregation. Determinism across engines: each
+    token's −ln p is rounded to 6 dp and summed as DECIMAL(28,12) —
+    exact, order-free addition — so partial-agg ordering can't drift the
+    hash (the float-sum pitfall the money aggregates dodge the same way).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        words.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("cnt") / F.col("total")), 6)
+            .cast("decimal(28,12)")
+            .alias("nl"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.round(F.sum("nl").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
 def stratified_hash_sample(
     docs: DataFrame,
     rates_pct: dict[str, int],

@@ -324,3 +324,35 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(clean, _STRATA_RATES).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "dedup_lines",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(string_split(text, '. ')) AS line,
+             unnest(range(1, len(string_split(text, '. ')) + 1)) AS pos
+      FROM documents
+    ),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY 1),
+    j AS (SELECT doc_id, pos, l.line, ndocs FROM l JOIN freq USING (line))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN ndocs <= 1 THEN line END,
+                               '. ' ORDER BY pos), '') AS clean_text,
+           CAST(count(CASE WHEN ndocs <= 1 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(CASE WHEN ndocs <= 1 THEN 1 END) AS BIGINT)
+             AS n_dropped
+    FROM j GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup (operators.dedup.line_dedup): drop sentences
+    appearing in more than one distinct document, rebuild documents from
+    the survivors in original order — the C4/RefinedWeb boilerplate-removal
+    pass at sub-document granularity. The fixture's duplicate clusters make
+    the filter bite (shared sentences across copies are dropped), and the
+    oracle replays the full definition including the ordered rebuild."""
+    from kafka_streams_common_spark.operators.dedup import line_dedup
+
+    return line_dedup(table(spark, sf_dir, "documents"), max_doc_freq=1)

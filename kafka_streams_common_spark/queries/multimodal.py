@@ -2,8 +2,10 @@
 
 The metadata path is fully oracle-checkable (md5-derived fake dimensions);
 the feature-extraction path exercises the real ``mapInPandas`` Arrow
-pipeline and gets the driver's rows-only check (its fake decode is the
-explicitly-stubbed stage — see operators.multimodal).
+pipeline and is hash-gated on its plumbing invariants (dims, histogram
+normalization, bin count, row conservation) — only the decoded CONTENT
+is un-oracled, because the fake decode is the explicitly-stubbed stage
+(see operators.multimodal).
 """
 
 from __future__ import annotations
@@ -64,8 +66,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # stubbed decode → rows-only driver check
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 512 + 1 AS INT)
+             AS width,
+           CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 512 + 1
+                AS INT) AS height,
+           1.0 AS feature_mass,
+           CAST(16 AS INT) AS n_features
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode/feature pipeline, hash-gated on its PLUMBING
+    invariants: metadata dimensions must survive the Arrow round-trip
+    unchanged (md5-derived, replayed by the oracle), the stub histogram
+    must be a normalized distribution (mass 1.0 at 6 dp) with exactly 16
+    bins, and every document must come back. The decoded CONTENT stays
+    un-oracled — the decode body is the honestly-stubbed seam
+    (operators.multimodal) a real image library drops into."""
     mm = attach_fake_image_payload(table(spark, sf_dir, "documents"))
     feats = extract_byte_histogram_features(mm)
     return feats.select(

@@ -206,3 +206,61 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.similarity import embedding_centroids
 
     return embedding_centroids(table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x,
+             127.0 / greatest(list_max(list_transform(x, e -> abs(e))),
+                              1e-30) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           array_to_string(list_transform(x, e -> CAST(round(e * scale, 0)
+                                                       AS INT)), ',') AS qvec,
+           TRUE AS recon_ok
+    FROM s
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table
+    (operators.similarity.quantize_embeddings_int8): per-vector scale +
+    quantized values (stringified — the driver cannot hash list cells) and
+    a reconstruction-error invariant the quantizer must make true
+    (max |x − q/scale| ≤ 0.5/scale + ulp slack). The oracle replays scale,
+    rounding and the stringified code vector exactly; recon_ok is TRUE on
+    the oracle side by definition."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.functions.vectors import to_double_array
+    from kafka_streams_common_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    withv = q.join(
+        emb.select("vec_id", to_double_array("embedding").alias("x")), "vec_id"
+    )
+    err = F.array_max(
+        F.zip_with(
+            "x", "qvec", lambda x, qq: F.abs(x - qq.cast("double") / F.col("scale"))
+        )
+    )
+    return withv.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.transform("qvec", lambda e: e.cast("string"))).alias(
+            "qvec"
+        ),
+        (err <= F.lit(0.5) / F.col("scale") + F.lit(1e-9)).alias("recon_ok"),
+    )

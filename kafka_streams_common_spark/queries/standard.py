@@ -769,7 +769,16 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_users")
+@query(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts per event type — the
     cardinality-sketch pass a pipeline runs when exact COUNT(DISTINCT) is
@@ -777,18 +786,29 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per partition, one tiny merge shuffle — vs exact distinct's
     full shuffle of every (type, user) pair at 100 TB).
 
-    NO DuckDB oracle by design: DuckDB's approx_count_distinct is a
-    different HLL implementation, so the estimates legitimately differ.
-    Spark's estimate is still deterministic for fixed data (hash-based, no
-    RNG); the accuracy bound (≤ 2% rsd vs exact) is pinned by
-    tests/test_operators.py instead of a hash gate.
+    The HLL ESTIMATE itself has no cross-engine oracle (DuckDB's
+    approx_count_distinct is a different implementation), so — like
+    llm_pack_sequences — the query emits the hash-gateable INVARIANT
+    instead: exact counts plus a boolean asserting the sketch landed
+    within 5% of exact (well above the configured 2% rsd). A broken
+    sketch flips the boolean and fails the driver's gate; the estimate's
+    tighter accuracy is additionally pinned in tests/test_operators.py.
     """
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
     )

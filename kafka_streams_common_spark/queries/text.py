@@ -453,3 +453,34 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(False)
         ).alias("ranges_disjoint"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    v AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS total FROM t),
+    s AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(cnt AS DOUBLE) / total), 6)
+                  AS DECIMAL(28,12)) AS nl
+      FROM t JOIN v USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM scoring (operators.text.unigram_logprob) — the
+    perplexity-filter stand-in. Per-token −ln p rounded to 6 dp then
+    summed as DECIMAL(28,12) on BOTH engines, so the aggregation is exact
+    and ordering-free (hash-gateable despite being a float pipeline)."""
+    from kafka_streams_common_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(table(spark, sf_dir, "documents"))

@@ -288,6 +288,27 @@ def test_hash_split_disjoint_exhaustive(spark):
     out.unpersist()
 
 
+def test_pack_sequences_partitioning_invariant(spark):
+    """Pack assignment is a pure function of (group membership, sorted
+    order) — the input DataFrame's physical partitioning must not change a
+    single pack id (the reproducibility contract a training pipeline needs
+    to re-derive identical training sequences on any cluster)."""
+    from kafka_streams_common_spark.operators.text import pack_sequences
+
+    docs = table(spark, SF_ORACLE, "documents")
+    a = {
+        (r["doc_id"], r["pack_id"])
+        for r in pack_sequences(docs, budget_tokens=300, n_groups=8).collect()
+    }
+    b = {
+        (r["doc_id"], r["pack_id"])
+        for r in pack_sequences(
+            docs.repartition(7), budget_tokens=300, n_groups=8
+        ).collect()
+    }
+    assert a == b
+
+
 def test_pack_sequences_budget_and_coverage(spark):
     from kafka_streams_common_spark.operators.text import pack_sequences
 
