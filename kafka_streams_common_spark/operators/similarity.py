@@ -466,16 +466,18 @@ def embedding_near_dup_pairs(
 
 def quantize_embeddings_int8(
     corpus: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Symmetric int8 scalar quantization of an embedding column:
-    ``(vec_id, scale, qvec array<int>)`` with ``q_i = round(x_i · scale)``
-    and ``scale = 127 / max|x|`` per vector — the storage/IO workhorse for
-    large embedding stores (4× smaller than float32, 8× smaller than
-    float64; reconstruction ``x̂_i = q_i / scale`` bounded by
-    ``0.5/scale``). Map-only: built-in HOF expressions per row, no
-    shuffle, no Python — quantizing 100 TB of embeddings is a pure scan.
+    appends ``scale`` and ``qvec array<int>`` to the input row, with
+    ``q_i = round(x_i · scale)`` and ``scale = 127 / max|x|`` per vector —
+    the storage/IO workhorse for large embedding stores (4× smaller than
+    float32, 8× smaller than float64; reconstruction ``x̂_i = q_i / scale``
+    bounded by ``0.5/scale``). Map-only: built-in HOF expressions per row,
+    no shuffle, no Python — quantizing 100 TB of embeddings is a pure
+    scan, and because the input columns pass through, downstream
+    consumers (e.g. the registered query's reconstruction-error check)
+    stay on that same single scan instead of joining back to the source.
     Deterministic: scale and rounding are pure double arithmetic, so the
     same vector always quantizes identically on any engine (round
     half-away-from-zero in both Spark and DuckDB).
@@ -484,10 +486,9 @@ def quantize_embeddings_int8(
     # the greatest() floor keeps an all-zero vector finite (q stays 0)
     amax = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
     scale = F.lit(127.0) / amax
-    return corpus.select(
-        F.col(id_col).alias("vec_id"),
-        scale.alias("scale"),
-        F.transform(v, lambda x: F.round(x * scale, 0).cast("int")).alias("qvec"),
+    return corpus.withColumn("scale", scale).withColumn(
+        "qvec",
+        F.transform(v, lambda x: F.round(x * F.col("scale"), 0).cast("int")),
     )
 
 

@@ -238,7 +238,9 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a reconstruction-error invariant the quantizer must make true
     (max |x − q/scale| ≤ 0.5/scale + ulp slack). The oracle replays scale,
     rounding and the stringified code vector exactly; recon_ok is TRUE on
-    the oracle side by definition."""
+    the oracle side by definition. The whole query is ONE map-only scan:
+    the original vector rides alongside the operator's output columns, so
+    the reconstruction check needs no self-join."""
     from pyspark.sql import functions as F
 
     from kafka_streams_common_spark.functions.vectors import to_double_array
@@ -247,16 +249,15 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    q = quantize_embeddings_int8(emb)
-    withv = q.join(
-        emb.select("vec_id", to_double_array("embedding").alias("x")), "vec_id"
+    base = quantize_embeddings_int8(emb).withColumn(
+        "x", to_double_array(F.col("embedding"))
     )
     err = F.array_max(
         F.zip_with(
-            "x", "qvec", lambda x, qq: F.abs(x - qq.cast("double") / F.col("scale"))
+            "x", "qvec", lambda e, qq: F.abs(e - qq.cast("double") / F.col("scale"))
         )
     )
-    return withv.select(
+    return base.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
         F.concat_ws(",", F.transform("qvec", lambda e: e.cast("string"))).alias(

@@ -408,6 +408,8 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard's doc_id range strictly precedes the next shard's). A writer bug
     (dropped rows, oversized file, hash-instead-of-range placement) flips a
     value and fails the gate."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -416,7 +418,9 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.sinks import write_corpus_shards
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    out = tempfile.mkdtemp(prefix="kscs_shards_") + "/out"
+    tmp = tempfile.mkdtemp(prefix="kscs_shards_")
+    atexit.register(shutil.rmtree, tmp, True)  # reap at interpreter exit
+    out = tmp + "/out"
     write_corpus_shards(
         docs, out, "doc_id", num_shards=_SHARD_COUNT,
         max_records_per_file=_SHARD_MAX_ROWS,
