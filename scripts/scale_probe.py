@@ -32,11 +32,13 @@ from kafka_streams_common_spark.operators.similarity import (
     embedding_centroids,
     hyperplane_lsh_near_dup_pairs,
 )
-from kafka_streams_common_spark.operators.dedup import decontaminate
+from kafka_streams_common_spark.operators.dedup import decontaminate, line_dedup
+from kafka_streams_common_spark.operators.similarity import quantize_embeddings_int8
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
     pack_sequences,
     tfidf_top_terms,
+    unigram_logprob,
 )
 from kafka_streams_common_spark.queries.registry import table
 from kafka_streams_common_spark.session import get_spark
@@ -113,10 +115,25 @@ def main() -> None:
             lambda: embedding_centroids(emb1.withColumn("label", F.col("vec_id") % 10)),
             lambda: embedding_centroids(emb8.withColumn("label", F.col("vec_id") % 10)),
         ),
-        # bounded-window FFD: per-group work must stay linear in group size
+        # vectorized big–small packing: per-group work must stay linear
         "pack_sequences": (
             lambda: pack_sequences(docs1, budget_tokens=300, n_groups=64),
             lambda: pack_sequences(docs8, budget_tokens=300, n_groups=64),
+        ),
+        # line-frequency shuffle carries md5 digests; duplication is the
+        # adversarial case (every line in 8 docs → everything drops)
+        "line_dedup": (
+            lambda: line_dedup(docs1),
+            lambda: line_dedup(docs8),
+        ),
+        "unigram_logprob": (
+            lambda: unigram_logprob(docs1),
+            lambda: unigram_logprob(docs8),
+        ),
+        # pure map-only scan — the ratio should track raw input bytes
+        "quantize_int8": (
+            lambda: quantize_embeddings_int8(emb1),
+            lambda: quantize_embeddings_int8(emb8),
         ),
     }
 

@@ -66,6 +66,31 @@ def test_latest_per_key_is_hash_aggregate_not_window_sort(spark):
     assert "max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan
 
 
+def test_q6_filters_all_reach_the_scan(spark):
+    """TPC-H Q6 is the canonical pushdown query: every conjunct (date
+    range, discount band, quantity cap) must appear in PushedFilters."""
+    plan = plan_of(QUERIES["tpch_q6_forecast_revenue"](spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+
+
+def test_quantization_is_a_pure_scan(spark):
+    """Int8 quantization + reconstruction check must compile to a single
+    map-only scan: zero Exchanges, zero joins."""
+    plan = plan_of(QUERIES["sim_quantize_int8"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_line_dedup_has_no_allpairs_join(spark):
+    """Line dedup joins lines to the frequency table on the md5 digest —
+    an equi-join; any theta/cartesian shape would be quadratic."""
+    plan = plan_of(QUERIES["dedup_lines"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_decontaminate_corpus_side_is_broadcast(spark):
     """Decontamination must never shuffle document bodies: the benchmark
     shingle set rides a forced broadcast into the corpus-side inner join.
