@@ -51,25 +51,37 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
     A small local corpus arrives as one or two parquet splits, which would
     serialize the whole explode/md5 pipeline on one core. Repartition ONLY
-    when the plan's leaf scans have fewer input files than the session's
-    default parallelism — on a real cluster a 100 TB table already has
-    thousands of splits, the branch is false, and no shuffle is inserted.
+    when the scan is genuinely narrower than the session's default
+    parallelism — on a real cluster a 100 TB table already has thousands
+    of splits, the branch is false, and no shuffle is inserted.
 
-    The guard reads ``df.inputFiles()`` (driver-side file listing already
-    cached by the scan relation) rather than ``df.rdd.getNumPartitions()``:
-    the RDD conversion forces a full plan analysis + physical translation
-    per operator invocation, which on wide plans is avoidable driver
-    overhead. Non-file sources report zero input files and take the
-    repartition branch — conservative, and those sources (in-memory test
-    frames) are tiny.
+    Two-signal guard, cheap signal first:
+
+    1. ``len(df.inputFiles())`` (driver-side file listing already cached by
+       the scan relation — no plan translation). File count ≥ target means
+       at least that many scan splits: done, zero extra driver work. This
+       is the only branch a production many-file table ever takes.
+    2. Only when the file count is SMALLER than the target (or the listing
+       is unavailable — in-memory/cached frames), consult
+       ``df.rdd.getNumPartitions()`` — the PLANNED partition count. This
+       pays one plan translation, but it is exact: Spark's FilePartition
+       math splits a single large parquet file into ~defaultParallelism
+       scan partitions (``maxPartitionBytes``/``openCostInBytes``
+       packing), and a cached frame reports its real partitioning — in
+       both cases the guard is a no-op instead of inserting a spurious
+       corpus-wide repartition Exchange (file count alone regressed
+       exactly that way: 1 big file → forced shuffle before a broadcast
+       join that needed none).
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:
-        n_splits = len(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:  # non-file plans where the listing is unavailable
-        n_splits = 0
-    if n_splits < target:
+        n_files = 0
+    if n_files >= target:
+        return df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -500,14 +512,26 @@ def line_dedup(
     max_doc_freq: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    delimiter: str = "\n",
 ) -> DataFrame:
-    """Line-level (sentence-level) exact dedup — the C4/RefinedWeb
-    sub-document primitive: drop every line that appears in more than
-    ``max_doc_freq`` DISTINCT documents (boilerplate headers, cookie
-    banners, license blocks), rebuild each document from its surviving
-    lines in original order. Returns
-    ``(doc_id, clean_text, n_kept, n_dropped)`` for every input document
-    (a fully-boilerplate document survives with empty ``clean_text``).
+    """Line-level exact dedup — the C4/RefinedWeb sub-document primitive:
+    drop every line that appears in more than ``max_doc_freq`` DISTINCT
+    documents (boilerplate headers, cookie banners, license blocks),
+    rebuild each document from its surviving lines in original order.
+    Returns ``(doc_id, clean_text, n_kept, n_dropped)`` for every input
+    document (a fully-boilerplate document survives with empty
+    ``clean_text``).
+
+    ``delimiter`` is a LITERAL string (regex-escaped before the split):
+    the default ``"\\n"`` is the C4/RefinedWeb newline-line semantics; a
+    newline-free corpus can pass e.g. ``". "`` for sentence-level dedup
+    (what the fixture query does, explicitly). Round-trip caveat: the
+    split consumes the delimiter, so ``clean_text`` re-inserts it BETWEEN
+    surviving lines only — a trailing delimiter (or, for ``". "``, the
+    final sentence's period, which the split leaves attached but a
+    trailing-delimiter text would not) is not restored. Exact for dedup
+    analytics; if ``clean_text`` replaces the corpus body verbatim,
+    normalize trailing delimiters first.
 
     Scale shape: lines explode to (doc_id, pos, md5-hash) — the
     line-frequency table groups by the 16-byte digest (never the line
@@ -518,7 +542,9 @@ def line_dedup(
     (``array_sort(collect_list(struct(pos, line)))`` — collect_list alone
     does not honor upstream order).
     """
-    toks = F.split(F.col(text_col), "\\. ")
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(delimiter))
     lines = fan_out(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(toks).alias("pos", "line"),
@@ -530,7 +556,7 @@ def line_dedup(
     kept = F.when(F.col("ndocs") <= max_doc_freq, F.struct("pos", "line"))
     return joined.groupBy("doc_id").agg(
         F.concat_ws(
-            ". ",
+            delimiter,
             F.transform(F.array_sort(F.collect_list(kept)), lambda s: s.line),
         ).alias("clean_text"),
         F.count(kept).cast("bigint").alias("n_kept"),

@@ -65,14 +65,21 @@ def _decode_payload(payload: bytes) -> list[float]:
     → resize → pixel stats; unavailable in this container, so features are a
     normalized 16-bin histogram of payload byte values — deterministic,
     cheap, and shape-compatible with a real feature extractor.
+
+    Vectorized (``np.frombuffer`` + ``bincount``) — even a stub must model
+    the pattern a real decoder body should follow inside the Arrow batch:
+    numpy over the buffer, never a per-byte Python loop. Bit-identical to
+    the scalar spelling ``bins[byte * N // 256] += 1; b / total``: the bin
+    index is exact integer arithmetic and the normalization is the same
+    IEEE-double division.
     """
+    import numpy as np
+
     if not payload:
         return [0.0] * N_HIST_BINS
-    bins = [0] * N_HIST_BINS
-    for byte in payload:
-        bins[byte * N_HIST_BINS // 256] += 1
-    total = len(payload)
-    return [b / total for b in bins]
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    bins = np.bincount(b * N_HIST_BINS // 256, minlength=N_HIST_BINS)
+    return (bins / len(payload)).tolist()
 
 
 def sample_frames(

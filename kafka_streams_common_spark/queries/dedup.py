@@ -355,4 +355,8 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the full definition including the ordered rebuild."""
     from kafka_streams_common_spark.operators.dedup import line_dedup
 
-    return line_dedup(table(spark, sf_dir, "documents"), max_doc_freq=1)
+    # the fixture corpus is newline-free, so sentence granularity is passed
+    # EXPLICITLY — the operator's default is the true C4 newline semantics
+    return line_dedup(
+        table(spark, sf_dir, "documents"), max_doc_freq=1, delimiter=". "
+    )

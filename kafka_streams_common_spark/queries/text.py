@@ -345,9 +345,15 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the per-group invariant projection instead — document and token
     conservation (hash-gated against the oracle's direct computation) plus
     two booleans the packing must make true: no multi-doc pack over budget,
-    and pack count within [ceil(total_tokens/budget), n_docs]. A packing
-    bug (lost doc, split doc, over-stuffed or degenerate packs) flips a
-    value and fails the driver's hash gate."""
+    and pack count within [ceil(capped_tokens/budget), n_docs]. The lower
+    bound caps each document at the budget before summing
+    (``sum(least(n_tokens, budget))``): an OVERSIZED document legally
+    occupies one singleton pack yet would contribute ≥2 to the uncapped
+    ceiling, so the uncapped bound is violated by a CORRECT packing on
+    unseen data — the capped form holds for any input (every pack's capped
+    token mass is ≤ budget, so capped_total ≤ n_packs·budget). A packing
+    bug (lost doc, split doc, over-stuffed or degenerate packs) still
+    flips a value and fails the driver's hash gate."""
     from pyspark.sql import functions as F
 
     from kafka_streams_common_spark.operators.text import pack_sequences
@@ -358,7 +364,10 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_groups=_PACK_GROUPS,
     )
     per_pack = packed.groupBy("pack_id").agg(
-        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("docs")
+        F.sum("n_tokens").alias("tok"),
+        # per-doc cap: oversized singletons count as one budget, not many
+        F.sum(F.least(F.col("n_tokens"), F.lit(_PACK_BUDGET))).alias("ctok"),
+        F.count(F.lit(1)).alias("docs"),
     )
     per_grp = per_pack.groupBy(
         F.shiftright(F.col("pack_id"), 32).alias("grp")
@@ -366,6 +375,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_packs"),
         F.sum("docs").cast("bigint").alias("n_docs"),
         F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum("ctok").alias("capped_tokens"),
         (
             F.max(
                 F.when((F.col("tok") > _PACK_BUDGET) & (F.col("docs") > 1), 1).otherwise(0)
@@ -379,7 +389,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "budget_ok",
         (
-            (F.col("n_packs") >= F.ceil(F.col("total_tokens") / F.lit(_PACK_BUDGET)))
+            (F.col("n_packs") >= F.ceil(F.col("capped_tokens") / F.lit(_PACK_BUDGET)))
             & (F.col("n_packs") <= F.col("n_docs"))
         ).alias("pack_count_bounded"),
     )
@@ -391,8 +401,8 @@ _SHARD_MAX_ROWS = 100
 
 @query(
     "llm_corpus_shards",
-    oracle=f"""
-    SELECT CAST({_SHARD_COUNT} AS INT) AS n_shards,
+    oracle="""
+    SELECT TRUE AS shard_count_ok,
            CAST(count(*) AS BIGINT) AS n_docs,
            TRUE AS row_budget_ok,
            TRUE AS ranges_disjoint
@@ -403,11 +413,19 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus shard writer, driver-checkable: writes the corpus as
     range-partitioned parquet shards (sinks.write_corpus_shards) to a temp
     directory, reads the files back, and emits the writer's post-conditions
-    as one hash-gated row — shard count, total-row conservation, per-file
-    row budget (maxRecordsPerFile), and global range ordering (every
-    shard's doc_id range strictly precedes the next shard's). A writer bug
-    (dropped rows, oversized file, hash-instead-of-range placement) flips a
-    value and fails the gate."""
+    as one hash-gated row — bounded shard count, total-row conservation,
+    per-file row budget (maxRecordsPerFile), and global range ordering
+    (every shard's doc_id range strictly precedes the next shard's). A
+    writer bug (dropped rows, oversized file, hash-instead-of-range
+    placement) flips a value and fails the gate.
+
+    The shard identity is the PERSISTED ``shard`` column the writer stamps
+    (``spark_partition_id`` after the range exchange) — never parsed from
+    Spark's ``part-NNNNN`` file naming, which is convention, not contract.
+    And because ``repartitionByRange`` samples its boundaries, an empty
+    range (possible on tiny/skewed input) is legal — the gate pins
+    ``1 ≤ n_shards ≤ num_shards`` as a boolean rather than an exact count
+    that driver-side data could legitimately miss."""
     import atexit
     import shutil
     import tempfile
@@ -423,14 +441,10 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tmp + "/out"
     write_corpus_shards(
         docs, out, "doc_id", num_shards=_SHARD_COUNT,
-        max_records_per_file=_SHARD_MAX_ROWS,
+        max_records_per_file=_SHARD_MAX_ROWS, shard_id_col="shard",
     )
     back = spark.read.parquet(out).select(
-        "doc_id",
-        F.input_file_name().alias("file"),
-        F.regexp_extract(F.input_file_name(), r"part-(\d+)", 1)
-        .cast("int")
-        .alias("shard"),
+        "doc_id", "shard", F.input_file_name().alias("file")
     )
     per_file = back.groupBy("file", "shard").agg(
         F.count(F.lit(1)).alias("n"),
@@ -443,12 +457,12 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").alias("lo"),
         F.max("hi").alias("hi"),
     )
-    w = Window.orderBy("shard")  # 4 rows — the single partition is fine here
+    w = Window.orderBy("shard")  # ≤4 rows — the single partition is fine here
     flags = per_shard.select(
         "rows", "max_file_rows", "lo", "hi", F.lag("hi").over(w).alias("prev_hi")
     )
     return flags.agg(
-        F.count(F.lit(1)).cast("int").alias("n_shards"),
+        F.count(F.lit(1)).between(1, _SHARD_COUNT).alias("shard_count_ok"),
         F.sum("rows").cast("bigint").alias("n_docs"),
         (F.max("max_file_rows") <= F.lit(_SHARD_MAX_ROWS)).alias("row_budget_ok"),
         F.min(

@@ -123,8 +123,8 @@ def main() -> None:
         # line-frequency shuffle carries md5 digests; duplication is the
         # adversarial case (every line in 8 docs → everything drops)
         "line_dedup": (
-            lambda: line_dedup(docs1),
-            lambda: line_dedup(docs8),
+            lambda: line_dedup(docs1, delimiter=". "),
+            lambda: line_dedup(docs8, delimiter=". "),
         ),
         "unigram_logprob": (
             lambda: unigram_logprob(docs1),

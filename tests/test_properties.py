@@ -137,36 +137,40 @@ def test_decontaminate_removes_all_overlap(spark_, corpus_texts, bench_texts):
 _sentences = st.sampled_from(
     ["alpha beta", "gamma delta", "shared boilerplate line", "epsilon zeta eta"]
 )
-_line_docs = st.lists(
-    st.lists(_sentences, min_size=1, max_size=4).map(". ".join),
-    min_size=1,
-    max_size=6,
+_line_lists = st.lists(
+    st.lists(_sentences, min_size=1, max_size=4), min_size=1, max_size=6
 )
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=_line_docs)
-def test_line_dedup_matches_bruteforce(spark_, texts):
+@given(line_lists=_line_lists, delimiter=st.sampled_from(["\n", ". "]))
+def test_line_dedup_matches_bruteforce(spark_, line_lists, delimiter):
     """line_dedup vs a python reference: lines in >1 distinct doc drop
     everywhere (including all-boilerplate docs → empty clean_text), order
-    of surviving lines is preserved, counts conserve."""
+    of surviving lines is preserved, counts conserve. Runs both the default
+    newline (C4/RefinedWeb) delimiter and the sentence form the fixture
+    query uses; ``"\\n"`` exercises the operator default."""
     from kafka_streams_common_spark.operators.dedup import line_dedup
 
+    texts = [delimiter.join(ls) for ls in line_lists]
     docs = spark_.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = {r["doc_id"]: r for r in line_dedup(docs, max_doc_freq=1).collect()}
+    kwargs = {} if delimiter == "\n" else {"delimiter": delimiter}
+    got = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, max_doc_freq=1, **kwargs).collect()
+    }
 
     from collections import Counter
 
-    doc_lines = [t.split(". ") for t in texts]
     df_count = Counter()
-    for ls in doc_lines:
+    for ls in line_lists:
         for line in set(ls):
             df_count[line] += 1
-    for i, ls in enumerate(doc_lines):
+    for i, ls in enumerate(line_lists):
         keep = [l for l in ls if df_count[l] <= 1]
-        assert got[i]["clean_text"] == ". ".join(keep), (i, texts)
+        assert got[i]["clean_text"] == delimiter.join(keep), (i, texts)
         assert got[i]["n_kept"] == len(keep)
         assert got[i]["n_dropped"] == len(ls) - len(keep)
 
