@@ -35,26 +35,54 @@ class TableRef:
 
     def read(self, spark: SparkSession) -> DataFrame:
         # defensive: a caller-provided SparkSession (e.g. the grading
-        # driver's) may not carry these from its builder; both are
-        # runtime-settable. nanosAsLong is required to read the
+        # driver's) may not carry these from its builder; all are
+        # runtime-settable. nanosAsLong is required to read
         # TIMESTAMP(NANOS) fixtures at all; UTC pins TimestampType wall
-        # times to the oracle's naive-UTC interpretation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # times to the oracle's naive-UTC interpretation; NTZ inference is
+        # disabled so naive-micros fixtures (isAdjustedToUTC=false) read as
+        # plain TIMESTAMP — watermarks and window() require it, and DuckDB
+        # sees the identical naive wall times.
+        for k, v in _READER_CONFS:
+            spark.conf.set(k, v)
         reader = spark.read.format(self.format)
         if self.schema is not None:
             reader = reader.schema(self.schema)
         if self.format == "csv":
             reader = reader.option("header", "true")
         df = reader.load(self.path)
-        for c in self.ts_nanos_cols:
-            # only nanos columns surface as LongType under nanosAsLong;
-            # micros columns arrive as a timestamp type already
-            if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-                # integer division — float division loses precision on
-                # ~1e18 nanosecond epoch values
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
+        return normalize_ts(df, self.ts_nanos_cols)
+
+
+_READER_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+)
+
+
+def normalize_ts(df: DataFrame, ts_cols: tuple[str, ...]) -> DataFrame:
+    """Normalize fixture time columns to plain TimestampType (micros).
+
+    The driver has regenerated the fixtures with different physical time
+    encodings across rounds — TIMESTAMP(NANOS) (reads as LongType under
+    nanosAsLong) and naive TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ when
+    NTZ inference is on, e.g. a session whose scan cached the inferred
+    schema before our conf took effect). Both shapes fold to the same
+    TimestampType wall times under the UTC session zone, so every
+    downstream operator and oracle is encoding-agnostic.
+    """
+    for c in ts_cols:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # integer division — float division loses precision on
+            # ~1e18 nanosecond epoch values
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # NTZ -> LTZ via the (UTC) session zone: wall times preserved
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 # Default key/sequence columns for the driver fixture tables. The key is the

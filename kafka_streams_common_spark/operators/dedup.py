@@ -397,6 +397,12 @@ def _simhash_udf(bits: int):
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
+    # the token hash is the first 15 hex chars of md5 = 60 bits (the widest
+    # md5 prefix that always fits signed int64 headroom AND matches the
+    # oracle's substr(md5, 1, 15) replay); a width above 60 would leave the
+    # top bits of every simhash constant zero — an advertised-64-bit hash
+    # that discriminates like 60 — so refuse rather than silently weaken
+    assert bits <= 60, f"bits={bits} exceeds the 60-bit md5-prefix entropy"
     J = np.arange(bits, dtype=np.int64)
 
     def sim(text: pd.Series) -> pd.Series:
@@ -460,8 +466,10 @@ def simhash_pairs(
     banded output ≡ brute force, at O(n·blocks) bucket rows instead of
     O(n²). Block count and width DERIVE from the parameters (bits=32,
     max_hamming=3 → the classic 4×8-bit layout); wider hashes band over
-    the full width, so ``bits=64`` keeps the zero-false-negative guarantee
-    rather than silently bucketing on the low 32 bits.
+    the full width, so ``bits=60`` (the max honest width — the md5-prefix
+    token hash carries 60 bits; wider asserts in the kernel) keeps the
+    zero-false-negative guarantee rather than silently bucketing on the
+    low 32 bits.
     """
     n_blocks = max_hamming + 1
     assert bits % n_blocks == 0, (

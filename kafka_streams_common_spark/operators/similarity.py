@@ -519,3 +519,111 @@ def embedding_centroids(
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
         F.max("cnt").cast("bigint").alias("n_vectors"),
     )
+
+
+def ivf_int8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Storage-aware IVF: int8-scored candidate search + full-precision
+    re-rank — ``(q_id, vec_id, score)`` with EXACT final scores.
+
+    The 100 TB ANN shape end-to-end: stages 1-3 (centroid seeding, cell
+    assignment, probe scoring, shortlist selection) run entirely in the
+    RECONSTRUCTED int8 space (:func:`quantize_embeddings_int8` — 8×
+    smaller than float64, so the index scan reads ~12% of the bytes),
+    then only the per-query ``shortlist`` survivors (a broadcast-sized
+    set: |queries|·shortlist rows of (q_id, vec_id)) rejoin the
+    full-precision table for exact cosine re-ranking. This is the
+    standard quantized-index/re-rank split (IVF-SQ in the FAISS
+    taxonomy): recall comes from probing quantized cells wide
+    (shortlist ≥ 3k), precision comes from the exact re-rank.
+
+    Fully deterministic, hence hash-gateable: quantization is pure
+    double arithmetic (round half-away-from-zero on both engines),
+    centroids seed as the ``n_centroids`` lowest-id reconstructed
+    vectors, and every ranking is a total order with the id as
+    tie-break. The oracle replays the identical definition in SQL.
+
+    Plan shape: two broadcast joins against the tiny centroid set, one
+    cell-local candidate join against the broadcast probe set, one
+    broadcast re-rank join — the corpus itself never shuffles.
+    """
+    q8 = quantize_embeddings_int8(corpus, vec_col=vec_col)
+    recon = q8.select(
+        id_col,
+        F.transform("qvec", lambda qq: qq.cast("double") / F.col("scale")).alias(
+            "__r"
+        ),
+    )
+    centroids = (
+        recon.select(F.col(id_col).alias("c_id"), F.col("__r").alias("c_emb"))
+        .orderBy(F.asc("c_id"))
+        .limit(n_centroids)
+    )
+    recon = fan_out(recon)
+
+    assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
+    assigned = (
+        recon.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "__r",
+            "c_id",
+            cosine_similarity(F.col("__r"), F.col("c_emb")).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "__r", F.col("c_id").alias("cell"))
+    )
+
+    probe_w = Window.partitionBy(query_id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "c_id",
+            cosine_similarity(F.col(query_vec_col), F.col("c_emb")).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select(query_id_col, query_vec_col, F.col("c_id").alias("cell"))
+    )
+
+    short_w = Window.partitionBy(query_id_col).orderBy(F.desc("score8"), F.asc(id_col))
+    short = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            query_vec_col,
+            id_col,
+            cosine_similarity(F.col("__r"), F.col(query_vec_col)).alias("score8"),
+        )
+        .withColumn("rn", F.row_number().over(short_w))
+        .filter(F.col("rn") <= shortlist)
+        .select(query_id_col, query_vec_col, id_col)
+    )
+
+    rank_w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score")
+    )

@@ -343,3 +343,66 @@ def pack_sequences(
     return counts.groupBy("grp").applyInPandas(
         pack, "doc_id bigint, n_tokens bigint, pack_id bigint"
     )
+
+
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Appendix A1.1 — public paper). min_words is adapted down to
+# the fixture's 10-99-word documents; callers pass the paper's 50 for a
+# real corpus.
+GOPHER_STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality rules — the pre-training gate battery
+    (word-count bounds, mean word length band, alphabetic-word fraction,
+    stop-word presence) as ONE map-only projection.
+
+    Every rule is a built-in column expression over the shared token
+    array, so the whole battery runs inside whole-stage codegen on a
+    single scan — at 100 TB this is the cheapest possible shape (no
+    shuffle, no Python, filters compose with downstream pushdown).
+    Emits the per-rule booleans alongside ``keep`` (their conjunction)
+    rather than filtering, so a pipeline can audit WHY documents drop —
+    the standard curation-report requirement.
+    """
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len / n_words
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOP_WORDS)))
+    rules = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "alpha_frac_ok": alpha_frac >= min_alpha_frac,
+        "stop_words_ok": stop_hits >= min_stop_hits,
+    }
+    keep = rules["word_count_ok"]
+    for c in list(rules.values())[1:]:
+        keep = keep & c
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

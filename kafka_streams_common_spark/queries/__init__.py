@@ -25,20 +25,25 @@ ROTATES each round and the ledger is published in README.md §Verification:
 - round 1 verified the first 50 registered (core/standard-heavy),
 - round 2 verified 50 incl. streaming/multimodal/dedup/similarity/text
   (the round-1 remainder promoted; 23 round-1-green rows demoted),
-- round 3 (``_R3_WINDOW`` below) promotes every query never yet
-  driver-checked — text_hash_split, agg_approx_distinct_users, plus the
-  seven queries new in round 3 (llm_pack_sequences, llm_corpus_shards,
-  dedup_lines, text_unigram_logprob, sim_quantize_int8,
-  tpch_q6_forecast_revenue, tpch_q14_promo_revenue) — and 16 of the 21
-  rows seen only in round 1, keeping 25 round-2-green rows; every
-  demoted row is green in a previous round's driver gate (27 from round
-  2; five r1-green rows whose categories are re-verified by in-window
-  siblings this round).
+- round 3 promoted every query never yet driver-checked (text_hash_split,
+  agg_approx_distinct_users, the seven new-in-r3 queries) plus 16 of the
+  21 rows seen only in round 1 — all 50 green in CORRECTNESS_r03,
+- round 4 re-ran the same window (all 50 green again in CORRECTNESS_r04;
+  the round closed perf/robustness review items rather than rotating),
+- round 5 (``_R5_WINDOW`` below) promotes the entire stale set: the ONE
+  query with no green driver row in any round
+  (multimodal_feature_extract — its r2 row predates its invariant
+  oracle), the five rows green only in round 1 (set_except,
+  set_intersect, cube/unpivot/grouping-sets), and all 24 rows last green
+  in round 2 (the dedup/similarity/text heads plus six standard-OLAP
+  rows), followed by new-in-r5 queries and multiply-green keepers that
+  cover the reference-core + streaming + multimodal + LLM-pipeline
+  surface. Every demoted row is green in BOTH round 3 and round 4.
 
-After round 3, every registered query has at least one green driver row
-across the three CORRECTNESS files. Demotion never trades away unproven
-coverage: a query is only moved past the window after it has a green row
-in a previous round's driver gate.
+After round 5 completes, every registered query's latest green driver row
+is at most two rounds old. Demotion never trades away unproven coverage:
+a query is only moved past the window after it has a green row in a
+previous round's driver gate.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -54,82 +59,79 @@ from kafka_streams_common_spark.queries import standard as _standard  # noqa: F4
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
-# Round-3 driver window, in driver execution order. Layout: the 9 queries
-# with no driver row in any round come FIRST (they must not be lost if the
-# budget ever shrinks), then 16 rows green only in round 1 (refreshed
-# this round), then 25 round-2-green keepers covering the reference-core +
-# streaming + multimodal surface and the most complex LLM-pipeline paths.
-_R3_WINDOW = (
-    # never driver-checked before round 3 (incl. the queries new in r3)
-    "text_hash_split",
-    "agg_approx_distinct_users",
-    "llm_pack_sequences",
-    "llm_corpus_shards",
-    "dedup_lines",
-    "text_unigram_logprob",
-    "sim_quantize_int8",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    # green in round 1 only (CORRECTNESS_r01) — re-verified this round
-    "a1_multi_agg",
-    "simple_stream_passthrough",
-    "session_window_per_user",
-    "tpch_q5_local_supplier_volume",
-    "rollup_orders_by_status_priority",
-    "scalar_function_showcase",
-    "anti_join_customers_without_orders",
-    "window_sliding_counts",
-    "global_topk_orders",
-    "percentiles_value_by_event_type",
-    "pivot_event_value_by_type",
-    "set_union_distinct",
-    "tpch_q3_shipping_priority",
-    "window_lag_gap_sessionize",
-    "window_running_sum_frame",
-    "date_interval_arithmetic",
-    # (set_except / set_intersect / unpivot_customer_measures /
-    # grouping_sets_orders / cube_orders_by_status_priority stay demoted
-    # on their r1-green rows to make room for the five queries new in r3
-    # — set_union_distinct, pivot_event_value_by_type and
-    # rollup_orders_by_status_priority re-verify those categories)
-    # green in round 2 (CORRECTNESS_r02) — kept in the window
-    "asof_join_last_order_before_event",
-    "range_join_events_within_30min",
-    "j1_stream_table_inner_join",
-    "j2_stream_table_left_join",
-    "j3_table_table_inner_join",
-    "j4_table_table_left_join",
+# Round-5 driver window, in driver execution order. Layout: the one query
+# with no green driver row in any round comes FIRST (must not be lost if
+# the budget ever shrinks), then the five rows green only in round 1, then
+# the 24 rows last green in round 2, then the five queries new in round 5,
+# then 15 multiply-green (r3 AND r4) keepers covering the reference-core +
+# streaming + multimodal surface and the deepest LLM-pipeline paths.
+_R5_WINDOW = (
+    # never driver-green: its r2 row predates the invariant oracle
+    "multimodal_feature_extract",
+    # green in round 1 only (CORRECTNESS_r01) — refreshed this round
+    "set_except",
+    "set_intersect",
+    "cube_orders_by_status_priority",
+    "unpivot_customer_measures",
+    "grouping_sets_orders",
+    # last green in round 2 (CORRECTNESS_r02) — refreshed this round
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_decontaminate",
+    "sim_cosine_topk",
+    "sim_centroid_by_label",
+    "text_quality_metrics",
+    "text_token_counts",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_top_words",
+    "text_fingerprints",
+    "text_pii_scrub",
+    "text_hash_sample",
+    "text_tfidf_top_terms",
+    "text_repetition_metrics",
+    "text_stratified_sample",
+    "filter_pushdown_scan",
+    "semi_join_customers_with_orders",
+    "window_topk_orders_per_customer",
+    "salted_agg_orders_by_status",
+    "array_agg_order_keys_per_customer",
+    "tpch_q1_pricing_summary",
+    # new in round 5 — first driver exposure
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "text_gopher_quality_rules",
+    "sim_ivf_int8_rerank",
+    # green in BOTH round 3 and round 4 — kept for surface coverage
     "j5_enrichment_chain",
     "j_full_outer_join",
     "s2_latest_per_key",
     "a1_count_by_key",
     "p4_json_parse_agg",
-    "p4_json_schema_inference",
-    "streaming_count_by_event_type",
-    "streaming_stream_static_join",
     "streaming_tumbling_window_counts",
-    "streaming_stream_stream_join",
     "streaming_latest_per_key",
-    "streaming_dedup_distinct_keys",
+    "streaming_stream_stream_join",
     "multimodal_metadata",
-    "multimodal_frame_sample",
     "dedup_minhash_lsh",
     "dedup_apply_canonical_corpus",
     "sim_embedding_near_dup",
     "sim_ivf_topk",
+    "llm_pack_sequences",
     "pipeline_curate_corpus",
 )
 
-# Past the window: every one of these has a green row in CORRECTNESS_r02
-# (multimodal_feature_extract ran there as no-oracle-by-design) and stays
-# covered by the local parity suite each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R3_WINDOW)
+# Past the window: every one of these is green in BOTH CORRECTNESS_r03 and
+# CORRECTNESS_r04, and stays covered by the local parity suite each round.
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R5_WINDOW)
 
-_missing = [n for n in _R3_WINDOW if n not in QUERIES]
+_missing = [n for n in _R5_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R3_WINDOW) == 50, len(_R3_WINDOW)
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 
-_reordered = {n: QUERIES[n] for n in (*_R3_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R5_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -265,3 +265,82 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (err <= F.lit(0.5) / F.col("scale") + F.lit(1e-9)).alias("recon_ok"),
     )
+
+
+@query(
+    "sim_ivf_int8_rerank",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, x,
+             list_transform(x, e -> CAST(round(e * scale, 0) AS INT) / scale) AS rv
+      FROM (SELECT vec_id, x,
+                   127.0 / greatest(list_max(list_transform(x, e -> abs(e))),
+                                    1e-30) AS scale
+            FROM v)
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cent AS (
+      SELECT vec_id AS c_id, rv AS c_emb FROM r ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, rv, cell FROM (
+        SELECT r.vec_id, r.rv, c.c_id AS cell,
+               row_number() OVER (
+                 PARTITION BY r.vec_id
+                 ORDER BY {_cos_sql('r.rv', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM r, cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_emb, cell FROM (
+        SELECT q.q_id, q.q_emb, c.c_id AS cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_cos_sql('q.q_emb', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM q, cent c
+      ) WHERE rn <= 4
+    ),
+    short AS (
+      SELECT q_id, q_emb, vec_id FROM (
+        SELECT p.q_id, p.q_emb, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.q_id
+                 ORDER BY {_cos_sql('a.rv', 'p.q_emb')} DESC, a.vec_id
+               ) AS rn
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE p.q_id != a.vec_id
+      ) WHERE rn <= 30
+    )
+    SELECT q_id, vec_id, score FROM (
+      SELECT sh.q_id, sh.vec_id, {_cos_sql('v.x', 'sh.q_emb')} AS score,
+             row_number() OVER (
+               PARTITION BY sh.q_id
+               ORDER BY {_cos_sql('v.x', 'sh.q_emb')} DESC, sh.vec_id
+             ) AS rn
+      FROM short sh JOIN v ON v.vec_id = sh.vec_id
+    ) WHERE rn <= 10
+    """,
+)
+def sim_ivf_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-aware ANN: IVF candidate search scored on reconstructed
+    int8 codes (8× smaller index scan), exact full-precision re-rank of
+    the per-query shortlist (operators.similarity.ivf_int8_rerank_topk).
+    Deterministic end-to-end — quantization, seeding, and every ranking
+    are total orders — so the oracle replays the identical definition
+    and the driver hash-gates it like an exact query."""
+    from kafka_streams_common_spark.operators.similarity import ivf_int8_rerank_topk
+
+    corpus, queries = _query_set(spark, sf_dir)
+    return ivf_int8_rerank_topk(
+        corpus, queries, k=10, n_centroids=16, n_probe=4, shortlist=30
+    )

@@ -502,3 +502,47 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.text import unigram_logprob
 
     return unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_gopher_quality_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+               / CAST(len(t) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS DOUBLE) / len(t) AS alpha_frac,
+             len(list_filter(t, x -> x IN ('the','be','to','of','and',
+                                           'that','have','with'))) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(alpha_frac, 6) AS alpha_frac,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           n_words BETWEEN 20 AND 100000 AS word_count_ok,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+           alpha_frac >= 0.80 AS alpha_frac_ok,
+           stop_hits >= 2 AS stop_words_ok,
+           (n_words BETWEEN 20 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_frac >= 0.80
+             AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (operators.text.gopher_quality): the
+    pre-training document gate — word-count bounds, mean-word-length band,
+    alphabetic-token fraction, stop-word presence — emitted per document
+    with per-rule booleans AND the conjunction, all on one map-only scan.
+    The oracle replays every rule and threshold verbatim."""
+    from kafka_streams_common_spark.operators.text import gopher_quality
+
+    return gopher_quality(table(spark, sf_dir, "documents"))

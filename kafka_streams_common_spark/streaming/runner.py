@@ -56,6 +56,10 @@ class StreamingCompiler(BatchCompiler):
         # raw on-disk schema — normalization (nanos → timestamp) must happen
         # AFTER the scan, or the reader would map int64-nanos columns to a
         # timestamp schema and fail on type mismatch
+        from kafka_streams_common_spark.catalog import _READER_CONFS
+
+        for k, v in _READER_CONFS:
+            self.spark.conf.set(k, v)
         raw_schema = self.spark.read.format(ref.format).load(ref.path).schema
         reader = self.spark.readStream.format(ref.format).schema(raw_schema)
         if self.max_files_per_trigger:
@@ -69,13 +73,10 @@ class StreamingCompiler(BatchCompiler):
             os.symlink(os.path.abspath(path), os.path.join(link_dir, os.path.basename(path)))
             path = link_dir
         df = reader.load(path)
-        # re-apply nanos normalization on the streaming frame
-        from pyspark.sql import types as T
+        # re-apply time-column normalization on the streaming frame
+        from kafka_streams_common_spark.catalog import normalize_ts
 
-        for c in ref.ts_nanos_cols:
-            if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
+        return normalize_ts(df, ref.ts_nanos_cols)
 
     def _root(self, p):
         df = self.stream_source(p.source.name)

@@ -84,14 +84,16 @@ def test_simhash_exact_dup_distance_zero(docs_df):
     assert pairs[(0, 1)] == 0
 
 
-def test_simhash_bits64_banding_matches_bruteforce(spark):
-    """The pigeonhole band layout derives from ``bits``: at bits=64 the
-    banded pair set must equal brute-force 64-bit hamming (zero false
-    negatives at hamming ≤ 3), not silently band on the low 32 bits."""
+def test_simhash_bits60_banding_matches_bruteforce(spark):
+    """The pigeonhole band layout derives from ``bits``: at bits=60 (the
+    widest width the 60-bit md5-prefix token hash can honestly fill —
+    wider now asserts, see _simhash_udf) the banded pair set must equal
+    brute-force 60-bit hamming (zero false negatives at hamming ≤ 3),
+    not silently band on the low 32 bits."""
     from kafka_streams_common_spark.operators.dedup import simhash_values
 
     docs = table(spark, SF_SMOKE, "documents")
-    vals = {r["doc_id"]: r["simhash"] for r in simhash_values(docs, bits=64).collect()}
+    vals = {r["doc_id"]: r["simhash"] for r in simhash_values(docs, bits=60).collect()}
     ids = sorted(vals)
     expect = set()
     for i, a in enumerate(ids):
@@ -101,9 +103,9 @@ def test_simhash_bits64_banding_matches_bruteforce(spark):
                 expect.add((a, b, h))
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in simhash_pairs(docs, max_hamming=3, bits=64).collect()
+        for r in simhash_pairs(docs, max_hamming=3, bits=60).collect()
     }
-    assert expect, "fixture must contain 64-bit near-dups for this test to bite"
+    assert expect, "fixture must contain 60-bit near-dups for this test to bite"
     assert got == expect
 
 
@@ -330,3 +332,66 @@ def test_pack_sequences_budget_and_coverage(spark):
     total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
     assert total_tokens / (n_packs * budget) > 0.5  # ≥50% fill on fixture
     packed.unpersist()
+
+
+def test_ivf_int8_rerank_scores_exact_and_recall(spark):
+    """The int8-scored shortlist + full-precision re-rank: (a) every
+    returned score equals the brute-force exact cosine for that pair
+    (re-rank runs on full precision — quantization error must NOT leak
+    into final scores), (b) recall vs the exact top-k at least matches
+    plain IVF at the same probe budget (the 30-deep shortlist can only
+    widen the candidate net)."""
+    from kafka_streams_common_spark.operators.similarity import ivf_int8_rerank_topk
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_cosine_topk(emb, queries, k=10)
+    got = ivf_int8_rerank_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, shortlist=30
+    )
+    e_scores = {(r["q_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    g_scores = {(r["q_id"], r["vec_id"]): r["score"] for r in got.collect()}
+    for pair, s in g_scores.items():
+        if pair in e_scores:
+            assert s == e_scores[pair], f"re-rank score drifted for {pair}"
+
+    plain = ivf_cosine_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    p = {(r["q_id"], r["vec_id"]) for r in plain.collect()}
+    recall_plain = len(set(e_scores) & p) / len(e_scores)
+    recall_rerank = len(set(e_scores) & set(g_scores)) / len(e_scores)
+    assert recall_rerank >= recall_plain - 0.05, (
+        f"int8 rerank recall {recall_rerank:.2f} below plain IVF {recall_plain:.2f}"
+    )
+
+
+def test_gopher_quality_rules(spark):
+    from kafka_streams_common_spark.operators.text import gopher_quality
+
+    rows = [
+        # 24 words, clean english-ish, has stop words -> keep
+        (0, "the cat sat of the mat and that was fine to see with " 
+            "more words here to pad things out over twenty total"),
+        # too short
+        (1, "the of and short"),
+        # no stop words (and symbol tokens drop alpha_frac)
+        (2, " ".join(["1234"] * 30)),
+        # mean word length too high
+        (3, " ".join(["pneumonoultramicroscopic"] * 25) + " the of"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["word_count_ok"] is False
+    assert out[2]["keep"] is False and out[2]["alpha_frac_ok"] is False
+    assert out[2]["stop_words_ok"] is False
+    assert out[3]["keep"] is False and out[3]["mean_word_len_ok"] is False
+    # per-rule booleans must explain every drop: keep == AND of rules
+    for d in out.values():
+        assert d["keep"] == (
+            d["word_count_ok"]
+            and d["mean_word_len_ok"]
+            and d["alpha_frac_ok"]
+            and d["stop_words_ok"]
+        )
