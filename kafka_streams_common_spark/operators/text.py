@@ -406,3 +406,80 @@ def gopher_quality(
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM quality score per document —
+    ``(doc_id, n_bigrams, avg_neg_logprob)`` — one rung up the
+    perplexity-filter ladder from :func:`unigram_logprob`: each bigram
+    scores ``−ln(λ·p(cur|prev) + (1−λ)·p(cur))`` under the corpus's own
+    counts, so repeated boilerplate transitions score cheap (low surprise)
+    and garbage transitions score expensive even when both tokens are
+    individually common — exactly what the unigram model cannot see.
+
+    ``p(cur|prev) = c(prev,cur) / ctx(prev)`` uses CONTEXT counts
+    (bigram occurrences of ``prev``), so the conditional properly
+    normalizes; interpolation with the unigram term means unseen-bigram
+    smoothing never divides by zero (every cur token exists in the
+    vocabulary by construction).
+
+    Scale shape: one (doc, bigram) explode-shuffle with map-side combine
+    builds the bigram/context tables — both observed-bigram-sized,
+    sublinear in corpus bytes — and AQE picks broadcast vs shuffle for
+    the score-side joins from their real sizes. Determinism across
+    engines: integer counts everywhere, per-bigram −ln p rounded to 6 dp
+    and summed as DECIMAL(28,12) (exact order-free addition), same as
+    the unigram scorer.
+    """
+    toks = _tokens(text_col)
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(2), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i - 1).alias("prev"),
+                    F.element_at(toks, i).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+
+    words = docs.select(F.explode(toks).alias("term")).filter(F.col("term") != "")
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    total = vocab.agg(F.sum("c1").alias("total"))
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+
+    p = F.lit(lam) * (F.col("c2") / F.col("cprev")) + F.lit(1.0 - lam) * (
+        F.col("c1") / F.col("total")
+    )
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(vocab.withColumnRenamed("term", "cur"), "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 6).cast("decimal(28,12)").alias("nl"),
+        )
+    )
+    # NO final round: the exact DECIMAL sum cast to double and divided by
+    # the count is bit-identical on both engines (numerator < 2^53 at this
+    # scale, one correctly-rounded conversion + one division), whereas
+    # round(avg, 6) can land on a half-ulp boundary where JVM BigDecimal
+    # HALF_UP and DuckDB's scaled-multiply rounding legitimately disagree
+    # (observed at sf0.01: avg = 3.3790014999999998 → 3.379001 vs
+    # 3.379002 — a spurious hash mismatch, not a wrong answer)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum("nl").cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+    )

@@ -36,9 +36,10 @@ ROTATES each round and the ledger is published in README.md §Verification:
   oracle), the five rows green only in round 1 (set_except,
   set_intersect, cube/unpivot/grouping-sets), and all 24 rows last green
   in round 2 (the dedup/similarity/text heads plus six standard-OLAP
-  rows), followed by new-in-r5 queries and multiply-green keepers that
-  cover the reference-core + streaming + multimodal + LLM-pipeline
-  surface. Every demoted row is green in BOTH round 3 and round 4.
+  rows), followed by the six new-in-r5 queries and 14 multiply-green
+  keepers that cover the reference-core + streaming + multimodal +
+  LLM-pipeline surface. Every demoted row is green in BOTH round 3 and
+  round 4.
 
 After round 5 completes, every registered query's latest green driver row
 is at most two rounds old. Demotion never trades away unproven coverage:
@@ -62,8 +63,8 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # Round-5 driver window, in driver execution order. Layout: the one query
 # with no green driver row in any round comes FIRST (must not be lost if
 # the budget ever shrinks), then the five rows green only in round 1, then
-# the 24 rows last green in round 2, then the five queries new in round 5,
-# then 15 multiply-green (r3 AND r4) keepers covering the reference-core +
+# the 24 rows last green in round 2, then the six queries new in round 5,
+# then 14 multiply-green (r3 AND r4) keepers covering the reference-core +
 # streaming + multimodal surface and the deepest LLM-pipeline paths.
 _R5_WINDOW = (
     # never driver-green: its r2 row predates the invariant oracle
@@ -105,9 +106,9 @@ _R5_WINDOW = (
     "tpch_q18_large_volume_customer",
     "text_gopher_quality_rules",
     "sim_ivf_int8_rerank",
+    "text_bigram_logprob",
     # green in BOTH round 3 and round 4 — kept for surface coverage
     "j5_enrichment_chain",
-    "j_full_outer_join",
     "s2_latest_per_key",
     "a1_count_by_key",
     "p4_json_parse_agg",

@@ -546,3 +546,54 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.text import gopher_quality
 
     return gopher_quality(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i FROM toks
+    ),
+    pc AS (
+      SELECT doc_id, t[i-1] AS prev, t[i] AS cur FROM ex
+    ),
+    vocab AS (
+      SELECT w AS term, count(*) AS c1
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w != '' GROUP BY w
+    ),
+    tot AS (SELECT sum(c1) AS total FROM vocab),
+    big AS (SELECT prev, cur, count(*) AS c2 FROM pc GROUP BY prev, cur),
+    ctx AS (SELECT prev, count(*) AS cprev FROM pc GROUP BY prev),
+    sc AS (
+      SELECT pc.doc_id,
+             CAST(round(-ln(0.7 * (CAST(c2 AS DOUBLE) / CAST(cprev AS DOUBLE))
+                            + (1.0 - 0.7) * (CAST(c1 AS DOUBLE)
+                                             / CAST(total AS DOUBLE))), 6)
+                  AS DECIMAL(28,12)) AS nl
+      FROM pc
+      JOIN big USING (prev, cur)
+      JOIN ctx USING (prev)
+      JOIN vocab ON vocab.term = pc.cur
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(nl) AS DOUBLE) / count(*) AS avg_neg_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM scoring (operators.text.bigram_logprob) —
+    the perplexity-filter upgrade over the unigram model: per-bigram
+    −ln(λ·p(cur|prev) + (1−λ)·p(cur)) under corpus counts, rounded to
+    6 dp and summed as DECIMAL(28,12) on both engines so the float
+    pipeline stays hash-gateable. The interpolation weight is spelled
+    (1.0 − 0.7) on BOTH sides — the IEEE value differs from the literal
+    0.3 and the oracle must replay the engine's arithmetic exactly."""
+    from kafka_streams_common_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(table(spark, sf_dir, "documents"), lam=0.7)

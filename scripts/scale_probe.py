@@ -33,9 +33,13 @@ from kafka_streams_common_spark.operators.similarity import (
     hyperplane_lsh_near_dup_pairs,
 )
 from kafka_streams_common_spark.operators.dedup import decontaminate, line_dedup
-from kafka_streams_common_spark.operators.similarity import quantize_embeddings_int8
+from kafka_streams_common_spark.operators.similarity import (
+    ivf_int8_rerank_topk,
+    quantize_embeddings_int8,
+)
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
+    gopher_quality,
     pack_sequences,
     tfidf_top_terms,
     unigram_logprob,
@@ -71,6 +75,9 @@ def main() -> None:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     emb8 = replicate(emb1, "vec_id", COPIES).localCheckpoint(eager=True)
+    ivf_queries = emb1.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    ).localCheckpoint(eager=True)
 
     probes = {
         "exact_dedup": (
@@ -134,6 +141,18 @@ def main() -> None:
         "quantize_int8": (
             lambda: quantize_embeddings_int8(emb1),
             lambda: quantize_embeddings_int8(emb8),
+        ),
+        # map-only rule battery — ratio should track corpus bytes
+        "gopher_quality": (
+            lambda: gopher_quality(docs1),
+            lambda: gopher_quality(docs8),
+        ),
+        # int8-space IVF + broadcast re-rank: query set fixed, corpus 8×;
+        # the duplicated corpus is adversarial for the shortlist window
+        # (every vector has 8 copies competing at identical scores)
+        "ivf_int8_rerank": (
+            lambda: ivf_int8_rerank_topk(emb1, ivf_queries, k=10),
+            lambda: ivf_int8_rerank_topk(emb8, ivf_queries, k=10),
         ),
     }
 

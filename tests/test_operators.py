@@ -395,3 +395,28 @@ def test_gopher_quality_rules(spark):
             and d["alpha_frac_ok"]
             and d["stop_words_ok"]
         )
+
+
+def test_bigram_logprob_scores_surprise(spark):
+    """The interpolated bigram LM must (a) cover every doc with >= 2
+    tokens, (b) score a document of endlessly repeated transitions as
+    LESS surprising than one built from transitions that occur once each
+    — the property the unigram model cannot express (all four docs here
+    share the same token multiset frequencies class-wise)."""
+    from kafka_streams_common_spark.operators.text import bigram_logprob
+
+    rows = [
+        (0, "a b a b a b a b a b a b"),   # one dominant transition pair
+        (1, "a b a b a b a b a b a b"),   # duplicate reinforces counts
+        (2, "c d e f g h i j k l m n"),   # every transition unique
+        (3, "x"),                          # single token: no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in bigram_logprob(docs).collect()}
+    assert set(out) == {0, 1, 2}  # doc 3 has no bigrams -> no row
+    assert out[0]["n_bigrams"] == 11
+    assert out[0]["avg_neg_logprob"] == out[1]["avg_neg_logprob"]
+    assert out[0]["avg_neg_logprob"] < out[2]["avg_neg_logprob"], (
+        "repeated boilerplate transitions must score less surprising than "
+        "all-unique transitions"
+    )

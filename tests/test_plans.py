@@ -103,3 +103,49 @@ def test_decontaminate_corpus_side_is_broadcast(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             assert "LeftAnti" in line, f"only the anti-join may shuffle: {line}"
+
+
+def test_q4_semi_join_never_multiplies_rows(spark):
+    """The EXISTS witness must compile to a LeftSemi join — an inner join
+    would multiply each order by its matching lines and corrupt the
+    per-priority count."""
+    plan = plan_of(QUERIES["tpch_q4_order_priority"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    # the date-window filter on orders must reach the scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q10_topn_and_nation_broadcast(spark):
+    """Q10's final top-20 must be a TakeOrderedAndProject (partial top-N
+    per partition), never a global Sort; the 25-row nation dim must go
+    broadcast."""
+    plan = plan_of(QUERIES["tpch_q10_returned_items"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_aggregates_fact_before_joins(spark):
+    """Q18 must reduce lineitem to per-order sums BEFORE joining orders/
+    customer — the HashAggregate has to appear below the joins so the
+    joins see the tiny post-HAVING survivor set, not the raw fact table."""
+    plan = plan_of(QUERIES["tpch_q18_large_volume_customer"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    # plan is bottom-up numbered: the lineitem scan feeds a HashAggregate
+    # that sits below (higher node id than) every join
+    assert "HashAggregate" in plan
+
+
+def test_gopher_rules_are_a_pure_scan(spark):
+    """The whole rule battery is one map-only projection: zero Exchange
+    in the plan (any shuffle means a rule left the row-local form)."""
+    plan = plan_of(QUERIES["text_gopher_quality_rules"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_int8_rerank_shortlist_join_is_broadcast(spark):
+    """The full-precision re-rank joins the corpus against the per-query
+    shortlist — that shortlist is broadcast-sized by construction and a
+    SortMergeJoin there would shuffle the corpus a second time."""
+    plan = plan_of(QUERIES["sim_ivf_int8_rerank"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
