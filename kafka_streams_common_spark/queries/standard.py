@@ -1041,3 +1041,62 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "agg_approx_quantiles_value",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch per event type — the quantile sibling
+    of the HLL row (`agg_approx_distinct_users`): at 100 TB an exact
+    percentile needs the full value multiset per group on one reducer,
+    while `approx_percentile` (Greenwald-Khanna sketch) is a fixed-size
+    MERGEABLE summary — one partial sketch per partition, one tiny merge.
+
+    Like the HLL row, the sketch VALUE has no cross-engine oracle, so the
+    hash-gated row carries the invariant instead: for each q, the
+    returned quantile's rank bracket must sit within the sketch's rank
+    error — ``count(v < x) ≤ q·n + εn + 1`` and ``count(v ≤ x) ≥ q·n −
+    εn − 1`` (the two-sided form is tie-proof: duplicated values inflate
+    only the ≤ count, never the < count). ε = 1/accuracy per Spark's
+    contract; the +1 absorbs rank discreteness. A broken sketch lands
+    outside the bracket and flips the boolean. Second pass is one
+    broadcast join of the per-group sketch outputs (|groups| rows) back
+    onto the fact scan — no extra fact shuffle beyond the group agg.
+    """
+    acc = 10_000
+    eps = 1.0 / acc
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("ap")
+    )
+    j = ev.join(F.broadcast(sk), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for i, q in enumerate((0.5, 0.9, 0.99)):
+        lt = F.sum(
+            F.when(F.col("value") < F.element_at("ap", i + 1), 1).otherwise(0)
+        )
+        le = F.sum(
+            F.when(F.col("value") <= F.element_at("ap", i + 1), 1).otherwise(0)
+        )
+        aggs.append(lt.alias(f"__lt{i}"))
+        aggs.append(le.alias(f"__le{i}"))
+    g = j.groupBy("event_type").agg(*aggs)
+    out = [F.col("event_type"), F.col("n_events").cast("bigint").alias("n_events")]
+    for i, (q, name) in enumerate(
+        ((0.5, "p50_rank_ok"), (0.9, "p90_rank_ok"), (0.99, "p99_rank_ok"))
+    ):
+        bound = F.lit(q) * F.col("n_events") + F.lit(eps) * F.col("n_events") + 1
+        lower = F.lit(q) * F.col("n_events") - F.lit(eps) * F.col("n_events") - 1
+        out.append(
+            ((F.col(f"__lt{i}") <= bound) & (F.col(f"__le{i}") >= lower)).alias(name)
+        )
+    return g.select(*out)
