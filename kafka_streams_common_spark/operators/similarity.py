@@ -96,7 +96,9 @@ def _lloyd_refine(
     iters=0 — see queries/similarity.py).
     """
     for _ in range(iters):
-        assign_w = Window.partitionBy("__id").orderBy(F.desc("c_score"), F.asc("c_id"))
+        # argmax via max_by hash agg — map-side combine collapses the
+        # |corpus|·C candidate rows before the exchange (same discipline
+        # as the ivf_cosine_topk assignment, identical total order)
         assigned = (
             corpus.select(F.col(id_col).alias("__id"), vec_col)
             .crossJoin(F.broadcast(centroids))
@@ -106,8 +108,14 @@ def _lloyd_refine(
                 "c_id",
                 cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
             )
-            .withColumn("rn", F.row_number().over(assign_w))
-            .filter(F.col("rn") == 1)
+            .groupBy("__id")
+            .agg(
+                F.any_value(F.col(vec_col)).alias(vec_col),
+                F.max_by(
+                    F.col("c_id"),
+                    F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
+                ).alias("c_id"),
+            )
         )
         centroids = (
             assigned.select("c_id", F.posexplode(to_double_array(F.col(vec_col))))
@@ -246,8 +254,17 @@ def ivf_cosine_topk(
             centroids = _lloyd_refine(corpus, centroids, kmeans_iters, vec_col, id_col)
     corpus = fan_out(corpus)
 
-    # corpus → nearest centroid (broadcast the tiny centroid set)
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
+    # corpus → nearest centroid (broadcast the tiny centroid set). argmax
+    # via max_by HASH aggregation, not a row_number window: the crossJoin
+    # emits |corpus|·C rows, and a window would shuffle ALL of them on the
+    # id then sort each group — max_by partial-aggregates map-side, so the
+    # exchange carries ~|corpus| pre-reduced rows and no sort runs (the
+    # same shuffle discipline as the S2 latest-per-key max_by, README
+    # design rule #2). Identical result: the ordering key (c_score, -c_id)
+    # is distinct per candidate, so the argmax and its low-c_id tie-break
+    # are the same total order the window spelled. any_value(vec) is
+    # deterministic in VALUE — every candidate row of a group carries the
+    # same corpus vector.
     assigned = (
         corpus.crossJoin(F.broadcast(centroids))
         .select(
@@ -256,9 +273,15 @@ def ivf_cosine_topk(
             "c_id",
             cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
         )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("c_id").alias("cell"))
+        .groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.max_by(
+                F.col("c_id"),
+                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
+            ).alias("cell"),
+        )
+        .select(id_col, vec_col, "cell")
     )
 
     # query → n_probe nearest cells
@@ -571,7 +594,8 @@ def ivf_int8_rerank_topk(
     )
     recon = fan_out(recon)
 
-    assign_w = Window.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
+    # argmax via max_by hash agg (map-side combine, no window sort) — same
+    # rationale and same result-equivalence argument as ivf_cosine_topk
     assigned = (
         recon.crossJoin(F.broadcast(centroids))
         .select(
@@ -580,9 +604,15 @@ def ivf_int8_rerank_topk(
             "c_id",
             cosine_similarity(F.col("__r"), F.col("c_emb")).alias("c_score"),
         )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "__r", F.col("c_id").alias("cell"))
+        .groupBy(id_col)
+        .agg(
+            F.any_value(F.col("__r")).alias("__r"),
+            F.max_by(
+                F.col("c_id"),
+                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
+            ).alias("cell"),
+        )
+        .select(id_col, "__r", "cell")
     )
 
     probe_w = Window.partitionBy(query_id_col).orderBy(F.desc("c_score"), F.asc("c_id"))

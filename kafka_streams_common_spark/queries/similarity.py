@@ -344,3 +344,52 @@ def sim_ivf_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_int8_rerank_topk(
         corpus, queries, k=10, n_centroids=16, n_probe=4, shortlist=30
     )
+
+
+@query(
+    "sim_semantic_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL.strip().rstrip()},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.95
+    ),
+    bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+    cc(node, label) AS (
+      SELECT vec_id, vec_id FROM aug
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    ),
+    canon AS (SELECT node AS vec_id, min(label) AS cluster_id
+              FROM cc GROUP BY node)
+    SELECT g.vec_id
+    FROM aug g JOIN canon c ON g.vec_id = c.vec_id AND g.vec_id = c.cluster_id
+    """,
+)
+def sim_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup APPLY over embeddings: the query an
+    embedding-store pipeline actually ships — cosine near-dup pairs
+    (hyperplane-LSH banded + exact verify, never all-pairs) collapse into
+    clusters via label propagation, and only each cluster's canonical
+    (min-id) vector survives. Runs on the planted-near-dup augmented
+    corpus (every original + its perturbed copy sit at cosine ≈ 0.999,
+    so each pair collapses to the original). Clustering shuffles carry
+    only ids and hashes; the oracle replays the brute-force pair
+    definition + a recursive-CTE transitive closure."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.cluster import connected_components
+
+    corpus = _augmented_corpus(spark, sf_dir)
+    pairs = hyperplane_lsh_near_dup_pairs(corpus, tau=0.95, dim=64).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc = connected_components(
+        corpus.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    canonical = cc.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return corpus.join(canonical, "vec_id", "left_semi").select("vec_id")

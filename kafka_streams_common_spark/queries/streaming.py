@@ -213,3 +213,49 @@ def streaming_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame
         comp.stream_source("events").select("user_id", "event_type").dropDuplicates()
     )
     return run_stream_to_memory(dedup, spark, output_mode="append")
+
+
+@query(
+    "streaming_quality_gate_ingest",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+               / CAST(len(t) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS DOUBLE) / len(t) AS alpha_frac,
+             len(list_filter(t, x -> x IN ('the','be','to','of','and',
+                                           'that','have','with'))) AS stop_hits
+      FROM toks
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words
+    FROM m
+    WHERE (n_words BETWEEN 20 AND 100000)
+      AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      AND alpha_frac >= 0.80
+      AND stop_hits >= 2
+    """,
+)
+def streaming_quality_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating AT INGEST: the Gopher rule battery
+    (operators.text.gopher_quality) applied to a document STREAM — the
+    shape a training-data pipeline actually runs (filter documents as
+    they arrive, before they ever land in the corpus store). The rule
+    battery is a pure stateless projection, so it is streaming-safe with
+    NO state store, NO watermark and append-mode output — per-microbatch
+    cost is exactly the batch scan cost, and the batch and streaming
+    answers are identical by construction (asserted here: the oracle is
+    the BATCH definition)."""
+    from kafka_streams_common_spark.operators.text import gopher_quality
+
+    stream = _streaming_compiler(spark, sf_dir).stream_source("documents")
+    gated = (
+        gopher_quality(stream)
+        .filter("keep")
+        .select("doc_id", "n_words")
+    )
+    return run_stream_to_memory(gated, spark, output_mode="append")
