@@ -149,3 +149,14 @@ def test_int8_rerank_shortlist_join_is_broadcast(spark):
     plan = plan_of(QUERIES["sim_ivf_int8_rerank"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q7_dimension_joins_are_broadcast(spark):
+    """Q7's four DIMENSION joins (supplier, customer, nation ×2) must be
+    broadcast. The lineitem↔orders join is fact-to-fact — a legitimate
+    key shuffle at scale (AQE broadcasts it on this small fixture, hence
+    no SortMergeJoin below either) — but a dimension appearing as a
+    SortMergeJoin would mean it shuffled the fact side."""
+    plan = plan_of(QUERIES["tpch_q7_nation_volume"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
