@@ -197,3 +197,41 @@ def test_bigram_repetition_bruteforce(spark_, texts):
         total = sum(bgs.values())
         assert got[i]["n_bigrams"] == total
         assert abs(got[i]["top_bigram_frac"] - round(max(bgs.values()) / total, 6)) < 1e-9
+
+
+def test_r5_operators_invariant_under_partitioning(spark_):
+    """The round-5 deterministic operators must produce IDENTICAL results
+    at any parallelism — the property the driver hash gate rides on.
+    Re-running each over adversarial repartitionings (1 partition,
+    coalesced, salted 13-way) must not change a single row."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.similarity import (
+        ivf_int8_rerank_topk,
+    )
+    from kafka_streams_common_spark.operators.text import (
+        bigram_logprob,
+        gopher_quality,
+    )
+    from kafka_streams_common_spark.queries.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark_, sf, "documents")
+    emb = table(spark_, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for reshape in (lambda d: d.repartition(1), lambda d: d.repartition(13)):
+        assert rows(gopher_quality(docs)) == rows(gopher_quality(reshape(docs)))
+        assert rows(bigram_logprob(docs)) == rows(bigram_logprob(reshape(docs)))
+        assert rows(
+            ivf_int8_rerank_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+        ) == rows(
+            ivf_int8_rerank_topk(
+                reshape(emb), queries, k=5, n_centroids=8, n_probe=2
+            )
+        )
