@@ -1176,3 +1176,86 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           c.user_id IS NOT NULL AS reached_click,
+           p.user_id IS NOT NULL AS reached_purchase,
+           CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS funnel_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) per user — the
+    product-analytics staple: each stage's timestamp must STRICTLY follow
+    the previous stage's earliest qualifying timestamp (the
+    strict-sequential-min definition, which is pure relational algebra —
+    no session windows, no UDF — so both engines replay it exactly).
+
+    Scale shape: every aggregate and join keys on user_id, so AQE plans
+    one partitioning reused across the chain; each stage's input is
+    pre-filtered to ONE event type before any join (the scan predicate
+    prunes the other types), and stage outputs are |users|-sized — the
+    funnel narrows monotonically, so downstream joins see shrinking
+    sides and broadcast when small.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    reached_click = F.col("t2").isNotNull()
+    reached_purchase = F.col("t3").isNotNull()
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            reached_click.alias("reached_click"),
+            reached_purchase.alias("reached_purchase"),
+            (
+                F.lit(1)
+                + reached_click.cast("int")
+                + reached_purchase.cast("int")
+            )
+            .cast("bigint")
+            .alias("funnel_stage"),
+        )
+    )
