@@ -657,3 +657,62 @@ def ivf_int8_rerank_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "score")
     )
+
+
+def centroid_cosine_outliers(
+    corpus: DataFrame,
+    tau: float = 0.0,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding outlier detection against per-label centroids:
+    ``(vec_id, label, centroid_cosine, is_outlier)`` — the
+    embedding-space quality gate a training pipeline runs before
+    ingesting a labeled/clustered corpus (vectors pointing away from
+    their cohort are mislabels, noise, or adversarial rows; SemDeDup's
+    complement — prune the LONERS, not the duplicates).
+
+    Exactness trick that makes a float pipeline hash-gateable WITHOUT
+    rounding the output: centroid dimensions are computed as
+    ``CAST(sum(DECIMAL(28,12)) AS DOUBLE)/count`` over values rounded to
+    6 dp — decimal addition is exact and order-free, so the centroid is
+    bit-identical at ANY parallelism and on any engine (a plain double
+    avg is partial-aggregation-order-dependent: same numbers, different
+    last ulp, broken value hash). The 6-dp pre-round keeps every decimal
+    cast far from its 12-dp rounding boundary (same margin argument as
+    the unigram-LM scorer). The per-vector cosine is then a sequential
+    double fold against that exact centroid — deterministic end to end.
+
+    Scale shape: the centroid pass shuffles scalar (label, dim, value)
+    triples with map-side combine (|labels|·dims rows out); the scoring
+    pass is one broadcast join of the tiny centroid table onto the
+    corpus scan. No corpus shuffle anywhere.
+    """
+    v6 = F.transform(
+        to_double_array(F.col(vec_col)),
+        lambda x: F.round(x, 6).cast("decimal(28,12)"),
+    )
+    pos = corpus.select(
+        F.col(label_col).alias("__lbl"), F.posexplode(v6).alias("pos", "v")
+    )
+    cent = (
+        pos.groupBy("__lbl", "pos")
+        .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("m"))
+        .groupBy("__lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("c_emb")
+        )
+    )
+    cos = cosine_similarity(F.col(vec_col), F.col("c_emb"))
+    return (
+        corpus.join(F.broadcast(cent), F.col(label_col) == F.col("__lbl"))
+        .select(
+            id_col,
+            label_col,
+            cos.alias("centroid_cosine"),
+            (cos < F.lit(tau)).alias("is_outlier"),
+        )
+    )

@@ -36,7 +36,7 @@ ROTATES each round and the ledger is published in README.md §Verification:
   oracle), the five rows green only in round 1 (set_except,
   set_intersect, cube/unpivot/grouping-sets), and all 24 rows last green
   in round 2 (the dedup/similarity/text heads plus six standard-OLAP
-  rows), followed by the eleven new-in-r5 queries and 9 multiply-green
+  rows), followed by the twelve new-in-r5 queries and 8 multiply-green
   keepers that cover the reference-core + streaming + multimodal +
   LLM-pipeline surface. Every demoted row is green in BOTH round 3 and
   round 4.
@@ -63,8 +63,8 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # Round-5 driver window, in driver execution order. Layout: the one query
 # with no green driver row in any round comes FIRST (must not be lost if
 # the budget ever shrinks), then the five rows green only in round 1, then
-# the 24 rows last green in round 2, then the eleven queries new in round 5,
-# then 9 multiply-green (r3 AND r4) keepers covering the reference-core +
+# the 24 rows last green in round 2, then the twelve queries new in round 5,
+# then 8 multiply-green (r3 AND r4) keepers covering the reference-core +
 # streaming + multimodal surface and the deepest LLM-pipeline paths.
 _R5_WINDOW = (
     # never driver-green: its r2 row predates the invariant oracle
@@ -112,6 +112,7 @@ _R5_WINDOW = (
     "sim_semantic_dedup_apply",
     "tpch_q7_nation_volume",
     "events_funnel_conversion",
+    "sim_centroid_outliers",
     # green in BOTH round 3 and round 4 — kept for surface coverage
     "j5_enrichment_chain",
     "s2_latest_per_key",
@@ -120,7 +121,6 @@ _R5_WINDOW = (
     "streaming_stream_stream_join",
     "dedup_minhash_lsh",
     "dedup_apply_canonical_corpus",
-    "sim_ivf_topk",
     "llm_pack_sequences",
 )
 

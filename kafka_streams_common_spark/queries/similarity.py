@@ -393,3 +393,40 @@ def sim_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id")
     )
     return corpus.join(canonical, "vec_id", "left_semi").select("vec_id")
+
+
+@query(
+    "sim_centroid_outliers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(v, 6) AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS m
+      FROM pos GROUP BY label, pos
+    ),
+    cvec AS (SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY label)
+    SELECT e.vec_id, e.label,
+           {_cos_sql('e.embedding', 'c.c')} AS centroid_cosine,
+           {_cos_sql('e.embedding', 'c.c')} < 0.0 AS is_outlier
+    FROM embeddings e JOIN cvec c USING (label)
+    """,
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier gate
+    (operators.similarity.centroid_cosine_outliers): flag vectors whose
+    cosine to their label centroid is negative — mislabels/noise pruning,
+    the loner-complement of SemDeDup. Centroid dims are exact order-free
+    DECIMAL(28,12) sums (bit-identical at any parallelism and on both
+    engines), so the raw cosine doubles hash-match with NO output
+    rounding — the determinism technique the plain double-avg centroid
+    query (sim_centroid_by_label) cannot offer."""
+    from kafka_streams_common_spark.operators.similarity import (
+        centroid_cosine_outliers,
+    )
+
+    return centroid_cosine_outliers(table(spark, sf_dir, "embeddings"), tau=0.0)
