@@ -93,7 +93,9 @@ def _lloyd_refine(
     or stage recomputation, so results would not be deterministic on a
     lossy cluster. Deterministic given deterministic seeding (double-avg
     ordering aside, which is why the hash-gated driver query keeps
-    iters=0 — see queries/similarity.py).
+    iters=0 — see queries/similarity.py). Same unique-``id_col``
+    precondition as :func:`ivf_cosine_topk`: ``any_value(vec)`` per id
+    group is only deterministic when each id carries one vector.
     """
     for _ in range(iters):
         # argmax via max_by hash agg — map-side combine collapses the
@@ -239,6 +241,14 @@ def ivf_cosine_topk(
     ``n_probe`` nearest cells, so only ~n_probe/n_centroids of the corpus is
     scored per query. Approximate: recall < 1 when a true neighbor lives in
     an unprobed cell (tested against the brute-force baseline).
+
+    PRECONDITION: ``id_col`` must be unique per corpus row. The max_by
+    hash-agg assignment groups by id and takes ``any_value(vec)`` — with
+    duplicate ids it would pick an arbitrary duplicate's vector per
+    group, silently breaking the determinism the hash gate rides on (the
+    old row_number window kept the top-scoring row instead). Uniqueness
+    is asserted in the pytest suite; real embedding stores key on a
+    unique vector id by construction.
     """
     if centroids is None:
         # TakeOrderedAndProject — a top-N that partial-sorts per partition
@@ -407,6 +417,15 @@ def hyperplane_lsh_near_dup_pairs(
         to_double_array(F.col(vec_col)).alias("v"),
     )
     bits = _hyperplane_bits_udf(num_bits, dim)(F.col("v"))
+    # materialize the signature table ONCE before the band self-join —
+    # same rationale as the minhash/simhash signature checkpoints
+    # (operators/dedup.py): without this the Arrow kernel AND the whole
+    # upstream corpus scan re-execute once per join side (measured 2.3×
+    # the one-pass cost at sf0.1 — the r3→r5 bench drift's cause: a
+    # doubled Python-worker stage amplifies any ambient load). The table
+    # is O(rows · num_bits · 4B) — at 100 TB this is the signature layer
+    # one would persist to parquet anyway.
+    sigs = vecs.select("id", bits.alias("sig")).localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(
@@ -424,10 +443,8 @@ def hyperplane_lsh_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    buckets = (
-        vecs.withColumn("sig", bits)
-        .select("id", F.explode(band_structs).alias("bs"))
-        .select("id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    buckets = sigs.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -551,6 +568,7 @@ def ivf_int8_rerank_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     shortlist: int = 30,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
@@ -570,10 +588,18 @@ def ivf_int8_rerank_topk(
     taxonomy): recall comes from probing quantized cells wide
     (shortlist ≥ 3k), precision comes from the exact re-rank.
 
-    Fully deterministic, hence hash-gateable: quantization is pure
-    double arithmetic (round half-away-from-zero on both engines),
-    centroids seed as the ``n_centroids`` lowest-id reconstructed
-    vectors, and every ranking is a total order with the id as
+    ``centroids`` (``(c_id, c_emb)``, e.g. from
+    :func:`train_ivf_centroids`) is the production path — data-trained
+    cells make recall independent of data ORDER (recall@10 ≥ 0.8 pinned
+    in pytest on the planted-cluster corpus at the SCALE.md probe
+    fraction). Without it, centroids seed as the ``n_centroids``
+    lowest-id reconstructed vectors — deterministic and SQL-replayable,
+    which is what the hash-gated driver query uses, but data-order-
+    dependent: do not rely on the seeded default at scale.
+
+    Fully deterministic given fixed centroids, hence hash-gateable:
+    quantization is pure double arithmetic (round half-away-from-zero
+    on both engines), and every ranking is a total order with the id as
     tie-break. The oracle replays the identical definition in SQL.
 
     Plan shape: two broadcast joins against the tiny centroid set, one
@@ -587,11 +613,12 @@ def ivf_int8_rerank_topk(
             "__r"
         ),
     )
-    centroids = (
-        recon.select(F.col(id_col).alias("c_id"), F.col("__r").alias("c_emb"))
-        .orderBy(F.asc("c_id"))
-        .limit(n_centroids)
-    )
+    if centroids is None:
+        centroids = (
+            recon.select(F.col(id_col).alias("c_id"), F.col("__r").alias("c_emb"))
+            .orderBy(F.asc("c_id"))
+            .limit(n_centroids)
+        )
     recon = fan_out(recon)
 
     # argmax via max_by hash agg (map-side combine, no window sort) — same

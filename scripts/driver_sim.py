@@ -4,9 +4,10 @@ Imports __spark_entry__ like the grading driver, smoke-checks entry(),
 then runs every registered query against its DuckDB oracle at sf0.01
 with the driver's canonicalization. Exits nonzero on the first mismatch.
 
-Usage: python scripts/driver_sim.py [--vanilla] [--limit N]
+Usage: python scripts/driver_sim.py [--vanilla] [--limit N] [--only a,b,c]
   --vanilla  use a bare SparkSession (no get_spark configs) like the driver
   --limit N  only run the first N queries in registration order
+  --only     comma-separated query names to check (targeted re-verification)
 """
 
 from __future__ import annotations
@@ -70,6 +71,11 @@ def main() -> int:
     qs, os_ = mod.queries(), mod.oracle_sql()
     assert set(os_) <= set(qs), "oracle without query"
     names = list(qs)
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        missing = [n for n in only if n not in qs]
+        assert not missing, f"--only names not registered: {missing}"
+        names = only
     if limit is not None:
         names = names[:limit]
     failed = []

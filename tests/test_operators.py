@@ -366,6 +366,61 @@ def test_ivf_int8_rerank_scores_exact_and_recall(spark):
     )
 
 
+def test_trained_int8_rerank_clustered_recall(spark):
+    """Trained k-means++ centroids wired into the int8 re-rank operator:
+    on the planted-cluster corpus at the SCALE.md probe fraction (32
+    cells × 4 probes = 12.5% of the index scored), recall@10 ≥ 0.8 —
+    and, unlike the lowest-id seeded default (kept only for the
+    SQL-replayable oracle query), independent of data order: the test
+    feeds the corpus in a shuffled order and the trained path must land
+    the same recall (train_ivf_centroids samples by md5(id), not by
+    position)."""
+    import numpy as np
+
+    from kafka_streams_common_spark.operators.similarity import (
+        ivf_int8_rerank_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(2000):
+        v = centers[i % 20] + 0.15 * rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    # shuffled arrival order — cluster structure must come from training,
+    # never from which ids happen to sort first
+    rng.shuffle(rows)
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # unique-id precondition of the max_by/any_value cell assignment
+    assert emb.count() == emb.select("vec_id").distinct().count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_cosine_topk(emb, queries, k=10).collect()
+    }
+    cent = train_ivf_centroids(emb, n_centroids=32)
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_int8_rerank_topk(
+            emb, queries, k=10, n_probe=4, shortlist=30, centroids=cent
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"trained-int8 rerank recall {recall:.3f} < 0.8"
+
+
+def test_ivf_fixture_ids_unique(spark):
+    """The registered IVF/int8 queries ride on the embeddings fixture —
+    pin the unique-vec_id precondition their max_by/any_value assignment
+    depends on (operators/similarity.py docstrings)."""
+    emb = table(spark, SF_ORACLE, "embeddings")
+    assert emb.count() == emb.select("vec_id").distinct().count()
+
+
 def test_gopher_quality_rules(spark):
     from kafka_streams_common_spark.operators.text import gopher_quality
 
