@@ -397,11 +397,16 @@ def gopher_quality(
     keep = rules["word_count_ok"]
     for c in list(rules.values())[1:]:
         keep = keep & c
+    # raw quotients, NOT round(x, 6): both are single double divisions of
+    # small integers — bit-identical on any engine — while a 6-dp round
+    # can straddle a half-ulp boundary across engines (JVM BigDecimal
+    # HALF_UP vs DuckDB scaled-multiply; the bigram scorer hit exactly
+    # that), so rounding would ADD a cross-engine hazard, not remove one
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_words.cast("bigint").alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
         stop_hits.cast("bigint").alias("stop_hits"),
         *[expr.alias(name) for name, expr in rules.items()],
         keep.alias("keep"),

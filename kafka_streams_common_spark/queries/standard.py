@@ -1078,7 +1078,13 @@ def agg_approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("ap")
     )
-    j = ev.join(F.broadcast(sk), "event_type")
+    # null-SAFE sketch join: a plain equi-join would drop rows with NULL
+    # event_type while the oracle's GROUP BY emits a NULL group — a
+    # latent hash mismatch if the fixture ever gains NULL event types
+    j = ev.join(
+        F.broadcast(sk.withColumnRenamed("event_type", "__et")),
+        F.col("event_type").eqNullSafe(F.col("__et")),
+    ).drop("__et")
     aggs = [F.count(F.lit(1)).alias("n_events")]
     for i, q in enumerate((0.5, 0.9, 0.99)):
         lt = F.sum(
@@ -1219,43 +1225,17 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filtered to ONE event type before any join (the scan predicate
     prunes the other types), and stage outputs are |users|-sized — the
     funnel narrows monotonically, so downstream joins see shrinking
-    sides and broadcast when small.
+    sides and broadcast when small. Implemented by the reusable k-step
+    operator :func:`operators.funnel.funnel_conversion` — a user brings
+    their own ordered (stage, predicate) list.
     """
-    ev = table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    reached_click = F.col("t2").isNotNull()
-    reached_purchase = F.col("t3").isNotNull()
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            reached_click.alias("reached_click"),
-            reached_purchase.alias("reached_purchase"),
-            (
-                F.lit(1)
-                + reached_click.cast("int")
-                + reached_purchase.cast("int")
-            )
-            .cast("bigint")
-            .alias("funnel_stage"),
-        )
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        table(spark, sf_dir, "events"),
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
     )

@@ -523,8 +523,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
-           round(mean_word_len, 6) AS mean_word_len,
-           round(alpha_frac, 6) AS alpha_frac,
+           mean_word_len,
+           alpha_frac,
            CAST(stop_hits AS BIGINT) AS stop_hits,
            n_words BETWEEN 20 AND 100000 AS word_count_ok,
            mean_word_len BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,

@@ -421,6 +421,45 @@ def test_ivf_fixture_ids_unique(spark):
     assert emb.count() == emb.select("vec_id").distinct().count()
 
 
+def test_funnel_conversion_four_steps(spark):
+    """The parameterized k-step funnel operator on a 4-stage synthetic
+    funnel: strict-sequential-min ordering (each stage strictly after the
+    previous stage's earliest qualifying event), monotone reached flags,
+    users who never complete stage 1 are absent."""
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        # user 1: clean a→b→c→d
+        (1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4),
+        # user 2: d fires BEFORE c's earliest qualifying ts → stops at c
+        (2, "a", 1), (2, "b", 2), (2, "d", 3), (2, "c", 4),
+        # user 3: entered only
+        (3, "a", 5),
+        # user 4: pre-entry b ignored; c ties b's ts (strict > fails)
+        (4, "b", 1), (4, "a", 2), (4, "b", 3), (4, "c", 3),
+        # user 5: never does "a" → not in the funnel at all
+        (5, "b", 1), (5, "c", 2), (5, "d", 3),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string, ts bigint")
+    stages = [(n, F.col("event_type") == n) for n in ("a", "b", "c", "d")]
+    out = {r["user_id"]: r for r in funnel_conversion(ev, stages).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["funnel_stage"] == 4 and out[1]["reached_d"]
+    assert out[2]["funnel_stage"] == 3
+    assert out[2]["reached_c"] and not out[2]["reached_d"]
+    assert out[3]["funnel_stage"] == 1 and not out[3]["reached_b"]
+    assert out[4]["funnel_stage"] == 2
+    assert out[4]["reached_b"] and not out[4]["reached_c"]
+    # monotone flags: reached_{i+1} implies reached_i for every user
+    for r in out.values():
+        assert not (r["reached_c"] and not r["reached_b"])
+        assert not (r["reached_d"] and not r["reached_c"])
+    with pytest.raises(ValueError):
+        funnel_conversion(ev, [("a", F.col("event_type") == "a")])
+    with pytest.raises(ValueError):
+        funnel_conversion(ev, [("a", F.lit(True)), ("a", F.lit(True))])
+
+
 def test_gopher_quality_rules(spark):
     from kafka_streams_common_spark.operators.text import gopher_quality
 

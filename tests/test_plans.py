@@ -130,9 +130,17 @@ def test_q18_aggregates_fact_before_joins(spark):
     joins see the tiny post-HAVING survivor set, not the raw fact table."""
     plan = plan_of(QUERIES["tpch_q18_large_volume_customer"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
-    # plan is bottom-up numbered: the lineitem scan feeds a HashAggregate
-    # that sits below (higher node id than) every join
-    assert "HashAggregate" in plan
+    # positional check, not mere presence: formatted-plan node ids are
+    # assigned bottom-up (the deepest leaf is (1)), so the fact-side
+    # HashAggregate sitting BELOW the joins means its id is smaller than
+    # every join's id
+    import re
+
+    tree = plan.split("\n\n")[0]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", tree)]
+    join_ids = [int(m) for m in re.findall(r"Join[^(]*\((\d+)\)", tree)]
+    assert agg_ids and join_ids, tree
+    assert min(agg_ids) < min(join_ids), tree
 
 
 def test_gopher_rules_are_a_pure_scan(spark):
