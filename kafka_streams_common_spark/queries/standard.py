@@ -1239,3 +1239,168 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("purchase", F.col("event_type") == "purchase"),
         ],
     )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_name = 'NATION_1'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT EXISTS double correlation — the
+    classic anti-join stress, and the last standard join family with no
+    registered exemplar (suppliers who were the SOLE failing supplier on
+    a multi-supplier finished order).
+
+    Adapted witness: the fixture lineitem has no commit/receipt dates
+    (same adaptation as Q4, TPC-H 21.2.17.2), so "failed the order" is
+    l_returnflag = 'R'. Both correlated subqueries decorrelate to joins
+    on the ORDER KEY with a suppkey inequality as residual:
+    EXISTS → LeftSemi, NOT EXISTS → LeftAnti — never a row multiplier,
+    never a cartesian (plan-pinned in tests/test_plans.py).
+
+    Scale shape: l1 is pre-filtered to 'R' lines of 'F' orders before
+    any join; the semi join, anti join and orders join ALL key on
+    l_orderkey, so AQE plans one hash partitioning of lineitem reused
+    across the three joins (the one legitimate fact shuffle);
+    supplier and the single-nation filter broadcast. At 100 TB the
+    orders-status filter prunes the orders scan and the final rollup
+    keys on |suppliers-in-one-nation| — trivial cardinality.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA' AND p.p_size = 25
+      AND l.l_extendedprice / l.l_quantity = (
+          SELECT min(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery — which supplier
+    in a region offers each part at the minimum unit price.
+
+    Adapted: the fixture has no partsupp table, so the part↔supplier
+    cost relation is lineitem with unit price l_extendedprice /
+    l_quantity (pure double division — bit-identical on both engines,
+    so the min-equality probe is exact and the result hash-gates).
+
+    The correlated subquery decorrelates the way Catalyst itself would:
+    one per-part MIN aggregate over the region-filtered lines, joined
+    back on (partkey, unit_price = min). Both the aggregate and the
+    probe join key on l_partkey — one fact partitioning, reused. All
+    four dimensions (part pre-filtered by size, supplier, nation,
+    region) broadcast; the p_size filter prunes the part scan
+    (PushedFilters, plan-pinned). DISTINCT collapses equal-price line
+    repeats of the same (part, supplier).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 25)
+        .select("p_partkey", "p_name")
+    )
+    # region-filtered part↔supplier offers, pre-pruned to the parts that
+    # can reach the output (the correlation key makes this equivalent)
+    offers = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    min_price = offers.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_price,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )

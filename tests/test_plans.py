@@ -168,3 +168,26 @@ def test_q7_dimension_joins_are_broadcast(spark):
     plan = plan_of(QUERIES["tpch_q7_nation_volume"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q21_double_correlation_is_semi_plus_anti(spark):
+    """Q21's EXISTS / NOT EXISTS pair must decorrelate to LeftSemi +
+    LeftAnti hash joins on the order key — never a cartesian or BNLJ
+    (the suppkey inequality is a residual condition, not the join key)."""
+    plan = plan_of(QUERIES["tpch_q21_waiting_suppliers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_part_filter_pushed_and_no_cartesian(spark):
+    """Q2's correlated scalar-min decorrelation: the p_size filter must
+    reach the part scan, every dim join broadcasts, and the min-probe
+    equi-join on (partkey, price) never degenerates to a cartesian."""
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_size" in l for l in pushed), pushed
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
