@@ -30,21 +30,31 @@ ROTATES each round and the ledger is published in README.md §Verification:
   21 rows seen only in round 1 — all 50 green in CORRECTNESS_r03,
 - round 4 re-ran the same window (all 50 green again in CORRECTNESS_r04;
   the round closed perf/robustness review items rather than rotating),
-- round 5 (``_R5_WINDOW`` below) promotes the entire stale set: the ONE
-  query with no green driver row in any round
-  (multimodal_feature_extract — its r2 row predates its invariant
-  oracle), the five rows green only in round 1 (set_except,
-  set_intersect, cube/unpivot/grouping-sets), and all 24 rows last green
-  in round 2 (the dedup/similarity/text heads plus six standard-OLAP
-  rows), followed by the twelve new-in-r5 queries and 8 multiply-green
-  keepers that cover the reference-core + streaming + multimodal +
-  LLM-pipeline surface. Every demoted row is green in BOTH round 3 and
-  round 4.
+- round 5 promoted the entire stale set: the ONE query with no green
+  driver row in any round (multimodal_feature_extract — its r2 row
+  predates its invariant oracle), the five rows green only in round 1
+  (set_except, set_intersect, cube/unpivot/grouping-sets), and all 24
+  rows last green in round 2 (the dedup/similarity/text heads plus six
+  standard-OLAP rows), followed by the twelve new-in-r5 queries and 8
+  multiply-green keepers. CORRECTNESS_r05: all 50 green; every demoted
+  row was green in BOTH round 3 and round 4.
+- round 6 (``_R6_WINDOW`` below) swaps the halves again: the two
+  new-in-r6 queries (TPC-H Q21/Q2 — first driver exposure) lead, then
+  ALL 42 rows last green in round 3/4 (the r5 past-window set: the J1-J4
+  join family, full outer, streaming windows/dedup/static-join,
+  multimodal metadata/frame-sample, asof/range joins, TPC-H
+  Q3/Q5/Q6/Q14, dedup_lines, the LLM split/shard/unigram rows, ...),
+  padded with the SIX r5-green queries whose implementation changed in
+  round 6 and therefore needs re-verification (gopher raw-quotient
+  output, null-safe quantile join, funnel operator-ization, hyperplane
+  signature checkpoint, int8-rerank centroids param): every r5-green row
+  left past-window is byte-identical code to what round 5 verified.
 
-After round 5 completes, every registered query's latest green driver row
-is at most two rounds old. Demotion never trades away unproven coverage:
-a query is only moved past the window after it has a green row in a
-previous round's driver gate.
+After round 6 completes, every registered query's latest green driver row
+is at most two rounds old AND no code path changed since its last green
+row. Demotion never trades away unproven coverage: a query is only moved
+past the window after it has a green row in a previous round's driver
+gate, on unchanged code.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -60,79 +70,83 @@ from kafka_streams_common_spark.queries import standard as _standard  # noqa: F4
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
-# Round-5 driver window, in driver execution order. Layout: the one query
-# with no green driver row in any round comes FIRST (must not be lost if
-# the budget ever shrinks), then the five rows green only in round 1, then
-# the 24 rows last green in round 2, then the twelve queries new in round 5,
-# then 8 multiply-green (r3 AND r4) keepers covering the reference-core +
-# streaming + multimodal surface and the deepest LLM-pipeline paths.
-_R5_WINDOW = (
-    # never driver-green: its r2 row predates the invariant oracle
-    "multimodal_feature_extract",
-    # green in round 1 only (CORRECTNESS_r01) — refreshed this round
-    "set_except",
-    "set_intersect",
-    "cube_orders_by_status_priority",
-    "unpivot_customer_measures",
-    "grouping_sets_orders",
-    # last green in round 2 (CORRECTNESS_r02) — refreshed this round
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_simhash",
-    "dedup_decontaminate",
-    "sim_cosine_topk",
-    "sim_centroid_by_label",
-    "text_quality_metrics",
-    "text_token_counts",
-    "text_lang_id",
-    "text_quality_filter",
-    "text_top_words",
-    "text_fingerprints",
-    "text_pii_scrub",
-    "text_hash_sample",
-    "text_tfidf_top_terms",
-    "text_repetition_metrics",
-    "text_stratified_sample",
-    "filter_pushdown_scan",
-    "semi_join_customers_with_orders",
-    "window_topk_orders_per_customer",
-    "salted_agg_orders_by_status",
-    "array_agg_order_keys_per_customer",
-    "tpch_q1_pricing_summary",
-    # new in round 5 — first driver exposure
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
+# Round-6 driver window, in driver execution order. Layout: the two
+# queries with no driver row in any round come FIRST (must not be lost if
+# the budget ever shrinks), then all 42 rows last green in round 3/4
+# (the entire r5 past-window set), then the six r5-green queries whose
+# implementation changed in round 6 (they need re-verification on the
+# new code; their r5 rows verified the old code).
+_R6_WINDOW = (
+    # new in round 6 — first driver exposure
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    # last green in round 3 AND round 4 — refreshed this round
+    "j2_stream_table_left_join",
+    "j1_stream_table_inner_join",
+    "j4_table_table_left_join",
+    "j3_table_table_inner_join",
+    "j_full_outer_join",
+    "a1_count_by_key",
+    "a1_multi_agg",
+    "p4_json_schema_inference",
+    "simple_stream_passthrough",
+    "streaming_count_by_event_type",
+    "streaming_stream_static_join",
+    "streaming_tumbling_window_counts",
+    "streaming_dedup_distinct_keys",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "pipeline_curate_corpus",
+    "dedup_lines",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "sim_quantize_int8",
+    "text_hash_split",
+    "llm_corpus_shards",
+    "text_unigram_logprob",
+    "anti_join_customers_without_orders",
+    "window_running_sum_frame",
+    "window_lag_gap_sessionize",
+    "global_topk_orders",
+    "set_union_distinct",
+    "rollup_orders_by_status_priority",
+    "scalar_function_showcase",
+    "session_window_per_user",
+    "window_sliding_counts",
+    "asof_join_last_order_before_event",
+    "range_join_events_within_30min",
+    "percentiles_value_by_event_type",
+    "pivot_event_value_by_type",
+    "date_interval_arithmetic",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q3_shipping_priority",
+    "agg_approx_distinct_users",
+    # r5-green but implementation CHANGED in round 6 — re-verify:
+    # gopher raw-quotient output (was round(x,6)) ............. 2 rows
     "text_gopher_quality_rules",
-    "sim_ivf_int8_rerank",
-    "text_bigram_logprob",
-    "agg_approx_quantiles_value",
     "streaming_quality_gate_ingest",
-    "sim_semantic_dedup_apply",
-    "tpch_q7_nation_volume",
+    # null-safe sketch join
+    "agg_approx_quantiles_value",
+    # rewired through operators/funnel.py
     "events_funnel_conversion",
-    "sim_centroid_outliers",
-    # green in BOTH round 3 and round 4 — kept for surface coverage
-    "j5_enrichment_chain",
-    "s2_latest_per_key",
-    "p4_json_parse_agg",
-    "streaming_latest_per_key",
-    "streaming_stream_stream_join",
-    "dedup_minhash_lsh",
-    "dedup_apply_canonical_corpus",
-    "llm_pack_sequences",
+    # hyperplane signature checkpoint feeds its pair stage
+    "sim_semantic_dedup_apply",
+    # centroids= parameter added (default path nominally identical)
+    "sim_ivf_int8_rerank",
 )
 
-# Past the window: every one of these is green in BOTH CORRECTNESS_r03 and
-# CORRECTNESS_r04, and stays covered by the local parity suite each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R5_WINDOW)
+# Past the window: every one of these is green in CORRECTNESS_r05 on code
+# unchanged since round 5, and stays covered by the local parity suite
+# (scripts/driver_sim.py runs ALL oracles) each round.
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R6_WINDOW)
 
-_missing = [n for n in _R5_WINDOW if n not in QUERIES]
+_missing = [n for n in _R6_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 
-_reordered = {n: QUERIES[n] for n in (*_R5_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R6_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
