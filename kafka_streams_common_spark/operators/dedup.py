@@ -279,6 +279,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified: ``(doc_a, doc_b, jaccard)``.
 
@@ -299,6 +300,19 @@ def minhash_lsh_pairs(
     to hypothetical pairs sitting exactly at the τ boundary, so the
     aggregate probability of a spurious hash-mismatch across the
     fixture's pair set is ≪ 1e-9.
+
+    ``max_bucket`` is the banding tier's analog of ``ngram_jaccard_pairs``'
+    ``max_df`` stop-shingle cap: drop (band, bucket) groups holding more
+    than that many documents before the self-join. A template-heavy crawl
+    corpus (boilerplate pages sharing most of their shingles) can land
+    ~50% of documents in ONE bucket, making candidate enumeration O(hot²)
+    even though every such pair fails exact verification — the
+    adversarial-skew shape probed in scripts/skew_probe.py. Dropping a
+    hot bucket only removes candidate-RECALL for pairs whose sole
+    collision was that bucket: a true pair at jaccard ≥ 0.8 collides per
+    band w.p. ≈ 0.41, so losing even several bands leaves the miss
+    probability ≈ (1-0.41)^remaining ≈ 0. Default None keeps the
+    registered query bit-identical to its SQL oracle.
     """
     rows_per_band = num_perm // bands
     # materialize the signature table ONCE: it is map-only output (no
@@ -331,6 +345,17 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
     )
+    if max_bucket is not None:
+        # bucket-size census is one scalar-row aggregation (O(n·bands)
+        # shuffle rows with map-side combine); the surviving-bucket join
+        # is AQE-decided (the census output is |buckets|-sized)
+        ok = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band", "bkey")
+        )
+        buckets = buckets.join(ok, ["band", "bkey"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

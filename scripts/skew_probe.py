@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Adversarial-SKEW probe for the dedup tier — the complement of
+scripts/scale_probe.py (whose 8× duplication is heavy but key-UNIFORM).
+
+Shape probed here: a template-heavy corpus — 50% of documents share a
+~216-word boilerplate prefix (the web-crawl "same page chrome, different
+payload" profile). Calibration: with per-doc bodies of ~54 words, a hot
+pair's jaccard is ≈ t/(t+2·54) ≈ 0.67 — BELOW τ=0.8, so none of these
+pairs belongs in the output — while the probability that a minhash
+permutation's minimum falls inside the template is ≈ t/(t+54) ≈ 0.8,
+so a pair of hot docs shares a band bucket w.p. ≈ (0.8⁴)² ≈ 0.17 per
+band and ≈ 1-(1-0.17)³² ≈ 1.0 across 32 bands: essentially ALL
+C(2500,2) ≈ 3.1M hot pairs become candidates that exact verification
+must then discard. That is the hot-bucket O(hot²) failure mode the
+``max_bucket`` cap exists for.
+
+Measures, on sf0.1 (5,000 docs):
+1. bucket census: largest (band, bucket) group and the implied
+   uncapped candidate volume  sum C(size, 2);
+2. minhash_lsh_pairs UNCAPPED vs CAPPED (max_bucket=200) wall time and
+   output rows on the skewed corpus — the outputs must be IDENTICAL
+   (every hot candidate fails verify; the cap just skips enumerating
+   them) — plus the clean-corpus baseline time;
+3. the ngram_jaccard analog: implied inverted-index join rows
+   sum C(df, 2) with and without the max_df=100 stop-shingle cap
+   (the uncapped join is ~670M rows — computed, not executed).
+
+Usage: PYTHONPATH=. python scripts/skew_probe.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.operators.dedup import (
+    _hashed_shingles,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from kafka_streams_common_spark.queries.registry import table
+from kafka_streams_common_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+
+# deterministic ~216-word template from the fixture's own vocabulary
+_WORDS = (
+    "batch part spark line column order small sort value scan hash slow "
+    "group fast agg filter query big key window row table stream merge data"
+).split()
+TEMPLATE = " ".join(_WORDS[i % len(_WORDS)] + "tpl" for i in range(216))
+
+
+def skewed_docs(spark):
+    docs = table(spark, SF_DIR, "documents")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(TEMPLATE + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    rows = fn().count()
+    return round(time.perf_counter() - t0, 2), rows
+
+
+def main() -> None:
+    spark = get_spark("skew-probe")
+    clean = table(spark, SF_DIR, "documents")
+    skew = skewed_docs(spark).localCheckpoint(eager=True)
+
+    # --- 1. bucket census on the skewed corpus ---------------------------
+    sig = minhash_signatures(skew, 3, 128).localCheckpoint(eager=True)
+    rows_per_band = 128 // 32
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(32)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    census = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("implied_candidates"),
+            F.sum(
+                F.when(
+                    F.col("sz") <= 200, F.col("sz") * (F.col("sz") - 1) / 2
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("implied_candidates_capped"),
+        )
+        .collect()[0]
+    )
+
+    # --- 2. capped vs uncapped minhash on the skewed corpus --------------
+    t_clean, rows_clean = timed(lambda: minhash_lsh_pairs(clean))
+    t_capped, rows_capped = timed(
+        lambda: minhash_lsh_pairs(skew, max_bucket=200)
+    )
+    t_uncapped, rows_uncapped = timed(lambda: minhash_lsh_pairs(skew))
+    # identical outputs: every hot candidate fails exact verification
+    diff = (
+        minhash_lsh_pairs(skew, max_bucket=200)
+        .select("doc_a", "doc_b")
+        .exceptAll(minhash_lsh_pairs(skew).select("doc_a", "doc_b"))
+        .count()
+        + minhash_lsh_pairs(skew)
+        .select("doc_a", "doc_b")
+        .exceptAll(
+            minhash_lsh_pairs(skew, max_bucket=200).select("doc_a", "doc_b")
+        )
+        .count()
+    )
+
+    # --- 3. ngram inverted-index skew: implied join rows -----------------
+    df_census = (
+        _hashed_shingles(skew, 3, "text", "doc_id")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.max("df").alias("max_df_seen"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2)
+            .cast("bigint")
+            .alias("implied_join_rows"),
+            F.sum(
+                F.when(
+                    F.col("df") <= 100, F.col("df") * (F.col("df") - 1) / 2
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("implied_join_rows_max_df_100"),
+        )
+        .collect()[0]
+    )
+
+    print(
+        json.dumps(
+            {
+                "hot_docs": skew.filter(F.col("doc_id") % 2 == 0).count(),
+                "max_bucket_size": census["max_bucket"],
+                "lsh_implied_candidates_uncapped": census["implied_candidates"],
+                "lsh_implied_candidates_capped": census[
+                    "implied_candidates_capped"
+                ],
+                "minhash_clean_sec": t_clean,
+                "minhash_skew_capped_sec": t_capped,
+                "minhash_skew_uncapped_sec": t_uncapped,
+                "rows_clean": rows_clean,
+                "rows_capped": rows_capped,
+                "rows_uncapped": rows_uncapped,
+                "capped_vs_uncapped_output_diff": diff,
+                "ngram_max_df_seen": df_census["max_df_seen"],
+                "ngram_implied_join_rows_uncapped": df_census[
+                    "implied_join_rows"
+                ],
+                "ngram_implied_join_rows_max_df_100": df_census[
+                    "implied_join_rows_max_df_100"
+                ],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -421,6 +421,41 @@ def test_ivf_fixture_ids_unique(spark):
     assert emb.count() == emb.select("vec_id").distinct().count()
 
 
+def test_minhash_max_bucket_cap_preserves_output(spark):
+    """The hot-bucket cap (max_bucket) on a template-heavy corpus: 60
+    docs share a long boilerplate prefix with distinct bodies sized so
+    hot pairs sit BELOW tau (candidates that exact verification must
+    discard) while their band buckets run hot. The capped run must
+    return exactly the uncapped output — the cap only skips enumerating
+    doomed candidates — and must still find the planted true dup."""
+    import itertools
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    template = " ".join(
+        words[i % len(words)] + str(i) for i in range(200)
+    )
+    rows = []
+    for d in range(60):
+        body = " ".join(f"body{d}w{j}" for j in range(40))
+        rows.append((d, f"{template} {body}"))
+    # planted true near-dup pair, no template (jaccard 1.0)
+    rows.append((1000, "one two three four five six seven eight nine ten " * 3))
+    rows.append((1001, "one two three four five six seven eight nine ten " * 3))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, max_bucket=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, max_bucket=30).collect()
+    }
+    assert (1000, 1001) in capped
+    assert capped == uncapped
+    # the hot template pairs must not be in the output at all
+    assert not any(a < 60 and b < 60 for a, b in itertools.chain(capped))
+
+
 def test_funnel_conversion_four_steps(spark):
     """The parameterized k-step funnel operator on a 4-stage synthetic
     funnel: strict-sequential-min ordering (each stage strictly after the
