@@ -191,3 +191,30 @@ def test_q2_part_filter_pushed_and_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_pruned_orders_scan(spark):
+    """Q22's NOT-EXISTS dormancy witness must be a LeftAnti join against
+    a date-pruned orders scan (the date filter reaching PushedFilters is
+    what keeps the anti-join's build side small at scale)."""
+    plan = plan_of(QUERIES["tpch_q22_dormant_customers"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_single_fact_aggregation(spark):
+    """Q15's scalar-max subquery must not rescan the fact table: the
+    date filter reaches the lineitem scan and the max+probe both consume
+    the |suppliers|-sized revenue view (shared via ReusedExchange or a
+    second tiny aggregate — never a second lineitem pass without the
+    pushed filter)."""
+    plan = plan_of(QUERIES["tpch_q15_top_supplier"](spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
+    assert li_scans, plan
+    assert all(
+        any("l_shipdate" in p for p in pushed) for _ in li_scans
+    ), pushed
+    assert "CartesianProduct" not in plan
