@@ -686,6 +686,68 @@ def ivf_int8_rerank_topk(
     )
 
 
+def cell_diverse_sample(
+    corpus: DataFrame,
+    n_per_cell: int = 8,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-aware representative sampling over an embedding corpus:
+    ``(vec_id, cell)`` — at most ``n_per_cell`` vectors per IVF cell,
+    chosen uniformly WITHIN each cell by md5(id) rank.
+
+    The curation use-case: a plain hash sample of a skewed corpus
+    reproduces the skew (90% of a crawl can be one content genre); cell-
+    stratified sampling guarantees coverage of every occupied region of
+    embedding space — the cheap, deterministic stand-in for greedy
+    MMR/k-center selection, whose sequential greediness does not
+    distribute. Same cell machinery as :func:`ivf_cosine_topk`:
+    ``centroids`` (e.g. :func:`train_ivf_centroids`) is the production
+    path; default seeding is the lowest-id vectors (deterministic and
+    SQL-replayable — what the hash-gated query uses). Same unique-id
+    precondition as the other IVF operators.
+
+    Scale shape: one broadcast centroid join + max_by argmax assignment
+    (map-side combined, no window over the corpus), then a per-cell
+    row_number window whose partition count is ``n_centroids`` — each
+    cell's rank runs on its own partition; with trained centroids cells
+    are load-balanced by construction. md5 ranking means the per-cell
+    choice is uniform-random-but-reproducible at any parallelism.
+    """
+    corpus = fan_out(corpus)
+    if centroids is None:
+        centroids = (
+            corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+            .orderBy(F.asc("c_id"))
+            .limit(n_centroids)
+        )
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "c_id",
+            cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("c_id"),
+                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
+            ).alias("cell")
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.asc(md5_int64(id_col)), F.asc(id_col)
+    )
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per_cell)
+        .select(id_col, "cell")
+    )
+
+
 def centroid_cosine_outliers(
     corpus: DataFrame,
     tau: float = 0.0,

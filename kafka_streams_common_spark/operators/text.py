@@ -235,6 +235,74 @@ def stratified_hash_sample(
     return docs.filter(F.pmod(md5_int64(id_col), F.lit(100)) < rate)
 
 
+def mix_corpus_by_tokens(
+    docs: DataFrame,
+    token_budgets: dict[str, int],
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-BUDGET corpus mixing — the Pile/Dolma-style recipe step: given
+    a target token count per stratum (language/source/domain), down-sample
+    each stratum deterministically so its expected token mass meets the
+    budget, keeping strata already under budget whole.
+
+    Per stratum: ``keep_rate = min(1, budget / stratum_tokens)``, applied
+    as an md5(id) bucket test in parts-per-million —
+    ``pmod(md5(id), 1e6) < floor(rate · 1e6)`` — so selection is a pure
+    function of the row id: reproducible across runs, engines, cluster
+    sizes and partitionings (and the DuckDB oracle replays it exactly;
+    the bigint token sums make ``budget / stratum_tokens`` one exact
+    double division on both engines). Strata absent from
+    ``token_budgets`` are dropped — a mixing recipe is a whitelist.
+
+    Scale shape: one scalar aggregation per stratum (map-side combined
+    (stratum, count) rows — |strata| out), broadcast back onto the scan
+    as a filter. The corpus itself never shuffles; sampling 100 TB is a
+    scan. Token-budget sampling is BY DOCUMENT (a kept document keeps
+    all its tokens), so the realized token mass converges to the budget
+    with relative error ~1/sqrt(docs kept) — the standard recipe
+    semantics, noted here because tiny strata land further from target.
+
+    Output: the surviving rows with ``n_tokens`` appended.
+    """
+    if not token_budgets:
+        raise ValueError("mix_corpus_by_tokens: token_budgets must be non-empty")
+    if any(b < 0 for b in token_budgets.values()):
+        raise ValueError(f"negative token budget in {token_budgets}")
+    n_tokens = F.size(_tokens(text_col)).cast("bigint")
+    with_toks = docs.withColumn("n_tokens", n_tokens)
+    # explicit whitelist filter — NOT a null budget flowing into least():
+    # Spark's least() SKIPS nulls (least(1.0, NULL) = 1.0), so an unlisted
+    # stratum would silently sample at rate 1.0 instead of dropping
+    totals = (
+        with_toks.groupBy(F.col(strata_col).alias("__st"))
+        .agg(F.sum("n_tokens").alias("__stream_tokens"))
+        .filter(F.col("__st").isin(*token_budgets))
+    )
+    budget = F.lit(None).cast("bigint")
+    for stratum, b in token_budgets.items():
+        budget = F.when(F.col("__st") == stratum, F.lit(b)).otherwise(budget)
+    rates = totals.select(
+        "__st",
+        F.floor(
+            F.least(
+                F.lit(1.0), budget.cast("double") / F.col("__stream_tokens")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__rate_ppm"),
+    )
+    return (
+        with_toks.join(
+            F.broadcast(rates), F.col(strata_col) == F.col("__st")
+        )
+        .filter(F.pmod(md5_int64(id_col), F.lit(1_000_000)) < F.col("__rate_ppm"))
+        .drop("__st", "__rate_ppm")
+    )
+
+
 def hash_split(
     docs: DataFrame,
     weights: dict[str, int],

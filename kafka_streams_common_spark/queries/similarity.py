@@ -430,3 +430,47 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return centroid_cosine_outliers(table(spark, sf_dir, "embeddings"), tau=0.0)
+
+
+@query(
+    "sim_diverse_cell_sample",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.c_id AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                          ::BIGINT, vec_id
+             ) AS rn
+      FROM assigned
+    ) WHERE rn <= 8
+    """,
+)
+def sim_diverse_cell_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware representative sampling
+    (operators.similarity.cell_diverse_sample): at most 8 vectors per IVF
+    cell, ranked by md5(id) within the cell — coverage of every occupied
+    region of embedding space where a plain hash sample would reproduce
+    corpus skew (the distributable stand-in for greedy MMR/k-center
+    selection). Deterministic end to end: lowest-id centroid seeding,
+    max_by cell argmax, md5 within-cell rank — the oracle replays the
+    identical definition."""
+    from kafka_streams_common_spark.operators.similarity import cell_diverse_sample
+
+    return cell_diverse_sample(
+        table(spark, sf_dir, "embeddings"), n_per_cell=8, n_centroids=16
+    )

@@ -597,3 +597,44 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.text import bigram_logprob
 
     return bigram_logprob(table(spark, sf_dir, "documents"), lam=0.7)
+
+
+@query(
+    "llm_mix_corpus_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT lang, sum(n_tokens) AS st FROM t GROUP BY lang),
+    rates AS (
+      SELECT lang,
+             CAST(floor(least(1.0,
+                    CAST(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 5000
+                                   WHEN 'zh' THEN 2000 WHEN 'es' THEN 1000
+                         END AS DOUBLE) / st) * 1000000) AS BIGINT)
+               AS rate_ppm
+      FROM tot WHERE lang IN ('en', 'de', 'zh', 'es')
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM t JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < rates.rate_ppm
+    """,
+)
+def llm_mix_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators.text.mix_corpus_by_tokens):
+    the Pile/Dolma recipe step — down-sample each language to a target
+    token budget (en/de 5k, zh 2k, es 1k; fr absent = dropped: a mixing
+    recipe is a whitelist), keeping under-budget strata whole (de's 3.5k
+    tokens < 5k budget → rate 1.0). Selection is an md5(id) ppm-bucket
+    test derived from exact bigint token sums, so both engines replay
+    the rate arithmetic and the kept set bit-for-bit. One scalar
+    aggregation + broadcast rate join — the corpus never shuffles."""
+    from kafka_streams_common_spark.operators.text import mix_corpus_by_tokens
+
+    return mix_corpus_by_tokens(
+        table(spark, sf_dir, "documents"),
+        {"en": 5000, "de": 5000, "zh": 2000, "es": 1000},
+    ).select("doc_id", "lang", "n_tokens")

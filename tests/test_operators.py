@@ -549,3 +549,69 @@ def test_bigram_logprob_scores_surprise(spark):
         "repeated boilerplate transitions must score less surprising than "
         "all-unique transitions"
     )
+
+
+def test_mix_corpus_by_tokens_budgets(spark):
+    """Token-budget mixing: over-budget strata down-sample toward the
+    budget, under-budget strata keep every row, unlisted strata drop,
+    and the kept set is a pure function of ids (partitioning-invariant)."""
+    from kafka_streams_common_spark.operators.text import mix_corpus_by_tokens
+
+    rows = []
+    for d in range(400):
+        stratum = "big" if d < 300 else ("small" if d < 380 else "other")
+        rows.append((d, stratum, "w " * 9 + "w"))  # 10 tokens each
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    budgets = {"big": 1000, "small": 5000}  # big: 3000 actual -> rate 1/3
+    out = mix_corpus_by_tokens(docs, budgets)
+    kept = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    )
+    by = {r["lang"]: r for r in kept.collect()}
+    assert set(by) == {"big", "small"}          # 'other' dropped
+    assert by["small"]["n"] == 80               # under budget: kept whole
+    # big: expected 100 docs / 1000 tokens; md5 uniformity within ~35%
+    assert 65 <= by["big"]["n"] <= 135, by["big"]["n"]
+    assert by["big"]["tok"] == by["big"]["n"] * 10
+    # partitioning invariance
+    re = mix_corpus_by_tokens(docs.repartition(13), budgets)
+    assert {r["doc_id"] for r in re.select("doc_id").collect()} == {
+        r["doc_id"] for r in out.select("doc_id").collect()
+    }
+    with pytest.raises(ValueError):
+        mix_corpus_by_tokens(docs, {})
+    with pytest.raises(ValueError):
+        mix_corpus_by_tokens(docs, {"big": -1})
+
+
+def test_cell_diverse_sample_coverage(spark):
+    """Cell-stratified diverse sampling on a planted-cluster corpus with
+    90/10 skew: every cluster is represented (a plain 10% hash sample of
+    the minority cluster could miss it), no cell exceeds n_per_cell, and
+    trained centroids recover the planted structure."""
+    import numpy as np
+
+    from kafka_streams_common_spark.operators.similarity import (
+        cell_diverse_sample,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(1000):
+        c = 0 if i < 900 else (i % 10)  # 90% in cluster 0
+        v = centers[c] + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = train_ivf_centroids(emb, n_centroids=10)
+    out = cell_diverse_sample(emb, n_per_cell=4, centroids=cent).collect()
+    per_cell = {}
+    for r in out:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    assert all(n <= 4 for n in per_cell.values())
+    # every occupied cell contributes — coverage of minority clusters
+    assert len(per_cell) >= 8, per_cell
+    # minority vectors (ids >= 900) must appear in the sample
+    assert any(r["vec_id"] >= 900 for r in out)
