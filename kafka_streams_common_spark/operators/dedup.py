@@ -597,6 +597,91 @@ def line_dedup(
     )
 
 
+def passage_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-PASSAGE excision — the ExactSubstr idea ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021)
+    re-expressed relationally: drop every token covered by some k-token
+    window whose hash appears in more than ``max_doc_freq`` DISTINCT
+    documents, rebuild the survivors in order. Where :func:`line_dedup`
+    needs a delimiter to agree with the boilerplate's framing,
+    OVERLAPPING windows catch a duplicated run at ANY alignment — the
+    cross-document half of suffix-array substring dedup (within-document
+    repeats are bigram_repetition's department).
+
+    Returns ``(doc_id, clean_text, n_kept, n_dropped)`` for every input
+    document (fully-duplicated documents survive with empty
+    ``clean_text``). Documents shorter than ``k`` tokens carry no window
+    and always survive whole.
+
+    Scale shape: the window table is (doc_id, start, 16-byte md5) — n
+    windows per n-token document, built row-locally by one HOF pass
+    (slice + concat_ws + md5, whole-stage codegen); the frequency
+    aggregation groups by digest with map-side combine (cardinality =
+    |distinct windows|, sublinear under duplication); dropped positions
+    explode only from HOT windows (k small integers per hot window —
+    zero rows on a clean corpus); the rebuild is the same
+    order-pinned ``array_sort(collect_list(struct(pos, token)))``
+    aggregation as line_dedup. Document bodies shuffle once (the token
+    explode that feeds the rebuild); everything else moves digests and
+    integer positions.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    win_structs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,wh:string>>"))
+    base = fan_out(corpus)
+    wins = base.select(
+        F.col(id_col).alias("doc_id"), F.explode(win_structs).alias("w")
+    ).select("doc_id", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
+    hot = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > max_doc_freq)
+        .select("wh")
+    )
+    dropped = (
+        wins.join(hot, "wh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    tokens = base.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    kept = F.when(F.col("__drop").isNull(), F.struct("pos", "tok"))
+    return (
+        tokens.join(dropped, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s.tok),
+            ).alias("clean_text"),
+            F.count(kept).cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.count(kept)).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

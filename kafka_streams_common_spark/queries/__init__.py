@@ -38,19 +38,20 @@ ROTATES each round and the ledger is published in README.md §Verification:
   standard-OLAP rows), followed by the twelve new-in-r5 queries and 8
   multiply-green keepers. CORRECTNESS_r05: all 50 green; every demoted
   row was green in BOTH round 3 and round 4.
-- round 6 (``_R6_WINDOW`` below) swaps the halves again: the six
+- round 6 (``_R6_WINDOW`` below) swaps the halves again: the seven
   new-in-r6 queries (TPC-H Q21/Q2/Q15/Q22, token-budget corpus mixing,
-  cell-diverse sampling — first driver exposure) lead, then 38 of the
-  42 rows last green in round 3/4 (the r5 past-window set: the J1-J4
-  join family, full outer, streaming windows/dedup/static-join,
-  multimodal metadata/frame-sample, asof/range joins, TPC-H
-  Q3/Q5/Q6/Q14, dedup_lines, the LLM split/shard/unigram rows, ...;
-  the four held back — scalar_function_showcase,
-  date_interval_arithmetic, pivot_event_value_by_type,
-  rollup_orders_by_status_priority, the most stable scalar/rollup
-  rows, all green in BOTH r3 and r4 on since-unchanged code — are
-  exactly 2 rounds old at r6 close and lead the r7 window), padded
-  with the SIX r5-green queries whose
+  cell-diverse sampling, passage dedup — first driver exposure) lead,
+  then 37 of the 42 rows last green in round 3/4 (the r5 past-window
+  set: the J1-J4 join family, full outer, streaming
+  windows/dedup/static-join, multimodal metadata/frame-sample,
+  asof/range joins, TPC-H Q3/Q5/Q6/Q14, dedup_lines, the LLM
+  split/shard/unigram rows, ...; the five held back —
+  scalar_function_showcase, date_interval_arithmetic,
+  pivot_event_value_by_type, rollup_orders_by_status_priority,
+  set_union_distinct, the most stable scalar/rollup/set rows, all
+  green in BOTH r3 and r4 on since-unchanged code — are exactly 2
+  rounds old at r6 close and lead the r7 window), padded with the SIX
+  r5-green queries whose
   implementation changed in round 6 and therefore needs re-verification
   (gopher raw-quotient output, null-safe quantile join, funnel
   operator-ization, hyperplane signature checkpoint, int8-rerank
@@ -91,6 +92,7 @@ _R6_WINDOW = (
     "tpch_q22_dormant_customers",
     "llm_mix_corpus_tokens",
     "sim_diverse_cell_sample",
+    "dedup_passages",
     # last green in round 3 AND round 4 — refreshed this round
     "j2_stream_table_left_join",
     "j1_stream_table_inner_join",
@@ -119,7 +121,6 @@ _R6_WINDOW = (
     "window_running_sum_frame",
     "window_lag_gap_sessionize",
     "global_topk_orders",
-    "set_union_distinct",
     "session_window_per_user",
     "window_sliding_counts",
     "asof_join_last_order_before_event",

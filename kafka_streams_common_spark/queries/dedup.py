@@ -360,3 +360,80 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(
         table(spark, sf_dir, "documents"), max_doc_freq=1, delimiter=". "
     )
+
+
+@query(
+    "dedup_passages",
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' standard legal disclaimer follows all'
+                       || ' rights reserved worldwide by the publisher'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM salted),
+    wins AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(array_to_string(t[i:i+7], ' ')) AS wh
+      FROM toks, unnest(range(1, greatest(len(t) - 8 + 1, 0) + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+    ),
+    dropped AS (
+      SELECT DISTINCT w.doc_id, w.start + j.j AS pos
+      FROM wins w JOIN hot USING (wh), unnest(range(0, 8)) AS j(j)
+    ),
+    tokens AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(0, len(t))) AS pos
+      FROM toks
+    ),
+    flagged AS (
+      SELECT tk.doc_id, tk.pos, tk.tok, d.pos IS NOT NULL AS dropped
+      FROM tokens tk LEFT JOIN dropped d
+        ON tk.doc_id = d.doc_id AND tk.pos = d.pos
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN tok END,
+                               ' ' ORDER BY pos), '') AS clean_text,
+           CAST(count(CASE WHEN NOT dropped THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - count(CASE WHEN NOT dropped THEN 1 END) AS BIGINT)
+             AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage excision (operators.dedup.passage_dedup): drop
+    every token covered by an 8-token window shared across documents —
+    the ExactSubstr cross-document substring-dedup shape at any
+    alignment, where line_dedup only catches delimiter-framed repeats.
+    The fixture corpus is random word salad with no shared 8-gram runs,
+    so the query plants one: every fifth document gains the same
+    12-token legal-disclaimer tail, which the operator must excise from
+    all of them (at every alignment the windows cover it) while leaving
+    the organic text untouched. The oracle replays windowing, hot-window
+    census, coverage expansion and the ordered rebuild verbatim."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import passage_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " standard legal disclaimer follows all"
+                    " rights reserved worldwide by the publisher"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return passage_dedup(salted, k=8, max_doc_freq=1)

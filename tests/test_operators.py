@@ -615,3 +615,35 @@ def test_cell_diverse_sample_coverage(spark):
     assert len(per_cell) >= 8, per_cell
     # minority vectors (ids >= 900) must appear in the sample
     assert any(r["vec_id"] >= 900 for r in out)
+
+
+def test_passage_dedup_cross_alignment(spark):
+    """Duplicated-passage excision: a shared 10-token run is excised from
+    both carriers regardless of alignment (mid-doc vs end-of-doc), organic
+    text survives, sub-k documents pass through whole, and identical
+    documents collapse to empty clean_text."""
+    from kafka_streams_common_spark.operators.dedup import passage_dedup
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, f"intro one two three {passage} outro four five"),
+        (1, f"{passage} completely different trailing content here now"),
+        (2, "organic text with no shared runs at all whatsoever today"),
+        (3, "tiny doc"),  # shorter than k → no windows → untouched
+        (4, "same full body twin content repeated verbatim here ok"),
+        (5, "same full body twin content repeated verbatim here ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in passage_dedup(docs, k=8).collect()}
+    assert len(out) == 6  # every doc survives as a row
+    for d in (0, 1):
+        for w in passage.split():
+            assert w not in out[d]["clean_text"].split(), (d, w)
+    assert "intro" in out[0]["clean_text"] and "outro" in out[0]["clean_text"]
+    assert "trailing" in out[1]["clean_text"]
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["clean_text"] == "tiny doc"
+    # identical docs: every token covered by a shared window → empty
+    assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
+    assert out[4]["n_kept"] == 0
