@@ -41,16 +41,18 @@ ROTATES each round and the ledger is published in README.md §Verification:
 - round 6 (``_R6_WINDOW`` below) swaps the halves again: the seven
   new-in-r6 queries (TPC-H Q21/Q2/Q15/Q22, token-budget corpus mixing,
   cell-diverse sampling, passage dedup — first driver exposure) lead,
-  then 37 of the 42 rows last green in round 3/4 (the r5 past-window
+  then 36 of the 42 rows last green in round 3/4 (the r5 past-window
   set: the J1-J4 join family, full outer, streaming
   windows/dedup/static-join, multimodal metadata/frame-sample,
   asof/range joins, TPC-H Q3/Q5/Q6/Q14, dedup_lines, the LLM
-  split/shard/unigram rows, ...; the five held back —
+  split/shard/unigram rows, ...; the six held back —
   scalar_function_showcase, date_interval_arithmetic,
   pivot_event_value_by_type, rollup_orders_by_status_priority,
-  set_union_distinct, the most stable scalar/rollup/set rows, all
-  green in BOTH r3 and r4 on since-unchanged code — are exactly 2
-  rounds old at r6 close and lead the r7 window), padded with the SIX
+  set_union_distinct, anti_join_customers_without_orders — are the
+  most stable scalar/rollup/set/anti rows, all green in BOTH r3 and
+  r4 on since-unchanged code (and the anti-join family gained two
+  fresher in-window exemplars in Q21/Q22); they are exactly 2 rounds
+  old at r6 close and lead the r7 window), padded with the SEVEN
   r5-green queries whose
   implementation changed in round 6 and therefore needs re-verification
   (gopher raw-quotient output, null-safe quantile join, funnel
@@ -117,7 +119,6 @@ _R6_WINDOW = (
     "text_hash_split",
     "llm_corpus_shards",
     "text_unigram_logprob",
-    "anti_join_customers_without_orders",
     "window_running_sum_frame",
     "window_lag_gap_sessionize",
     "global_topk_orders",
@@ -143,6 +144,11 @@ _R6_WINDOW = (
     "sim_semantic_dedup_apply",
     # centroids= parameter added (default path nominally identical)
     "sim_ivf_int8_rerank",
+    # max_bucket= hot-bucket cap added (default None path nominally
+    # identical); displaces anti_join_customers_without_orders, whose
+    # family gained two fresher in-window exemplars (Q21's LeftAnti,
+    # Q22's dormancy anti-join)
+    "dedup_minhash_lsh",
 )
 
 # Past the window: every one of these is green in CORRECTNESS_r05 on code

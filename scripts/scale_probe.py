@@ -32,14 +32,20 @@ from kafka_streams_common_spark.operators.similarity import (
     embedding_centroids,
     hyperplane_lsh_near_dup_pairs,
 )
-from kafka_streams_common_spark.operators.dedup import decontaminate, line_dedup
+from kafka_streams_common_spark.operators.dedup import (
+    decontaminate,
+    line_dedup,
+    passage_dedup,
+)
 from kafka_streams_common_spark.operators.similarity import (
+    cell_diverse_sample,
     ivf_int8_rerank_topk,
     quantize_embeddings_int8,
 )
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
     gopher_quality,
+    mix_corpus_by_tokens,
     pack_sequences,
     tfidf_top_terms,
     unigram_logprob,
@@ -154,8 +160,30 @@ def main() -> None:
             lambda: ivf_int8_rerank_topk(emb1, ivf_queries, k=10),
             lambda: ivf_int8_rerank_topk(emb8, ivf_queries, k=10),
         ),
+        # duplication is maximally adversarial: every window in 8 docs →
+        # every token drops, the hot-window coverage explode is total
+        "passage_dedup": (
+            lambda: passage_dedup(docs1, k=8),
+            lambda: passage_dedup(docs8, k=8),
+        ),
+        # one scalar agg + broadcast rate filter — should track scan bytes
+        "mix_corpus_tokens": (
+            lambda: mix_corpus_by_tokens(
+                docs1.withColumn("lang", F.col("doc_id") % 3), {0: 20000, 1: 20000}
+            ),
+            lambda: mix_corpus_by_tokens(
+                docs8.withColumn("lang", F.col("doc_id") % 3), {0: 20000, 1: 20000}
+            ),
+        ),
+        # broadcast assignment + per-cell window (16 cells at any scale)
+        "cell_diverse_sample": (
+            lambda: cell_diverse_sample(emb1, n_per_cell=8),
+            lambda: cell_diverse_sample(emb8, n_per_cell=8),
+        ),
     }
 
+    if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
+        probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
     for name, (f1, f8) in probes.items():
         f1().count()  # warm-up (JIT, python workers)
         t1, r1 = timed(f1)
