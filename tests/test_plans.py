@@ -218,3 +218,12 @@ def test_q15_single_fact_aggregation(spark):
         any("l_shipdate" in p for p in pushed) for _ in li_scans
     ), pushed
     assert "CartesianProduct" not in plan
+
+
+def test_passage_dedup_joins_are_digest_keyed(spark):
+    """Passage dedup must never theta-join: the hot-window census joins
+    on the md5 digest and the coverage join on (doc_id, pos) — both
+    equi-joins; a cartesian/BNLJ would be quadratic in windows."""
+    plan = plan_of(QUERIES["dedup_passages"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
