@@ -1512,3 +1512,59 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH contrib AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS v
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM contrib
+    WHERE CAST(v AS DOUBLE) > 0.002 * (SELECT CAST(sum(v) AS DOUBLE)
+                                       FROM contrib)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar aggregate — parts
+    whose trade value through one nation's suppliers exceeds a fraction
+    of that nation's total (the "important stock" share query).
+
+    Adapted: no partsupp table, so per-part value comes from lineitem
+    revenue through the nation's suppliers. The classic plan pitfall is
+    scanning the fact table twice (once per side of the comparison);
+    here BOTH sides derive from ONE fact aggregation: the global total
+    re-aggregates the |parts|-sized contrib view (DECIMAL addition is
+    associative and exact, so contrib-sum ≡ direct fact-sum
+    bit-for-bit), broadcast back as a one-row threshold. Supplier and
+    nation broadcast; the only fact exchange is the per-part aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    contrib = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("v")
+        )
+    )
+    total = contrib.agg(F.sum("v").cast("double").alias("__tot"))
+    return (
+        contrib.join(
+            F.broadcast(total),
+            F.col("v").cast("double") > F.lit(0.002) * F.col("__tot"),
+        )
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
