@@ -259,3 +259,80 @@ def streaming_quality_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "n_words")
     )
     return run_stream_to_memory(gated, spark, output_mode="append")
+
+
+@query(
+    "streaming_mix_ingest",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT lang, sum(n_tokens) AS st FROM t GROUP BY lang),
+    rates AS (
+      SELECT lang,
+             CAST(floor(least(1.0,
+                    CAST(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 5000
+                                   WHEN 'zh' THEN 2000 WHEN 'es' THEN 1000
+                         END AS DOUBLE) / st) * 1000000) AS BIGINT)
+               AS rate_ppm
+      FROM tot WHERE lang IN ('en', 'de', 'zh', 'es')
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM t JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < rates.rate_ppm
+    """,
+)
+def streaming_mix_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing at INGEST: the per-stratum keep-rates
+    are computed ONCE from the static reference corpus (a stream cannot
+    know its final token totals), then the document STREAM is gated by a
+    stream-static broadcast join + the md5 ppm-bucket test — the shape a
+    recipe-driven ingest pipeline actually runs (rates re-derived per
+    recipe release, applied stateless per record: no state store, no
+    watermark, append mode). Batch ≡ stream by construction because the
+    gate is a pure function of (id, stratum) given the broadcast rates —
+    the oracle is the BATCH mixing definition and the stream run must
+    hash-match it."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+    from kafka_streams_common_spark.operators.text import _tokens
+    from kafka_streams_common_spark.queries.registry import table
+
+    budgets = {"en": 5000, "de": 5000, "zh": 2000, "es": 1000}
+    static_docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens("text")).cast("bigint")
+    budget = F.lit(None).cast("bigint")
+    for stratum, b in budgets.items():
+        budget = F.when(F.col("__st") == stratum, F.lit(b)).otherwise(budget)
+    rates = (
+        static_docs.withColumn("n_tokens", n_tokens)
+        .groupBy(F.col("lang").alias("__st"))
+        .agg(F.sum("n_tokens").alias("__stream_tokens"))
+        .filter(F.col("__st").isin(*budgets))
+        .select(
+            "__st",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    budget.cast("double") / F.col("__stream_tokens"),
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("__rate_ppm"),
+        )
+    )
+    stream = _streaming_compiler(spark, sf_dir).stream_source("documents")
+    gated = (
+        stream.withColumn("n_tokens", n_tokens)
+        .join(F.broadcast(rates), F.col("lang") == F.col("__st"))
+        .filter(
+            F.pmod(md5_int64("doc_id"), F.lit(1_000_000)) < F.col("__rate_ppm")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return run_stream_to_memory(gated, spark, output_mode="append")
