@@ -152,11 +152,12 @@ _R6_WINDOW = (
 )
 
 # Past the window: every one of these is green in CORRECTNESS_r05 on code
-# unchanged since round 5 — except tpch_q11_important_stock and
-# streaming_mix_ingest, registered late in r6 after the window filled
-# (locally parity-green; they join the six held-back rows at the HEAD of
-# the r7 window for first driver exposure) — and stays covered by the
-# local parity suite (scripts/driver_sim.py runs ALL oracles) each round.
+# unchanged since round 5 — except tpch_q11_important_stock,
+# streaming_mix_ingest and events_funnel_stage_counts, registered late
+# in r6 after the window filled (locally parity-green; they join the six
+# held-back rows at the HEAD of the r7 window for first driver
+# exposure) — and stays covered by the local parity suite
+# (scripts/driver_sim.py runs ALL oracles) each round.
 _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R6_WINDOW)
 
 _missing = [n for n in _R6_WINDOW if n not in QUERIES]

@@ -1568,3 +1568,82 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
     )
+
+
+@query(
+    "events_funnel_stage_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05'
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    ),
+    f AS (
+      SELECT v.user_id,
+             CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS funnel_stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+    ),
+    x AS (SELECT funnel_stage, count(*) AS n_exact FROM f GROUP BY 1)
+    SELECT funnel_stage,
+           CAST(sum(n_exact) OVER (ORDER BY funnel_stage DESC) AS BIGINT)
+             AS n_reached,
+           CAST(sum(n_exact) OVER (ORDER BY funnel_stage DESC) AS DOUBLE)
+             / (SELECT count(*) FROM f) AS conversion
+    FROM x
+    """,
+)
+def events_funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel ROLLUP readout — per stage, how many users reached at
+    least that stage and the conversion rate vs funnel entry (the chart
+    every product dashboard draws), over the first campaign window
+    (events before 2024-01-05 — the cutoff makes all three stages
+    populated on the fixture; the unwindowed funnel converges to
+    everyone-purchases). Built on the same
+    operators.funnel.funnel_conversion output as the per-user query; the
+    cumulative at-least count is a 3-row window (|stages| rows — the
+    single-partition sort is over stage COUNTS, never user rows), and
+    conversion is one exact bigint→double division on both engines.
+    """
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    f = funnel_conversion(
+        table(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-05"),
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    counts = f.groupBy("funnel_stage").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = f.agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy(F.desc("funnel_stage")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        counts.withColumn("n_reached", F.sum("n_exact").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "funnel_stage",
+            "n_reached",
+            (F.col("n_reached").cast("double") / F.col("__total")).alias(
+                "conversion"
+            ),
+        )
+    )
