@@ -28,9 +28,18 @@ def funnel_conversion(
     stages: list[tuple[str, Column]],
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_gap: Column | int | float | None = None,
 ) -> DataFrame:
     """Strict-sequential-min funnel over ``stages`` = ordered
     ``(stage_name, predicate)`` pairs (≥ 2 stages).
+
+    ``max_gap`` additionally requires each stage's qualifying event to
+    land WITHIN that window of the previous stage's earliest qualifying
+    timestamp — the "conversion within N minutes" product-analytics
+    convention. Pass ``F.expr("INTERVAL 30 minutes")`` for timestamp
+    ``ts_col``s, or a plain number for numeric ones (the gap is in the
+    column's own units). None (the default) keeps the unbounded
+    strict-sequential semantics.
 
     Returns one row per user who completed stage 1:
     ``(user_col, reached_<stage_2>, ..., reached_<stage_k>,
@@ -56,10 +65,16 @@ def funnel_conversion(
     )
     frames = [prev]
     for i, (_, pred) in enumerate(stages[1:], start=2):
+        in_order = F.col(ts_col) > F.col(f"__t{i - 1}")
+        if max_gap is not None:
+            gap = max_gap if isinstance(max_gap, Column) else F.lit(max_gap)
+            in_order = in_order & (
+                F.col(ts_col) <= F.col(f"__t{i - 1}") + gap
+            )
         prev = (
             events.filter(pred)
             .join(prev.select(user_col, f"__t{i - 1}"), user_col)
-            .filter(F.col(ts_col) > F.col(f"__t{i - 1}"))
+            .filter(in_order)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"__t{i}"))
         )

@@ -647,3 +647,28 @@ def test_passage_dedup_cross_alignment(spark):
     # identical docs: every token covered by a shared window → empty
     assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
     assert out[4]["n_kept"] == 0
+
+
+def test_funnel_max_gap_bounds_conversion(spark):
+    """Time-bounded funnel: with max_gap, a stage event that arrives
+    after the window no longer counts — and the gap measures from the
+    previous stage's EARLIEST qualifying event."""
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        (1, "a", 100), (1, "b", 105),           # within gap of 10 → stage 2
+        (2, "a", 100), (2, "b", 150),           # too late → stage 1
+        (3, "a", 100), (3, "b", 105), (3, "b", 150),  # earliest b qualifies
+        # user 4: first b misses the gap, but a LATER b at 108 is inside
+        (4, "a", 100), (4, "b", 99), (4, "b", 108),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    stages = [("a", F.col("event_type") == "a"), ("b", F.col("event_type") == "b")]
+    out = {r["user_id"]: r for r in funnel_conversion(ev, stages, max_gap=10).collect()}
+    assert out[1]["reached_b"] is True
+    assert out[2]["reached_b"] is False
+    assert out[3]["reached_b"] is True
+    assert out[4]["reached_b"] is True  # pre-entry b ignored, 108 <= 100+10
+    # unbounded default unchanged: user 2 converts without the gap
+    free = {r["user_id"]: r for r in funnel_conversion(ev, stages).collect()}
+    assert free[2]["reached_b"] is True
