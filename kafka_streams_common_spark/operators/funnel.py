@@ -29,6 +29,7 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     max_gap: Column | int | float | None = None,
+    keep_timestamps: bool = False,
 ) -> DataFrame:
     """Strict-sequential-min funnel over ``stages`` = ordered
     ``(stage_name, predicate)`` pairs (≥ 2 stages).
@@ -50,6 +51,11 @@ def funnel_conversion(
     monotone by construction: a user cannot reach stage i+1 without
     stage i, because stage i+1's candidate events are semi-joined
     against stage i's survivors.
+
+    ``keep_timestamps=True`` additionally emits ``ts_<stage_name>``
+    columns — each stage's earliest qualifying timestamp (null past the
+    user's depth) — so downstream readouts (time-to-convert,
+    attribution) can aggregate stage gaps without replaying the funnel.
     """
     if len(stages) < 2:
         raise ValueError("funnel_conversion needs at least 2 stages")
@@ -87,8 +93,17 @@ def funnel_conversion(
     stage_depth = F.lit(1)
     for r in reached:
         stage_depth = stage_depth + r.cast("int")
+    ts_cols = (
+        [
+            F.col(f"__t{i}").alias(f"ts_{name}")
+            for i, name in enumerate(names, start=1)
+        ]
+        if keep_timestamps
+        else []
+    )
     return out.select(
         user_col,
         *[r.alias(f"reached_{name}") for r, name in zip(reached, names[1:])],
         stage_depth.cast("bigint").alias("funnel_stage"),
+        *ts_cols,
     )

@@ -1466,8 +1466,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0.0)
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01')
@@ -1488,13 +1489,18 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: customer shuffles once on c_custkey for the anti-join
     against date-pruned orders; the average is a single mergeable
     aggregate (no second customer scan — Spark reuses the cached scan
-    relation; DECIMAL is deliberately NOT used for the avg because
-    both engines compute avg over the same doubles identically — it
-    feeds a strict > filter, not a hash-matched output column).
+    relation). The average follows the repo's DECIMAL convention
+    (exact order-free sum, cast to double, then one division): a plain
+    double avg differs between engines in partial-sum order, so a
+    balance within an ulp of the mean could flip inclusion and break
+    the hash gate even though it feeds a filter, not an output column.
     """
     cust = table(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
     )
     recent = (
         table(spark, sf_dir, "orders")
@@ -1646,4 +1652,101 @@ def events_funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "conversion"
             ),
         )
+    )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH ev AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05'
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    ),
+    gaps AS (
+      SELECT 'click' AS stage,
+             epoch_us(c.t2) - epoch_us(v.t1) AS gap_us
+      FROM c JOIN v ON c.user_id = v.user_id
+      UNION ALL
+      SELECT 'purchase' AS stage,
+             epoch_us(p.t3) - epoch_us(c.t2) AS gap_us
+      FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(gap_us, 0.5) / 1000000.0 AS median_ttc_sec,
+           quantile_cont(gap_us, 0.9) / 1000000.0 AS p90_ttc_sec
+    FROM gaps GROUP BY stage
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert readout — per transition, how many users
+    converted and the median/p90 latency between the previous stage's
+    earliest qualifying event and this one's (the attribution chart next
+    to every conversion funnel). Built on ``funnel_conversion(...,
+    keep_timestamps=True)``: stage gaps come straight off the funnel
+    output (no event replay), as exact bigint microseconds
+    (``unix_micros`` ≡ DuckDB ``epoch_us`` — no float drift before the
+    final seconds division).
+
+    Plan shape: the per-transition unpivot is a map-side explode of a
+    k-1 element struct array over the |users|-sized funnel output; the
+    only new shuffle is the groupBy on the k-1 stage keys. Exact
+    interpolated ``percentile`` (== DuckDB ``quantile_cont``) keeps the
+    cross-engine hash gate deterministic; at 100 TB swap it for
+    ``approx_percentile`` — the Greenwald-Khanna sketch is mergeable and
+    never materializes a group's full gap multiset on one reducer (the
+    same exact→sketch substitution documented on
+    ``agg_approx_quantiles_value``).
+    """
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    f = funnel_conversion(
+        table(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-05"),
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        keep_timestamps=True,
+    )
+    transitions = [("click", "ts_view", "ts_click"),
+                   ("purchase", "ts_click", "ts_purchase")]
+    gaps = (
+        f.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("stage"),
+                            (
+                                F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))
+                            ).alias("gap_us"),
+                        )
+                        for s, a, b in transitions
+                    ]
+                )
+            ).alias("g")
+        )
+        .select("g.*")
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        (F.percentile("gap_us", 0.5) / F.lit(1000000.0)).alias("median_ttc_sec"),
+        (F.percentile("gap_us", 0.9) / F.lit(1000000.0)).alias("p90_ttc_sec"),
     )

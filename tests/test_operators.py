@@ -453,7 +453,9 @@ def test_minhash_max_bucket_cap_preserves_output(spark):
     assert (1000, 1001) in capped
     assert capped == uncapped
     # the hot template pairs must not be in the output at all
-    assert not any(a < 60 and b < 60 for a, b in itertools.chain(capped))
+    assert not any(
+        a < 60 and b < 60 for a, b in itertools.chain(capped, uncapped)
+    )
 
 
 def test_funnel_conversion_four_steps(spark):
@@ -493,6 +495,31 @@ def test_funnel_conversion_four_steps(spark):
         funnel_conversion(ev, [("a", F.col("event_type") == "a")])
     with pytest.raises(ValueError):
         funnel_conversion(ev, [("a", F.lit(True)), ("a", F.lit(True))])
+
+
+def test_funnel_keep_timestamps(spark):
+    """keep_timestamps=True emits each stage's earliest qualifying
+    timestamp as ts_<name> (null past the user's depth), matching the
+    strict-sequential-min the flags are derived from — the contract the
+    time-to-convert readout builds on."""
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        (1, "a", 1), (1, "b", 5), (1, "a", 2),   # second 'a' ignored (min=1)
+        (2, "a", 3),                              # entered only
+        (2, "b", 1),                              # pre-entry b must NOT count
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, event_type string, ts bigint")
+    stages = [(n, F.col("event_type") == n) for n in ("a", "b")]
+    out = {
+        r["user_id"]: r
+        for r in funnel_conversion(ev, stages, keep_timestamps=True).collect()
+    }
+    assert out[1]["ts_a"] == 1 and out[1]["ts_b"] == 5
+    assert out[2]["ts_a"] == 3 and out[2]["ts_b"] is None
+    # default path unchanged: no ts_ columns
+    cols = funnel_conversion(ev, stages).columns
+    assert not any(c.startswith("ts_") for c in cols)
 
 
 def test_gopher_quality_rules(spark):

@@ -211,12 +211,18 @@ def test_q15_single_fact_aggregation(spark):
     second tiny aggregate — never a second lineitem pass without the
     pushed filter)."""
     plan = plan_of(QUERIES["tpch_q15_top_supplier"](spark, SF_SMOKE))
-    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    li_scans = [l for l in plan.splitlines() if "lineitem.parquet" in l]
-    assert li_scans, plan
-    assert all(
-        any("l_shipdate" in p for p in pushed) for _ in li_scans
-    ), pushed
+    # bind the check to each scan: split the formatted detail section
+    # into per-node blocks and require EVERY lineitem scan block to
+    # carry the pushed l_shipdate filter (a regression adding a second
+    # unfiltered lineitem scan must fail, not hide behind another
+    # scan's PushedFilters line)
+    li_blocks = [
+        b for b in plan.split("\n\n") if "lineitem.parquet" in b
+    ]
+    assert li_blocks, plan
+    for b in li_blocks:
+        pushed = [l for l in b.splitlines() if "PushedFilters" in l]
+        assert pushed and all("l_shipdate" in l for l in pushed), b
     assert "CartesianProduct" not in plan
 
 
