@@ -1750,3 +1750,500 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.percentile("gap_us", 0.5) / F.lit(1000000.0)).alias("median_ttc_sec"),
         (F.percentile("gap_us", 0.9) / F.lit(1000000.0)).alias("p90_ttc_sec"),
     )
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment priority counts — conditional
+    aggregation over a fact-fact join with a cross-table date-arithmetic
+    predicate.
+
+    Adapted witness: the fixture has no l_shipmode/l_commitdate/
+    l_receiptdate, so "late" is shipped ≥ 90 days after the order date
+    and the grouping key is l_linestatus (same CASE-sum two-bucket
+    readout per group). Plan shape: the shipdate year-window pushes into
+    the lineitem scan (partition-prunable at scale); the orders join is
+    the one genuine fact-fact shuffle, keyed on order key; the
+    date-arithmetic lateness predicate evaluates post-join (it references
+    both sides — no engine can push it), and the final aggregate has
+    |linestatus| groups with map-side partial CASE-sums.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                              "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — the double
+    aggregation over a LEFT join whose exclusion predicate lives in the
+    JOIN condition (customers with zero qualifying orders must still
+    appear, in the c_count=0 bucket).
+
+    Adapted witness: no o_comment in the fixture, so the classic
+    "not like %special%requests%" exclusion becomes an order-priority
+    exclusion — same plan: the filter applies to the orders side BEFORE
+    the join (pushed into the scan), never as a WHERE (which would turn
+    the left join inner and drop the zero bucket). At 100 TB the first
+    aggregate keys on c_custkey — the same key the join just shuffled
+    on, so AQE reuses the partitioning; the second aggregate's domain is
+    |distinct order counts| (tiny).
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — the per-group AVG
+    correlated subquery family (each lineitem compares against ITS
+    part's average quantity).
+
+    Adapted witness: no p_container, so the part filter is brand-only.
+    Decorrelated plan: one per-part average aggregate over lineitem
+    (the fact scans once for the averages, once for the probe — the
+    classic Q17 shape; at 100 TB both passes shuffle on l_partkey and
+    AQE shares the partitioning), the brand filter broadcasts the tiny
+    part dimension (~1/25 of parts) and — through the join — prunes the
+    probe side before the threshold comparison. The average follows the
+    repo's DECIMAL convention (exact order-free sum → double → one
+    division) so the strict < threshold comparison is bit-identical on
+    both engines; the final scalar is a single partial-summed DECIMAL
+    total divided by the Q17-constant 7.0.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("threshold")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    GROUP BY ()
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive cross-table predicates — three OR'd
+    (brand, size-range, quantity-range) branches over a part⋈lineitem
+    join, the classic test that an optimizer extracts the common
+    single-table conjuncts out of an OR.
+
+    Adapted witness: no l_shipmode/l_shipinstruct conjuncts (columns
+    absent). Plan shape: the part-side disjunction (brand ∈ {1,2,3} ∧
+    size bounds) is derivable per branch, so part prunes to ~3 brands
+    and broadcasts; the quantity bounds (1..30 overall) reach the
+    lineitem scan as an OR-of-ranges pushed filter; the residual
+    cross-table OR evaluates post-join. One scalar DECIMAL revenue sum.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q8_national_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           COALESCE(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume END) AS DOUBLE), 0.0)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — one nation's supplier share of
+    a region's order volume per year (conditional-sum over
+    conditional-sum, the share-of-total family with SEVEN relations).
+
+    Plan shape: of the seven relations only lineitem↔orders is
+    fact-fact (one genuine key shuffle at 100 TB); customer, supplier,
+    both nation roles, and region all broadcast, and the region filter
+    prunes the customer leg through two broadcast hops before the fact
+    join. Numerator and denominator come from the SAME aggregation pass
+    (a CASE inside sum — never two fact scans); DECIMAL sums make both
+    exact, and the final share is one double division. Years with zero
+    numerator coalesce to 0.0 rather than null.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol))
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("__num"),
+            F.sum(vol).cast("double").alias("__den"),
+        )
+        .select(
+            "o_year", (F.col("__num") / F.col("__den")).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           - CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 2.0
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: product-type profit by supplier nation and year.
+
+    Adapted witness: no partsupp table, so the cost leg
+    (ps_supplycost × qty) becomes retail-price-at-half
+    (p_retailprice/2 × qty) — same arithmetic shape: revenue minus a
+    part-attributed cost, both legs aggregated in ONE pass over the
+    join. Plan shape: the p_name LIKE filter prunes part (~13%) before
+    its broadcast, which through the join prunes the fact side;
+    supplier/nation broadcast; lineitem↔orders is the one fact-fact
+    shuffle. Each leg is an exact DECIMAL sum cast to double only at
+    the end — the subtraction of two per-group doubles (and the /2.0)
+    is order-free, unlike summing a signed double amount per row.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(revenue).cast("double")
+                - F.sum(cost).cast("double") / F.lit(2.0)
+            ).alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier-relationship count — distinct suppliers able
+    to supply each qualifying (brand, type, size), excluding
+    black-listed suppliers via NOT IN.
+
+    Adapted witness: no partsupp, so the part↔supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) projection of lineitem (exactly the
+    pairs that ever traded); no s_comment, so the "customer complaints"
+    exclusion becomes negative account balance. Plan shape: the distinct
+    pair projection is the only fact shuffle (two columns, map-side
+    combine); the negated part predicates cannot prune much, but part
+    still broadcasts; NOT IN compiles to a broadcast LeftAnti against
+    the ~|bad suppliers| row set (safe here: s_suppkey is non-null by
+    construction, and the anti-join — unlike a raw NOT IN — has no
+    three-valued-logic trap). count(DISTINCT) re-shuffles |qualifying
+    pairs| keyed on the tiny group tuple.
+    """
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey"))
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "tpch_q20_part_promotion_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: part-promotion suppliers — the nested IN-subquery
+    family (suppliers who moved a significant volume of a named part
+    class in one year).
+
+    Adapted witness: no partsupp/ps_availqty, so "stock exceeding half
+    of shipped quantity" becomes a per-(supplier, part) shipped-volume
+    threshold over the same year window — the decorrelated plan is
+    identical: the inner query joins the date-pruned lineitem scan to
+    the name-filtered broadcast part, aggregates on the composite
+    (suppkey, partkey), applies HAVING, and the surviving supplier ids
+    feed a LeftSemi against the supplier dimension (never a full join —
+    duplicates in the inner result must not duplicate suppliers).
+    DECIMAL quantity sum keeps the strict > threshold exact on both
+    engines; nation broadcasts for the output label.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    movers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(
+            movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )

@@ -233,3 +233,63 @@ def test_passage_dedup_joins_are_digest_keyed(spark):
     plan = plan_of(QUERIES["dedup_passages"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_or_predicates_reach_both_scans(spark):
+    """Q19's disjunction must be decomposed: the quantity OR-of-ranges
+    pushes into the lineitem scan and the brand/size OR into the part
+    scan (an optimizer that can't extract common conjuncts from an OR
+    reads both tables in full)."""
+    plan = plan_of(QUERIES["tpch_q19_disjunctive_predicates"](spark, SF_SMOKE))
+    li_blocks = [b for b in plan.split("\n\n") if "lineitem.parquet" in b]
+    p_blocks = [b for b in plan.split("\n\n") if "part.parquet" in b]
+    assert li_blocks and p_blocks
+    assert any("l_quantity" in b and "Or(" in b for b in li_blocks), li_blocks
+    assert any("p_brand" in b and "Or(" in b for b in p_blocks), p_blocks
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_anti_join_and_pushed_part_filter(spark):
+    """Q16's NOT IN compiles to a (broadcast) LeftAnti against the tiny
+    bad-supplier set, and the part predicates (brand<>, type<>, size IN)
+    reach the part scan."""
+    plan = plan_of(QUERIES["tpch_q16_supplier_relationship"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    p_blocks = [b for b in plan.split("\n\n") if "part.parquet" in b]
+    assert any("In(p_size" in b for b in p_blocks), p_blocks
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_no_duplication(spark):
+    """Q20's IN-subquery must be a LeftSemi (a plain join would
+    duplicate suppliers per qualifying part) with the date window pushed
+    into the lineitem scan."""
+    plan = plan_of(QUERIES["tpch_q20_part_promotion_suppliers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    li_blocks = [b for b in plan.split("\n\n") if "lineitem.parquet" in b]
+    assert all("l_shipdate" in b for b in li_blocks), li_blocks
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_join_survives_exclusion_filter(spark):
+    """Q13's priority exclusion must stay in the orders leg (pushed to
+    its scan), never turning the LEFT join inner — the zero-order
+    bucket is the point of the query."""
+    plan = plan_of(QUERIES["tpch_q13_customer_order_distribution"](spark, SF_SMOKE))
+    assert "LeftOuter" in plan
+    o_blocks = [b for b in plan.split("\n\n") if "orders.parquet" in b]
+    assert any("o_orderpriority" in b for b in o_blocks), o_blocks
+
+
+def test_q8_single_pass_share(spark):
+    """Q8's numerator and denominator must come from ONE aggregation
+    pass (one lineitem scan — the share query's classic double-scan
+    pitfall), with every dimension joined broadcast."""
+    plan = plan_of(QUERIES["tpch_q8_national_market_share"](spark, SF_SMOKE))
+    li_scans = [
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and "lineitem.parquet" in b
+    ]
+    assert len(li_scans) == 1, plan
+    assert "CartesianProduct" not in plan
