@@ -252,3 +252,107 @@ def test_streaming_dedup_within_watermark_bounds_state(
     else:
         assert len(got) > 0
         assert set(canonical_rows(got.drop_duplicates())) <= set(canonical_rows(want))
+
+
+def test_stream_stream_join_state_evicts_under_watermark(spark, tmp_path):
+    """The 100×-scale failure mode for stream-stream joins is unbounded
+    state: every buffered row that the watermark can no longer match must
+    be REMOVED from the state store, not retained forever. Drive the
+    windowed click⋈purchase join over three file-batches two hours apart
+    (far beyond watermark + join window) and assert, from the engine's
+    own StreamingQueryProgress.stateOperators metrics, that (a) rows were
+    evicted and (b) the final state size is bounded by one batch's
+    working set — while the join output stays exactly correct."""
+    import datetime as dt
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1)
+    n_users = 20
+    for k in range(3):
+        t0 = base + dt.timedelta(hours=2 * k)
+        rows = []
+        for u in range(n_users):
+            rows.append((1000 * k + u, u, "click", t0))
+            rows.append(
+                (1000 * k + 500 + u, u, "purchase", t0 + dt.timedelta(minutes=5))
+            )
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        # file source orders by modification time: make it strictly increasing
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        reader.filter("event_type = 'click'")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        reader.filter("event_type = 'purchase'")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+
+    name = "evict_probe"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # correctness: every click pairs with exactly its user's purchase in
+    # the same 2-hour wave (other waves are outside the 30-minute window)
+    out = spark.table(name)
+    assert out.count() == 3 * n_users
+    assert out.select("user_id").distinct().count() == n_users
+
+    ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert ops, "no stateOperators metrics reported"
+    removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+    final_total = ops[-1]["numRowsTotal"]
+    total_input = 3 * n_users * 2
+    # (a) the watermark actually evicted buffered rows
+    assert removed > 0, ops
+    # (b) bounded state: the store never ends holding the whole history —
+    # at most the last wave's working set (2 sides × n_users), never the
+    # cumulative 120 rows
+    assert final_total <= 2 * n_users, ops
+    assert final_total < total_input
