@@ -70,6 +70,67 @@ def timed(fn):
     return round(time.perf_counter() - t0, 2), rows
 
 
+PASSAGE = " ".join(f"ptok{i}" for i in range(50))
+
+
+def passage_probe() -> None:
+    """Adversarial-coverage probe for passage_dedup: one 50-token
+    boilerplate passage planted into 50% of sf0.1 documents (the
+    "every page carries the same legal footer" profile).
+
+    Unlike LSH banding, passage_dedup has NO O(hot²) pair enumeration to
+    cap: the hot-window join is digest-keyed — each window OCCURRENCE
+    matches at most one hot digest row — so the worst-case extra work is
+    linear in hot coverage (|hot docs| × |passage windows| occurrences,
+    ×k after the position explode), which is exactly the volume the
+    operator must drop anyway. This probe measures that claim: wall time
+    clean vs planted (expect a modest constant factor, not a blowup) and
+    the exact per-doc excision (hot docs lose exactly the 50 planted
+    tokens; boundary windows spanning into distinct bodies are unique
+    per doc and never go hot).
+    """
+    from kafka_streams_common_spark.operators.dedup import passage_dedup
+
+    spark = get_spark("passage-skew-probe")
+    clean = table(spark, SF_DIR, "documents").localCheckpoint(eager=True)
+    planted = clean.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(PASSAGE + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+
+    t_clean, rows_clean = timed(lambda: passage_dedup(clean, k=8))
+    t_planted, rows_planted = timed(lambda: passage_dedup(planted, k=8))
+
+    out = passage_dedup(planted, k=8)
+    hot = out.filter(F.col("doc_id") % 2 == 0)
+    excision = hot.agg(
+        F.min("n_dropped").alias("min_drop"),
+        F.max("n_dropped").alias("max_drop"),
+        F.count(F.lit(1)).alias("n_hot"),
+    ).collect()[0]
+    leaked = hot.filter(F.col("clean_text").contains("ptok")).count()
+
+    print(
+        json.dumps(
+            {
+                "passage_clean_sec": t_clean,
+                "passage_planted_sec": t_planted,
+                "planted_over_clean_ratio": round(t_planted / t_clean, 2),
+                "rows_clean": rows_clean,
+                "rows_planted": rows_planted,
+                "n_hot_docs": excision["n_hot"],
+                "hot_min_n_dropped": excision["min_drop"],
+                "hot_max_n_dropped": excision["max_drop"],
+                "hot_docs_with_leaked_passage_tokens": leaked,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark("skew-probe")
     clean = table(spark, SF_DIR, "documents")
@@ -190,4 +251,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--passage" in sys.argv:
+        passage_probe()
+    else:
+        main()

@@ -699,3 +699,29 @@ def test_funnel_max_gap_bounds_conversion(spark):
     # unbounded default unchanged: user 2 converts without the gap
     free = {r["user_id"]: r for r in funnel_conversion(ev, stages).collect()}
     assert free[2]["reached_b"] is True
+
+
+def test_passage_dedup_half_corpus_coverage(spark):
+    """50%-coverage boilerplate (the SCALE.md adversarial profile at unit
+    scale): every hot doc loses EXACTLY the planted passage — boundary
+    windows spanning into each doc's distinct body are unique per doc and
+    must never go hot (no over-dropping) — and clean docs are untouched."""
+    from kafka_streams_common_spark.operators.dedup import passage_dedup
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = []
+    for d in range(20):
+        body = " ".join(f"b{d}w{j}" for j in range(20))
+        rows.append((d, f"{passage} {body}" if d % 2 == 0 else body))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in passage_dedup(docs, k=8).collect()}
+    assert len(out) == 20
+    for d in range(20):
+        if d % 2 == 0:
+            assert out[d]["n_dropped"] == 12, out[d]
+            assert out[d]["clean_text"] == " ".join(
+                f"b{d}w{j}" for j in range(20)
+            )
+        else:
+            assert out[d]["n_dropped"] == 0
+            assert "p0" not in out[d]["clean_text"].split()
