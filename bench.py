@@ -47,6 +47,24 @@ BENCH_QUERIES = [
     "dedup_decontaminate",
 ]
 
+# TRACKING, NOT BUDGET — the post-r2 operators. This second table exists
+# so perf drift in the newer half of the repo is visible per round (the
+# frozen 17-query set above is the graded budget and is never edited;
+# these rows carry no frozen per-query ceiling and may gain entries as
+# operators land). See BASELINE.md "Tracking table".
+TRACKING_QUERIES = [
+    "dedup_passages",
+    "dedup_lines",
+    "sim_semantic_dedup_apply",
+    "sim_diverse_cell_sample",
+    "sim_ivf_int8_rerank",
+    "text_bigram_logprob",
+    "llm_mix_corpus_tokens",
+    "events_funnel_conversion",
+    "events_funnel_stage_counts",
+    "events_funnel_time_to_convert",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,17 +82,22 @@ def main() -> None:
         while it.hasNext():
             it.next().getValue().unpersist(False)
 
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        run(fn)  # warm-up (JIT, file listing, broadcast)
-        times = []
-        for _ in range(3):
-            clear_state()
-            t0 = time.perf_counter()
-            run(fn)
-            times.append(time.perf_counter() - t0)
-        results[name] = round(statistics.median(times), 3)
-        print(f"# {name}: {results[name]}s", file=sys.stderr)
+    def bench_set(names: list[str], out: dict[str, float]) -> None:
+        for name in names:
+            fn = QUERIES[name]
+            run(fn)  # warm-up (JIT, file listing, broadcast)
+            times = []
+            for _ in range(3):
+                clear_state()
+                t0 = time.perf_counter()
+                run(fn)
+                times.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(times), 3)
+            print(f"# {name}: {out[name]}s", file=sys.stderr)
+
+    bench_set(BENCH_QUERIES, results)
+    tracking: dict[str, float] = {}
+    bench_set(TRACKING_QUERIES, tracking)
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -85,6 +108,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                # FYI-only rows — no frozen budget; see BASELINE.md
+                "tracking": tracking,
+                "tracking_total_sec": round(sum(tracking.values()), 3),
             }
         )
     )

@@ -38,33 +38,32 @@ ROTATES each round and the ledger is published in README.md §Verification:
   standard-OLAP rows), followed by the twelve new-in-r5 queries and 8
   multiply-green keepers. CORRECTNESS_r05: all 50 green; every demoted
   row was green in BOTH round 3 and round 4.
-- round 6 (``_R6_WINDOW`` below) swaps the halves again: the seven
-  new-in-r6 queries (TPC-H Q21/Q2/Q15/Q22, token-budget corpus mixing,
-  cell-diverse sampling, passage dedup — first driver exposure) lead,
-  then 36 of the 42 rows last green in round 3/4 (the r5 past-window
-  set: the J1-J4 join family, full outer, streaming
-  windows/dedup/static-join, multimodal metadata/frame-sample,
-  asof/range joins, TPC-H Q3/Q5/Q6/Q14, dedup_lines, the LLM
-  split/shard/unigram rows, ...; the six held back —
-  scalar_function_showcase, date_interval_arithmetic,
-  pivot_event_value_by_type, rollup_orders_by_status_priority,
-  set_union_distinct, anti_join_customers_without_orders — are the
-  most stable scalar/rollup/set/anti rows, all green in BOTH r3 and
-  r4 on since-unchanged code (and the anti-join family gained two
-  fresher in-window exemplars in Q21/Q22); they are exactly 2 rounds
-  old at r6 close and lead the r7 window), padded with the SEVEN
-  r5-green queries whose
-  implementation changed in round 6 and therefore needs re-verification
-  (gopher raw-quotient output, null-safe quantile join, funnel
-  operator-ization, hyperplane signature checkpoint, int8-rerank
-  centroids param): every r5-green row left past-window is
-  byte-identical code to what round 5 verified.
+- round 6 verified 50: the 7 new-in-r6 queries (TPC-H Q21/Q2/Q15/Q22,
+  token-budget corpus mixing, cell-diverse sampling, passage dedup —
+  first driver exposure), 36 rows last green in round 3/4, and 7
+  r5-green queries whose implementation changed in round 6. All 50
+  green in CORRECTNESS_r06. Three queries registered after that window
+  filled (tpch_q11_important_stock, events_funnel_stage_counts,
+  streaming_mix_ingest) closed r6 local-parity-green only.
+- round 7 (``_R7_WINDOW`` below): the never-driver-checked head is
+  PINNED FIRST (the three r6 late registrations — must not be lost if
+  the budget ever shrinks), then the 9 new-in-r7 queries (funnel
+  time-to-convert plus the TPC-H completion set Q12/Q13/Q17/Q19/Q8/
+  Q9/Q16/Q20 — first exposure), then the six rows last green in
+  round 4 (exactly the held-back set promised the r7 lead), then the
+  2 r6-green rows whose code changed in r7 (Q22's decimal-exact
+  average; events_funnel_conversion consumes operators/funnel.py,
+  which gained keep_timestamps), then the 30 least-proven of the 43
+  rows last green in round 5 (every [r5]-only row, every [r1,r5] /
+  [r2,r5] row, and 8 of the [r1,r2,r5] tier). The 13 r5-green rows
+  left past-window each have ≥ 3 green driver rounds on code
+  unchanged since round 5.
 
-After round 6 completes, every registered query's latest green driver row
-is at most two rounds old AND no code path changed since its last green
-row. Demotion never trades away unproven coverage: a query is only moved
-past the window after it has a green row in a previous round's driver
-gate, on unchanged code.
+After round 7 completes, every registered query's latest green driver
+row is at most two rounds old AND no code path changed since its last
+green row. Demotion never trades away unproven coverage: a query is
+only moved past the window after it has a green row in a previous
+round's driver gate, on unchanged code.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -80,91 +79,93 @@ from kafka_streams_common_spark.queries import standard as _standard  # noqa: F4
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
-# Round-6 driver window, in driver execution order. Layout: the two
-# queries with no driver row in any round come FIRST (must not be lost if
-# the budget ever shrinks), then all 42 rows last green in round 3/4
-# (the entire r5 past-window set), then the six r5-green queries whose
-# implementation changed in round 6 (they need re-verification on the
-# new code; their r5 rows verified the old code).
-_R6_WINDOW = (
-    # new in round 6 — first driver exposure
-    "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q15_top_supplier",
+# Round-7 driver window, in driver execution order. Layout: 3 never-
+# driver-checked + 9 new-in-r7 + 6 last-green-r4 + 2 changed-code +
+# 30 least-proven last-green-r5 = 50.
+_R7_HEAD = (
+    # NO driver row in any round (r6 late registrations) — pinned first
+    "tpch_q11_important_stock",
+    "events_funnel_stage_counts",
+    "streaming_mix_ingest",
+)
+_R7_WINDOW = _R7_HEAD + (
+    # new in round 7 — first driver exposure
+    "events_funnel_time_to_convert",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_part_promotion_suppliers",
+    # last green in round 4 (the six rows held back from the r6 window,
+    # promised the r7 lead) — 3 rounds stale without this refresh
+    "scalar_function_showcase",
+    "date_interval_arithmetic",
+    "pivot_event_value_by_type",
+    "rollup_orders_by_status_priority",
+    "set_union_distinct",
+    "anti_join_customers_without_orders",
+    # r6-green but implementation CHANGED in round 7 — re-verify:
+    # decimal-exact positive-balance average (was double avg)
     "tpch_q22_dormant_customers",
-    "llm_mix_corpus_tokens",
-    "sim_diverse_cell_sample",
-    "dedup_passages",
-    # last green in round 3 AND round 4 — refreshed this round
-    "j2_stream_table_left_join",
-    "j1_stream_table_inner_join",
-    "j4_table_table_left_join",
-    "j3_table_table_inner_join",
-    "j_full_outer_join",
-    "a1_count_by_key",
-    "a1_multi_agg",
-    "p4_json_schema_inference",
-    "simple_stream_passthrough",
-    "streaming_count_by_event_type",
-    "streaming_stream_static_join",
-    "streaming_tumbling_window_counts",
-    "streaming_dedup_distinct_keys",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "pipeline_curate_corpus",
-    "dedup_lines",
-    "sim_embedding_near_dup",
-    "sim_ivf_topk",
-    "sim_quantize_int8",
-    "text_hash_split",
-    "llm_corpus_shards",
-    "text_unigram_logprob",
-    "window_running_sum_frame",
-    "window_lag_gap_sessionize",
-    "global_topk_orders",
-    "session_window_per_user",
-    "window_sliding_counts",
-    "asof_join_last_order_before_event",
-    "range_join_events_within_30min",
-    "percentiles_value_by_event_type",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q3_shipping_priority",
-    "agg_approx_distinct_users",
-    # r5-green but implementation CHANGED in round 6 — re-verify:
-    # gopher raw-quotient output (was round(x,6)) ............. 2 rows
-    "text_gopher_quality_rules",
-    "streaming_quality_gate_ingest",
-    # null-safe sketch join
-    "agg_approx_quantiles_value",
-    # rewired through operators/funnel.py
+    # operators/funnel.py gained keep_timestamps (default path
+    # nominally identical; stage_counts sits in the head above)
     "events_funnel_conversion",
-    # hyperplane signature checkpoint feeds its pair stage
-    "sim_semantic_dedup_apply",
-    # centroids= parameter added (default path nominally identical)
-    "sim_ivf_int8_rerank",
-    # max_bucket= hot-bucket cap added (default None path nominally
-    # identical); displaces anti_join_customers_without_orders, whose
-    # family gained two fresher in-window exemplars (Q21's LeftAnti,
-    # Q22's dormancy anti-join)
-    "dedup_minhash_lsh",
+    # last green in round 5, exactly one green row ever ([5])
+    "multimodal_feature_extract",
+    "tpch_q4_order_priority",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+    "tpch_q7_nation_volume",
+    "text_bigram_logprob",
+    "sim_centroid_outliers",
+    # last green in round 5, two green rows ever ([1,5] / [2,5])
+    "set_except",
+    "set_intersect",
+    "cube_orders_by_status_priority",
+    "unpivot_customer_measures",
+    "grouping_sets_orders",
+    "dedup_decontaminate",
+    "sim_centroid_by_label",
+    "text_token_counts",
+    "text_quality_filter",
+    "text_pii_scrub",
+    "text_hash_sample",
+    "text_tfidf_top_terms",
+    "text_repetition_metrics",
+    "text_stratified_sample",
+    "array_agg_order_keys_per_customer",
+    # last green in round 5, [1,2,5] tier — the 8 most complex of the
+    # 15 (dedup/similarity operators and the heavier OLAP shapes take
+    # the slots; the 7 left behind are stable scan/filter/text rows)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "tpch_q1_pricing_summary",
+    "filter_pushdown_scan",
+    "window_topk_orders_per_customer",
 )
 
-# Past the window: every one of these is green in CORRECTNESS_r05 on code
-# unchanged since round 5 — except tpch_q11_important_stock,
-# streaming_mix_ingest and events_funnel_stage_counts, registered late
-# in r6 after the window filled (locally parity-green; they join the six
-# held-back rows at the HEAD of the r7 window for first driver
-# exposure) — and stays covered by the local parity suite
-# (scripts/driver_sim.py runs ALL oracles) each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R6_WINDOW)
+# Past the window: every one of these has ≥ 2 green driver rows (most
+# recent: r5 or r6) on code unchanged since that row — the 13 r5-green
+# rows left behind (semi_join, salted_agg, text_quality_metrics,
+# text_lang_id, text_top_words, text_fingerprints, llm_pack_sequences,
+# j5_enrichment_chain, s2_latest_per_key, p4_json_parse_agg,
+# streaming_stream_stream_join, streaming_latest_per_key,
+# dedup_apply_canonical_corpus) each have ≥ 3. All stay covered by the
+# local parity suite (scripts/driver_sim.py runs ALL oracles) each
+# round.
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R7_WINDOW)
 
-_missing = [n for n in _R6_WINDOW if n not in QUERIES]
+_missing = [n for n in _R7_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 
-_reordered = {n: QUERIES[n] for n in (*_R6_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R7_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
