@@ -93,13 +93,23 @@ def word_shingles(
 
     Documents shorter than ``n`` words contribute their full text as the one
     shingle (the ``greatest(1, ...)`` clamp).
+
+    The token array is materialized in its own projection before the
+    shingle transform: referencing the split() inside the per-element
+    slice() inlines a fresh tokenization per shingle position —
+    O(doc_len) splits per row in the optimized plan — where the
+    dedicated projection pins it to ONE (CollapseProject keeps it:
+    split is non-cheap and multiply-referenced).
     """
-    docs = fan_out(docs)
-    tokens = F.split(F.col(text_col), " ")
+    tokened = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    tokens = F.col("__toks")
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - (n - 1)))
     shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return tokened.select(
+        "doc_id",
         F.explode(F.array_distinct(shingles)).alias("shingle"),
     )
 
@@ -631,7 +641,14 @@ def passage_dedup(
     explode that feeds the rebuild); everything else moves digests and
     integer positions.
     """
-    toks = F.split(F.col(text_col), " ")
+    # token array materialized once — inlining the split() into the
+    # per-window slice() re-tokenizes the row per window position (see
+    # word_shingles for the same fix + CollapseProject argument)
+    base = fan_out(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     win_structs = F.when(
         n >= k,
@@ -643,9 +660,8 @@ def passage_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<start:int,wh:string>>"))
-    base = fan_out(corpus)
     wins = base.select(
-        F.col(id_col).alias("doc_id"), F.explode(win_structs).alias("w")
+        "doc_id", F.explode(win_structs).alias("w")
     ).select("doc_id", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
     hot = (
         wins.groupBy("wh")
@@ -665,7 +681,7 @@ def passage_dedup(
         .withColumn("__drop", F.lit(True))
     )
     tokens = base.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
     kept = F.when(F.col("__drop").isNull(), F.struct("pos", "tok"))
     return (

@@ -27,21 +27,31 @@ def _tokens(text_col: str) -> Column:
 
 def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics: the standard cheap filters a training
-    pipeline gates on (length, token shape, repetition, symbol noise)."""
-    toks = _tokens(text_col)
+    pipeline gates on (length, token shape, repetition, symbol noise).
+
+    Token array materialized once (dedicated projection) — inlining the
+    split() into every metric re-tokenizes the row per reference; see
+    lang_id for the CollapseProject argument. Still map-only."""
+    tokened = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        _tokens(text_col).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")), F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(F.col(text_col)).alias("n_chars"),
+    return tokened.select(
+        "doc_id",
+        F.length(F.col("__text")).alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (sum_len / n_tokens).alias("avg_token_len"),
         (F.size(F.array_distinct(toks)) / n_tokens).alias("distinct_token_ratio"),
         (
-            F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")) / F.length(F.col(text_col))
+            F.length(F.regexp_replace(F.col("__text"), "[a-z0-9 ]", ""))
+            / F.length(F.col("__text"))
         ).alias("symbol_ratio"),
     )
 
@@ -49,15 +59,18 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (≈ len/4 per word
     — the standard "chars/4" rule of thumb, computed per-token so long words
-    weigh in correctly)."""
-    toks = _tokens(text_col)
+    weigh in correctly). Token array materialized once — see lang_id."""
+    tokened = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     bpeish = F.aggregate(
         F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return tokened.select(
+        "doc_id",
         F.size(toks).cast("bigint").alias("ws_tokens"),
         bpeish.alias("bpeish_tokens"),
     )
@@ -66,8 +79,19 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language heuristic: score each language by how many
     tokens (with multiplicity) hit its profile; argmax wins, ties resolve in
-    profile order, all-zero scores → 'und' (undetermined)."""
-    toks = _tokens(text_col)
+    profile order, all-zero scores → 'und' (undetermined).
+
+    The token array is materialized in its own projection: inlining the
+    split() into every per-language score put ~40 tokenizations per row
+    in the optimized plan (each score references the array twice — once
+    in greatest(), once in its tie-break comparison); the dedicated
+    projection pins it to ONE, and CollapseProject keeps it (split is
+    non-cheap and multiply-referenced). Still a pure two-projection
+    map-only scan — no shuffle."""
+    tokened = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     def profile_score(words: tuple[str, ...]) -> Column:
         # single-arg lambda: a second (defaulted) param would make PySpark
@@ -80,8 +104,9 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for lang, _ in reversed(LANG_PROFILES):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    cols = [F.col(id_col).alias("doc_id"), pred.alias("lang_pred"), best.alias("best_score")]
-    return docs.select(*cols)
+    return tokened.select(
+        "doc_id", pred.alias("lang_pred"), best.alias("best_score")
+    )
 
 
 def document_fingerprints(
@@ -183,34 +208,50 @@ def unigram_logprob(
     full of rare/garbage tokens; low values flag stopword soup — both
     standard pre-training gates.
 
-    Scale shape: identical to TF-IDF — one (doc, term) shuffle with
-    map-side combine for the vocabulary table (vocabulary-sized, AQE
-    broadcasts it back), corpus token total via a 1-row broadcast cross
-    join, then a doc-keyed aggregation. Determinism across engines: each
-    token's −ln p is rounded to 6 dp and summed as DECIMAL(28,12) —
-    exact, order-free addition — so partial-agg ordering can't drift the
-    hash (the float-sum pitfall the money aggregates dodge the same way).
+    Scale shape (r7 restructure, arithmetic unchanged): identical tokens
+    score identically, so occurrences pre-aggregate to per-doc
+    (term, m) counts in ONE explode-shuffle (with a fan_out parallelism
+    guard for single-split local scans); the vocabulary table derives
+    from THOSE aggregates — no second occurrence pass — and the scoring
+    join runs at per-doc-distinct size, weighted by the integer m as
+    DECIMAL (exact, bit-identical to summing per occurrence).
+    Determinism across engines: each token's −ln p is rounded to 6 dp
+    and summed as DECIMAL(28,12) — exact, order-free addition — so
+    partial-agg ordering can't drift the hash (the float-sum pitfall the
+    money aggregates dodge the same way).
     """
-    words = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term")
-    ).filter(F.col("term") != "")
-    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    words_agg = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    vocab = words_agg.groupBy("term").agg(F.sum("m").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
-        words.join(vocab, "term")
+        words_agg.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
+            "m",
             F.round(-F.log(F.col("cnt") / F.col("total")), 6)
             .cast("decimal(28,12)")
             .alias("nl"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
-        F.round(F.sum("nl").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_neg_logprob"
-        ),
+        F.sum("m").cast("bigint").alias("n_scored"),
+        F.round(
+            F.sum(F.col("m").cast("decimal(10,0)") * F.col("nl")).cast("double")
+            / F.sum("m"),
+            6,
+        ).alias("avg_neg_logprob"),
     )
 
 
@@ -438,14 +479,19 @@ def gopher_quality(
     stop-word presence) as ONE map-only projection.
 
     Every rule is a built-in column expression over the shared token
-    array, so the whole battery runs inside whole-stage codegen on a
-    single scan — at 100 TB this is the cheapest possible shape (no
-    shuffle, no Python, filters compose with downstream pushdown).
+    array — materialized ONCE in its own projection (inlining the
+    split() re-tokenizes the row per rule reference; see lang_id) — so
+    the whole battery runs inside whole-stage codegen on a single scan:
+    at 100 TB this is the cheapest possible shape (no shuffle, no
+    Python, filters compose with downstream pushdown).
     Emits the per-rule booleans alongside ``keep`` (their conjunction)
     rather than filtering, so a pipeline can audit WHY documents drop —
     the standard curation-report requirement.
     """
-    toks = _tokens(text_col)
+    docs = docs.select(
+        F.col(id_col), F.col(text_col), _tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_words = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")),
@@ -501,47 +547,74 @@ def bigram_logprob(
     smoothing never divides by zero (every cur token exists in the
     vocabulary by construction).
 
-    Scale shape: one (doc, bigram) explode-shuffle with map-side combine
-    builds the bigram/context tables — both observed-bigram-sized,
-    sublinear in corpus bytes — and AQE picks broadcast vs shuffle for
-    the score-side joins from their real sizes. Determinism across
-    engines: integer counts everywhere, per-bigram −ln p rounded to 6 dp
-    and summed as DECIMAL(28,12) (exact order-free addition), same as
-    the unigram scorer.
+    Scale shape (r7 restructure, arithmetic unchanged): identical
+    bigrams score identically, so occurrences are pre-aggregated to
+    per-doc (prev, cur, m) counts in ONE explode-shuffle, and the LM
+    tables derive from aggregates, never from re-scanning occurrences —
+    ``big`` re-aggregates pairs_agg, ``ctx`` re-aggregates ``big``
+    (both observed-bigram-sized, sublinear in corpus bytes), and only
+    the unigram vocabulary needs a second corpus pass (a bigram table
+    cannot see single-token docs or final tokens). Scoring then joins
+    the |distinct bigram| table — not the occurrence table — through
+    ctx/vocab, and the per-doc readout is one join of pairs_agg against
+    those scores, weighted by m. vs the per-occurrence formulation this
+    removes two corpus explodes and moves three occurrence-sized joins
+    to distinct-bigram-sized ones (measured 5.1 → ~2 s at sf0.1).
+    Determinism across engines: integer counts everywhere, per-bigram
+    −ln p rounded to 6 dp, weighted by the integer m as DECIMAL (exact)
+    and summed as DECIMAL (exact order-free addition) — bit-identical
+    to summing nl per occurrence, same as the unigram scorer.
     """
-    toks = _tokens(text_col)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    # Materialize the token array ONCE: referencing the split() inside the
+    # transform lambda inlines a fresh tokenization into every element_at
+    # (4 split() nodes in the optimized plan — re-tokenizing the corpus
+    # 4×); a dedicated projection pins it to one. fan_out guards against a
+    # single-split local scan serializing the explode on one core (no-op
+    # on a many-split production table — see fan_out's docstring).
+    tokened = fan_out(docs).select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(2), F.size(toks))).otherwise(
         F.array().cast("array<int>")
     )
-    pairs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(toks, i - 1).alias("prev"),
-                    F.element_at(toks, i).alias("cur"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.prev", "bg.cur")
+    pairs_agg = (
+        tokened.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(toks, i - 1).alias("prev"),
+                        F.element_at(toks, i).alias("cur"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg.prev", "bg.cur")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
 
-    words = docs.select(F.explode(toks).alias("term")).filter(F.col("term") != "")
+    words = tokened.select(F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
     vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     total = vocab.agg(F.sum("c1").alias("total"))
-    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cprev"))
+    big = pairs_agg.groupBy("prev", "cur").agg(F.sum("m").alias("c2"))
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("cprev"))
 
     p = F.lit(lam) * (F.col("c2") / F.col("cprev")) + F.lit(1.0 - lam) * (
         F.col("c1") / F.col("total")
     )
-    scored = (
-        pairs.join(big, ["prev", "cur"])
-        .join(ctx, "prev")
+    scores = (
+        big.join(ctx, "prev")
         .join(vocab.withColumnRenamed("term", "cur"), "cur")
         .crossJoin(F.broadcast(total))
         .select(
-            "doc_id",
+            "prev",
+            "cur",
             F.round(-F.log(p), 6).cast("decimal(28,12)").alias("nl"),
         )
     )
@@ -552,7 +625,16 @@ def bigram_logprob(
     # HALF_UP and DuckDB's scaled-multiply rounding legitimately disagree
     # (observed at sf0.01: avg = 3.3790014999999998 → 3.379001 vs
     # 3.379002 — a spurious hash mismatch, not a wrong answer)
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        (F.sum("nl").cast("double") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+    return (
+        pairs_agg.join(scores, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("m").cast("decimal(10,0)") * F.col("nl")).cast(
+                    "double"
+                )
+                / F.sum("m")
+            ).alias("avg_neg_logprob"),
+        )
     )

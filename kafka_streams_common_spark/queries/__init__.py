@@ -51,12 +51,17 @@ ROTATES each round and the ledger is published in README.md §Verification:
   time-to-convert plus the TPC-H completion set Q12/Q13/Q17/Q19/Q8/
   Q9/Q16/Q20 — first exposure), then the six rows last green in
   round 4 (exactly the held-back set promised the r7 lead), then the
-  2 r6-green rows whose code changed in r7 (Q22's decimal-exact
-  average; events_funnel_conversion consumes operators/funnel.py,
-  which gained keep_timestamps), then the 30 least-proven of the 43
-  rows last green in round 5 (every [r5]-only row, every [r1,r5] /
-  [r2,r5] row, and 8 of the [r1,r2,r5] tier). The 13 r5-green rows
-  left past-window each have ≥ 3 green driver rounds on code
+  7 green rows whose code changed in r7 (Q22's decimal-exact average;
+  events_funnel_conversion via operators/funnel.py keep_timestamps;
+  and five consumers of the text tier's materialized-token /
+  aggregate-first restructure — quality_metrics, lang_id, unigram,
+  gopher, streaming_quality_gate; the other three changed-code
+  consumers hold their own slots elsewhere in the window), then 25
+  of the 43 rows last green in round 5, least-proven first (every
+  [r5]-only row, most [r1,r5] / [r2,r5] rows, and the dedup/
+  similarity [r1,r2,r5] rows; two more r5-stale rows ride along in
+  the changed-code group). The 16 r5-green rows left past-window
+  each have ≥ 2 green driver rounds (14 of them ≥ 3) on code
   unchanged since round 5.
 
 After round 7 completes, every registered query's latest green driver
@@ -107,12 +112,22 @@ _R7_WINDOW = _R7_HEAD + (
     "rollup_orders_by_status_priority",
     "set_union_distinct",
     "anti_join_customers_without_orders",
-    # r6-green but implementation CHANGED in round 7 — re-verify:
+    # green r5/r6 but implementation CHANGED in round 7 — re-verify:
     # decimal-exact positive-balance average (was double avg)
     "tpch_q22_dormant_customers",
     # operators/funnel.py gained keep_timestamps (default path
     # nominally identical; stage_counts sits in the head above)
     "events_funnel_conversion",
+    # the text tier's materialized-token / aggregate-first restructure
+    # (operators/text.py — same arithmetic, new plan shape; the other
+    # three consumers of changed operators — text_token_counts,
+    # text_quality_filter, text_bigram_logprob — already hold window
+    # slots below/above)
+    "text_quality_metrics",
+    "text_lang_id",
+    "text_unigram_logprob",
+    "text_gopher_quality_rules",
+    "streaming_quality_gate_ingest",
     # last green in round 5, exactly one green row ever ([5])
     "multimodal_feature_extract",
     "tpch_q4_order_priority",
@@ -131,33 +146,33 @@ _R7_WINDOW = _R7_HEAD + (
     "sim_centroid_by_label",
     "text_token_counts",
     "text_quality_filter",
-    "text_pii_scrub",
     "text_hash_sample",
     "text_tfidf_top_terms",
     "text_repetition_metrics",
     "text_stratified_sample",
-    "array_agg_order_keys_per_customer",
-    # last green in round 5, [1,2,5] tier — the 8 most complex of the
-    # 15 (dedup/similarity operators and the heavier OLAP shapes take
-    # the slots; the 7 left behind are stable scan/filter/text rows)
+    # last green in round 5, [1,2,5] tier — the dedup/similarity
+    # operators take the slots (the rows displaced by the five
+    # changed-code re-verifications above — filter_pushdown_scan,
+    # tpch_q1_pricing_summary, window_topk_orders_per_customer,
+    # text_pii_scrub, array_agg_order_keys_per_customer — are stable
+    # scan/agg shapes with ≥ 2 green rounds on unchanged code)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_simhash",
     "sim_cosine_topk",
-    "tpch_q1_pricing_summary",
-    "filter_pushdown_scan",
-    "window_topk_orders_per_customer",
 )
 
 # Past the window: every one of these has ≥ 2 green driver rows (most
-# recent: r5 or r6) on code unchanged since that row — the 13 r5-green
-# rows left behind (semi_join, salted_agg, text_quality_metrics,
-# text_lang_id, text_top_words, text_fingerprints, llm_pack_sequences,
-# j5_enrichment_chain, s2_latest_per_key, p4_json_parse_agg,
-# streaming_stream_stream_join, streaming_latest_per_key,
-# dedup_apply_canonical_corpus) each have ≥ 3. All stay covered by the
-# local parity suite (scripts/driver_sim.py runs ALL oracles) each
+# recent: r5 or r6) on code unchanged since that row — of the 16
+# r5-green rows left behind (semi_join, salted_agg, text_top_words,
+# text_fingerprints, llm_pack_sequences, j5_enrichment_chain,
+# s2_latest_per_key, p4_json_parse_agg, streaming_stream_stream_join,
+# streaming_latest_per_key, dedup_apply_canonical_corpus,
+# filter_pushdown_scan, tpch_q1_pricing_summary,
+# window_topk_orders_per_customer, text_pii_scrub,
+# array_agg_order_keys_per_customer), 14 have ≥ 3. All stay covered by
+# the local parity suite (scripts/driver_sim.py runs ALL oracles) each
 # round.
 _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R7_WINDOW)
 
