@@ -51,18 +51,20 @@ ROTATES each round and the ledger is published in README.md §Verification:
   time-to-convert plus the TPC-H completion set Q12/Q13/Q17/Q19/Q8/
   Q9/Q16/Q20 — first exposure), then the six rows last green in
   round 4 (exactly the held-back set promised the r7 lead), then the
-  7 green rows whose code changed in r7 (Q22's decimal-exact average;
-  events_funnel_conversion via operators/funnel.py keep_timestamps;
-  and five consumers of the text tier's materialized-token /
-  aggregate-first restructure — quality_metrics, lang_id, unigram,
-  gopher, streaming_quality_gate; the other three changed-code
-  consumers hold their own slots elsewhere in the window), then 25
-  of the 43 rows last green in round 5, least-proven first (every
-  [r5]-only row, most [r1,r5] / [r2,r5] rows, and the dedup/
-  similarity [r1,r2,r5] rows; two more r5-stale rows ride along in
-  the changed-code group). The 16 r5-green rows left past-window
-  each have ≥ 2 green driver rounds (14 of them ≥ 3) on code
-  unchanged since round 5.
+  10 green rows whose code changed in r7 (Q22's decimal-exact
+  average; events_funnel_conversion via operators/funnel.py
+  keep_timestamps; five consumers of the text tier's
+  materialized-token / aggregate-first restructure — quality_metrics,
+  lang_id, unigram, gopher, streaming_quality_gate; and three
+  consumers of the word_shingles / passage_dedup materialized-token
+  fix — dedup_apply_canonical_corpus, pipeline_curate_corpus,
+  dedup_passages; six MORE changed-code consumers hold their own
+  slots elsewhere in the window), then 22 of the 43 rows last green
+  in round 5, least-proven first (every [r5]-only row, the [r1,r5]
+  set-op tier, most [r2,r5] rows, and the dedup/similarity [r1,r2,r5]
+  rows; three more r5-stale rows ride along in the changed-code
+  group). The 18 r5-green rows left past-window each have ≥ 2 green
+  driver rounds (13 of them ≥ 3) on code unchanged since round 5.
 
 After round 7 completes, every registered query's latest green driver
 row is at most two rounds old AND no code path changed since its last
@@ -128,6 +130,13 @@ _R7_WINDOW = _R7_HEAD + (
     "text_unigram_logprob",
     "text_gopher_quality_rules",
     "streaming_quality_gate_ingest",
+    # ...and the word_shingles / passage_dedup materialized-token fix
+    # (operators/dedup.py): these three consumers were past-window
+    # (r5/r6-green on the OLD plan shape); ngram_jaccard, decontaminate
+    # and connected_components already hold window slots below
+    "dedup_apply_canonical_corpus",
+    "pipeline_curate_corpus",
+    "dedup_passages",
     # last green in round 5, exactly one green row ever ([5])
     "multimodal_feature_extract",
     "tpch_q4_order_priority",
@@ -143,13 +152,10 @@ _R7_WINDOW = _R7_HEAD + (
     "unpivot_customer_measures",
     "grouping_sets_orders",
     "dedup_decontaminate",
-    "sim_centroid_by_label",
     "text_token_counts",
     "text_quality_filter",
-    "text_hash_sample",
     "text_tfidf_top_terms",
     "text_repetition_metrics",
-    "text_stratified_sample",
     # last green in round 5, [1,2,5] tier — the dedup/similarity
     # operators take the slots (the rows displaced by the five
     # changed-code re-verifications above — filter_pushdown_scan,
@@ -164,16 +170,16 @@ _R7_WINDOW = _R7_HEAD + (
 )
 
 # Past the window: every one of these has ≥ 2 green driver rows (most
-# recent: r5 or r6) on code unchanged since that row — of the 16
+# recent: r5 or r6) on code unchanged since that row — of the 18
 # r5-green rows left behind (semi_join, salted_agg, text_top_words,
 # text_fingerprints, llm_pack_sequences, j5_enrichment_chain,
 # s2_latest_per_key, p4_json_parse_agg, streaming_stream_stream_join,
-# streaming_latest_per_key, dedup_apply_canonical_corpus,
-# filter_pushdown_scan, tpch_q1_pricing_summary,
-# window_topk_orders_per_customer, text_pii_scrub,
-# array_agg_order_keys_per_customer), 14 have ≥ 3. All stay covered by
-# the local parity suite (scripts/driver_sim.py runs ALL oracles) each
-# round.
+# streaming_latest_per_key, filter_pushdown_scan,
+# tpch_q1_pricing_summary, window_topk_orders_per_customer,
+# text_pii_scrub, array_agg_order_keys_per_customer, text_hash_sample,
+# text_stratified_sample, sim_centroid_by_label), 13 have ≥ 3. All
+# stay covered by the local parity suite (scripts/driver_sim.py runs
+# ALL oracles) each round.
 _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R7_WINDOW)
 
 _missing = [n for n in _R7_WINDOW if n not in QUERIES]
