@@ -55,6 +55,8 @@ BENCH_QUERIES = [
 TRACKING_QUERIES = [
     "dedup_passages",
     "dedup_lines",
+    "dedup_ngram_jaccard",
+    "pipeline_curate_corpus",
     "sim_semantic_dedup_apply",
     "sim_diverse_cell_sample",
     "sim_ivf_int8_rerank",

@@ -138,8 +138,14 @@ def ngram_jaccard_pairs(
     than that many documents — at corpus scale a handful of stop-shingles
     otherwise produce O(df²) join rows (key skew); dropping them only lowers
     jaccard estimates for unrelated pairs.
+
+    The hashed-shingle table is materialized once (same localCheckpoint
+    pattern as the minhash/simhash signature tables; at cluster scale
+    substitute a parquet persist): it feeds three-to-four consuming
+    subtrees (df census, per-doc sizes, both self-join sides) and would
+    otherwise re-shingle the corpus per subtree.
     """
-    sh = _hashed_shingles(docs, n, text_col, id_col)
+    sh = _hashed_shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
     if max_df is not None:
         rare = (
             sh.groupBy("sh")
