@@ -113,15 +113,26 @@ def document_fingerprints(
     docs: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Content fingerprints: full-text digest + a min-shingle (winnowing-
-    style) fingerprint robust to local edits. Both md5-derived 60-bit ints."""
-    toks = _tokens(text_col)
+    style) fingerprint robust to local edits. Both md5-derived 60-bit ints.
+
+    Token array materialized once: a split() referenced inside the
+    per-shingle slice() lambda re-tokenizes the row PER SHINGLE POSITION
+    (per-element lambda evaluation — worse than the per-reference
+    duplication lang_id had), so the dedicated projection turns an
+    O(doc_len) tokenization per row into one."""
+    tokened = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        _tokens(text_col).alias("__toks"),
+    )
+    toks = F.col("__toks")
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (n - 1)))
     shingle_hashes = F.transform(
         starts, lambda i: md5_int64(F.concat_ws(" ", F.slice(toks, i, n)))
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        md5_int64(F.col(text_col)).alias("full_digest"),
+    return tokened.select(
+        "doc_id",
+        md5_int64(F.col("__text")).alias("full_digest"),
         F.array_min(shingle_hashes).alias("min_shingle_fp"),
     )
 
