@@ -638,3 +638,61 @@ def llm_mix_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"),
         {"en": 5000, "de": 5000, "zh": 2000, "es": 1000},
     ).select("doc_id", "lang", "n_tokens")
+
+
+@query(
+    "text_perplexity_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    t AS (SELECT doc_id, term FROM w WHERE term <> ''),
+    v AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+    n AS (SELECT count(*) AS total FROM t),
+    s AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(cnt AS DOUBLE) / total), 6)
+                  AS DECIMAL(28,12)) AS nl
+      FROM t JOIN v USING (term) CROSS JOIN n
+    ),
+    d AS (
+      SELECT doc_id,
+             round(CAST(sum(nl) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+      FROM s GROUP BY doc_id
+    ),
+    th AS (SELECT quantile_cont(avg_neg_logprob, 0.9) AS p90 FROM d)
+    SELECT doc_id, avg_neg_logprob
+    FROM d CROSS JOIN th WHERE avg_neg_logprob <= p90
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity GATE — the curation step the LM scorers exist for:
+    score every document under the corpus unigram LM, derive the drop
+    threshold from the corpus's own score distribution (here: keep at or
+    below the 90th percentile — drop the worst-surprise decile), and
+    emit the survivors. CCNet/Gopher-style pipelines run exactly this
+    composition with a trained LM; the engine-side shape is identical.
+
+    Plan shape: the scorer's own shuffles (see text_unigram_logprob),
+    then ONE |docs|-sized aggregate feeds the exact-percentile threshold
+    — a single broadcast row probed as a filter; no second corpus pass.
+    Exact interpolated ``percentile`` (== DuckDB ``quantile_cont``) over
+    the 6-dp-rounded doubles is bit-identical cross-engine, so even the
+    boundary document survives identically on both sides. At 100 TB the
+    threshold swaps to ``approx_percentile`` (mergeable sketch) and the
+    gate becomes approximate-but-stable — the same exact→sketch
+    substitution documented on agg_approx_quantiles_value.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import unigram_logprob
+
+    scores = unigram_logprob(table(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_neg_logprob"
+    )
+    thresh = scores.agg(
+        F.percentile("avg_neg_logprob", 0.9).alias("__p90")
+    )
+    return scores.join(
+        F.broadcast(thresh), F.col("avg_neg_logprob") <= F.col("__p90")
+    ).select("doc_id", "avg_neg_logprob")
