@@ -356,3 +356,105 @@ def test_stream_stream_join_state_evicts_under_watermark(spark, tmp_path):
     # cumulative 120 rows
     assert final_total <= 2 * n_users, ops
     assert final_total < total_input
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Stream-stream LEFT OUTER semantics: an unmatched left row may only
+    emit (null-padded) once the watermark proves no match can still
+    arrive — until then it sits in state. Drive clicks where half the
+    users never purchase, across two file-batches far apart so the
+    second batch's watermark advance flushes the first wave's unmatched
+    clicks; assert matched rows join normally, unmatched clicks from the
+    flushed wave appear exactly once with null purchase, and no
+    unmatched row from the final wave leaks early (its watermark never
+    passes)."""
+    import datetime as dt
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1)
+    n_users = 10
+    for k in range(2):
+        t0 = base + dt.timedelta(hours=4 * k)
+        rows = []
+        for u in range(n_users):
+            rows.append((1000 * k + u, u, "click", t0))
+            if u % 2 == 0:  # only even users purchase
+                rows.append(
+                    (1000 * k + 500 + u, u, "purchase",
+                     t0 + dt.timedelta(minutes=5))
+                )
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        reader.filter("event_type = 'click'")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        reader.filter("event_type = 'purchase'")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+
+    name = "outer_probe"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.table(name).collect()
+    matched = {(r["click_id"], r["purchase_id"]) for r in rows
+               if r["purchase_id"] is not None}
+    unmatched = [r["click_id"] for r in rows if r["purchase_id"] is None]
+    # every purchase matched its same-wave click (both waves)
+    assert matched == {
+        (1000 * k + u, 1000 * k + 500 + u)
+        for k in range(2) for u in range(0, n_users, 2)
+    }
+    # wave-0 odd-user clicks flushed null-padded by wave-1's watermark,
+    # exactly once each; wave-1 unmatched clicks still held in state
+    # (their no-match proof never arrives before the stream ends)
+    assert sorted(unmatched) == [1000 * 0 + u for u in range(1, n_users, 2)]
