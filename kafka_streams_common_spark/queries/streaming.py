@@ -336,3 +336,87 @@ def streaming_mix_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
     )
     return run_stream_to_memory(gated, spark, output_mode="append")
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT max(ts) - INTERVAL 1 HOUR - INTERVAL 30 MINUTE AS c FROM events
+    )
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    CROSS JOIN cutoff
+    WHERE a.event_type = 'click' AND a.ts < cutoff.c
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER windowed join — the outer half of the
+    JoinWindows surface (the inner half is streaming_stream_stream_join):
+    unmatched clicks emit null-padded, but only once the watermark proves
+    no purchase can still arrive (click_ts + 30 min < watermark).
+
+    A bounded source leaves the LAST watermark interval's unmatched rows
+    in state forever (their no-match proof never arrives), so the raw
+    streamed output is NOT batch-equivalent at the tail. Both the stream
+    result and the oracle are therefore filtered to the INTERIOR —
+    clicks older than max(ts) − delay − window, a region where emission
+    is fully decided — with the cutoff computed from the batch view of
+    the same table. The interior filter makes the comparison edge-proof:
+    whether the engine's emission test is strict or non-strict at the
+    boundary cannot change the compared set. Unbounded deployments have
+    no such tail (the watermark keeps advancing), so the operator itself
+    needs no cutoff — only the equivalence harness does.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+
+    comp = _streaming_compiler(spark, sf_dir)
+    clicks = (
+        comp.stream_source("events")
+        .filter("event_type = 'click'")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        comp.stream_source("events")
+        .filter("event_type = 'purchase'")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts")
+    streamed = run_stream_to_memory(joined, spark, output_mode="append")
+    cutoff = (
+        table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.max("ts")
+                - F.expr("INTERVAL 1 HOUR")
+                - F.expr("INTERVAL 30 MINUTE")
+            ).alias("__c")
+        )
+    )
+    return (
+        streamed.join(F.broadcast(cutoff), F.col("click_ts") < F.col("__c"))
+        .select("click_id", "purchase_id", "user_id")
+    )
