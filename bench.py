@@ -61,6 +61,7 @@ TRACKING_QUERIES = [
     "sim_diverse_cell_sample",
     "sim_ivf_int8_rerank",
     "text_bigram_logprob",
+    "text_perplexity_filter",
     "llm_mix_corpus_tokens",
     "events_funnel_conversion",
     "events_funnel_stage_counts",

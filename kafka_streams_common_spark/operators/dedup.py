@@ -738,3 +738,57 @@ def decontaminate(
         corpus[id_col] == contaminated["doc_id"],
         "left_anti",
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-benchmark-document leak census — the REPORT side of
+    :func:`decontaminate`: for every benchmark/eval document, how many
+    corpus documents share at least one word ``n``-gram with it and how
+    many of its distinct shingles leak. A curation run publishes exactly
+    this table next to the decontaminated corpus (which benchmarks are
+    compromised, and how badly), and a benchmark owner reads it to decide
+    whether eval numbers on the ORIGINAL corpus are trustworthy.
+
+    Returns one row per benchmark document:
+    ``(bench_doc_id, n_corpus_docs, n_shared_shingles)`` — zero-filled
+    for clean benchmark docs, never dropped.
+
+    Scale shape: identical to decontaminate's first stage — the tiny
+    benchmark shingle set is FORCE-broadcast and the corpus streams once
+    through the broadcast join; the census aggregation then keys on
+    (bench_doc_id), a |benchmark|-bounded domain, so the only shuffle
+    after the corpus scan carries (bench_doc, corpus_doc, shingle-hash)
+    hit triples — leak-volume-sized, not corpus-sized. The final
+    zero-fill is a broadcast-sized left join against the benchmark ids.
+    """
+    bench_sh = (
+        _hashed_shingles(benchmark, n, text_col, id_col)
+        .select(F.col("doc_id").alias("bench_doc_id"), "sh")
+        .distinct()
+    )
+    hits = _hashed_shingles(corpus, n, text_col, id_col).join(
+        F.broadcast(bench_sh), "sh"
+    )
+    per = hits.groupBy("bench_doc_id").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_corpus_docs"),
+        F.count_distinct("sh").cast("bigint").alias("n_shared_shingles"),
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("bench_doc_id"))
+        .join(F.broadcast(per), "bench_doc_id", "left")
+        .select(
+            "bench_doc_id",
+            F.coalesce("n_corpus_docs", F.lit(0)).cast("bigint").alias(
+                "n_corpus_docs"
+            ),
+            F.coalesce("n_shared_shingles", F.lit(0)).cast("bigint").alias(
+                "n_shared_shingles"
+            ),
+        )
+    )

@@ -437,3 +437,55 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return passage_dedup(salted, k=8, max_doc_freq=1)
+
+
+@query(
+    "dedup_contamination_report",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+    bsh AS (
+      SELECT DISTINCT doc_id AS bench_doc_id, unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM bench
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM corpus
+    ),
+    hits AS (SELECT b.bench_doc_id, c.doc_id, b.shingle
+             FROM csh c JOIN bsh b USING (shingle)),
+    per AS (
+      SELECT bench_doc_id,
+             count(DISTINCT doc_id) AS n_corpus_docs,
+             count(DISTINCT shingle) AS n_shared_shingles
+      FROM hits GROUP BY bench_doc_id
+    )
+    SELECT b.doc_id AS bench_doc_id,
+           CAST(COALESCE(p.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+           CAST(COALESCE(p.n_shared_shingles, 0) AS BIGINT)
+             AS n_shared_shingles
+    FROM bench b LEFT JOIN per p ON b.doc_id = p.bench_doc_id
+    """,
+)
+def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination REPORT (operators.dedup.contamination_report) —
+    the dual readout of dedup_decontaminate over the same every-50th-doc
+    benchmark split: per benchmark document, how many corpus documents
+    share a 5-gram and how many of its shingles leak, zero-filled for
+    clean docs. Engine joins on 60-bit shingle hashes, oracle on shingle
+    strings — identical census (same injectivity argument as
+    decontaminate; a collision at corpus scale only ever over-counts)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import contamination_report
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_report(corpus, bench, n=5)
