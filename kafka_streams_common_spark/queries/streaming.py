@@ -342,7 +342,11 @@ def streaming_mix_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_stream_stream_left_join",
     oracle="""
     WITH cutoff AS (
-      SELECT max(ts) - INTERVAL 1 HOUR - INTERVAL 30 MINUTE AS c FROM events
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 1 HOUR - INTERVAL 30 MINUTE - INTERVAL 1 SECOND
+               AS c
     )
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,
            a.user_id AS user_id
@@ -364,14 +368,22 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     A bounded source leaves the LAST watermark interval's unmatched rows
     in state forever (their no-match proof never arrives), so the raw
     streamed output is NOT batch-equivalent at the tail. Both the stream
-    result and the oracle are therefore filtered to the INTERIOR —
-    clicks older than max(ts) − delay − window, a region where emission
-    is fully decided — with the cutoff computed from the batch view of
-    the same table. The interior filter makes the comparison edge-proof:
-    whether the engine's emission test is strict or non-strict at the
-    boundary cannot change the compared set. Unbounded deployments have
-    no such tail (the watermark keeps advancing), so the operator itself
-    needs no cutoff — only the equivalence harness does.
+    result and the oracle are therefore filtered to the INTERIOR — a
+    region where emission is fully decided. The cutoff derives from the
+    watermark each SIDE actually reaches: the event-type filters sit
+    BELOW withWatermark, so each side's watermark is its own filtered
+    max(ts) − delay, and the join's effective watermark is the MIN of
+    the two — hence least(max click ts, max purchase ts) − delay −
+    window, minus a 1-second margin for the engine's millisecond
+    watermark truncation (a global max(ts) cutoff is wrong: the last
+    click can never be proven unmatched by its own side's watermark —
+    caught by the sf0.001 parity gate, where exactly that click sat
+    between global-max and click-max cutoffs). The identical filter on
+    both sides makes the comparison edge-proof regardless of the
+    engine's strict-vs-non-strict eviction boundary. Unbounded
+    deployments have no such tail (the watermark keeps advancing), so
+    the operator itself needs no cutoff — only the equivalence harness
+    does.
     """
     from pyspark.sql import functions as F
 
@@ -410,9 +422,13 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         table(spark, sf_dir, "events")
         .agg(
             (
-                F.max("ts")
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
                 - F.expr("INTERVAL 1 HOUR")
                 - F.expr("INTERVAL 30 MINUTE")
+                - F.expr("INTERVAL 1 SECOND")
             ).alias("__c")
         )
     )
