@@ -436,3 +436,51 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         streamed.join(F.broadcast(cutoff), F.col("click_ts") < F.col("__c"))
         .select("click_id", "purchase_id", "user_id")
     )
+
+
+@query(
+    "streaming_latest_per_key_state",
+    oracle=LATEST_EVENTS_CTE
+    + "SELECT user_id, event_id, ts, event_type, value, props FROM latest_events",
+)
+def streaming_latest_per_key_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 streaming via a CUSTOM STATEFUL OPERATOR at runtime —
+    ``applyInPandasWithState`` holding one winner row per key and emitting
+    a true changelog on change (streaming/stateful.latest_per_key_state).
+    This is the KTable materialization the reference keeps in RocksDB
+    (``KTableRegistry.java:41-50``), executed through Spark's arbitrary
+    per-key state API rather than the foreachBatch parquet merge that
+    ``streaming_latest_per_key`` exercises — the two registered paths plus
+    the (protobuf-gated) transformWithState twin cover the whole S2
+    design ladder from SURVEY §4.2. Timestamps ride through state as
+    ``unix_micros`` (integer, engine-neutral) and are restored on the way
+    out; the update-log compaction is the per-key max over monotone
+    emissions.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.streaming.stateful import (
+        run_latest_per_key_state,
+    )
+
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = comp.stream_source("events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "props",
+    )
+    final, _progress = run_latest_per_key_state(
+        stream, spark, key_field="user_id", seq_field="ts_us",
+        tiebreak_field="event_id",
+    )
+    return final.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        "value",
+        "props",
+    )

@@ -90,10 +90,14 @@ def latest_per_key_tws(
     ``transformWithState`` Python worker speaks a protobuf protocol to
     the JVM state server and needs the ``protobuf`` package at runtime —
     absent from this container (no installs allowed), so the equivalence
-    + recovery test skips here (``tests/test_streaming.py``, importorskip)
-    and the registered ``streaming_latest_per_key`` query stays on the
-    ``foreachBatch`` merge path, which is fully exercised. On a cluster
-    with protobuf present this operator is the drop-in upgrade.
+    + recovery test skips here (``tests/test_streaming.py``, importorskip).
+    The SAME semantics are fully exercised at runtime anyway:
+    :func:`latest_per_key_state` is the ``applyInPandasWithState`` twin
+    (no protobuf — its GroupState protocol rides the regular Arrow
+    channel), with a live multi-batch pytest and a registered
+    oracle-gated query (``streaming_latest_per_key_state``), alongside
+    the ``foreachBatch`` merge path (``streaming_latest_per_key``). On a
+    cluster with protobuf this operator is the drop-in upgrade of both.
     """
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -183,3 +187,99 @@ def run_latest_per_key_tws(
         else:
             spark.conf.set(conf_key, prev)
     return latest_per_key(spark.table(name), key_field, seq_field, tiebreak_field)
+
+
+def latest_per_key_state(
+    stream: DataFrame,
+    key_field: str,
+    seq_field: str,
+    tiebreak_field: str,
+) -> DataFrame:
+    """KTable latest-per-key as a custom stateful operator via
+    ``applyInPandasWithState`` — the SAME changelog semantics as
+    :func:`latest_per_key_tws` (one state row per key holding the current
+    winner under the ``(seq, tiebreak)`` total order, emitted on change)
+    but on the GroupState API, whose Python protocol rides the regular
+    Arrow worker channel and needs NO protobuf — so unlike the
+    transformWithState twin this one RUNS in this container and carries a
+    live runtime test + a registered oracle-gated query
+    (``streaming_latest_per_key_state``).
+
+    Same caller contract as the TWS twin: all columns scalar (project
+    timestamps to ``unix_micros`` first; restore after). State is one row
+    per distinct key in the state store; emissions per key are monotone
+    in ``(seq, tiebreak)`` by construction. Mirrors
+    ``KTableRegistry.java:41-50`` (the reference's RocksDB-backed KTable).
+    """
+    schema = stream.schema
+    cols = [f.name for f in schema.fields]
+    seq_i, tie_i = cols.index(seq_field), cols.index(tiebreak_field)
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(
+                [seq_field, tiebreak_field], ascending=False
+            ).iloc[0]
+            cand = tuple(
+                x.item() if hasattr(x, "item") else x
+                for x in (top[c] for c in cols)
+            )
+            if best is None or (cand[seq_i], cand[tie_i]) > (
+                best[seq_i],
+                best[tie_i],
+            ):
+                best = cand
+                changed = True
+        if changed:
+            state.update(best)
+            yield pd.DataFrame([best], columns=cols)
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=schema,
+        stateStructType=schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_latest_per_key_state(
+    stream: DataFrame,
+    spark,
+    key_field: str,
+    seq_field: str,
+    tiebreak_field: str,
+    checkpoint_dir: str | None = None,
+):
+    """Drive :func:`latest_per_key_state` to completion; return the final
+    state table as a batch DataFrame (per-key max over the monotone
+    changelog emissions — the Kafka changelog-topic compaction) and the
+    query's last StreamingQueryProgress rows for state-size assertions."""
+    import uuid
+
+    from kafka_streams_common_spark.registry import latest_per_key
+
+    out = latest_per_key_state(stream, key_field, seq_field, tiebreak_field)
+    name = f"lpks_{uuid.uuid4().hex[:12]}"
+    writer = (
+        out.writeStream.format("memory").queryName(name).outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    final = latest_per_key(
+        spark.table(name), key_field, seq_field, tiebreak_field
+    )
+    return final, progress

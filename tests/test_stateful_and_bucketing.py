@@ -73,3 +73,56 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "Exchange" not in plan, plan
     assert joined.count() == 1500
+
+
+def test_latest_per_key_state_equals_batch_and_bounds_state(spark, tmp_path):
+    """applyInPandasWithState latest-per-key under TRUE multi-batch
+    execution: the compacted changelog must equal the batch KTable view,
+    and the engine's own stateOperators metrics must show exactly one
+    state row per distinct key (the operator's whole scale contract)."""
+    from kafka_streams_common_spark.registry import latest_per_key
+    from kafka_streams_common_spark.streaming.stateful import (
+        run_latest_per_key_state,
+    )
+
+    src = TableCatalog.for_directory(SF_SMOKE).resolve("events").read(spark)
+    stream_dir = str(tmp_path / "ev")
+    src.repartition(4).write.parquet(stream_dir)
+
+    cat = TableCatalog(
+        {"events": TableRef(name="events", path=stream_dir, key_field="user_id")}
+    )
+    comp = StreamingCompiler(spark, cat, max_files_per_trigger=1)
+    stream = comp.stream_source("events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "props",
+    )
+    final, progress = run_latest_per_key_state(
+        stream, spark, key_field="user_id", seq_field="ts_us",
+        tiebreak_field="event_id", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["ts_us"]) for r in final.collect()
+    }
+    batch = latest_per_key(
+        src.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+        ),
+        "user_id", "ts_us", "event_id",
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["ts_us"]) for r in batch.collect()
+    }
+    assert got == want
+    # bounded state: exactly one state-store row per distinct key, from
+    # the engine's own metrics (not inferred from output)
+    ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert ops, "no stateOperators metrics reported"
+    assert ops[-1]["numRowsTotal"] == len(want), ops[-1]
+    # multi-batch really happened
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    assert len(batches) > 1, "expected several microbatches"
