@@ -283,3 +283,105 @@ def run_latest_per_key_state(
         spark.table(name), key_field, seq_field, tiebreak_field
     )
     return final, progress
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def session_aggregate_state(
+    stream: DataFrame,
+    key_field: str,
+    ts_us_field: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator with
+    EVENT-TIME TIMERS — the third rung of the GroupState ladder after
+    :func:`running_counter` (plain state) and
+    :func:`latest_per_key_state` (winner state): the open session lives
+    in state, in-batch gap splits close sessions immediately, and the
+    LAST open session per key is closed by ``setTimeoutTimestamp`` —
+    the state store's timer fires when the WATERMARK passes
+    session_end + gap, exactly Kafka Streams' ``SessionWindows.with(
+    inactivityGap)`` close semantics. Emits one
+    ``(key, session_start_us, session_end_us, n_events)`` row per CLOSED
+    session (append-style — a session row is final when emitted).
+
+    Caller contract: ``stream`` must carry ``withWatermark`` on the
+    event-time column underlying ``ts_us_field`` (event-time timeouts
+    require it), and ``ts_us_field`` is the same instants as bigint
+    microseconds. Sessions still open when a bounded source ends stay in
+    state (their timer never fires) — the same decided-region caveat as
+    stream-stream outer joins; unbounded deployments have no such tail.
+
+    Scale shape: state is one open-session row per ACTIVE key (closed
+    sessions leave state immediately), timers are state-store metadata —
+    no scan, no driver involvement; input streams through per-key Arrow
+    batches.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        gap_us = gap_seconds * 1_000_000
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "session_start_us": [s],
+                        "session_end_us": [e],
+                        "n_events": [n],
+                    }
+                )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf[ts_us_field])
+        ts.sort()
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_us:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        if cur is not None:
+            state.update(cur)
+            # close the open session when the WATERMARK passes end + gap
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -126,3 +126,82 @@ def test_latest_per_key_state_equals_batch_and_bounds_state(spark, tmp_path):
     # multi-batch really happened
     batches = [p for p in progress if p.get("numInputRows", 0) > 0]
     assert len(batches) > 1, "expected several microbatches"
+
+
+def test_session_aggregate_state_event_time_timers(spark, tmp_path):
+    """Custom sessionization with EVENT-TIME TIMERS: in-batch gap splits
+    close sessions immediately; the last open session per key closes when
+    the WATERMARK passes end+gap (setTimeoutTimestamp); sessions still
+    open at stream end are never emitted (the decided-region contract)."""
+    import datetime as dt
+    import os
+    import time
+
+    from kafka_streams_common_spark.streaming.stateful import (
+        session_aggregate_state,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    sec = dt.timedelta(seconds=1)
+    # wave 0: user 1 has a 3-event session, then an in-batch gap split;
+    # user 2 a single event
+    write_wave(0, [
+        (1, t0), (1, t0 + 10 * sec), (1, t0 + 20 * sec),
+        (1, t0 + 120 * sec),
+        (2, t0),
+    ])
+    # wave 1, hours later: advances the watermark far past wave 0 so the
+    # open wave-0 sessions time out; its own sessions stay open forever
+    write_wave(1, [(3, t0 + dt.timedelta(hours=4))])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    out = session_aggregate_state(
+        stream, key_field="user_id", ts_us_field="ts_us", gap_seconds=60
+    )
+    name = "sess_probe"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    got = {
+        (r["key"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    assert got == {
+        (1, us(t0), us(t0 + 20 * sec), 3),           # closed by in-batch gap
+        (1, us(t0 + 120 * sec), us(t0 + 120 * sec), 1),  # closed by timer
+        (2, us(t0), us(t0), 1),                      # closed by timer
+        # user 3's session is still open at stream end: not emitted
+    }, got
