@@ -2247,3 +2247,95 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+@query(
+    "window_rank_functions_showcase",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w_tie AS BIGINT)        AS price_rank,
+           CAST(dense_rank() OVER w_tie AS BIGINT)  AS price_dense_rank,
+           percent_rank() OVER w_tie                AS price_percent_rank,
+           cume_dist() OVER w_tie                   AS price_cume_dist,
+           CAST(row_number() OVER w_total AS BIGINT) AS price_row_number,
+           CAST(ntile(4) OVER w_total AS BIGINT)     AS price_quartile,
+           first_value(o_orderkey) OVER w_total      AS biggest_order
+    FROM orders
+    WINDOW
+      w_tie AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+      w_total AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family in one pass — rank / dense_rank /
+    percent_rank / cume_dist / row_number / ntile / first_value over each
+    customer's orders by price. Determinism discipline: the tie-SAFE
+    functions (rank, dense_rank, percent_rank, cume_dist — equal keys get
+    equal results) run on the price-only ordering, while the
+    tie-SENSITIVE ones (row_number, ntile, first_value) require the total
+    order (price, orderkey) — mixing them onto the ambiguous ordering is
+    the classic nondeterminism bug this exemplar pins against. One
+    shuffle on o_custkey serves every function (same partitioning, two
+    sort keys sharing a prefix).
+    """
+    w_tie = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w_tie).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w_tie).cast("bigint").alias("price_dense_rank"),
+        F.percent_rank().over(w_tie).alias("price_percent_rank"),
+        F.cume_dist().over(w_tie).alias("price_cume_dist"),
+        F.row_number().over(w_total).cast("bigint").alias("price_row_number"),
+        F.ntile(4).over(w_total).cast("bigint").alias("price_quartile"),
+        F.first("o_orderkey").over(w_total).alias("biggest_order"),
+    )
+
+
+@query(
+    "array_function_showcase",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[i] AS DOUBLE)))) AS l2_norm,
+           list_max(list_transform(generate_series(1, len(embedding)),
+                i -> CAST(embedding[i] AS DOUBLE))) AS max_dim,
+           list_sum(list_transform(generate_series(1, 3),
+                i -> CAST(embedding[i] AS DOUBLE))) AS head3_sum,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0))
+                AS BIGINT) AS n_negative
+    FROM embeddings
+    """,
+)
+def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array / higher-order-function surface in one map-only pass over
+    the embedding column: size, an L2 norm via a SEQUENTIAL aggregate
+    fold (the float-determinism idiom the cosine operators established —
+    Spark's aggregate() and DuckDB's list_sum are both left folds, so the
+    double sums match bit-for-bit), array_max over a cast transform, a
+    slice-sum, and a filtered count. Zero shuffles, whole-stage codegen
+    end to end — the shape every vector feature-engineering step should
+    compile to.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.select("vec_id", v.alias("__v"))
+    v = F.col("__v")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("n_dims"),
+        F.sqrt(fold(F.transform(v, lambda x: x * x))).alias("l2_norm"),
+        F.array_max(v).alias("max_dim"),
+        fold(F.slice(v, 1, 3)).alias("head3_sum"),
+        F.size(F.filter(v, lambda x: x < 0)).cast("bigint").alias("n_negative"),
+    )
