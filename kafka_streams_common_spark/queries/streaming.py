@@ -576,3 +576,111 @@ def streaming_session_state_machine(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(decided)
         .select("key", "session_start_us", "session_end_us", "n_events")
     )
+
+
+@query(
+    "streaming_funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    cut AS (
+      SELECT max(ts) - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS c FROM events
+    ),
+    decided AS (
+      SELECT e.user_id FROM ev e CROSS JOIN cut
+      GROUP BY e.user_id, cut.c HAVING max(e.ts) < cut.c
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM ev e JOIN c2 ON e.user_id = c2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c2.t2
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(1 + CASE WHEN c2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS funnel_stage
+    FROM v
+    JOIN decided ON v.user_id = decided.user_id
+    LEFT JOIN c2 ON v.user_id = c2.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The view→click→purchase funnel computed ON THE STREAM
+    (streaming/stateful.funnel_state_machine): events buffer in per-user
+    state until the watermark passes them, then fold in event-time order
+    — the strict-sequential-min semantics of events_funnel_conversion,
+    which is ORDER-sensitive and therefore impossible to compute from a
+    stream without the watermark-buffered reorder (the out-of-order
+    cross-batch proof lives in tests/test_stateful_and_bucketing.py).
+
+    Bounded-source equivalence uses the decided region (the convention
+    of the stream-stream outer join and session machine): a user is
+    decided once the final watermark passed their LAST funnel-relevant
+    event (1-second margin for millisecond watermark truncation) — every
+    fold for such a user has happened, so their streamed funnel depth
+    equals the batch replay. Output: ``(user_id, funnel_stage)`` for
+    decided users who entered the funnel; emissions are monotone, so the
+    update-log compaction is one max per user.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.streaming.stateful import (
+        funnel_state_machine,
+    )
+
+    stage = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = (
+        comp.stream_source("events")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "ts",  # the watermarked column must survive the projection
+            F.unix_micros("ts").alias("ts_us"),
+            stage.cast("bigint").alias("stage"),
+        )
+        .filter(F.col("stage").isNotNull())
+    )
+    streamed = run_stream_to_memory(
+        funnel_state_machine(stream, n_stages=3), spark, output_mode="update"
+    )
+    compact = streamed.groupBy(F.col("key").alias("user_id")).agg(
+        F.max("funnel_stage").cast("bigint").alias("funnel_stage")
+    )
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    cut = table(spark, sf_dir, "events").agg(
+        (
+            F.max("ts") - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 1 SECOND")
+        ).alias("__c")
+    )
+    decided = (
+        ev.groupBy(F.col("user_id").alias("__u"))
+        .agg(F.max("ts").alias("__umax"))
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("__umax") < F.col("__c"))
+        .select("__u")
+    )
+    return compact.join(
+        F.broadcast(decided), F.col("user_id") == F.col("__u"), "left_semi"
+    )

@@ -385,3 +385,125 @@ def session_aggregate_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def funnel_state_machine(
+    stream: DataFrame,
+    n_stages: int,
+    key_field: str = "user_id",
+    ts_us_field: str = "ts_us",
+    stage_field: str = "stage",
+) -> DataFrame:
+    """STREAMING k-step funnel — the strict-sequential-min semantics of
+    ``operators.funnel.funnel_conversion`` computed incrementally, and
+    the reason this needs a custom state machine rather than a chain of
+    streaming joins: the funnel fold is ORDER-SENSITIVE (stage i's
+    earliest qualifying event must be strictly after stage i-1's), but a
+    stream delivers events out of order across microbatches. The
+    watermark is exactly the order oracle: events BUFFER in state until
+    the watermark passes them, then fold into the per-user stage
+    timestamps in global event-time order — at that point no earlier
+    event can still arrive, so every fold decision is final.
+
+    Input contract: watermarked stream of ``(key, ts_us, stage)`` where
+    ``stage`` ∈ 1..n_stages is the funnel stage the event satisfies
+    (map the predicates upstream; non-stage events filtered out). The
+    WATERMARKED column itself must survive the caller's projection —
+    event-time timeouts resolve the watermark from that column, and
+    ``unix_micros(ts)`` does not inherit the tag (keep ``ts`` in the
+    select even though this operator reads only ``ts_us``).
+    Emits ``(key, t1_us..tk_us, funnel_stage)`` in update mode whenever
+    a user's folded state changes (t_i = earliest stage-i event strictly
+    after t_{i-1}; nulls past the user's depth); a user appears once
+    entered (t1 set). Emissions are monotone — t_i is set at most once,
+    ``funnel_stage`` never decreases — so the per-key compaction is a
+    null-skipping max per column.
+
+    Event-time timers flush the tail: after each input fold the timer is
+    set to the earliest still-buffered event, so when the watermark
+    passes it (including the engine's trailing no-data batch) the
+    timeout path folds newly-eligible events and re-arms for the rest.
+    Scale shape: state per key = k stage slots + the events inside the
+    watermark lag (bounded by delay × per-key rate, the standard
+    buffered-reorder cost); everything folds in per-key Arrow batches.
+    """
+    out_fields = [T.StructField("key", T.LongType())]
+    out_fields += [
+        T.StructField(f"t{i}_us", T.LongType()) for i in range(1, n_stages + 1)
+    ]
+    out_fields.append(T.StructField("funnel_stage", T.LongType()))
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("t", T.ArrayType(T.LongType())),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_stage", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _fold(t, buf, wm_us):
+        """Fold buffered (ts, stage) events with ts <= wm_us in event-time
+        order; return (changed, remaining_buffer)."""
+        eligible = sorted(e for e in buf if e[0] <= wm_us)
+        remaining = [e for e in buf if e[0] > wm_us]
+        changed = False
+        for ts, stage in eligible:
+            s = int(stage)
+            if s == 1:
+                if t[0] < 0:
+                    t[0] = ts
+                    changed = True
+            elif t[s - 2] >= 0 and ts > t[s - 2] and t[s - 1] < 0:
+                t[s - 1] = ts
+                changed = True
+        return changed, remaining
+
+    def _emit(key, t):
+        depth = 0
+        for v in t:
+            if v < 0:
+                break
+            depth += 1
+        row = {"key": [key[0]]}
+        for i, v in enumerate(t, start=1):
+            row[f"t{i}_us"] = [v if v >= 0 else None]
+        row["funnel_stage"] = [depth]
+        return pd.DataFrame(row)
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            t, buf_ts, buf_stage = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            t, buf_ts, buf_stage = [-1] * n_stages, [], []
+        buf = list(zip(buf_ts, buf_stage))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (int(a), int(b))
+                    for a, b in zip(pdf[ts_us_field], pdf[stage_field])
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        changed, buf = _fold(t, buf, wm_us)
+        state.update((t, [e[0] for e in buf], [e[1] for e in buf]))
+        if buf:
+            # re-arm: fold the rest when the watermark passes the
+            # EARLIEST still-buffered event (must stay > current wm)
+            nxt = max(min(e[0] for e in buf) // 1000 + 1,
+                      state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(nxt)
+        if changed and t[0] >= 0:
+            yield _emit(key, t)
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

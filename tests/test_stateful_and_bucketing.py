@@ -205,3 +205,110 @@ def test_session_aggregate_state_event_time_timers(spark, tmp_path):
         (2, us(t0), us(t0), 1),                      # closed by timer
         # user 3's session is still open at stream end: not emitted
     }, got
+
+
+def test_funnel_state_machine_out_of_order_across_batches(spark, tmp_path):
+    """The streaming funnel's reason to exist: stage events arriving in
+    the WRONG order across microbatches (click lands a batch before its
+    user's view, with an earlier event time... and vice versa) must fold
+    in EVENT-TIME order once the watermark passes them. A bufferless
+    arrival-order fold gets user 1 wrong (the click arrives first and
+    would be discarded — no view yet); the watermark-buffered machine
+    folds view(t+30) then click(t+40) and reaches stage 2."""
+    import datetime as dt
+    import os
+    import time
+
+    from kafka_streams_common_spark.streaming.stateful import (
+        funnel_state_machine,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts timestamp"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    # batch 0: user 1's CLICK (event time t+40) arrives FIRST;
+    #          user 2's view
+    write_wave(0, [(1, "click", t0 + 40 * sec), (2, "view", t0 + 10 * sec)])
+    # batch 1: user 1's VIEW (event time t+30 — EARLIER than the click
+    #          already seen); user 2's click
+    write_wave(1, [(1, "view", t0 + 30 * sec), (2, "click", t0 + 20 * sec)])
+    # batch 2: user 2's purchase (event time t+25 — BEFORE their click,
+    #          so it must NOT count: strict-sequential order); user 3 far
+    #          in the future drives the watermark past everything old
+    write_wave(2, [
+        (2, "purchase", t0 + 25 * sec),
+        (3, "view", t0 + dt.timedelta(hours=2)),
+    ])
+
+    stage = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "60 seconds")
+        .select(
+            "user_id",
+            "ts",  # the watermarked column must survive the projection
+            F.unix_micros("ts").alias("ts_us"),
+            stage.cast("bigint").alias("stage"),
+        )
+        .filter(F.col("stage").isNotNull())
+    )
+    out = funnel_state_machine(stream, n_stages=3)
+    name = "funnel_probe"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    final = (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.max("funnel_stage").alias("funnel_stage"),
+            F.max("t1_us").alias("t1_us"),
+            F.max("t2_us").alias("t2_us"),
+            F.max("t3_us").alias("t3_us"),
+        )
+    )
+    got = {r["key"]: r for r in final.collect()}
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    # user 1: event-time order view(30) → click(40) ⇒ stage 2 (the
+    # arrival order was click-then-view)
+    assert got[1]["funnel_stage"] == 2
+    assert got[1]["t1_us"] == us(t0 + 30 * sec)
+    assert got[1]["t2_us"] == us(t0 + 40 * sec)
+    # user 2: purchase(25) precedes click(20)? no — 25 > 20, but it
+    # arrived after; event-time says view(10) → click(20) → purchase(25)
+    # ⇒ stage 3
+    assert got[2]["funnel_stage"] == 3
+    assert got[2]["t3_us"] == us(t0 + 25 * sec)
+    # user 3's events sit above the final watermark: never folded
+    assert 3 not in got
