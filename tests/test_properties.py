@@ -235,3 +235,63 @@ def test_r5_operators_invariant_under_partitioning(spark_):
                 reshape(emb), queries, k=5, n_centroids=8, n_probe=2
             )
         )
+
+
+_f_users = st.integers(min_value=0, max_value=3)
+_f_ts = st.integers(min_value=0, max_value=30)
+_f_stage = st.sampled_from(["a", "b", "c"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(_f_users, _f_stage, _f_ts), min_size=1, max_size=20
+    )
+)
+def test_funnel_matches_python_reference(spark_, events):
+    """funnel_conversion vs a direct strict-sequential-min reference on
+    randomized logs: duplicate timestamps, stage events before entry,
+    users skipping stages, multi-user interleaving. Checks depth AND the
+    kept stage timestamps (keep_timestamps=True)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.funnel import funnel_conversion
+
+    def ref_user(evs):
+        t, prev = [], None
+        for stage in ("a", "b", "c"):
+            if stage == "a":
+                cand = [ts for ts, s in evs if s == "a"]
+            else:
+                cand = [ts for ts, s in evs if s == stage and ts > prev]
+            if not cand:
+                break
+            prev = min(cand)
+            t.append(prev)
+        return t
+
+    expect = {}
+    for u in {e[0] for e in events}:
+        t = ref_user([(ts, s) for (uu, s, ts) in events if uu == u])
+        if t:
+            expect[u] = t
+
+    df = spark_.createDataFrame(
+        [(u, s, ts) for (u, s, ts) in events],
+        "user_id bigint, event_type string, ts bigint",
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_conversion(
+            df,
+            [(n, F.col("event_type") == n) for n in ("a", "b", "c")],
+            keep_timestamps=True,
+        ).collect()
+    }
+    assert set(out) == set(expect), (sorted(out), sorted(expect))
+    for u, t in expect.items():
+        r = out[u]
+        assert r["funnel_stage"] == len(t), (u, t, r)
+        got_ts = [r["ts_a"], r["ts_b"], r["ts_c"]]
+        assert got_ts[: len(t)] == t, (u, t, got_ts)
+        assert all(v is None for v in got_ts[len(t):]), (u, t, got_ts)
