@@ -805,3 +805,319 @@ def centroid_cosine_outliers(
             (cos < F.lit(tau)).alias("is_outlier"),
         )
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    sample_size: int = 512,
+    iters: int = 10,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled product-quantization codebook training —
+    ``(sub_id, code_id, c)`` with one k-means codebook per length-``d``
+    subspace (``d = dim / m``; dim must divide evenly).
+
+    Same train-on-sample/apply-distributed split as
+    :func:`train_ivf_centroids` and the same scale argument: the ONLY
+    corpus-scale work is the constant-size md5-ordered sample
+    (TakeOrderedAndProject), then plain-L2 Lloyd's per subspace runs
+    driver-side in numpy, fully seeded — the same corpus always yields
+    the same codebooks on any cluster. Plain L2 (not spherical): PQ
+    approximates the vector ITSELF; cosine comes back at ADC time from
+    the reconstructed dot and norm.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+            md5_int64(id_col).alias("__h"),
+        )
+        .orderBy(F.asc("__h"), F.asc("__id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r["__v"] for r in rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    out = []
+    for s in range(m):
+        Xs = X[:, s * d : (s + 1) * d]
+        n = len(Xs)
+        k = min(k_codes, n)
+        # k-means++ init on L2
+        first = int(rng.integers(n))
+        centers = [Xs[first]]
+        dist = ((Xs - centers[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            w = np.maximum(dist, 0.0)
+            probs = w / w.sum() if w.sum() > 0 else np.full(n, 1.0 / n)
+            nxt = int(rng.choice(n, p=probs))
+            centers.append(Xs[nxt])
+            dist = np.minimum(dist, ((Xs - centers[-1]) ** 2).sum(axis=1))
+        C = np.vstack(centers)
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members) == 0:
+                    C[c] = Xs[int(d2.min(axis=1).argmax())]
+                else:
+                    C[c] = members.mean(axis=0)
+        out.extend(
+            (s, int(c), [float(x) for x in C[c]]) for c in range(k)
+        )
+    return spark.createDataFrame(
+        out, "sub_id int, code_id int, c array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: ``(vec_id, codes array<int>)`` — per
+    subspace, the L2-nearest codebook entry (ties → lowest code, so the
+    encoding is deterministic).
+
+    The codebooks are collected once (m·k rows — constant-size) into an
+    Arrow ``pandas_udf`` kernel closure: the corpus never shuffles and
+    never meets a join — one vectorized numpy argmin per Arrow batch,
+    the same kernel pattern as the minhash/hyperplane signatures. A
+    corpus row compresses from dim doubles to m small ints — the 8-32×
+    storage cut that makes the PQ index scannable at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cb = codebooks.orderBy("sub_id", "code_id").collect()
+    m = 1 + max(r["sub_id"] for r in cb)
+    k = 1 + max(r["code_id"] for r in cb)
+    d = len(cb[0]["c"])
+    C = np.zeros((m, k, d), dtype="float64")
+    for r in cb:
+        C[r["sub_id"], r["code_id"]] = r["c"]
+
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype="float64") for v in vs])
+        codes = np.empty((len(X), m), dtype="int32")
+        for s in range(m):
+            Xs = X[:, s * d : (s + 1) * d]
+            d2 = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(axis=1)  # argmin: first (lowest) on ties
+        return pd.Series(list(codes))
+
+    # defeat `from __future__ import annotations` stringification (the
+    # repo-wide kernel pattern — see dedup.py's signature kernels)
+    encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    encode = pandas_udf(encode, "array<int>")
+
+    base = fan_out(corpus)
+    return base.select(
+        F.col(id_col).alias(id_col),
+        encode(to_double_array(F.col(vec_col))).alias("codes"),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — ``(q_id, vec_id, score)`` where
+    ``score`` is the ADC cosine (query against the PQ-RECONSTRUCTED
+    candidate), the FAISS-taxonomy IVF-PQ shape done relationally:
+
+    1. cell assignment + probing exactly as :func:`ivf_cosine_topk`
+       (broadcast centroid joins, max_by argmax — no window over the
+       corpus);
+    2. candidates = probed cells only (the IVF pruning);
+    3. ADC scoring WITHOUT touching the vectors again: each candidate's
+       m codes join a per-(query, subspace, code) LOOKUP TABLE built by
+       crossing the queries against the m·k codebook rows — broadcast-
+       sized by construction — carrying the partial dot
+       ``⟨q_sub, c⟩`` and partial squared norm ``|c|²``; per (query,
+       candidate) the m partials aggregate to
+       ``score = Σdot / (|q| · √Σ|c|²)``.
+
+    The scoring path reads only (vec_id, codes) — dim/m× fewer bytes
+    than the float corpus — plus constant-size broadcasts; the one
+    shuffle is the (q_id, vec_id) partial-sum aggregation over candidate
+    rows. Determinism across runs and engines: the partials are rounded
+    to 9 dp and summed as DECIMAL(28,12) (exact, order-free — the money-
+    aggregate convention), so the 8-way float additions cannot reorder;
+    rankings tie-break on the id. Given fixed (seeded) centroids and
+    codebooks the whole operator is deterministic; the codebook training
+    itself is not SQL-expressible, so the registered query gates on
+    in-engine invariants (ADC ≡ reconstructed-cosine consistency) rather
+    than a value-replay oracle — the HLL/quantile-sketch convention.
+
+    ``rerank=N`` selects an N-deep ADC shortlist per query and re-scores
+    it against the FULL-PRECISION vectors (one broadcast-shortlist join,
+    the :func:`ivf_int8_rerank_topk` pattern) — the production
+    configuration: PQ resolution caps pure-ADC recall (tightly clustered
+    neighbors differ by less than a 32-bit code can express; measured
+    0.445 recall@10 on the planted-cluster corpus vs ≥ 0.9 with
+    ``rerank=50``), so ADC serves the cheap scan and exact scores serve
+    the final order. ``None`` returns raw ADC scores.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
+        )
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    vecs = corpus.select(id_col, to_double_array(F.col(vec_col)).alias("__v"))
+    if centroids is None:
+        centroids = (
+            vecs.select(F.col(id_col).alias("c_id"), F.col("__v").alias("c_emb"))
+            .orderBy(F.asc("c_id"))
+            .limit(n_centroids)
+        )
+    assigned = (
+        fan_out(vecs)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "c_id",
+            cosine_similarity(F.col("__v"), F.col("c_emb")).alias("c_score"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("c_id"),
+                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
+            ).alias("cell")
+        )
+    )
+
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("c_score"), F.asc("c_id")
+    )
+    qv = queries.select(
+        query_id_col, to_double_array(F.col(query_vec_col)).alias("__q")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            "c_id",
+            cosine_similarity(F.col("__q"), F.col("c_emb")).alias("c_score"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= n_probe)
+        .select(query_id_col, F.col("c_id").alias("cell"))
+    )
+
+    # per-(query, subspace, code) ADC lookup table — |q|·m·k rows
+    sub_d = F.size(F.col("c"))
+    q_sub = F.slice(F.col("__q"), F.col("sub_id") * sub_d + 1, sub_d)
+    lut = (
+        qv.crossJoin(F.broadcast(codebooks))
+        .select(
+            query_id_col,
+            "sub_id",
+            "code_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(q_sub, F.col("c"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("pdot"),
+            F.round(
+                F.aggregate(
+                    F.transform(F.col("c"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("pn2"),
+        )
+    )
+    qnorm = qv.select(
+        query_id_col, l2_norm(F.col("__q")).alias("__qn")
+    )
+
+    cand_codes = (
+        codes.join(assigned, id_col)
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.posexplode("codes").alias("sub_id", "code_id"),
+        )
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    adc = (
+        cand_codes.join(F.broadcast(lut), [query_id_col, "sub_id", "code_id"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum("pdot").cast("double").alias("__dot"),
+            F.sum("pn2").cast("double").alias("__n2"),
+        )
+        .join(F.broadcast(qnorm), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.col("__dot")
+                / F.greatest(
+                    F.col("__qn") * F.sqrt(F.col("__n2")), F.lit(1e-30)
+                )
+            ).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(rank_w))
+    )
+    if rerank is None:
+        return adc.filter(F.col("rn") <= k).select(query_id_col, id_col, "score")
+    short = adc.filter(F.col("rn") <= rerank).select(query_id_col, id_col)
+    exact_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        vecs.join(F.broadcast(short), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(F.col("__v"), F.col("__q")).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "score")
+    )

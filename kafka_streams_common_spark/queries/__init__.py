@@ -47,12 +47,13 @@ ROTATES each round and the ledger is published in README.md §Verification:
   streaming_mix_ingest) closed r6 local-parity-green only.
 - round 7 (``_R7_WINDOW`` below): the never-driver-checked head is
   PINNED FIRST (the three r6 late registrations — must not be lost if
-  the budget ever shrinks), then the 17 new-in-r7 queries (funnel
+  the budget ever shrinks), then the 18 new-in-r7 queries (funnel
   time-to-convert, the perplexity gate, the stream-stream LEFT OUTER
   join, the contamination report, the applyInPandasWithState
   latest-per-key runtime, the timer-based session state machine, the
-  watermark-buffered STREAMING funnel, the ranking-function and
-  array/HOF showcases, and the TPC-H completion set
+  watermark-buffered STREAMING funnel, IVF-PQ with exact re-rank,
+  the ranking-function and array/HOF showcases, and the TPC-H
+  completion set
   Q12/Q13/Q17/Q19/Q8/Q9/Q16/Q20 — first exposure), then the six rows last green in
   round 4 (exactly the held-back set promised the r7 lead), then the
   11 green rows whose code changed in r7 (Q22's decimal-exact
@@ -64,11 +65,11 @@ ROTATES each round and the ledger is published in README.md §Verification:
   fix — dedup_apply_canonical_corpus, pipeline_curate_corpus,
   dedup_passages, plus text_fingerprints for document_fingerprints'
   materialized-token fix; six MORE changed-code consumers hold their
-  own slots elsewhere in the window), then 13 of the 43 rows last green
+  own slots elsewhere in the window), then 12 of the 43 rows last green
   in round 5, least-proven first (every [r5]-only row, the [r1,r5]
   set-op tier, most [r2,r5] rows, and the dedup/similarity [r1,r2,r5]
   rows; three more r5-stale rows ride along in the changed-code
-  group). The 26 r5-green rows left past-window each have ≥ 2 green
+  group). The 27 r5-green rows left past-window each have ≥ 2 green
   driver rounds (15 of them ≥ 3) on code unchanged since round 5.
 
 After round 7 completes, every registered query's latest green driver
@@ -92,8 +93,8 @@ from kafka_streams_common_spark.queries import standard as _standard  # noqa: F4
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
 # Round-7 driver window, in driver execution order. Layout: 3 never-
-# driver-checked + 17 new-in-r7 + 6 last-green-r4 + 11 changed-code +
-# 13 least-proven last-green-r5 = 50.
+# driver-checked + 18 new-in-r7 + 6 last-green-r4 + 11 changed-code +
+# 12 least-proven last-green-r5 = 50.
 _R7_HEAD = (
     # NO driver row in any round (r6 late registrations) — pinned first
     "tpch_q11_important_stock",
@@ -119,6 +120,7 @@ _R7_WINDOW = _R7_HEAD + (
     "window_rank_functions_showcase",
     "array_function_showcase",
     "streaming_funnel_conversion",
+    "sim_ivf_pq_rerank",
     # last green in round 4 (the six rows held back from the r6 window,
     # promised the r7 lead) — 3 rounds stale without this refresh
     "scalar_function_showcase",
@@ -164,7 +166,6 @@ _R7_WINDOW = _R7_HEAD + (
     "dedup_decontaminate",
     "text_token_counts",
     "text_quality_filter",
-    "text_tfidf_top_terms",
     # last green in round 5, [1,2,5] tier — the dedup/similarity
     # operators take the slots (the rows displaced by the five
     # changed-code re-verifications above — filter_pushdown_scan,
@@ -176,7 +177,7 @@ _R7_WINDOW = _R7_HEAD + (
 )
 
 # Past the window: every one of these has ≥ 2 green driver rows (most
-# recent: r5 or r6) on code unchanged since that row — of the 26
+# recent: r5 or r6) on code unchanged since that row — of the 27
 # r5-green rows left behind (semi_join, salted_agg, text_top_words,
 # llm_pack_sequences, j5_enrichment_chain,
 # s2_latest_per_key, p4_json_parse_agg, streaming_stream_stream_join,
@@ -185,6 +186,7 @@ _R7_WINDOW = _R7_HEAD + (
 # sim_cosine_topk, set_except, set_intersect,
 # cube_orders_by_status_priority, dedup_simhash, grouping_sets_orders,
 # text_repetition_metrics, unpivot_customer_measures,
+# text_tfidf_top_terms,
 # text_pii_scrub, array_agg_order_keys_per_customer, text_hash_sample,
 # text_stratified_sample, sim_centroid_by_label), 14 have ≥ 3. All
 # stay covered by the local parity suite (scripts/driver_sim.py runs

@@ -474,3 +474,70 @@ def sim_diverse_cell_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_diverse_sample(
         table(spark, sf_dir, "embeddings"), n_per_cell=8, n_centroids=16
     )
+
+
+@query(
+    "sim_ivf_pq_rerank",
+    oracle="""
+    SELECT vec_id AS q_id,
+           CAST(10 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with full-precision re-rank
+    (operators.similarity.ivf_pq_topk) — the FAISS-taxonomy IVF-PQ shape
+    done relationally: seeded-k-means codebooks (trained driver-side on
+    the constant-size md5 sample), Arrow-kernel PQ encoding (map-only,
+    8× narrower rows than the float corpus), cell-pruned ADC scoring
+    through a broadcast (query, subspace, code) lookup table with
+    DECIMAL-exact partial sums, then exact cosine re-rank of the
+    60-deep shortlist.
+
+    Codebook training is not SQL-expressible, so — the sketch-row
+    convention (HLL, approx-quantiles) — the hash-gated row carries
+    deterministic invariants instead of replayed values: every query
+    returns exactly k results, and per-query recall@10 against the
+    in-engine brute-force baseline clears a floor of 3/10 (the fixture's
+    near-uniform embeddings are PQ's worst case; measured minimum 5/10
+    at both gate SFs, so the floor has 40% margin; the ≥0.9 recall
+    story on clustered data is pinned in pytest). Everything is seeded,
+    so the booleans cannot flap.
+    """
+    from kafka_streams_common_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_pq_topk,
+        train_ivf_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    res = ivf_pq_topk(
+        emb, queries, k=10, n_probe=8, rerank=60, centroids=cent
+    )
+    exact = brute_force_cosine_topk(emb, queries, k=10).select(
+        "q_id", F.col("vec_id").alias("__ev")
+    )
+    per_q = res.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results")
+    )
+    hits = (
+        res.join(
+            exact,
+            (res["q_id"] == exact["q_id"]) & (res["vec_id"] == F.col("__ev")),
+        )
+        .groupBy(res["q_id"].alias("__hq"))
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        per_q.join(hits, per_q["q_id"] == F.col("__hq"), "left")
+        .select(
+            "q_id",
+            "n_results",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 3).alias("recall_ok"),
+        )
+    )

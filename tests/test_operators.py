@@ -725,3 +725,70 @@ def test_passage_dedup_half_corpus_coverage(spark):
         else:
             assert out[d]["n_dropped"] == 0
             assert "p0" not in out[d]["clean_text"].split()
+
+
+def test_ivf_pq_rerank_recall_on_clustered_corpus(spark):
+    """IVF-PQ end-to-end on the regime it exists for (clustered
+    embeddings): trained cells + trained codebooks + ADC shortlist +
+    exact re-rank reaches recall@10 ≥ 0.9 at an 8/32 probe; pure ADC
+    (no re-rank) is deterministic across runs and returns k per query.
+    PQ-resolution ceiling documented: pure ADC sits far below the
+    re-ranked recall on tight clusters — the re-rank is load-bearing."""
+    import numpy as np
+
+    from kafka_streams_common_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivf_pq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + 0.15 * rng.normal(size=32)])
+        for i in range(2000)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cent = train_ivf_centroids(emb, n_centroids=32)
+    cb = train_pq_codebooks(emb, m=8, k_codes=32)
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_cosine_topk(emb, queries, k=10).collect()
+    }
+    reranked = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_pq_topk(
+            emb, queries, k=10, n_probe=8, rerank=50,
+            centroids=cent, codebooks=cb,
+        ).collect()
+    }
+    recall = len(exact & reranked) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ re-ranked recall {recall:.3f} < 0.9"
+
+    adc1 = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=10, n_probe=8, centroids=cent, codebooks=cb
+            ).collect(),
+        )
+    )
+    adc2 = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, queries, k=10, n_probe=8, centroids=cent, codebooks=cb
+            ).collect(),
+        )
+    )
+    assert adc1 == adc2, "ADC scores must be run-to-run deterministic"
+    per_q = {}
+    for q, v, s in adc1:
+        per_q.setdefault(q, []).append(s)
+    assert all(len(v) == 10 for v in per_q.values())
