@@ -60,6 +60,7 @@ TRACKING_QUERIES = [
     "sim_semantic_dedup_apply",
     "sim_diverse_cell_sample",
     "sim_ivf_int8_rerank",
+    "sim_ivf_pq_rerank",
     "text_bigram_logprob",
     "text_perplexity_filter",
     "llm_mix_corpus_tokens",

@@ -520,17 +520,20 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=10, n_probe=8, rerank=60, centroids=cent
     )
     exact = brute_force_cosine_topk(emb, queries, k=10).select(
-        "q_id", F.col("vec_id").alias("__ev")
+        F.col("q_id").alias("__eq"), F.col("vec_id").alias("__ev")
     )
     per_q = res.groupBy("q_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_results")
     )
+    # renamed join keys on the exact side: both frames descend from the
+    # same scan, and same-name column equality can silently resolve to a
+    # trivially-true self-comparison (Spark warns, then cross-counts)
     hits = (
         res.join(
             exact,
-            (res["q_id"] == exact["q_id"]) & (res["vec_id"] == F.col("__ev")),
+            (F.col("q_id") == F.col("__eq")) & (F.col("vec_id") == F.col("__ev")),
         )
-        .groupBy(res["q_id"].alias("__hq"))
+        .groupBy(F.col("q_id").alias("__hq"))
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
     return (
