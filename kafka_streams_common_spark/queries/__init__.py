@@ -89,6 +89,7 @@ from kafka_streams_common_spark.queries import dedup as _dedup  # noqa: F401,E40
 from kafka_streams_common_spark.queries import similarity as _similarity  # noqa: F401,E402
 from kafka_streams_common_spark.queries import text as _text  # noqa: F401,E402
 from kafka_streams_common_spark.queries import standard as _standard  # noqa: F401,E402
+from kafka_streams_common_spark.queries import quality as _quality  # noqa: F401,E402
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
@@ -192,6 +193,20 @@ _R7_WINDOW = _R7_HEAD + (
 # stay covered by the local parity suite (scripts/driver_sim.py runs
 # ALL oracles) each round.
 _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R7_WINDOW)
+
+# Queries registered AFTER the r7 window filled (the session-2 governance
+# tier + chunking/JL): local-parity-green only until round 8. Pinned here
+# so the r8 rotation MUST lead with them — same convention that promoted
+# the r6 late registrations to _R7_HEAD above.
+_R8_HEAD = (
+    "dq_profile_events",
+    "dq_constraints_orders",
+    "scd2_user_event_history",
+    "join_salted_skew_events",
+    "text_chunk_documents",
+    "sim_random_projection",
+)
+assert all(n in QUERIES for n in _R8_HEAD)
 
 _missing = [n for n in _R7_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"

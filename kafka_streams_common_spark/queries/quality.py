@@ -1,0 +1,196 @@
+"""Data-governance queries: single-pass profiling, constraint suites,
+SCD2 history, and the skew-salted join — with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.operators.profile import (
+    check_constraints,
+    profile_columns,
+)
+from kafka_streams_common_spark.operators.skewjoin import salted_join
+from kafka_streams_common_spark.queries.registry import query, table
+
+# One UNION ALL branch per profiled column — the oracle replays the
+# operator's single-pass metrics column by column. DECIMAL-exact mean
+# (round 6dp -> DECIMAL(28,12) sum, order-free) matches the operator.
+_PROFILE_BRANCH = """
+SELECT '{col}' AS "column",
+       count(*) AS n_rows,
+       count(*) - count({col}) AS n_nulls,
+       count({col}) / CAST(count(*) AS DOUBLE) AS completeness,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_value,
+       CAST(max({col}) AS VARCHAR) AS max_value,
+       {mean} AS mean_value
+FROM ev
+"""
+
+_MEAN = (
+    "CAST(sum(CAST(round(CAST({col} AS DOUBLE), 6) AS DECIMAL(28,12)))"
+    " AS DOUBLE) / count({col})"
+)
+
+_PROFILE_ORACLE = (
+    "WITH ev AS (SELECT event_id, user_id, event_type,"
+    " CAST(value AS DECIMAL(18,6)) AS value_d, props FROM events)\n"
+    + "\nUNION ALL\n".join(
+        _PROFILE_BRANCH.format(
+            col=c,
+            mean=(
+                _MEAN.format(col=c)
+                if c in ("event_id", "user_id", "value_d")
+                else "CAST(NULL AS DOUBLE)"
+            ),
+        )
+        for c in ("event_id", "user_id", "event_type", "value_d", "props")
+    )
+)
+
+
+@query("dq_profile_events", oracle=_PROFILE_ORACLE)
+def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass column profiling of the event stream —
+    completeness / distinct / min / max / decimal-exact mean for every
+    column in ONE table scan. ``value`` is pre-cast to DECIMAL(18,6) so
+    its min/max render identically as strings on any engine (raw double
+    formatting is engine-specific); at 100 TB the same query runs with
+    ``approx=True`` (HLL distinct counts, constant-size partials)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value_d"),
+        "props",
+    )
+    return profile_columns(
+        ev, ["event_id", "user_id", "event_type", "value_d", "props"]
+    )
+
+
+_CONSTRAINT_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(DISTINCT o_orderkey) AS ndk,
+         min(o_totalprice) AS minp,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2031-01-01'
+                  THEN 1 ELSE 0 END) AS bad_date,
+         count(o_custkey) AS nck
+  FROM orders
+)
+SELECT 'orderkey_unique' AS constraint_name,
+       CAST(ndk AS DOUBLE) AS observed, ndk = n AS passed FROM a
+UNION ALL
+SELECT 'totalprice_non_negative', CAST(minp AS DOUBLE), minp >= 0 FROM a
+UNION ALL
+SELECT 'orderstatus_in_domain', CAST(bad_status AS DOUBLE),
+       bad_status = 0 FROM a
+UNION ALL
+SELECT 'orderdate_in_bounds', CAST(bad_date AS DOUBLE), bad_date = 0 FROM a
+UNION ALL
+SELECT 'custkey_complete', CAST(nck AS DOUBLE), nck = n FROM a
+"""
+
+
+@query("dq_constraints_orders", oracle=_CONSTRAINT_ORACLE)
+def dq_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over ``orders`` — uniqueness, domain,
+    bounds, completeness — verified in ONE aggregation pass (the whole
+    suite costs a single scan however many checks it holds)."""
+    orders = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    bad_status = F.sum(
+        (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+    )
+    bad_date = F.sum(
+        (
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2031-01-01").cast("timestamp"))
+        ).cast("long")
+    )
+    return check_constraints(
+        orders,
+        [
+            (
+                "orderkey_unique",
+                F.countDistinct("o_orderkey"),
+                F.countDistinct("o_orderkey") == n,
+            ),
+            (
+                "totalprice_non_negative",
+                F.min("o_totalprice"),
+                F.min("o_totalprice") >= 0,
+            ),
+            ("orderstatus_in_domain", bad_status, bad_status == 0),
+            ("orderdate_in_bounds", bad_date, bad_date == 0),
+            ("custkey_complete", F.count("o_custkey"), F.count("o_custkey") == n),
+        ],
+    )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from a changelog: each user's event
+    stream becomes validity intervals ``[valid_from, valid_to)`` per
+    state with an ``is_current`` flag — the dimension-history
+    materialization a warehouse derives from exactly the kind of
+    changelog the reference's KTables carry (``KTableRegistry.java:41-57``
+    keeps only the latest row; SCD2 keeps the full interval history).
+
+    Scale shape: one window partitioned by the entity key — the same
+    single hash exchange a latest-per-key compaction needs; no
+    self-join (the naive interval build joins the changelog to itself).
+    Tie-break on ``event_id`` makes the interval chain deterministic
+    under equal timestamps."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "join_salted_skew_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact/dimension join: events (power-law per-user
+    volume) joined to customers through ``salted_join`` — the dimension
+    side replicated ``B=8``× so each hot user key spreads over 8
+    reducers. The salt is derived from ``hash(event_id)`` (deterministic,
+    reproducible), and the result is EXACTLY the unsalted join — the
+    oracle is the plain equi-join. At this fixture scale Spark would
+    broadcast the dimension anyway; the query pins the semantics so the
+    non-broadcastable case (TB-scale dimension + known-hot keys, where
+    AQE's skew split can't help a downstream keyed agg) is covered."""
+    events = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(
+        events, customer, on="user_id", salt_source="event_id", salt_buckets=8
+    ).select("event_id", "user_id", "c_mktsegment", "value")

@@ -544,3 +544,46 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("__hits"), F.lit(0)) >= 3).alias("recall_ok"),
         )
     )
+
+
+def _jl_oracle(in_dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
+    import math
+
+    from kafka_streams_common_spark.operators.similarity import achlioptas_signs
+
+    signs = achlioptas_signs(in_dim, out_dim, seed)
+    scale = repr(1e6 * math.sqrt(float(out_dim)))
+    cols = []
+    for j in range(out_dim):
+        terms = "".join(
+            ("+" if signs[i][j] > 0 else "-") + f"ii[{i + 1}]"
+            for i in range(in_dim)
+        ).lstrip("+")
+        cols.append(f"CAST(({terms}) AS DOUBLE) / {scale} AS p{j}")
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH ints AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS ii
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {sel}
+    FROM ints
+    """
+
+
+@query("sim_random_projection", oracle=_jl_oracle())
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 projection of the 64-d embeddings down to
+    8 dims — the map-only pre-projection that narrows ANN/LSH/cluster
+    shuffles. Engine-exact by construction: the md5-seeded sign matrix is
+    regenerated identically in the oracle, and the signed sums run in
+    scaled-integer arithmetic (order-free) before ONE final double
+    division."""
+    from kafka_streams_common_spark.operators.similarity import random_project
+
+    return random_project(
+        table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8, seed=7
+    )

@@ -696,3 +696,40 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.join(
         F.broadcast(thresh), F.col("avg_neg_logprob") <= F.col("__p90")
     ).select("doc_id", "avg_neg_logprob")
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(
+               0,
+               CAST(greatest(0, ceil((n - 64) / 48.0)) AS BIGINT)
+             )) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id,
+           chunk_id,
+           CAST(len(t[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 64-token windows advancing by 48 tokens
+    (16-token overlap) — tokenize once, map-only sequence-explode, no
+    shuffle. The oracle replays the same 1-based inclusive slices with
+    DuckDB list slicing (``t[a:b]`` inclusive == Spark ``slice(t, a,
+    64)`` when ``b = a + 63``)."""
+    from kafka_streams_common_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )

@@ -792,3 +792,59 @@ def test_ivf_pq_rerank_recall_on_clustered_corpus(spark):
     for q, v, s in adc1:
         per_q.setdefault(q, []).append(s)
     assert all(len(v) == 10 for v in per_q.values())
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: with a ±1 projection 64→16, pairwise squared
+    distances are preserved in expectation; check that over many pairs
+    the mean distortion ratio is near 1 (not a per-pair guarantee)."""
+    import math
+    import random
+
+    from kafka_streams_common_spark.operators.similarity import random_project
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(16)]
+        for r in random_project(df, 64, 16).collect()
+    }
+    orig = {i: v for i, v in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = []
+    for i in range(0, 60, 2):
+        a, b = i, i + 1
+        num, den = d2(proj[a], proj[b]), d2(orig[a], orig[b])
+        ratios.append(num / den)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean  # E[ratio]=1, 30 pairs at k=16 -> wide band
+    assert min(ratios) > 0.2 and max(ratios) < 3.0, (min(ratios), max(ratios))
+
+
+def test_random_projection_deterministic_and_maponly(spark):
+    from kafka_streams_common_spark.operators.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, [-0.25] * 8)], ["vec_id", "embedding"]
+    )
+    a = sorted(map(tuple, random_project(df, 8, 4).collect()))
+    b = sorted(map(tuple, random_project(df, 8, 4).collect()))
+    assert a == b  # same seed -> bit-identical
+    c = sorted(map(tuple, random_project(df, 8, 4, seed=99).collect()))
+    assert a != c  # seed changes the matrix
+    plan = (
+        random_project(df, 8, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map-only projection
+
+    with pytest.raises(ValueError, match=">= 1"):
+        random_project(df, 8, 0)
