@@ -74,6 +74,9 @@ TRACKING_QUERIES = [
     "join_salted_skew_events",
     "text_chunk_documents",
     "sim_random_projection",
+    "window_range_moving_avg",
+    "events_zscore_outliers",
+    "text_corpus_report_rollup",
 ]
 
 

@@ -205,6 +205,9 @@ _R8_HEAD = (
     "join_salted_skew_events",
     "text_chunk_documents",
     "sim_random_projection",
+    "window_range_moving_avg",
+    "events_zscore_outliers",
+    "text_corpus_report_rollup",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

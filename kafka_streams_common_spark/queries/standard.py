@@ -2339,3 +2339,120 @@ def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.slice(v, 1, 3)).alias("head3_sum"),
         F.size(F.filter(v, lambda x: x < 0)).cast("bigint").alias("n_negative"),
     )
+
+
+@query(
+    "window_range_moving_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             -- floor, not CAST (DuckDB CAST rounds; Spark's
+             -- timestamp->long truncates, == floor for positive epochs)
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(v) OVER w AS DOUBLE) AS sum_1h,
+           CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS avg_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RANGE-frame moving aggregate: each event's trailing
+    1-hour per-user count/sum/mean — the rolling-feature shape (fraud
+    velocity, rate limiting, session intensity) that ROWS frames cannot
+    express because event spacing is irregular. The frame is keyed on
+    epoch SECONDS on both engines (a timestamp-typed RANGE frame would
+    tie the result to each engine's interval arithmetic); sums are
+    DECIMAL-exact so the hash matches at any partitioning.
+
+    Scale shape: one window partitioned by user — a single hash
+    exchange; the RANGE frame is evaluated by Spark's sliding window
+    accumulator over each sorted partition, O(events per user), never a
+    self-join (the naive trailing-window query is an interval
+    self-join, quadratic on hot users)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-3600, 0)
+    )
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum("v").over(w).cast("double").alias("sum_1h"),
+        (
+            F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("avg_1h"),
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value * value, 6) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, s / n AS mean,
+             sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)) AS std
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.mean) / m.std AS z
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((e.value - m.mean) / m.std) > 2.5
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value sits more
+    than 2.5 standard deviations from their type's mean. Mean and
+    variance derive from DECIMAL-exact sum and sum-of-squares (one
+    aggregation pass — Welford/stddev_samp would be float-order-
+    dependent across partitions), then the tiny per-type stats table
+    broadcasts back onto the fact scan: at 100 TB the facts are scanned
+    twice but never shuffled (both the stats aggregation's partial
+    combine and the broadcast join keep fact rows on their input
+    partitions)."""
+    events = table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    m = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("sq") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        events.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

@@ -733,3 +733,39 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         table(spark, sf_dir, "documents"), chunk_size=64, stride=48
     )
+
+
+@query(
+    "text_corpus_report_rollup",
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           -- DuckDB sum(BIGINT) widens to HUGEINT (pandas float);
+           -- pin BIGINT so the dtype family matches Spark's
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+)
+def text_corpus_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: document counts and size stats at
+    (source, lang), per-source subtotal, and grand-total levels in ONE
+    rollup aggregation — the dashboard a curation pipeline publishes per
+    snapshot. Integer sums are exact; the only double is the final
+    average of two exact integers. Scale shape: rollup = one partial-agg
+    pass with grouping-set expansion, one exchange on the grouping key."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -293,3 +293,32 @@ def test_q8_single_pass_share(spark):
     ]
     assert len(li_scans) == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_outliers_broadcasts_stats(spark):
+    """The per-type stats table must broadcast back onto the fact scan —
+    a SortMergeJoin here would shuffle the full fact table for a
+    5-row dimension."""
+    plan = plan_of(QUERIES["events_zscore_outliers"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_moving_avg_single_window_exchange(spark):
+    """The trailing-window features compile to ONE window operator over
+    one hash exchange — never an interval self-join (quadratic on hot
+    users)."""
+    plan = plan_of(QUERIES["window_range_moving_avg"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_salted_join_keys_on_salt(spark):
+    """The salted join's equi-keys must include the salt column — that
+    is the mechanism that spreads a hot key over B reducers."""
+    from kafka_streams_common_spark.operators.skewjoin import salted_join
+
+    facts = spark.range(100).selectExpr("id AS fact_id", "id % 3 AS k")
+    dim = spark.range(3).selectExpr("id AS k", "id AS attr")
+    plan = plan_of(salted_join(facts, dim, "k", "fact_id", 8))
+    assert "__salt" in plan
