@@ -42,8 +42,11 @@ from kafka_streams_common_spark.operators.similarity import (
     ivf_int8_rerank_topk,
     quantize_embeddings_int8,
 )
+from kafka_streams_common_spark.operators.profile import profile_columns
+from kafka_streams_common_spark.operators.skewjoin import salted_join
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
+    chunk_documents,
     gopher_quality,
     mix_corpus_by_tokens,
     pack_sequences,
@@ -73,6 +76,16 @@ def timed(fn):
     return round(time.perf_counter() - t0, 2), rows
 
 
+def timed_noop(fn):
+    """Time a full noop-sink write (materializes EVERY output column) —
+    used for map-heavy ops where count() would let Catalyst prune the
+    expensive projections and understate the work."""
+    t0 = time.perf_counter()
+    fn().write.format("noop").mode("overwrite").save()
+    dt = round(time.perf_counter() - t0, 2)
+    return dt, fn().count()
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     docs1 = table(spark, SF_DIR, "documents")
@@ -84,6 +97,56 @@ def main() -> None:
     ivf_queries = emb1.filter(F.col("vec_id") % 200 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     ).localCheckpoint(eager=True)
+    # events replicated on event_id ONLY: user_id stays, so the 8x corpus
+    # has 8x events per user — the adversarial shape for per-user windows
+    # (hot partitions) and for the salted join's hot keys
+    events1 = table(spark, SF_DIR, "events")
+    events8 = replicate(events1, "event_id", COPIES).localCheckpoint(eager=True)
+    cust = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    from pyspark.sql import Window
+
+    def _scd2(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "user_id", "event_type", "ts",
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+
+    def _moving(ev):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").cast("long"))
+            .rangeBetween(-3600, 0)
+        )
+        return ev.select(
+            "event_id",
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+
+    def _zscore(ev):
+        stats = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("s"),
+            F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,12)"))
+            .cast("double").alias("sq"),
+        )
+        m = stats.select(
+            "event_type",
+            (F.col("s") / F.col("n")).alias("mean"),
+            F.sqrt(F.greatest(F.col("sq") / F.col("n")
+                   - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                   F.lit(0.0))).alias("std"),
+        )
+        z = (F.col("value") - F.col("mean")) / F.col("std")
+        return (
+            ev.join(F.broadcast(m), "event_type")
+            .select("event_id", z.alias("z"))
+            .filter(F.abs(F.col("z")) > 2.5)
+        )
 
     probes = {
         "exact_dedup": (
@@ -182,12 +245,46 @@ def main() -> None:
         ),
     }
 
+    noop_probes = {
+        "profile_columns_events": (
+            lambda: profile_columns(events1),
+            lambda: profile_columns(events8),
+        ),
+        "salted_join_8buckets": (
+            lambda: salted_join(events1, cust, "user_id", "event_id", 8),
+            lambda: salted_join(events8, cust, "user_id", "event_id", 8),
+        ),
+        "scd2_intervals": (lambda: _scd2(events1), lambda: _scd2(events8)),
+        "range_moving_agg_1h": (
+            lambda: _moving(events1),
+            lambda: _moving(events8),
+        ),
+        "zscore_outliers": (
+            lambda: _zscore(events1),
+            lambda: _zscore(events8),
+        ),
+        "chunk_documents": (
+            lambda: chunk_documents(docs1),
+            lambda: chunk_documents(docs8),
+        ),
+    }
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
-    for name, (f1, f8) in probes.items():
-        f1().count()  # warm-up (JIT, python workers)
-        t1, r1 = timed(f1)
-        t8, r8 = timed(f8)
+        noop_probes = {k: v for k, v in noop_probes.items() if k in sys.argv[1:]}
+    for name, entry in list(probes.items()) + [
+        (k, v + ("noop",)) for k, v in noop_probes.items()
+    ]:
+        if len(entry) == 3:
+            f1, f8, _ = entry
+            f1().write.format("noop").mode("overwrite").save()  # warm-up
+            t1, r1 = timed_noop(f1)
+            t8, r8 = timed_noop(f8)
+        else:
+            f1, f8 = entry
+            f1().count()  # warm-up (JIT, python workers)
+            t1, r1 = timed(f1)
+            t8, r8 = timed(f8)
         print(
             json.dumps(
                 {
