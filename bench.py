@@ -77,6 +77,7 @@ TRACKING_QUERIES = [
     "window_range_moving_avg",
     "events_zscore_outliers",
     "text_corpus_report_rollup",
+    "text_bpe_top_pairs",
 ]
 
 

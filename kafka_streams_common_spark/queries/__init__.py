@@ -208,6 +208,7 @@ _R8_HEAD = (
     "window_range_moving_avg",
     "events_zscore_outliers",
     "text_corpus_report_rollup",
+    "text_bpe_top_pairs",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

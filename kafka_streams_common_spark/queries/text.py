@@ -769,3 +769,52 @@ def text_corpus_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "text_bpe_top_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    syms AS (
+      SELECT list_append(string_split_regex(w, ''), '</w>') AS s, c
+      FROM words
+    ),
+    pairs AS (
+      SELECT s[i] AS left_sym, s[i + 1] AS right_sym, c
+      FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+    )
+    SELECT left_sym, right_sym, CAST(sum(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 30
+    """,
+)
+def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration as an oracle-gated query: the
+    corpus-wide weighted adjacent symbol-pair census (characters +
+    end-of-word marker), top 30 under the trainer's deterministic
+    (count desc, left, right) order. The full iterative trainer
+    (``operators/bpe.py: bpe_train``) repeats exactly this census + a
+    map-only merge fold per iteration over the VOCABULARY (never the
+    corpus — the one corpus-sized pass is the word-frequency
+    aggregation); its merge-table output is pinned against a pure-Python
+    reference implementation in tests/test_bpe.py (iterative argmax is
+    not ANSI-SQL-expressible; the census — each iteration's heavy
+    distributed step — is, and this row gates it)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.bpe import (
+        _initial_symbols,
+        _pair_census,
+        word_frequencies,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _pair_census(_initial_symbols(word_frequencies(docs)))
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(30)
+    )
