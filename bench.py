@@ -78,6 +78,8 @@ TRACKING_QUERIES = [
     "events_zscore_outliers",
     "text_corpus_report_rollup",
     "text_bpe_top_pairs",
+    "agg_histogram_totalprice",
+    "stat_corr_price_linecount",
 ]
 
 

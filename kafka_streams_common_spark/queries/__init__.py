@@ -209,6 +209,8 @@ _R8_HEAD = (
     "events_zscore_outliers",
     "text_corpus_report_rollup",
     "text_bpe_top_pairs",
+    "agg_histogram_totalprice",
+    "stat_corr_price_linecount",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

@@ -2456,3 +2456,104 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@query(
+    "agg_histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           25000.0 * CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket_lo,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (25k buckets) — the
+    profiling/monitoring staple (DuckDB 1.0 has no width_bucket, so the
+    binning is explicit floor-division arithmetic that both engines
+    evaluate identically on doubles). One hash aggregation keyed on the
+    bucket id — map-side combine leaves |buckets| rows per partition,
+    so the exchange is histogram-sized, not data-sized, at any corpus
+    scale."""
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("bigint")
+    return (
+        orders.groupBy(
+            bucket.alias("bucket"),
+            (F.lit(25000.0) * bucket).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "stat_corr_price_linecount",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT CAST(round(o.o_totalprice, 6) AS DECIMAL(18,6)) AS x,
+             CAST(lc.n_lines AS DECIMAL(18,6)) AS y,
+             CAST(round(o.o_totalprice * lc.n_lines, 6) AS DECIMAL(28,12)) AS xy,
+             CAST(round(o.o_totalprice * o.o_totalprice, 6) AS DECIMAL(28,12)) AS xx,
+             CAST(lc.n_lines * lc.n_lines AS DECIMAL(28,12)) AS yy
+      FROM orders o JOIN lc ON o.o_orderkey = lc.l_orderkey
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xy) AS DOUBLE) AS sxy,
+             CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(yy) AS DOUBLE) AS syy
+      FROM j
+    )
+    SELECT n AS n_orders,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_r
+    FROM s
+    """,
+)
+def stat_corr_price_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between an order's total price and its line
+    count, computed from DECIMAL-exact moment sums (built-in ``corr``
+    accumulates doubles in partition order — not reproducible across
+    partitionings or engines; the moment-sum form is, with the only
+    float ops applied once to exact totals). Scale shape: one keyed
+    aggregation for line counts (the join key is the aggregation key,
+    so AQE reuses the partitioning), then a single constant-size moment
+    aggregate — facts are never shuffled twice."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    lc = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    j = orders.join(lc, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.round("o_totalprice", 6).cast("decimal(18,6)").alias("x"),
+        F.col("n_lines").cast("decimal(18,6)").alias("y"),
+        F.round(F.col("o_totalprice") * F.col("n_lines"), 6)
+        .cast("decimal(28,12)")
+        .alias("xy"),
+        F.round(F.col("o_totalprice") * F.col("o_totalprice"), 6)
+        .cast("decimal(28,12)")
+        .alias("xx"),
+        (F.col("n_lines") * F.col("n_lines")).cast("decimal(28,12)").alias("yy"),
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(F.col("n").alias("n_orders"), corr.alias("corr_r"))
