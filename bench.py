@@ -80,6 +80,7 @@ TRACKING_QUERIES = [
     "text_bpe_top_pairs",
     "agg_histogram_totalprice",
     "stat_corr_price_linecount",
+    "text_classifier_score",
 ]
 
 

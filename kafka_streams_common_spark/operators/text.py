@@ -703,3 +703,44 @@ def chunk_documents(
         F.size(window).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    seed: str = "w1",
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the fastText-style
+    filter shape (CCNet / LLaMA-pipeline quality gate): each token hashes
+    to a weight, the document's score is the weight sum, and the gate
+    keeps documents above ``threshold``. Weights here are md5-derived
+    placeholders in [-1, 1] (a real deployment broadcasts trained
+    weights; the plumbing — hashing, lookup-free scoring, gating — is
+    identical and is what this operator pins).
+
+    Engine-exact arithmetic: weights are integer MILLS (thousandths,
+    ``md5_int64(seed|token) % 2001 - 1000``) accumulated as bigints —
+    order-free — and divided back to a double logit once per document.
+
+    Scale shape: tokenize once, one map-only fold per row — no explode,
+    no shuffle, no weight-table join (the hash IS the lookup); the gate
+    is a scan-level predicate downstream.
+    """
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    )
+    mills = lambda t: (  # noqa: E731
+        md5_int64(F.concat(F.lit(seed + "|"), t)) % 2001 - 1000
+    )
+    score_mills = F.aggregate(
+        F.transform(F.col("__toks"), mills),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return toks.select(
+        id_col,
+        (score_mills / 1000.0).alias("logit"),
+        (score_mills / 1000.0 > F.lit(threshold)).alias("keep"),
+    )

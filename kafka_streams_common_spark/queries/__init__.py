@@ -211,6 +211,7 @@ _R8_HEAD = (
     "text_bpe_top_pairs",
     "agg_histogram_totalprice",
     "stat_corr_price_linecount",
+    "text_classifier_score",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

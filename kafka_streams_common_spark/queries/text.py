@@ -818,3 +818,30 @@ def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
         .limit(30)
     )
+
+
+@query(
+    "text_classifier_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(t,
+             x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                  - 1000)) / 1000.0 AS logit,
+           list_sum(list_transform(t,
+             x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                  - 1000)) / 1000.0 > 0.0 AS keep
+    FROM toks
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed linear quality classifier: md5-hashed token
+    weights (integer mills, order-free bigint sum) -> document logit ->
+    threshold gate. Map-only, no weight-table join; the md5-derived
+    placeholder weights make the score engine-exact so the oracle can
+    replay it."""
+    from kafka_streams_common_spark.operators.text import classifier_score
+
+    return classifier_score(table(spark, sf_dir, "documents"))
