@@ -81,6 +81,7 @@ TRACKING_QUERIES = [
     "agg_histogram_totalprice",
     "stat_corr_price_linecount",
     "text_classifier_score",
+    "llm_temperature_sample_sources",
 ]
 
 

@@ -212,6 +212,7 @@ _R8_HEAD = (
     "agg_histogram_totalprice",
     "stat_corr_price_linecount",
     "text_classifier_score",
+    "llm_temperature_sample_sources",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

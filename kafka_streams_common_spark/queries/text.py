@@ -845,3 +845,78 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.text import classifier_score
 
     return classifier_score(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "llm_temperature_sample_sources",
+    oracle="""
+    WITH stats AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_s, sqrt(CAST(n_s AS DOUBLE)) AS w_s,
+             sum(sqrt(CAST(n_s AS DOUBLE))) OVER () AS w_tot,
+             sum(n_s) OVER () AS n_tot
+      FROM stats
+    ),
+    rates AS (
+      SELECT source, n_s,
+             CAST(floor(least(1.0,
+               (0.5 * n_tot * (w_s / w_tot)) / n_s) * 1000000.0) AS BIGINT)
+               AS rate_ppm
+      FROM w
+    )
+    SELECT d.doc_id, d.source, r.rate_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < r.rate_ppm
+    """,
+)
+def llm_temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling across sources (α = 0.5, target ≈ half the
+    corpus): per-source budgets ∝ n_s^α flatten the source distribution —
+    the multilingual/multi-source rebalancing step of an LLM data recipe
+    (upsamples the tail, downsamples the head). The keep decision is a
+    pure function of (doc_id, source rate): rates are integer
+    PARTS-PER-MILLION derived from one count aggregation, and a document
+    survives iff ``md5(doc_id) % 1e6 < rate_ppm`` — reproducible on any
+    engine or partitioning, unlike ``DataFrame.sample``.
+
+    Scale shape: one histogram-sized count aggregation, a broadcast rate
+    join, and a scan-level filter — the corpus itself is never
+    shuffled (same posture as token-budget mixing, which allocates by
+    token count where this allocates by doc count with a temperature
+    exponent)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.partitionBy()
+    rates = stats.select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (
+                    0.5
+                    * F.sum("n_s").over(w)
+                    * (
+                        F.sqrt(F.col("n_s").cast("double"))
+                        / F.sum(F.sqrt(F.col("n_s").cast("double"))).over(w)
+                    )
+                )
+                / F.col("n_s"),
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(md5_int64(F.col("doc_id")) % 1000000 < F.col("rate_ppm"))
+        .select("doc_id", "source", "rate_ppm")
+    )
