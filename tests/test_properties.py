@@ -295,3 +295,91 @@ def test_funnel_matches_python_reference(spark_, events):
         got_ts = [r["ts_a"], r["ts_b"], r["ts_c"]]
         assert got_ts[: len(t)] == t, (u, t, got_ts)
         assert all(v is None for v in got_ts[len(t):]), (u, t, got_ts)
+
+
+_chunk_words = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(word_ids=_chunk_words, size=st.integers(2, 8), stride=st.integers(1, 8))
+def test_chunk_documents_coverage_and_reconstruction(spark_, word_ids, size, stride):
+    """Properties on random docs/geometry: every token covered in order,
+    chunk count matches the formula, concatenating stride-prefixes of
+    each chunk (plus the last chunk's tail) reconstructs the document."""
+    from kafka_streams_common_spark.operators.text import chunk_documents
+
+    stride = min(stride, size)
+    text = " ".join(f"w{i}" for i in word_ids)
+    toks = text.split(" ")
+    docs = spark_.createDataFrame([(0, text)], ["doc_id", "text"])
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"].split(" "))
+        for r in chunk_documents(docs, size, stride).collect()
+    )
+    n = len(toks)
+    import math
+
+    expected_chunks = 1 + max(0, math.ceil((n - size) / stride))
+    assert len(out) == expected_chunks
+    # each chunk is exactly the expected slice
+    for cid, chunk in out:
+        start = cid * stride
+        assert chunk == toks[start : start + size]
+    # reconstruction from stride-prefixes + final tail
+    rebuilt = []
+    for cid, chunk in out[:-1]:
+        rebuilt.extend(chunk[:stride])
+    rebuilt.extend(out[-1][1])
+    assert rebuilt == toks
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    facts=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 999)), max_size=30),
+    buckets=st.integers(1, 16),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark_, facts, buckets, how):
+    from kafka_streams_common_spark.operators.skewjoin import salted_join
+
+    fact_rows = [(fid, k) for fid, (k, _) in enumerate(facts)]
+    if not fact_rows:
+        fact_rows = [(0, 0)]
+    f = spark_.createDataFrame(fact_rows, ["fact_id", "k"])
+    d = spark_.createDataFrame([(k, f"a{k}") for k in range(3)], ["k", "attr"])
+    got = sorted(
+        map(tuple, salted_join(f, d, "k", "fact_id", buckets, how).select(
+            "k", "fact_id", "attr").collect())
+    )
+    want = sorted(map(tuple, f.join(d, "k", how).select("k", "fact_id", "attr").collect()))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.one_of(st.none(), st.integers(-50, 50))),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_profile_columns_matches_pandas(spark_, vals):
+    """profile_columns vs pandas on randomized null patterns."""
+    from kafka_streams_common_spark.operators.profile import profile_columns
+
+    rows = [(i, g, None if v is None else float(v)) for i, (g, v) in enumerate(vals)]
+    df = spark_.createDataFrame(rows, "id bigint, g bigint, v double")
+    out = {r["column"]: r for r in profile_columns(df, ["v"]).collect()}["v"]
+    pvals = [r[2] for r in rows if r[2] is not None]
+    n = len(rows)
+    assert out["n_rows"] == n
+    assert out["n_nulls"] == n - len(pvals)
+    assert out["n_distinct"] == len(set(pvals))
+    if pvals:
+        assert out["min_value"] == str(min(pvals))
+        assert out["max_value"] == str(max(pvals))
+        assert out["mean_value"] == pytest.approx(sum(pvals) / len(pvals))
+    else:
+        assert out["min_value"] is None and out["mean_value"] is None
