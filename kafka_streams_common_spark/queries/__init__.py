@@ -213,6 +213,7 @@ _R8_HEAD = (
     "stat_corr_price_linecount",
     "text_classifier_score",
     "llm_temperature_sample_sources",
+    "s2_cdc_apply_tombstones",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

@@ -358,3 +358,51 @@ def simple_stream_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-exported for __spark_entry__.entry()
 FLAGSHIP = ENRICHED_ORDERS
 _ = ORDER_COUNTS_BY_CUSTOMER  # referenced by tests/bench
+
+
+@query(
+    "s2_cdc_apply_tombstones",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS __rn
+      FROM events
+    )
+    WHERE __rn = 1 AND event_type <> 'error'
+    """,
+)
+def s2_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 with DELETE semantics — the compacted-topic tombstone case the
+    reference's KTable layer inherits from Kafka log compaction
+    (``TopicProvisioner.java`` provisions compacted changelogs; a
+    null-value record deletes the key) but never models: apply the
+    changelog in (ts, event_id) order and DROP keys whose latest record
+    is a tombstone ('error' plays the tombstone marker on the fixture).
+    The naive spelling joins each key's latest timestamp back to the
+    log; this one is a single ``max_by`` hash aggregation — one shuffle
+    of (key, packed-struct) partials, no window sort, no self-join —
+    then a histogram-sized filter on the winner's type.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+
+    events = table(spark, sf_dir, "events")
+    winner = F.max_by(
+        F.struct("event_id", "ts", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("s")
+    return (
+        events.groupBy("user_id")
+        .agg(winner)
+        .filter(F.col("s.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.value").alias("value"),
+        )
+    )
