@@ -42,7 +42,13 @@ from kafka_streams_common_spark.operators.similarity import (
     ivf_int8_rerank_topk,
     quantize_embeddings_int8,
 )
+from kafka_streams_common_spark.operators.bpe import (
+    _initial_symbols,
+    _pair_census,
+    word_frequencies,
+)
 from kafka_streams_common_spark.operators.profile import profile_columns
+from kafka_streams_common_spark.operators.text import classifier_score
 from kafka_streams_common_spark.operators.skewjoin import salted_join
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
@@ -266,6 +272,14 @@ def main() -> None:
         "chunk_documents": (
             lambda: chunk_documents(docs1),
             lambda: chunk_documents(docs8),
+        ),
+        "classifier_score": (
+            lambda: classifier_score(docs1),
+            lambda: classifier_score(docs8),
+        ),
+        "bpe_pair_census": (
+            lambda: _pair_census(_initial_symbols(word_frequencies(docs1))),
+            lambda: _pair_census(_initial_symbols(word_frequencies(docs8))),
         ),
     }
 
