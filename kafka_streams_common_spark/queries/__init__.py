@@ -214,6 +214,7 @@ _R8_HEAD = (
     "text_classifier_score",
     "llm_temperature_sample_sources",
     "s2_cdc_apply_tombstones",
+    "streaming_cdc_tombstones",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

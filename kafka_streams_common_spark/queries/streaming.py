@@ -684,3 +684,44 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact.join(
         F.broadcast(decided), F.col("user_id") == F.col("__u"), "left_semi"
     )
+
+
+@query(
+    "streaming_cdc_tombstones",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS __rn
+      FROM events
+    )
+    WHERE __rn = 1 AND event_type <> 'error'
+    """,
+)
+def streaming_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply with DELETE semantics — the streaming twin of
+    ``s2_cdc_apply_tombstones``: the changelog streams through the
+    foreachBatch latest-per-key merge, 'error' records act as
+    compacted-topic tombstones (they win latest-per-key like any record
+    and suppress their key from the published view; the STATE retains
+    them so an out-of-order older update cannot resurrect a deleted key
+    across microbatches — asserted in tests/test_streaming.py). Oracle =
+    the equivalent batch CDC query."""
+    import atexit
+    import shutil
+
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = comp.stream_source("events")
+    state_dir = tempfile.mkdtemp(prefix="kscs_cdc_state_")
+    atexit.register(shutil.rmtree, state_dir, True)
+    state = run_changelog_materialization(
+        stream,
+        spark,
+        state_dir,
+        key_field="user_id",
+        seq_field="ts",
+        tiebreak_field="event_id",
+        tombstone_predicate="event_type = 'error'",
+    )
+    return state.select("user_id", "event_id", "ts", "event_type", "value")

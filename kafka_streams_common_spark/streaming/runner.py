@@ -127,6 +127,7 @@ def run_changelog_materialization(
     seq_field: str,
     tiebreak_field: str | None = None,
     checkpoint_dir: str | None = None,
+    tombstone_predicate: str | None = None,
 ) -> DataFrame:
     """Materialize a changelog stream as a latest-per-key state table
     (KTable/S2 streaming semantics) via ``foreachBatch`` merge.
@@ -139,6 +140,14 @@ def run_changelog_materialization(
     equivalence test.
 
     Returns the final state as a batch DataFrame.
+
+    ``tombstone_predicate`` (SQL boolean over the row) adds compacted-topic
+    DELETE semantics: a row matching it is a tombstone — it competes in
+    latest-per-key like any record (so a delete beats earlier updates and
+    a LATER update resurrects the key), the state table RETAINS winning
+    tombstones (dropping them would let an out-of-order older update
+    resurrect a deleted key in a later microbatch — the classic CDC-merge
+    bug), and only the RETURNED view filters them out.
     """
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_CURRENT")
@@ -175,4 +184,6 @@ def run_changelog_materialization(
         q.awaitTermination()
     state = current_state()
     assert state is not None, "no microbatch produced state"
+    if tombstone_predicate is not None:
+        return state.filter(f"NOT ({tombstone_predicate})")
     return state

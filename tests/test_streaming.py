@@ -458,3 +458,56 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     # exactly once each; wave-1 unmatched clicks still held in state
     # (their no-match proof never arrives before the stream ends)
     assert sorted(unmatched) == [1000 * 0 + u for u in range(1, n_users, 2)]
+
+
+def test_cdc_tombstone_no_resurrection_across_batches(spark, tmp_path):
+    """Compacted-topic DELETE semantics under deliberately out-of-order
+    cross-run arrival: a tombstone must suppress its key, an OLDER update
+    arriving AFTER the tombstone must NOT resurrect it (the state retains
+    winning tombstones), and a NEWER update must resurrect it."""
+    from kafka_streams_common_spark.catalog import TableCatalog, TableRef
+    from kafka_streams_common_spark.streaming import StreamingCompiler
+    from kafka_streams_common_spark.streaming.runner import (
+        run_changelog_materialization,
+    )
+
+    state_dir = str(tmp_path / "state")
+    schema = "user_id bigint, event_id bigint, ts bigint, event_type string"
+
+    def run_batch(rows, subdir):
+        d = str(tmp_path / subdir)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        cat = TableCatalog(
+            {"cl": TableRef(name="cl", path=d, key_field="user_id")}
+        )
+        comp = StreamingCompiler(spark, cat, max_files_per_trigger=1)
+        return run_changelog_materialization(
+            comp.stream_source("cl"),
+            spark,
+            state_dir,
+            key_field="user_id",
+            seq_field="ts",
+            tiebreak_field="event_id",
+            tombstone_predicate="event_type = 'del'",
+        )
+
+    # run 1: updates for users 1,2; tombstones for users 1 (latest) and 3
+    first = run_batch(
+        [
+            (1, 100, 10, "upd"),
+            (2, 101, 10, "upd"),
+            (1, 102, 30, "del"),
+            (3, 103, 10, "del"),
+        ],
+        "b1",
+    )
+    assert {r["user_id"] for r in first.collect()} == {2}
+
+    # run 2 (later arrival): an OLDER update for user 1 (ts=20 < del ts=30)
+    # and a NEWER update for user 3 (ts=50 > del ts=10)
+    second = run_batch(
+        [(1, 104, 20, "upd"), (3, 105, 50, "upd")],
+        "b2",
+    )
+    got = {r["user_id"]: r["event_type"] for r in second.collect()}
+    assert got == {2: "upd", 3: "upd"}, got  # 1 stays deleted, 3 resurrects
