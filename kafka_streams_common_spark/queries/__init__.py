@@ -215,6 +215,7 @@ _R8_HEAD = (
     "llm_temperature_sample_sources",
     "s2_cdc_apply_tombstones",
     "streaming_cdc_tombstones",
+    "stat_regression_tokens_by_source",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 

@@ -2557,3 +2557,63 @@ def stat_corr_price_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select(F.col("n").alias("n_orders"), corr.alias("corr_r"))
+
+
+@query(
+    "stat_regression_tokens_by_source",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(length(text) AS DOUBLE) AS x,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM m GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM s
+    """,
+)
+def stat_regression_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS: per-source least-squares fit of token count on
+    character count, closed-form from DECIMAL-exact moment sums (the
+    grouped-model-fit shape — trend per segment, calibration per source —
+    without MLlib and without a second pass; ``ml.regression`` would
+    shuffle features into an iterative solver for what one exact
+    aggregation answers). One hash aggregation keyed on the group; the
+    slope/intercept arithmetic runs on the |groups|-sized result."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        F.length("text").cast("double").alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    )
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.round("y", 6).cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
