@@ -82,6 +82,8 @@ TRACKING_QUERIES = [
     "stat_corr_price_linecount",
     "text_classifier_score",
     "llm_temperature_sample_sources",
+    "s2_cdc_apply_tombstones",
+    "stat_regression_tokens_by_source",
 ]
 
 
