@@ -71,6 +71,7 @@ class BatchCompiler:
         catalog: TableCatalog,
         cache_shared_tables: bool = False,
         udfs: dict | None = None,
+        udtfs: dict | None = None,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -88,6 +89,11 @@ class BatchCompiler:
                 self.spark.udf.register(fname, *fn)
             else:
                 self.spark.udf.register(fname, fn)
+        # table functions (UDTF): one input row -> many output rows, used
+        # in FROM/LATERAL position — the third leg of the UDF/UDAF/UDTF
+        # surface (values: classes decorated with @udtf)
+        for fname, fn in (udtfs or {}).items():
+            self.spark.udtf.register(fname, fn)
 
     # -- public ------------------------------------------------------------
 
@@ -203,7 +209,11 @@ class BatchCompiler:
         return df.groupBy(group_key.alias(KEY_COL)).agg(*aggs)
 
     def _agg_column(self, spec: AggregationSpec) -> Column:
-        if spec.fn == "count" and not spec.source_field:
+        if spec.custom:
+            # registered-UDAF-by-name (validated as an identifier); Spark
+            # analysis resolves it against the session's function registry
+            col = F.expr(f"{spec.fn}({spec.source_field})")
+        elif spec.fn == "count" and not spec.source_field:
             col = F.count(F.lit(1))
         else:
             col = _AGG_FNS[spec.fn](F.expr(spec.source_field))

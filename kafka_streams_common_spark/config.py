@@ -138,6 +138,11 @@ class AggregationSpec:
     source_field: str | None = None  # a column name or any SQL expression
     alias: str | None = None
     cast: str | None = None  # optional result cast (e.g. "double")
+    # bring-your-own aggregator: fn names a UDAF registered with the
+    # compiler (the reference's commented valueJoinerClass FQCN hook,
+    # Spark-idiomatic) — skips the built-in whitelist; the name must be a
+    # plain identifier and resolution happens at Spark analysis time
+    custom: bool = False
 
     _SUPPORTED = (
         "count",
@@ -229,7 +234,16 @@ def validate_pipeline(p: PipelineDef) -> PipelineDef:
                 f"{p.id}: group_by with source=VALUE requires field_name"
             )
         for a in p.aggregations:
-            if a.fn not in AggregationSpec._SUPPORTED:
+            if a.custom:
+                if not a.fn.isidentifier():
+                    raise PipelineValidationError(
+                        f"{p.id}: custom aggregation fn {a.fn!r} must be an identifier"
+                    )
+                if not a.source_field:
+                    raise PipelineValidationError(
+                        f"{p.id}: custom aggregation {a.fn!r} requires source_field"
+                    )
+            elif a.fn not in AggregationSpec._SUPPORTED:
                 raise PipelineValidationError(f"{p.id}: unsupported aggregation fn {a.fn!r}")
             if a.fn != "count" and not a.source_field:
                 raise PipelineValidationError(f"{p.id}: aggregation {a.fn} needs source_field")
