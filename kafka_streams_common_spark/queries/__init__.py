@@ -220,6 +220,17 @@ _R8_HEAD = (
     # tombstone_predicate parameter (default None — nominally a no-op for
     # this consumer); its r5-green row predates that edit
     "streaming_latest_per_key",
+    # changed-code re-exposure: compiler.py/_agg_column and config.py
+    # validation gained the custom-UDAF branch (default custom=False —
+    # existing paths nominally identical); these are the PAST-WINDOW
+    # compiler-config consumers whose green rows predate that edit (the
+    # in-window consumers j1-j4/a1*/p4-infer/simple_stream re-verify in
+    # the r7 gate itself)
+    "j5_enrichment_chain",
+    "p4_json_parse_agg",
+    "s2_latest_per_key",
+    "filter_pushdown_scan",
+    "array_agg_order_keys_per_customer",
 )
 assert all(n in QUERIES for n in _R8_HEAD)
 
