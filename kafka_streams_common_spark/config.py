@@ -331,6 +331,7 @@ def load_pipeline(obj: dict[str, Any]) -> PipelineDef:
             source_field=a.get("sourceField") or a.get("source_field"),
             alias=a.get("alias"),
             cast=a.get("cast"),
+            custom=bool(a.get("custom", False)),
         )
         for a in get("aggregations", default=[{"fn": "count"}]) or [{"fn": "count"}]
     )
