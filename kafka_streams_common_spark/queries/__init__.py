@@ -72,11 +72,16 @@ ROTATES each round and the ledger is published in README.md §Verification:
   group). The 27 r5-green rows left past-window each have ≥ 2 green
   driver rounds (15 of them ≥ 3) on code unchanged since round 5.
 
-After round 7 completes, every registered query's latest green driver
-row is at most two rounds old AND no code path changed since its last
-green row. Demotion never trades away unproven coverage: a query is
-only moved past the window after it has a green row in a previous
-round's driver gate, on unchanged code.
+After round 7 completes, every query registered BEFORE the r7 window
+filled has a green driver row at most two rounds old. The round-7
+session-2 additions (the ``_R8_HEAD`` tuple below: governance tier,
+chunking, JL projection, BPE census, classifier, temperature sampling,
+CDC tombstones, histogram/correlation/regression, plus the
+changed-code re-exposures) are local-parity green only — all-oracle
+vanilla driver_sim runs — and are pinned to lead the round-8 window.
+Demotion never trades away unproven coverage: a query is only moved
+past the window after it has a green row in a previous round's driver
+gate, on unchanged code.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
