@@ -2617,3 +2617,59 @@ def stat_regression_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@query(
+    "agg_hll_mergeable_rollup",
+    oracle="""
+    SELECT event_type AS grp,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_10pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__total__',
+           CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    """,
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregated sketch-table pattern:
+    per-group HLL sketches (``hll_sketch_agg``) roll up to the GLOBAL
+    distinct count by merging the |groups|-sized sketch table
+    (``hll_union_agg``), never rescanning the facts. At 100 TB this is
+    how distinct-count dashboards work: the corpus-sized pass happens
+    once to build sketch partials; every coarser rollup (day → month →
+    total, type → all-types) is sketch merges over tiny tables. Like the
+    other sketch rows, the estimate has no cross-engine oracle, so the
+    hash-gated row carries exact counts plus a within-10% invariant
+    boolean (HLL lgConfigK=12 ⇒ ~1.6% rsd; 10% ≈ 6σ)."""
+    events = table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("__sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct"),
+    )
+    per_rows = per.select(
+        F.col("event_type").alias("grp"),
+        "exact_distinct",
+        (
+            F.abs(
+                F.hll_sketch_estimate("__sk") - F.col("exact_distinct")
+            )
+            <= 0.1 * F.col("exact_distinct")
+        ).alias("within_10pct"),
+    )
+    total_exact = events.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    total_row = total_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("__total__").alias("grp"),
+        "exact_distinct",
+        (
+            F.abs(F.col("__est") - F.col("exact_distinct"))
+            <= 0.1 * F.col("exact_distinct")
+        ).alias("within_10pct"),
+    )
+    return per_rows.unionByName(total_row)
