@@ -84,6 +84,10 @@ TRACKING_QUERIES = [
     "llm_temperature_sample_sources",
     "s2_cdc_apply_tombstones",
     "stat_regression_tokens_by_source",
+    "agg_hll_mergeable_rollup",
+    "text_normalize",
+    "text_url_canonicalize",
+    "window_trending_topk",
 ]
 
 

@@ -2673,3 +2673,42 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_10pct"),
     )
     return per_rows.unionByName(total_row)
+
+
+@query(
+    "window_trending_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_hour, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_hour ORDER BY n_events DESC, event_type
+      ) AS rank
+      FROM counts
+    )
+    SELECT window_hour, event_type, n_events, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def window_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 event types per tumbling hour — the
+    time-bucketed group-count + per-window ranking shape behind every
+    trending dashboard. One aggregation keyed on (hour, type) with
+    map-side combine, then a window over the |hours × types|-sized
+    count table — ranking never touches raw events."""
+    events = table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("window_hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("window_hour", "event_type", "n_events", "rank")
+    )

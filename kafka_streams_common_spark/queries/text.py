@@ -920,3 +920,92 @@ def llm_temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(md5_int64(F.col("doc_id")) % 1000000 < F.col("rate_ppm"))
         .select("doc_id", "source", "rate_ppm")
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+             AS n_norm_tokens
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization — lowercase, punctuation fold,
+    whitespace collapse — the canonical first step before shingling or
+    vocab building (normalizing BEFORE dedup is what lets 'Fox!' and
+    'fox' collide). Pure JVM regexp chain, map-only, byte-identical on
+    both engines (Spark regexp_replace is global by default; the oracle
+    passes 'g')."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_norm_tokens"),
+    )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             'https://CDN' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+               || '&utm_source=feed&utm_campaign=x&ref=rss#sec'
+               || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+           regexp_replace(regexp_replace(url, '#.*$', ''),
+                          '&utm_[^&#]*', '', 'g') AS canon_url
+    FROM planted
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-dedup step that collapses
+    tracking-parameter and fragment variants of one page: lowercase the
+    host, strip the fragment, strip utm_* params. The fixture has no URL
+    column, so (the ``text_pii_scrub`` convention) each document plants a
+    deterministic URL with host-case noise, tracking params and a
+    fragment; both engines must then produce byte-identical canonical
+    forms. Map-only regexp chain — at crawl scale this runs in the scan
+    before the exact-dedup hash."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://CDN"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed&utm_campaign=x&ref=rss#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    return planted.select(
+        "doc_id",
+        "url",
+        F.lower(F.regexp_extract("url", "^https?://([^/]+)", 1)).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace("url", "#.*$", ""), "&utm_[^&#]*", ""
+        ).alias("canon_url"),
+    )
