@@ -725,3 +725,69 @@ def streaming_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         tombstone_predicate="event_type = 'error'",
     )
     return state.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@query(
+    "streaming_rate_limit_ingest",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    cut AS (
+      SELECT max(ts_us) - 3600000000 - 1000000 AS c FROM ev
+    ),
+    ranked AS (
+      SELECT user_id, event_id, ts_us,
+             ts_us - ts_us % 3600000000 AS window_start_us,
+             row_number() OVER (
+               PARTITION BY user_id, ts_us - ts_us % 3600000000
+               ORDER BY ts_us, event_id
+             ) AS rn
+      FROM ev
+    )
+    SELECT r.user_id, r.event_id, r.ts_us, r.window_start_us
+    FROM ranked r CROSS JOIN cut
+    WHERE r.rn <= 3 AND r.ts_us < cut.c
+    """,
+)
+def streaming_rate_limit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ingest quota ON THE STREAM
+    (streaming/stateful.rate_limit_state): admit at most 3 events per
+    user per tumbling event-time hour — the hot-producer throttle in
+    front of a training-corpus or billing ingest. Admission is
+    order-sensitive (the first 3 BY EVENT TIME win), so events buffer in
+    state until the watermark passes them and fold in (ts, id) order —
+    the out-of-order proof lives in tests/test_stateful_and_bucketing.py.
+    Bounded-source equivalence on the decided region (the streaming-
+    funnel convention): an admit/reject is final once the final
+    watermark passed the event (1s margin), where the batch replay is
+    row_number ≤ 3 per (user, hour window) ordered by (ts, id)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.streaming.stateful import rate_limit_state
+
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = (
+        comp.stream_source("events")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+    out = rate_limit_state(
+        stream, n_per_window=3, window_us=3_600_000_000
+    )
+    admitted = run_stream_to_memory(out, spark, output_mode="append")
+    max_us = (
+        table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    cut = max_us - 3_600_000_000 - 1_000_000
+    return admitted.filter(F.col("ts_us") < cut).select(
+        F.col("key").alias("user_id"),
+        F.col("id").alias("event_id"),
+        "ts_us",
+        "window_start_us",
+    )

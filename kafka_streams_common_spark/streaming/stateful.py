@@ -507,3 +507,119 @@ def funnel_state_machine(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def rate_limit_state(
+    stream: DataFrame,
+    n_per_window: int,
+    window_us: int,
+    key_field: str = "user_id",
+    ts_us_field: str = "ts_us",
+    id_field: str = "event_id",
+) -> DataFrame:
+    """STREAMING per-key quota enforcement: admit at most ``n_per_window``
+    events per key per tumbling window of ``window_us`` microseconds,
+    chosen by EVENT TIME — the ingest-throttling / dedup-budget operator
+    (cap per-user contributions per hour so one hot producer cannot
+    flood a training corpus or a billing pipeline).
+
+    Admission is order-sensitive (the FIRST n events of the window win),
+    so — like the streaming funnel — events buffer in state until the
+    watermark passes them, then fold in global (ts, id) event-time
+    order; at that point every earlier same-window event has already
+    folded, making each admit/reject decision final. Emits admitted
+    events in APPEND mode: ``(key, id, ts_us, window_start_us)``.
+
+    State per key: admitted-count per OPEN window plus the buffered
+    events inside the watermark lag. Windows whose end the watermark has
+    passed are evicted (their counts can never change), so state is
+    bounded by windows-in-flight × lag — the metrics-asserted contract
+    in tests/test_stateful_and_bucketing.py. Buffered events whose
+    window was already evicted (late beyond watermark) are dropped, the
+    same policy windowed aggregation applies to late data.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("window_start_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("win_starts", T.ArrayType(T.LongType())),
+            T.StructField("win_counts", T.ArrayType(T.LongType())),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_id", T.ArrayType(T.LongType())),
+            T.StructField("evict_wm", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            wins = dict(zip(state.get[0], state.get[1]))
+            buf = list(zip(state.get[2], state.get[3]))
+            evict_wm = int(state.get[4] or 0)
+        else:
+            wins, buf, evict_wm = {}, [], 0
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (int(a), int(b))
+                    for a, b in zip(pdf[ts_us_field], pdf[id_field])
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        eligible = sorted(e for e in buf if e[0] <= wm_us)
+        buf = [e for e in buf if e[0] > wm_us]
+        admitted = []
+        for ts, eid in eligible:
+            w = ts - (ts % window_us)
+            if w + window_us <= evict_wm:
+                # late beyond an earlier fold's watermark: its window's
+                # count was already evicted — drop (the windowed-agg
+                # late-data policy); re-admitting here would overshoot
+                continue
+            c = wins.get(w, 0)
+            if c < n_per_window:
+                wins[w] = c + 1
+                admitted.append((key[0], eid, ts, w))
+        # evict windows that can never change again (no event with
+        # ts < window end can still be eligible in a FUTURE fold, and
+        # evict_wm above drops the contract-violating stragglers)
+        wins = {w: c for w, c in wins.items() if w + window_us > wm_us}
+        evict_wm = max(evict_wm, wm_us)
+        state.update(
+            (
+                list(wins.keys()),
+                list(wins.values()),
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                evict_wm,
+            )
+        )
+        if buf:
+            nxt = max(
+                min(e[0] for e in buf) // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(nxt)
+        if admitted:
+            yield pd.DataFrame(
+                {
+                    "key": [a[0] for a in admitted],
+                    "id": [a[1] for a in admitted],
+                    "ts_us": [a[2] for a in admitted],
+                    "window_start_us": [a[3] for a in admitted],
+                }
+            )
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

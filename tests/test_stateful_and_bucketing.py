@@ -312,3 +312,78 @@ def test_funnel_state_machine_out_of_order_across_batches(spark, tmp_path):
     assert got[2]["t3_us"] == us(t0 + 25 * sec)
     # user 3's events sit above the final watermark: never folded
     assert 3 not in got
+
+
+def test_rate_limit_state_out_of_order_quota(spark, tmp_path):
+    """Windowed per-key quota (2 events / 60s window) under out-of-order
+    cross-batch arrival: an EARLIER event arriving late (within the
+    watermark) must claim its quota slot and push a later-timestamped
+    event over the cap; decisions fold in (ts, id) event-time order, so
+    the admitted set is exactly the first-2-per-window by event time."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    from kafka_streams_common_spark.streaming.stateful import rate_limit_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts timestamp"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    # wave 0: user 1 at t+10 and t+50 (same 60s window)
+    write_wave(0, [(1, 1, t0 + 10 * sec), (1, 4, t0 + 50 * sec)])
+    # wave 1: user 1 at t+5 — EARLIER event time, arrives later (inside
+    # the 120s watermark): must outrank id 4 for the window's 2 slots;
+    # user 2 fills a later window with three events
+    write_wave(1, [
+        (1, 0, t0 + 5 * sec),
+        (2, 10, t0 + 70 * sec),
+        (2, 11, t0 + 80 * sec),
+        (2, 12, t0 + 90 * sec),
+    ])
+    # wave 2: far-future driver pushes the watermark past everything
+    write_wave(2, [(9, 99, t0 + dt.timedelta(hours=1))])
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "120 seconds")
+        .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+    out = rate_limit_state(stream, n_per_window=2, window_us=60_000_000)
+    name = f"rls_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {(r["key"], r["id"]) for r in spark.table(name).collect()}
+    # decided region = everything except the far-future driver event:
+    # window 0 admits ids 0 (t+5) and 1 (t+10), REJECTS id 4 (t+50);
+    # window 1 admits ids 10, 11, rejects 12
+    assert got == {(1, 0), (1, 1), (2, 10), (2, 11)}, got
+    # state bounded: at most one open window + tail buffer per key
+    ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    assert ops and ops[-1]["numRowsTotal"] <= 3
+    assert len([p for p in progress if p.get("numInputRows", 0) > 0]) > 1
