@@ -27,14 +27,29 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     dedup_right: bool = True,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_time`` ≤ ``left_time`` within the same ``on`` key (backward
-    as-of, inclusive). Unmatched left rows keep null right columns.
+    """For each left row, attach the matching right row within the same
+    ``on`` key: ``direction='backward'`` (default) picks the greatest
+    ``right_time`` ≤ ``left_time``; ``'forward'`` picks the smallest
+    ``right_time`` ≥ ``left_time`` (both inclusive — the pandas
+    ``merge_asof`` convention). Unmatched left rows keep null right
+    columns.
+
+    ``tolerance`` (a Column interval or numeric literal) bounds the
+    directed gap: a backward match must satisfy ``left_time - right_time
+    <= tolerance``, a forward match ``right_time - left_time <=
+    tolerance``; beyond it the right columns null out — the
+    "attribute only within N days" product convention. The construction
+    is unchanged: one union, one keyed sort, one carry window — the
+    tolerance is a post-carry column predicate, never a range join.
 
     ``on``: equality key column name present in both inputs.
     ``right_cols``: right columns to carry (default: all but key/time).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_time)]
 
@@ -65,18 +80,42 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows sort before left rows at equal time → inclusive semantics
+    # right rows sort before left rows at equal time → inclusive semantics;
+    # forward direction is the same carry over time sorted DESCENDING
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .orderBy(t_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry_cols = [
+        F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+        for c in right_cols
+    ]
+    matched_t = F.last(
+        F.when(F.col("__tag") == 0, F.col("__t")), ignorenulls=True
+    ).over(w)
     carried = unioned.select(
         "__tag",
+        F.col("__t").alias("__lt"),
+        matched_t.alias("__rt"),
         *left_cols,
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        *carry_cols,
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    out = carried.filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        tol = tolerance if hasattr(tolerance, "_jc") else F.lit(tolerance)
+        gap_ok = (
+            (F.col("__lt") - F.col("__rt")) <= tol
+            if direction == "backward"
+            else (F.col("__rt") - F.col("__lt")) <= tol
+        )
+        keep = F.col("__rt").isNotNull() & gap_ok
+        out = out.select(
+            "__tag",
+            "__lt",
+            "__rt",
+            *left_cols,
+            *[F.when(keep, F.col(c)).alias(c) for c in right_cols],
+        )
+    return out.drop("__tag", "__lt", "__rt")

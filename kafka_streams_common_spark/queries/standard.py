@@ -2712,3 +2712,60 @@ def window_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_hour", "event_type", "n_events", "rank")
     )
+
+
+@query(
+    "asof_join_next_order_after_event",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey, o_orderdate
+                 ORDER BY o_orderkey DESC, o_totalprice DESC
+               ) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN r.o_orderdate IS NOT NULL
+                 AND r.o_orderdate - e.ts <= INTERVAL 7 DAY
+                THEN r.o_orderkey END AS next_orderkey,
+           CASE WHEN r.o_orderdate IS NOT NULL
+                 AND r.o_orderdate - e.ts <= INTERVAL 7 DAY
+                THEN r.o_totalprice END AS next_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    """,
+)
+def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each event attaches the user's
+    NEXT order at or after the event time, but only if it lands within 7
+    days — the "did this touchpoint convert" attribution readout (the
+    forward twin of asof_join_last_order_before_event). Same union+window
+    construction sorted descending; the tolerance is a post-carry
+    predicate, never a range join."""
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )

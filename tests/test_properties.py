@@ -383,3 +383,39 @@ def test_profile_columns_matches_pandas(spark_, vals):
         assert out["mean_value"] == pytest.approx(sum(pvals) / len(pvals))
     else:
         assert out["min_value"] is None and out["mean_value"] is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=lefts, rights=rights, tol=st.integers(0, 30))
+def test_asof_forward_with_tolerance_matches_bruteforce(spark_, lefts, rights, tol):
+    left_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(lefts)
+    ]
+    seen = set()
+    right_rows = []
+    for i, (k, m) in enumerate(rights):
+        if (k, m) not in seen:
+            seen.add((k, m))
+            right_rows.append((k, BASE + timedelta(minutes=m), f"v{i}"))
+
+    left = spark_.createDataFrame(left_rows, ["k", "t", "lid"])
+    right = (
+        spark_.createDataFrame(right_rows, ["k", "t", "v"])
+        if right_rows
+        else spark_.createDataFrame([], "k bigint, t timestamp, v string")
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols=["v"], direction="forward",
+            tolerance=F.expr(f"INTERVAL {tol} MINUTES"),
+        ).collect()
+    }
+    for k, t, lid in left_rows:
+        cands = [(rt, v) for (rk, rt, v) in right_rows
+                 if rk == k and rt >= t and (rt - t) <= timedelta(minutes=tol)]
+        want = min(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
