@@ -194,3 +194,69 @@ def join_salted_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         events, customer, on="user_id", salt_source="event_id", salt_buckets=8
     ).select("event_id", "user_id", "c_mktsegment", "value")
+
+
+@query(
+    "scd2_temporal_lookup",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER w AS valid_to
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    live AS (
+      SELECT * FROM iv WHERE valid_to IS NULL OR valid_to > valid_from
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, live.state
+    FROM orders o
+    LEFT JOIN live
+      ON o.o_custkey = live.user_id
+     AND o.o_orderdate >= live.valid_from
+     AND (live.valid_to IS NULL OR o.o_orderdate < live.valid_to)
+    """,
+)
+def scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history: for each
+    order, the customer's state (their latest event type) AS OF the
+    order date — the temporal join every warehouse runs against a
+    slowly-changing dimension. The naive plan is the BETWEEN join the
+    oracle spells (an interval cross-product per user); the scalable
+    plan used here exploits that SCD2 intervals PARTITION the timeline,
+    so "interval containing t" ≡ "greatest valid_from ≤ t" — a backward
+    as-of join (one union, one keyed sort, one carry window).
+    Zero-length intervals (equal-timestamp changelog ties) are filtered
+    on both sides so the two spellings agree exactly."""
+    from pyspark.sql import Window, functions as F
+
+    from kafka_streams_common_spark.operators.asof import asof_join
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .filter(
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("valid_from"))
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    out = asof_join(
+        orders,
+        iv.withColumnRenamed("user_id", "o_custkey"),
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="valid_from",
+        right_cols=["state"],
+        dedup_right=False,  # valid_from unique per key after the filter
+    )
+    return out.select("o_orderkey", "o_custkey", "o_orderdate", "state")
