@@ -88,6 +88,8 @@ TRACKING_QUERIES = [
     "text_normalize",
     "text_url_canonicalize",
     "window_trending_topk",
+    "asof_join_next_order_after_event",
+    "scd2_temporal_lookup",
 ]
 
 

@@ -322,3 +322,15 @@ def test_salted_join_keys_on_salt(spark):
     dim = spark.range(3).selectExpr("id AS k", "id AS attr")
     plan = plan_of(salted_join(facts, dim, "k", "fact_id", 8))
     assert "__salt" in plan
+
+
+def test_asof_forward_and_scd2_lookup_compile_joinless(spark):
+    """The as-of construction replaces the interval join entirely: both
+    the forward as-of and the SCD2 temporal lookup must compile to
+    union + keyed window — NO join operator of any kind (the naive
+    BETWEEN spelling is a BroadcastNestedLoopJoin that cross-products
+    each key group)."""
+    for name in ("asof_join_next_order_after_event", "scd2_temporal_lookup"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "Join" not in plan, name
+        assert "Window" in plan, name
