@@ -62,10 +62,13 @@ def profile_columns(
         aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
         aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
         if isinstance(schema[c], _NUMERIC):
-            mean = (
-                F.sum(F.round(F.col(c).cast("double"), 6).cast("decimal(28,12)"))
-                .cast("double")
-                / F.count(c)
+            # try_divide: an EMPTY input must profile to null mean, not
+            # an ANSI divide-by-zero (identical to `/` whenever count>0)
+            mean = F.try_divide(
+                F.sum(
+                    F.round(F.col(c).cast("double"), 6).cast("decimal(28,12)")
+                ).cast("double"),
+                F.count(c),
             )
         else:
             mean = F.lit(None).cast("double")
@@ -78,7 +81,9 @@ def profile_columns(
             F.lit(c).alias("column"),
             F.col("__n_rows").alias("n_rows"),
             (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
-            (F.col(f"__nn_{c}") / F.col("__n_rows")).alias("completeness"),
+            F.try_divide(F.col(f"__nn_{c}"), F.col("__n_rows")).alias(
+                "completeness"
+            ),
             F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
             F.col(f"__min_{c}").alias("min_value"),
             F.col(f"__max_{c}").alias("max_value"),

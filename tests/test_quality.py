@@ -162,3 +162,22 @@ def test_chunk_plan_no_shuffle(chunk_docs):
         chunk_documents(chunk_docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # map-only: tokenize, explode, slice
+
+
+def test_profile_and_chunk_empty_edge_cases(spark):
+    """Degenerate inputs must not throw: an empty frame profiles to
+    zero-count rows (null min/max/mean, null completeness from 0/0);
+    an empty-string document still yields exactly one (empty) chunk."""
+    from kafka_streams_common_spark.operators.profile import profile_columns
+    from kafka_streams_common_spark.operators.text import chunk_documents
+
+    empty = spark.createDataFrame([], "id bigint, v double")
+    out = {r["column"]: r for r in profile_columns(empty).collect()}
+    assert out["v"]["n_rows"] == 0 and out["v"]["n_nulls"] == 0
+    assert out["v"]["n_distinct"] == 0
+    assert out["v"]["min_value"] is None and out["v"]["mean_value"] is None
+
+    one_empty_doc = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+    chunks = chunk_documents(one_empty_doc).collect()
+    assert len(chunks) == 1 and chunks[0]["chunk_text"] == ""
+    assert chunks[0]["n_chunk_tokens"] == 1  # split('') -> [''] convention
