@@ -1009,3 +1009,35 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("url", "#.*$", ""), "&utm_[^&#]*", ""
         ).alias("canon_url"),
     )
+
+
+@query(
+    "text_kfold_split",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT % 5 AS fold
+    FROM documents
+    """,
+)
+def text_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) — the cross-validation /
+    ablation split: each document's fold is a pure function of its id
+    (salted md5 bucket), so fold membership is reproducible on any
+    engine, run, or cluster size and never leaks across re-shuffles
+    (``DataFrame.randomSplit`` is partitioning-dependent). The
+    train-side of fold i is ``fold <> i`` — a scan-level predicate, no
+    shuffle. Complements ``text_hash_split``'s fixed train/val/test
+    ratios with the rotating-holdout shape."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (
+            md5_int64(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")))
+            % 5
+        ).alias("fold"),
+    )
