@@ -88,34 +88,39 @@ def asof_join(
         .orderBy(t_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carry_cols = [
-        F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-        for c in right_cols
-    ]
-    matched_t = F.last(
-        F.when(F.col("__tag") == 0, F.col("__t")), ignorenulls=True
+    # Carry the ENTIRE right row as one struct so the matched time and
+    # every carried value come from the SAME right row — per-column
+    # last(ignorenulls) would skip back to an OLDER right row for any
+    # column that is genuinely NULL in the matched row, misattributing
+    # values (and mis-gating them under tolerance, which tests __rt).
+    r_row = F.last(
+        F.when(
+            F.col("__tag") == 0,
+            F.struct(
+                F.col("__t").alias("__asof_rt"),
+                *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
     carried = unioned.select(
         "__tag",
         F.col("__t").alias("__lt"),
-        matched_t.alias("__rt"),
+        r_row.alias("__r"),
         *left_cols,
-        *carry_cols,
     )
     out = carried.filter(F.col("__tag") == 1)
+    rt = F.col("__r").getField("__asof_rt")
+    keep = F.col("__r").isNotNull()
     if tolerance is not None:
         tol = tolerance if hasattr(tolerance, "_jc") else F.lit(tolerance)
         gap_ok = (
-            (F.col("__lt") - F.col("__rt")) <= tol
+            (F.col("__lt") - rt) <= tol
             if direction == "backward"
-            else (F.col("__rt") - F.col("__lt")) <= tol
+            else (rt - F.col("__lt")) <= tol
         )
-        keep = F.col("__rt").isNotNull() & gap_ok
-        out = out.select(
-            "__tag",
-            "__lt",
-            "__rt",
-            *left_cols,
-            *[F.when(keep, F.col(c)).alias(c) for c in right_cols],
-        )
-    return out.drop("__tag", "__lt", "__rt")
+        keep = keep & gap_ok
+    return out.select(
+        *left_cols,
+        *[F.when(keep, F.col("__r").getField(c)).alias(c) for c in right_cols],
+    )

@@ -117,17 +117,23 @@ def check_constraints(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate constraint names: {names}")
 
+    # Internal aliases are POSITIONAL (__obs_0, __ok_0, …), never the
+    # user-supplied names: interpolating a name containing '.', '`' or
+    # other identifier-special characters into an alias and resolving it
+    # back via F.col() would break analysis (a dot parses as a
+    # nested-field access). The display name only ever appears as a
+    # string literal in the output column.
     aggs = []
-    for name, observed, passed in checks:
-        aggs.append(observed.cast("double").alias(f"__obs_{name}"))
-        aggs.append(passed.alias(f"__ok_{name}"))
+    for i, (_, observed, passed) in enumerate(checks):
+        aggs.append(observed.cast("double").alias(f"__obs_{i}"))
+        aggs.append(passed.alias(f"__ok_{i}"))
     wide = df.agg(*aggs)
     rows = [
         F.struct(
             F.lit(name).alias("constraint_name"),
-            F.col(f"__obs_{name}").alias("observed"),
-            F.col(f"__ok_{name}").alias("passed"),
+            F.col(f"__obs_{i}").alias("observed"),
+            F.col(f"__ok_{i}").alias("passed"),
         )
-        for name in names
+        for i, name in enumerate(names)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")

@@ -2416,7 +2416,7 @@ def window_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            (e.value - m.mean) / m.std AS z
     FROM events e JOIN m USING (event_type)
-    WHERE abs((e.value - m.mean) / m.std) > 2.5
+    WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > 2.5
     """,
 )
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2449,7 +2449,12 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             )
         ).alias("std"),
-    )
+    ).filter(F.col("std") > 0)
+    # std > 0 filtered IDENTICALLY on both sides: Spark's non-ANSI
+    # division by zero yields NULL (row silently dropped by the z
+    # filter) while DuckDB's IEEE float division yields Inf/NaN (row
+    # KEPT by abs(z) > 2.5) — a latent parity break on zero-variance
+    # groups unless both engines exclude them explicitly.
     z = (F.col("value") - F.col("mean")) / F.col("std")
     return (
         events.join(F.broadcast(m), "event_type")
@@ -2581,6 +2586,7 @@ def stat_corr_price_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
              AS intercept
     FROM s
+    WHERE n * sxx - sx * sx <> 0
     """,
 )
 def stat_regression_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2607,6 +2613,12 @@ def stat_regression_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,12)"))
         .cast("double")
         .alias("sxx"),
+    )
+    # Degenerate (zero-x-variance) groups are excluded IDENTICALLY on
+    # both sides — Spark's non-ANSI 0/0 yields NULL while DuckDB yields
+    # NaN/Inf, a latent hash-parity break if such a group ever appears.
+    s = s.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

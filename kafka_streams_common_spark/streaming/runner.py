@@ -185,5 +185,8 @@ def run_changelog_materialization(
     state = current_state()
     assert state is not None, "no microbatch produced state"
     if tombstone_predicate is not None:
-        return state.filter(f"NOT ({tombstone_predicate})")
+        # coalesce(…, false): a NULL-valued predicate (e.g. a NULL
+        # tombstone-marker column) must mean "not a tombstone" — bare
+        # NOT(NULL) is NULL and would silently drop live keys.
+        return state.filter(f"NOT coalesce(({tombstone_predicate}), false)")
     return state

@@ -591,20 +591,35 @@ def rate_limit_state(
         # evict_wm above drops the contract-violating stragglers)
         wins = {w: c for w, c in wins.items() if w + window_us > wm_us}
         evict_wm = max(evict_wm, wm_us)
-        state.update(
-            (
-                list(wins.keys()),
-                list(wins.values()),
-                [e[0] for e in buf],
-                [e[1] for e in buf],
-                evict_wm,
+        if not wins and not buf:
+            # Nothing buffered and every window's count evicted: delete
+            # the state row so dormant keys don't accumulate forever
+            # (high-cardinality key sets would otherwise grow state
+            # unboundedly — one empty row per key ever seen).
+            state.remove()
+        else:
+            state.update(
+                (
+                    list(wins.keys()),
+                    list(wins.values()),
+                    [e[0] for e in buf],
+                    [e[1] for e in buf],
+                    evict_wm,
+                )
             )
-        )
-        if buf:
-            nxt = max(
-                min(e[0] for e in buf) // 1000 + 1,
-                state.getCurrentWatermarkMs() + 1,
-            )
+            if buf:
+                nxt = max(
+                    min(e[0] for e in buf) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            else:
+                # No buffered events but open windows remain: wake when
+                # the last open window's end passes the watermark so the
+                # eviction above fires and the state row is removed.
+                nxt = max(
+                    max(w + window_us for w in wins) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             state.setTimeoutTimestamp(nxt)
         if admitted:
             yield pd.DataFrame(

@@ -383,7 +383,12 @@ def test_rate_limit_state_out_of_order_quota(spark, tmp_path):
     # window 0 admits ids 0 (t+5) and 1 (t+10), REJECTS id 4 (t+50);
     # window 1 admits ids 10, 11, rejects 12
     assert got == {(1, 0), (1, 1), (2, 10), (2, 11)}, got
-    # state bounded: at most one open window + tail buffer per key
+    # state bounded: at most one open window + tail buffer per key —
+    # and DORMANT keys are REMOVED outright: once the watermark passes
+    # a key's last open window (users 1 and 2 here), its state row is
+    # deleted via state.remove()/the drain timeout, so only the
+    # far-future driver key's buffered event remains. Without removal,
+    # every key ever seen would hold a state row forever.
     ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
-    assert ops and ops[-1]["numRowsTotal"] <= 3
+    assert ops and ops[-1]["numRowsTotal"] == 1, ops[-1]
     assert len([p for p in progress if p.get("numInputRows", 0) > 0]) > 1
