@@ -89,10 +89,59 @@ def _apply_merge(sym: Column, left: str, right: str) -> Column:
     )
 
 
+def _batch_select(
+    top: list,
+    maxl: dict[str, int],
+    maxr: dict[str, int],
+) -> list[tuple[str, str, int]]:
+    """Driver-side: longest prefix of the ranked candidates that is
+    PROVABLY identical to taking them one sequential merge at a time.
+
+    Processing in (count desc, left asc, right asc) order, accept a
+    candidate while ALL of:
+
+    - it shares no symbol with an already-accepted pair in this batch
+      (disjoint merges leave each other's counts bit-identical; on the
+      first overlap we STOP — the overlapping pair's count is stale and
+      its true rank unknowable without a fresh census);
+    - its count strictly exceeds every count a pair SPAWNED by the
+      accepted merges could have: a merge (l, r) → t can only create
+      pairs (x, t) with count ≤ max old count of (·, l), and (t, y)
+      with count ≤ max old count of (r, ·) — so the bound is
+      max(maxr[l], maxl[r]) over accepted merges (strict, because a
+      tying spawned pair could still win the lexicographic tie-break);
+    - additionally, if an accepted pair's merged token string collides
+      with a symbol ALREADY in the census (``maxl``/``maxr`` key sets =
+      every symbol with any adjacency), the batch stops right after it:
+      the next census would conflate the new token's pairs with the
+      existing symbol's, so no bound derived from the old census is
+      trustworthy past that point.
+
+    Under these rules the batch's merges and counts equal the
+    sequential trace exactly — pinned by tests/test_bpe.py.
+    """
+    symbols = set(maxl) | set(maxr)
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    spawn_bound = -1
+    for r in top:
+        l, rt, c = r["left_sym"], r["right_sym"], int(r["pair_count"])
+        if accepted and (l in used or rt in used or c <= spawn_bound):
+            break
+        accepted.append((l, rt, c))
+        used.update((l, rt, l + rt))
+        spawn_bound = max(spawn_bound, maxr.get(l, 0), maxl.get(rt, 0))
+        if (l + rt) in symbols:
+            break
+    return accepted
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
+    batch: int = 16,
+    _stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Train ``n_merges`` BPE merges; returns the learned merge table
     ``[(left, right, pair_count), ...]`` in merge order.
@@ -102,37 +151,77 @@ def bpe_train(
     any engine, partitioning, or cluster size. Stops early if no pair
     remains (fully merged vocabulary).
 
+    Each census admits up to ``batch`` merges, not one: the top
+    candidates that are mutually symbol-disjoint and provably immune to
+    being overtaken by merge-spawned pairs (see :func:`_batch_select`)
+    apply in a single vocabulary pass — the merge table is
+    BIT-IDENTICAL to the one-merge-at-a-time trace, but a 32k-merge
+    train runs ~``batch``-fold fewer Spark jobs and vocabulary rewrites
+    (the per-iteration driver round-trip was the scale bottleneck). The
+    extra census information this needs — the per-symbol max pair
+    counts — is two |symbols|-sized aggregates (symbols = alphabet +
+    learned tokens, thousands of rows at a real vocab; never
+    corpus- or vocab-sized).
+
     The returned list is ``n_merges`` tuples of driver-side constants —
     the model artifact, not data (same posture as the k-means centroid
     train: constant-size driver state, all heavy lifting distributed).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    spark = docs.sparkSession
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     vocab = _initial_symbols(word_frequencies(docs, text_col)).localCheckpoint(
         eager=True
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        census = _pair_census(vocab).localCheckpoint(eager=True)
+        want = min(batch, n_merges - len(merges))
+        # over-fetch so overlap-stops still usually fill the batch
         top = (
-            _pair_census(vocab)
-            .orderBy(
+            census.orderBy(
                 F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
             )
-            .limit(1)
+            .limit(max(4 * want, 8))
             .collect()
         )
         if not top:
             break
-        left, right, cnt = (
-            top[0]["left_sym"],
-            top[0]["right_sym"],
-            int(top[0]["pair_count"]),
-        )
-        merges.append((left, right, cnt))
-        vocab = vocab.select(
-            _apply_merge(F.col("sym"), left, right).alias("sym"), "c"
-        ).localCheckpoint(eager=True)
+        if want == 1:
+            accepted = [
+                (
+                    top[0]["left_sym"],
+                    top[0]["right_sym"],
+                    int(top[0]["pair_count"]),
+                )
+            ]
+        else:
+            # per-symbol adjacency maxima: |symbols| rows (alphabet +
+            # learned tokens — thousands at a real vocab, never
+            # vocab-sized), one tiny collect each
+            maxl = {
+                r["s"]: int(r["m"])
+                for r in census.groupBy(F.col("left_sym").alias("s"))
+                .agg(F.max("pair_count").alias("m"))
+                .collect()
+            }
+            maxr = {
+                r["s"]: int(r["m"])
+                for r in census.groupBy(F.col("right_sym").alias("s"))
+                .agg(F.max("pair_count").alias("m"))
+                .collect()
+            }
+            accepted = _batch_select(top, maxl, maxr)[:want]
+        merges.extend(accepted)
+        sym = F.col("sym")
+        for left, right, _ in accepted:
+            sym = _apply_merge(sym, left, right)
+        vocab = vocab.select(sym.alias("sym"), "c").localCheckpoint(eager=True)
+    if _stats is not None:
+        _stats["census_rounds"] = rounds
     return merges
 
 

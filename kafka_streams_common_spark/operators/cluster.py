@@ -73,3 +73,110 @@ def connected_components(
             break
 
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond"): every node connects its LARGER neighbors
+    to the minimum of its closed neighborhood. Input/output edges are
+    canonically oriented (u > v); output is deduplicated."""
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = bi.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    return (
+        bi.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node links its SMALLER neighbors (and
+    itself) to the minimum of that closed neighborhood."""
+    di = (
+        e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    withm = di.join(
+        di.groupBy("u").agg(F.min("v").alias("m")), "u"
+    )
+    links = withm.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = withm.select("u", F.col("m").alias("v"))
+    return links.union(centers).distinct()
+
+
+def connected_components_two_phase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    edge_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iterations: int = 30,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds — O(log n) rounds on ANY graph shape, where plain min-label
+    propagation needs O(diameter) rounds (degenerate on chain-shaped
+    components: a million-hop chain is a million rounds; dedup graphs
+    are usually near-cliques, but the engine must not rely on it).
+
+    Each round is two grouped aggregations + two joins over the EDGE set
+    only (node payloads never enter the loop); the edge set shrinks
+    toward one star per component. Convergence is detected with a
+    constant-size aggregate — (count, xxhash64 sum) of the canonical
+    edge set — so the driver holds one row per round, never the graph.
+
+    Returns ``(node_col, cluster_id)`` with ``cluster_id`` = minimum
+    reachable node id — identical output contract (and oracle) as
+    :func:`connected_components`.
+    """
+    a, b = edge_cols
+    e = (
+        edges.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = sig(e)
+    rounds = 0
+    if prev[0] > 0:
+        for _ in range(max_iterations):
+            rounds += 1
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = sig(e)
+            if cur == prev:
+                break
+            prev = cur
+    if _stats is not None:
+        _stats["rounds"] = rounds
+
+    # fixed point = disjoint stars: every non-min node points at its
+    # component min (min(v) guards the pre-convergence truncation case)
+    stars = e.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(stars.withColumnRenamed("u", "node"), "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )

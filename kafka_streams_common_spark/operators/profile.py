@@ -35,6 +35,7 @@ def profile_columns(
     df: DataFrame,
     columns: list[str] | None = None,
     approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) in one aggregation pass.
 
@@ -44,7 +45,8 @@ def profile_columns(
     uniform across types; ``mean_value`` is null for non-numeric
     columns and DECIMAL-exact (order-free sum, cast to double at the
     end) for numeric ones, so the number is identical on any engine and
-    any partitioning.
+    any partitioning. ``rsd`` tunes the HLL relative standard deviation
+    in ``approx`` mode (default 0.05, the Spark default).
     """
     cols = columns if columns is not None else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -55,7 +57,7 @@ def profile_columns(
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         distinct = (
-            F.approx_count_distinct(c) if approx else F.countDistinct(c)
+            F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
         )
         aggs.append(F.count(c).alias(f"__nn_{c}"))
         aggs.append(distinct.alias(f"__nd_{c}"))

@@ -132,6 +132,38 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_connected_components_two_phase",
+    oracle=_shingles_sql(_MAX_DF).replace("WITH toks", "WITH RECURSIVE toks")
+    + """,
+    edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+    bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           UNION ALL SELECT doc_b, doc_a FROM edges),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    """,
+)
+def dedup_connected_components_two_phase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same near-dup collapse through the alternating large-star /
+    small-star operator (O(log n) rounds on any graph shape, where
+    min-label propagation is O(diameter) — degenerate on chains); same
+    recursive-CTE transitive-closure oracle, so both CC engines are
+    externally proven to agree."""
+    from kafka_streams_common_spark.operators.cluster import (
+        connected_components_two_phase,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.7, max_df=_MAX_DF)
+    return connected_components_two_phase(docs.select("doc_id"), pairs)
+
+
+@query(
     "dedup_apply_canonical_corpus",
     oracle=_shingles_sql(_MAX_DF).replace("WITH toks", "WITH RECURSIVE toks")
     + """,

@@ -70,6 +70,90 @@ def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Approx-mode profile gate: the HLL sketch has no cross-engine oracle,
+# so — like agg_hll_mergeable_rollup — the hash-gated row carries the
+# EXACT metrics plus a sketch-within-10% invariant boolean (rsd=0.02 ⇒
+# 10% ≈ 5σ; HLL is deterministic for fixed data, so the row is stable).
+_PROFILE_APPROX_BRANCH = """
+SELECT '{col}' AS "column",
+       count(*) AS n_rows,
+       count(*) - count({col}) AS n_nulls,
+       count({col}) / CAST(count(*) AS DOUBLE) AS completeness,
+       CAST(min({col}) AS VARCHAR) AS min_value,
+       CAST(max({col}) AS VARCHAR) AS max_value,
+       {mean} AS mean_value,
+       TRUE AS nd_within_10pct
+FROM ev
+"""
+
+_PROFILE_APPROX_ORACLE = (
+    "WITH ev AS (SELECT event_id, user_id, event_type,"
+    " CAST(value AS DECIMAL(18,6)) AS value_d, props FROM events)\n"
+    + "\nUNION ALL\n".join(
+        _PROFILE_APPROX_BRANCH.format(
+            col=c,
+            mean=(
+                _MEAN.format(col=c)
+                if c in ("event_id", "user_id", "value_d")
+                else "CAST(NULL AS DOUBLE)"
+            ),
+        )
+        for c in ("event_id", "user_id", "event_type", "value_d", "props")
+    )
+)
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value_d", "props"]
+
+
+@query("dq_profile_events_approx", oracle=_PROFILE_APPROX_ORACLE)
+def dq_profile_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default mode of the profiler: ``approx=True`` swaps the
+    exact COUNT(DISTINCT) Expand (rows × |columns| in one pass) for
+    per-column HyperLogLog sketches — constant-size mergeable partials,
+    so the whole profile is a single map-side-combinable aggregation at
+    any scale. The sketch estimate has no bit-exact cross-engine oracle,
+    so the gated row replaces ``n_distinct`` with a within-10%-of-exact
+    invariant boolean (the exact counts come from a second,
+    test-gate-only aggregation; production runs only the sketch pass)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value_d"),
+        "props",
+    )
+    prof = profile_columns(ev, _PROFILE_COLS, approx=True, rsd=0.02)
+    exact = ev.agg(
+        *[F.countDistinct(c).cast("double").alias(c) for c in _PROFILE_COLS]
+    )
+    ex_long = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).alias("exact_nd"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    return prof.join(F.broadcast(ex_long), "column").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "completeness",
+        "min_value",
+        "max_value",
+        "mean_value",
+        (
+            F.abs(F.col("n_distinct") - F.col("exact_nd"))
+            <= 0.1 * F.col("exact_nd")
+        ).alias("nd_within_10pct"),
+    )
+
+
 _CONSTRAINT_ORACLE = """
 WITH a AS (
   SELECT count(*) AS n,

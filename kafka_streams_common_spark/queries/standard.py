@@ -2781,3 +2781,50 @@ def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_totalprice").alias("next_totalprice"),
     )
+
+
+@query(
+    "udtf_explode_props_kv",
+    oracle="""
+    SELECT e.event_id, k.k AS k,
+           json_extract_string(e.props, '$.' || k.k) AS v
+    FROM events e, unnest(json_keys(e.props)) AS k(k)
+    """,
+)
+def udtf_explode_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function in LATERAL position — the third leg
+    of the BYO-function surface (the reference sketches classpath hooks
+    for custom row logic, ``AggregationDefinition.java:24,81-82``; here a
+    registered Python UDTF explodes each event's ``props`` JSON into
+    one (key, value) row per pair inside plain SQL). Arrow-batched
+    (``useArrow``) where the runtime supports it; this row exists to
+    drive the UDTF registration + LATERAL plumbing through the external
+    gate — a production pipeline would express THIS particular parse as
+    ``explode(from_json(...))`` and keep UDTFs for logic built-ins can't
+    express."""
+    from pyspark.sql.functions import udtf
+
+    class ParsePropsKV:
+        def eval(self, s: str):
+            if not s:
+                return
+            body = s.strip().strip("{}")
+            for part in body.split(","):
+                if ":" in part:
+                    k, v = part.split(":", 1)
+                    yield k.strip().strip('"'), v.strip()
+
+    try:
+        parse_kv = udtf(ParsePropsKV, returnType="k string, v string", useArrow=True)
+    except TypeError:  # runtime without the useArrow kwarg
+        parse_kv = udtf(ParsePropsKV, returnType="k string, v string")
+    spark.udtf.register("parse_props_kv", parse_kv)
+    table(spark, sf_dir, "events").select(
+        "event_id", "props"
+    ).createOrReplaceTempView("__udtf_props_events")
+    return spark.sql(
+        """
+        SELECT e.event_id, p.k, p.v
+        FROM __udtf_props_events e, LATERAL parse_props_kv(e.props) p
+        """
+    )

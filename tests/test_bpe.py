@@ -92,3 +92,25 @@ def test_bpe_early_stop_on_fully_merged_vocab(spark):
     docs = spark.createDataFrame([("a a a",)], ["text"])
     merges = bpe_train(docs, n_merges=10)
     assert merges == [("a", END_OF_WORD, 3)]
+
+
+def test_bpe_batched_merges_match_sequential_with_fewer_census_rounds(spark):
+    """The batched trainer must return the BIT-identical merge table the
+    one-merge-per-census trace produces, while running measurably fewer
+    census rounds (the driver round-trip the batching exists to cut)."""
+    rng = random.Random(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 7)))
+            for _ in range(rng.randint(5, 15))
+        )
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    seq_stats: dict = {}
+    bat_stats: dict = {}
+    seq = bpe_train(docs, n_merges=12, batch=1, _stats=seq_stats)
+    bat = bpe_train(docs, n_merges=12, batch=8, _stats=bat_stats)
+    assert bat == seq == ref_bpe(texts, 12)
+    assert seq_stats["census_rounds"] == 12
+    assert bat_stats["census_rounds"] < 12, bat_stats

@@ -848,3 +848,43 @@ def test_random_projection_deterministic_and_maponly(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         random_project(df, 8, 0)
+
+
+def test_two_phase_cc_matches_label_propagation_and_beats_diameter(spark):
+    """Large-star/small-star CC: identical labels to min-label
+    propagation on a planted 64-node PATH component (diameter 63 — the
+    shape that degenerates plain propagation) plus random components and
+    singletons, converging in O(log n) rounds, not O(diameter)."""
+    import random
+
+    from kafka_streams_common_spark.operators.cluster import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    # component 1: a 64-long chain over shuffled ids; plus random blobs
+    chain_ids = rng.sample(range(1000, 2000), 64)
+    edges = [(chain_ids[i], chain_ids[i + 1]) for i in range(63)]
+    blob = rng.sample(range(3000, 4000), 30)
+    edges += [tuple(rng.sample(blob, 2)) for _ in range(40)]
+    all_nodes = sorted(set(chain_ids) | set(blob) | {9001, 9002})  # singletons
+    nodes = spark.createDataFrame([(n,) for n in all_nodes], ["doc_id"])
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(nodes, e, max_iterations=80).collect()
+    }
+    stats: dict = {}
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_two_phase(
+            nodes, e, _stats=stats
+        ).collect()
+    }
+    assert got == want
+    # chain labels all collapse to the chain's min id
+    assert {c for n, c in got if n in set(chain_ids)} == {min(chain_ids)}
+    # O(log n): 64-diameter graph must converge way under diameter rounds
+    assert stats["rounds"] <= 12, stats
