@@ -180,3 +180,84 @@ def connected_components_two_phase(
             F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    importance-propagation twin of connected components (both: iterative
+    relational algebra, no graph library). Returns ``(node, rank)`` with
+    ``rank`` an exact DECIMAL (see below), one row per node appearing as
+    a source (callers wanting dangling nodes union them in with
+    out-degree edges first; an undirected graph — both directions in
+    ``edges`` — has none by construction).
+
+    Determinism contract (the repo-wide md5/DECIMAL convention): each
+    contribution ``rank/out_degree`` is computed in double, rounded to
+    12 dp and cast to DECIMAL(28,12), so the per-node SUM is
+    order-free-exact on any partitioning and any engine; the damping
+    update is pure decimal arithmetic. Ranks are therefore bit-equal
+    across engines — the DuckDB oracle unrolls the same iterations.
+
+    Scale shape: per iteration, one hash join of the edge list against
+    the |nodes|-sized rank table (broadcast when nodes fit, shuffled
+    hash join keyed on the node otherwise — AQE's call) plus one
+    aggregation whose map-side partials are (node, partial-sum) pairs.
+    The fixed-depth loop composes lazily — no checkpoint, no driver
+    collect, no accumulation of state; plan depth is 3·iterations.
+    """
+    if n_iterations < 1:
+        raise ValueError("n_iterations must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        # consumed every iteration (plus the degree build) — materialize
+        # once, same posture as connected_components' edge checkpoint
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    d = F.lit(damping).cast("decimal(4,3)")
+
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / F.col("n"), 12).cast("decimal(28,12)").alias("rank"),
+        "n",
+    )
+    for _ in range(n_iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                "dst",
+                F.round(
+                    F.col("rank").cast("double") / F.col("deg"), 12
+                ).cast("decimal(28,12)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            ranks.join(sums, "node", "left")
+            .select(
+                "node",
+                # s capped to DECIMAL(20,12) (ranks sum to ~1) so the
+                # damping product keeps scale 15 EXACTLY on any engine —
+                # at wider precisions Spark's allowPrecisionLoss would
+                # round the product engine-specifically
+                (
+                    F.round(F.lit(1.0 - damping) / F.col("n"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                    + d * F.coalesce(F.col("s"), F.lit(0)).cast("decimal(20,12)")
+                ).alias("rank"),
+                "n",
+            )
+        )
+    return ranks.select("node", "rank")

@@ -792,3 +792,115 @@ def contamination_report(
             ),
         )
     )
+
+
+def _bloom_probe_structs(key, m_bits: int, k: int):
+    """array of k (word_idx, mask) probe structs for one key column."""
+    out = []
+    for s in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits))
+        out.append(
+            F.struct(
+                (pos / 64).cast("long").alias("word_idx"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), pos.cast("int") % 64
+                ).alias("mask"),
+            )
+        )
+    return F.array(*out)
+
+
+def bloom_filter_words(
+    keys: DataFrame,
+    key_col: str = "sh",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a table of 64-bit words:
+    ``(word_idx, bits)`` — only words with at least one set bit are
+    present (≤ ``m_bits``/64 rows, 128 KiB of longs for the 2²⁰-bit
+    default). Spark's ``bloom_filter_agg`` is not exposed to SQL/Python,
+    so the same construction is composed from primitives: per key, ``k``
+    seeded xxhash64 positions; explode to (word, bit-mask); BIT_OR per
+    word — one map-side-combinable aggregation, fully JVM-side.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    return (
+        keys.select(
+            F.explode(_bloom_probe_structs(F.col(key_col), m_bits, k)).alias("m")
+        )
+        .groupBy(F.col("m.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("m.mask")).alias("bits"))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom pre-filter — bit-identical
+    output (the Bloom admits false POSITIVES only; an exact verify pass
+    removes them, and a genuinely shared shingle can never be missed),
+    so the two share one oracle.
+
+    Why at 100 TB: plain decontaminate broadcasts the benchmark's full
+    distinct shingle-hash set to every corpus task — tens of MB for a
+    real eval suite. Here the corpus-wide scan tests against a 128 KiB
+    bitset instead (broadcast hash join on the word index — no driver
+    collect anywhere), and only the surviving CANDIDATE docs, typically
+    a sliver of the corpus, re-shingle through the exact broadcast
+    join. Same pattern as parquet row-group bloom pruning: spend a tiny
+    lossy structure corpus-wide to keep the exact structure off the hot
+    path.
+
+    False-positive posture at defaults: m=2²⁰ bits, k=4 →
+    p ≈ (1-e^(-kn/m))^k ≈ 2.4e-3 per probed shingle at n=100k benchmark
+    shingles, so candidate spill stays proportional to corpus shingle
+    count × p — and every false candidate dies in the exact verify.
+    """
+    bench_sh = (
+        _hashed_shingles(benchmark, n, text_col, id_col).select("sh").distinct()
+        # consumed twice (bloom build + exact verify) — materialize once
+        .localCheckpoint(eager=True)
+    )
+    bloom = bloom_filter_words(bench_sh, "sh", m_bits, k)
+
+    corpus_sh = _hashed_shingles(corpus, n, text_col, id_col)
+    probes = corpus_sh.select(
+        "doc_id",
+        "sh",
+        F.explode(_bloom_probe_structs(F.col("sh"), m_bits, k)).alias("p"),
+    )
+    # a shingle MIGHT be in the benchmark iff all k probed bits are set;
+    # inner join drops probes whose word is absent (all-zero word = bit
+    # unset), so surviving count == k is the membership test
+    might = (
+        probes.join(F.broadcast(bloom), probes["p.word_idx"] == bloom.word_idx)
+        .filter(F.col("p.mask").bitwiseAND(F.col("bits")) != 0)
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == k)
+        .select("doc_id")
+        .distinct()
+    )
+    # exact verify: only candidate docs re-shingle against the true set
+    cand_docs = corpus.join(
+        might.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    contaminated = (
+        _hashed_shingles(cand_docs, n, text_col, id_col)
+        .join(F.broadcast(bench_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.join(
+        contaminated,
+        corpus[id_col] == contaminated["doc_id"],
+        "left_anti",
+    )

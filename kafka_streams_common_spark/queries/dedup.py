@@ -281,6 +281,51 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_decontaminate_bloom",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+    bsh AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM bench
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+        generate_series(1, greatest(1, len(string_split(text, ' ')) - 4)),
+        i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+      )) AS shingle
+      FROM corpus
+    ),
+    contaminated AS (
+      SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle)
+    )
+    SELECT doc_id, n_chars FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the 128 KiB Bloom pre-filter
+    (``operators/dedup.py: bloom_decontaminate``): the corpus-wide scan
+    probes a bitset built from the benchmark shingles instead of
+    broadcasting their full hash set, and only surviving candidate docs
+    re-shingle through the exact verify — bit-identical output to
+    ``dedup_decontaminate`` (the Bloom admits false positives only, all
+    killed by the verify), so both rows share one oracle and the
+    external gate proves the equivalence."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return bloom_decontaminate(corpus, bench, n=5).select("doc_id", "n_chars")
+
+
+@query(
     "pipeline_curate_corpus",
     oracle="""
     WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),

@@ -2828,3 +2828,109 @@ def udtf_explode_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_props_events e, LATERAL parse_props_kv(e.props) p
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration PageRank — iterative relational algebra, decimal-exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_pagerank_customer_supplier",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+      SELECT deg.src AS node,
+             CAST(round(1.0 / nn.n, 12) AS DECIMAL(28,12)) AS rank,
+             nn.n AS n
+      FROM deg, nn
+    ),
+    c1 AS (
+      SELECT e.dst AS node,
+             sum(CAST(round(CAST(r0.rank AS DOUBLE) / deg.d, 12)
+                      AS DECIMAL(28,12))) AS s
+      FROM e JOIN deg ON e.src = deg.src
+             JOIN r0 ON e.src = r0.node
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT r0.node,
+             CAST(round(0.15 / r0.n, 12) AS DECIMAL(28,12))
+             + CAST(0.85 AS DECIMAL(4,3))
+               * CAST(coalesce(c1.s, 0) AS DECIMAL(20,12)) AS rank,
+             r0.n AS n
+      FROM r0 LEFT JOIN c1 ON r0.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node,
+             sum(CAST(round(CAST(r1.rank AS DOUBLE) / deg.d, 12)
+                      AS DECIMAL(28,12))) AS s
+      FROM e JOIN deg ON e.src = deg.src
+             JOIN r1 ON e.src = r1.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT r0.node,
+             CAST(round(0.15 / r0.n, 12) AS DECIMAL(28,12))
+             + CAST(0.85 AS DECIMAL(4,3))
+               * CAST(coalesce(c2.s, 0) AS DECIMAL(20,12)) AS rank,
+             r0.n AS n
+      FROM r0 LEFT JOIN c2 ON r0.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node,
+             sum(CAST(round(CAST(r2.rank AS DOUBLE) / deg.d, 12)
+                      AS DECIMAL(28,12))) AS s
+      FROM e JOIN deg ON e.src = deg.src
+             JOIN r2 ON e.src = r2.node
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT r0.node,
+             CAST(round(0.15 / r0.n, 12) AS DECIMAL(28,12))
+             + CAST(0.85 AS DECIMAL(4,3))
+               * CAST(coalesce(c3.s, 0) AS DECIMAL(20,12)) AS rank,
+             r0.n AS n
+      FROM r0 LEFT JOIN c3 ON r0.node = c3.node
+    )
+    SELECT node, CAST(floor(rank * 100000000) AS BIGINT) AS pr_e8
+    FROM r3
+""",
+)
+def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the undirected
+    customer–supplier interaction graph (an edge per distinct
+    customer/supplier pair that shares an order) — the iterative
+    importance-propagation algorithm beyond connected components,
+    entirely in DataFrame algebra (``operators/cluster.py: pagerank``).
+    Contributions are rounded-to-12dp DECIMALs so every per-node sum is
+    order-free exact; the oracle unrolls the identical three iterations
+    in SQL and both engines emit bit-equal floor(rank·1e8) integers.
+    Undirected construction ⇒ no dangling nodes ⇒ no dangling-mass
+    term. Ranks output for every node in the graph."""
+    from kafka_streams_common_spark.operators.cluster import pagerank
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    pr = pagerank(e, n_iterations=3, damping=0.85)
+    return pr.select(
+        "node",
+        F.floor(F.col("rank") * 100000000).cast("bigint").alias("pr_e8"),
+    )

@@ -120,6 +120,97 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_sliding_window_counts",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS bkt, event_type
+      FROM events
+    ),
+    m AS (
+      SELECT bkt AS window_start, event_type FROM b
+      UNION ALL
+      SELECT bkt - INTERVAL 30 MINUTE, event_type FROM b
+    )
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM m GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING (hopping) window aggregation — 1-hour windows
+    every 30 minutes, so each event lands in exactly two windows (the
+    overlapping-dashboards shape tumbling can't express). Oracle
+    replays the assignment: both engines align windows to the epoch, so
+    an event's two window starts are its 30-minute bucket and that
+    bucket minus 30 minutes. State is |open windows × groups|-bounded
+    exactly like tumbling; at scale the map-side partial aggregation
+    carries (window, group) partials, never raw events."""
+    from pyspark.sql import functions as F
+
+    comp = _streaming_compiler(spark, sf_dir)
+    sdf = (
+        comp.stream_source("events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(sdf, spark, output_mode="complete")
+
+
+@query(
+    "streaming_session_window_counts",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming native ``session_window`` aggregation (30-minute gap,
+    per user) — the dynamic-gap windowing the fixed ladder
+    (tumbling/sliding) can't express: windows grow while events keep
+    arriving within the gap and close when it lapses. Same oracle as
+    the batch twin ``session_window_per_user`` (lag + cumulative-sum
+    island rebuild), proving the batch≡stream duality for session
+    windows through the external gate. Complete mode merges partial
+    sessions across microbatches; the production append-mode variant
+    adds a watermark so closed sessions emit exactly once and session
+    state is evictable."""
+    from pyspark.sql import functions as F
+
+    comp = _streaming_compiler(spark, sf_dir)
+    sdf = (
+        comp.stream_source("events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(sdf, spark, output_mode="complete")
+
+
+@query(
     "streaming_stream_stream_join",
     oracle="""
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,

@@ -888,3 +888,39 @@ def test_two_phase_cc_matches_label_propagation_and_beats_diameter(spark):
     assert {c for n, c in got if n in set(chain_ids)} == {min(chain_ids)}
     # O(log n): 64-diameter graph must converge way under diameter rounds
     assert stats["rounds"] <= 12, stats
+
+
+def test_bloom_filter_words_no_false_negatives_and_low_fp(spark):
+    """The composed-from-primitives Bloom (operators.dedup): every
+    inserted key passes the all-k-bits test (no false negatives — the
+    decontamination equivalence depends on it) and the false-positive
+    rate on disjoint probes stays near the analytic p ≈ (1-e^(-kn/m))^k."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import (
+        _bloom_probe_structs,
+        bloom_filter_words,
+    )
+
+    m_bits, k = 1 << 14, 4
+    keys = spark.range(0, 2000).select(F.xxhash64("id").alias("sh"))
+    bloom = bloom_filter_words(keys, "sh", m_bits=m_bits, k=k)
+
+    def membership_count(probe_df):
+        probes = probe_df.select(
+            "sh", F.explode(_bloom_probe_structs(F.col("sh"), m_bits, k)).alias("p")
+        )
+        return (
+            probes.join(F.broadcast(bloom), probes["p.word_idx"] == bloom.word_idx)
+            .filter(F.col("p.mask").bitwiseAND(F.col("bits")) != 0)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .filter(F.col("nb") == k)
+            .count()
+        )
+
+    assert membership_count(keys) == 2000  # zero false negatives
+    outside = spark.range(100000, 110000).select(F.xxhash64("id").alias("sh"))
+    fp = membership_count(outside) / 10000
+    # n=2000, m=2^14, k=4 -> p ≈ (1-e^(-8000/16384))^4 ≈ 0.023
+    assert fp < 0.05, fp
