@@ -90,6 +90,14 @@ TRACKING_QUERIES = [
     "window_trending_topk",
     "asof_join_next_order_after_event",
     "scd2_temporal_lookup",
+    # round-8 additions (streaming rows stay off this table like the
+    # rest of the streaming tier — foreachBatch state dirs per run)
+    "dq_profile_events_approx",
+    "dedup_decontaminate_bloom",
+    "dedup_connected_components_two_phase",
+    "graph_pagerank_customer_supplier",
+    "llm_dsir_importance_weights",
+    "zorder_key_orders",
 ]
 
 

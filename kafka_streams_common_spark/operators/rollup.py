@@ -1,0 +1,55 @@
+"""Incremental aggregate maintenance — mergeable partial states.
+
+The materialized-view pattern behind every warehouse rollup at 100 TB:
+never re-aggregate history. Each ingest batch (a day, an hour, a
+microbatch) reduces to a PARTIAL-STATE table — per group key, the
+algebraic state of every measure (count, exact sum, min, max) — and the
+published view is a MERGE of partial states, which is itself the same
+aggregation over |groups|-sized inputs. Re-stating a late-arriving day
+means rebuilding ONE day's partials, not rescanning the table; coarser
+rollups (day → month → total) merge the same states without touching
+facts. The sketch twin of this pattern (HLL distinct counts) is
+``agg_hll_mergeable_rollup``; this module is the exact-measure form.
+
+Sums use the repo's DECIMAL convention (round 6 dp → DECIMAL(28,12))
+so a merge of partials is bit-equal to the direct aggregate on any
+partitioning, batch split, or engine — that equality IS the oracle of
+``incremental_agg_orders_by_status``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_agg_state(
+    batch: DataFrame,
+    keys: list[str],
+    measure: str,
+) -> DataFrame:
+    """Reduce one ingest batch to per-group algebraic state:
+    ``(*keys, n_rows, sum_m, min_m, max_m)``."""
+    return batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col(measure), 6).cast("decimal(28,12)")).alias("sum_m"),
+        F.min(measure).alias("min_m"),
+        F.max(measure).alias("max_m"),
+    )
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial-state tables into one state of the union of their
+    inputs — count/sum add, min/max fold; associative and commutative,
+    so any merge tree (day → month → total) yields the identical state."""
+    if not states:
+        raise ValueError("no states to merge")
+    merged = states[0]
+    for st in states[1:]:
+        merged = merged.unionByName(st)
+    return merged.groupBy(*keys).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_m").alias("sum_m"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )

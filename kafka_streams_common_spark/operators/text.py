@@ -744,3 +744,117 @@ def classifier_score(
         (score_mills / 1000.0).alias("logit"),
         (score_mills / 1000.0 > F.lit(threshold)).alias("keep"),
     )
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every corpus document by the average hashed-bigram log-likelihood
+    ratio between a TARGET distribution (the domain you want more of —
+    an eval suite, a quality subset) and the corpus distribution. Docs
+    whose n-gram profile looks more target-like than corpus-average
+    score positive — the standard cheap importance filter a pretraining
+    pipeline runs to tilt a 100 TB crawl toward a target domain.
+
+    Returns ``(doc_id, n_bigrams, dsir_score, keep)`` for every corpus
+    doc; ``dsir_score`` = Σ m_f·lr_f / Σ m_f over the doc's bucket
+    counts, ``lr_f = ln(p̂_target(f)/p̂_corpus(f))`` with add-one
+    smoothing over ``n_buckets`` hashed buckets; ``keep`` = score > 0.
+
+    Scale shape: one explode-shuffle per side builds (doc, bucket, m)
+    counts (hashed-bucket domain, so the model tables are
+    ``n_buckets``-bounded regardless of vocabulary); the corpus model
+    re-aggregates the per-doc counts (no second corpus pass); scoring
+    joins the per-doc counts against the BROADCAST bucket table. The
+    only scalar aggregates are the two totals, carried via broadcast
+    crossJoin — no driver collect.
+
+    Determinism (repo convention): buckets from md5_int64 (cross-engine
+    bytewise identical), per-bucket log-ratio rounded to 6 dp and cast
+    DECIMAL(18,6) so every per-doc weighted sum is order-free exact;
+    the final double division is a single IEEE op on exact inputs.
+    """
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    def bucket_counts(docs: DataFrame) -> DataFrame:
+        tokened = fan_out(docs).select(
+            F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+        )
+        toks = F.col("__toks")
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(2), F.size(toks))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = tokened.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+                    ),
+                )
+            ).alias("bigram"),
+        )
+        return grams.groupBy(
+            "doc_id", (md5_int64("bigram") % n_buckets).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("m"))
+
+    corpus_doc_counts = bucket_counts(corpus).localCheckpoint(eager=True)
+    cc = corpus_doc_counts.groupBy("bucket").agg(F.sum("m").alias("cc"))
+    tc = bucket_counts(target).groupBy("bucket").agg(F.sum("m").alias("tc"))
+    ctot = cc.agg(F.sum("cc").alias("ctot"))
+    ttot = tc.agg(F.sum("tc").alias("ttot"))
+
+    lr = (
+        cc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                        / (F.col("ttot") + n_buckets).cast("double")
+                    )
+                    / (
+                        (F.col("cc") + 1).cast("double")
+                        / (F.col("ctot") + n_buckets).cast("double")
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lr"),
+        )
+    )
+    scored = (
+        corpus_doc_counts.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("lr")).alias("sum_lr"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("sum_lr").cast("double") / F.col("n_bigrams")).alias(
+                "dsir_score"
+            ),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "dsir_score",
+            F.coalesce(F.col("dsir_score") > 0, F.lit(False)).alias("keep"),
+        )
+    )

@@ -36,16 +36,21 @@ r7 close (the round-7 session-2 registrations with no driver row ever —
 the governance tier, BPE census, classifier, temperature sampling, CDC
 tombstones, the stats tier, trending/normalize/URL, forward as-of, SCD2
 lookup, k-fold, rate limiter — plus the changed-code re-exposures named
-there), then the 3 new-in-r8 queries (``dq_profile_events_approx``,
-``udtf_explode_props_kv``, ``dedup_connected_components_two_phase`` —
-first exposure), then 15 stale-row refreshes: all 11 two-green rows
-(the [1,5] cube/grouping-sets/set-op/unpivot tier and the [2,5]
-text/similarity tier), then 4 of the [1,2,5] three-green rows. The six
-r5-green rows left past-window (``text_top_words``
-``window_topk_orders_per_customer`` ``semi_join_customers_with_orders``
-``salted_agg_orders_by_status`` ``llm_pack_sequences``
-``streaming_stream_stream_join``) each hold ≥ 3 green driver rounds on
-unchanged code; every other past-window row is green in r6 or r7.
+there), then ALL 12 new-in-r8 queries (first exposure: approx profile,
+UDTF-in-LATERAL, two-phase connected components, Bloom-prefiltered
+decontamination, streaming sliding/session/suppressed-append windows,
+the KTable foreign-key join, PageRank, DSIR importance weights, the
+Z-order layout key, incremental aggregate-state maintenance), then 6
+stale refreshes (the full [1,5] two-green tier + sim_centroid_by_label
+of the [2,5] tier). Displaced to the r9 refresh queue, each with
+≥ 2 green driver rounds on unchanged code: text_hash_sample,
+text_pii_scrub, text_repetition_metrics,
+text_stratified_sample, text_tfidf_top_terms ([2,5]); dedup_exact,
+dedup_simhash, sim_cosine_topk, tpch_q1_pricing_summary,
+semi_join_customers_with_orders, salted_agg_orders_by_status,
+text_top_words, window_topk_orders_per_customer ([1,2,5]);
+llm_pack_sequences ([3,4,5]); streaming_stream_stream_join
+([2,3,4,5]); every other past-window row is green in r6 or r7.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -108,29 +113,31 @@ _R8_HEAD = (
     "array_agg_order_keys_per_customer",
 )
 _R8_WINDOW = _R8_HEAD + (
-    # new in round 8 — first driver exposure
+    # new in round 8 — first driver exposure (never-checked queries
+    # outrank stale refreshes, per the rotation invariants above)
     "dq_profile_events_approx",
     "udtf_explode_props_kv",
     "dedup_connected_components_two_phase",
-    # stale refresh: every two-green row, [1,5] tier first
+    "dedup_decontaminate_bloom",
+    "streaming_sliding_window_counts",
+    "streaming_session_window_counts",
+    "streaming_fk_join_enrichment",
+    "graph_pagerank_customer_supplier",
+    "llm_dsir_importance_weights",
+    "zorder_key_orders",
+    "incremental_agg_orders_by_status",
+    "streaming_suppressed_window_counts",
+    # stale refresh: the [1,5] two-green tier first
     "cube_orders_by_status_priority",
     "grouping_sets_orders",
     "set_except",
     "set_intersect",
     "unpivot_customer_measures",
-    # ... then the [2,5] tier
+    # ... then 1 of the [2,5] two-green tier (the remaining five [2,5]
+    # rows plus the [1,2,5] three-green rows are the displaced
+    # refreshes; all hold ≥ 2 green rounds on unchanged code and lead
+    # the r9 refresh queue)
     "sim_centroid_by_label",
-    "text_hash_sample",
-    "text_pii_scrub",
-    "text_repetition_metrics",
-    "text_stratified_sample",
-    "text_tfidf_top_terms",
-    # ... then 4 of the [1,2,5] three-green rows (the dedup/similarity
-    # heads and the TPC-H flagship)
-    "dedup_exact",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "tpch_q1_pricing_summary",
 )
 
 # Past the window: every one of these has a green driver row from r6 or

@@ -2934,3 +2934,101 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         "node",
         F.floor(F.col("rank") * 100000000).cast("bigint").alias("pr_e8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key — data-skipping / OPTIMIZE ZORDER primitive
+# ---------------------------------------------------------------------------
+
+@query(
+    "zorder_key_orders",
+    oracle="""
+    WITH s AS (
+      SELECT min(CAST(o_custkey AS DOUBLE)) AS mn_c,
+             max(CAST(o_custkey AS DOUBLE)) AS mx_c,
+             min(o_totalprice) AS mn_p,
+             max(o_totalprice) AS mx_p
+      FROM orders
+    ),
+    cells AS (
+      SELECT o_orderkey,
+             least(CAST(floor((CAST(o_custkey AS DOUBLE) - s.mn_c)
+                              / (s.mx_c - s.mn_c) * 65535) AS BIGINT),
+                   65535) AS ca,
+             least(CAST(floor((o_totalprice - s.mn_p)
+                              / (s.mx_p - s.mn_p) * 65535) AS BIGINT),
+                   65535) AS cb
+      FROM orders, s
+    )
+    SELECT o_orderkey,
+           list_sum(list_transform(generate_series(0, 15),
+             i -> (((ca >> i) & 1) << (2 * i))
+                + (((cb >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
+    FROM cells
+    """,
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key over (customer, price) —
+    ``operators/zorder.py``: min/max-scale both columns to a 16-bit
+    grid in ONE scalar aggregation broadcast back onto the scan, then
+    bit-interleave the cells in a codegen fold. Sorting or
+    range-partitioning a 100 TB table by this key before writing gives
+    every file a tight min/max box on BOTH dimensions, so zone maps
+    prune scans filtered on either — the OPTIMIZE ZORDER BY primitive
+    Delta/Iceberg run, here as a plain column expression. The oracle
+    replays the identical quantization and interleave bit arithmetic."""
+    from kafka_streams_common_spark.operators.zorder import zorder_key
+
+    orders = table(spark, sf_dir, "orders")
+    return zorder_key(orders, ["o_custkey", "o_totalprice"], bits=16).select(
+        "o_orderkey", "zkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance — mergeable partial states
+# ---------------------------------------------------------------------------
+
+@query(
+    "incremental_agg_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,12)))
+                AS DOUBLE) AS sum_totalprice,
+           min(o_totalprice) AS min_totalprice,
+           max(o_totalprice) AS max_totalprice
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (``operators/rollup.py``): the orders table arrives as three
+    simulated ingest batches; each reduces to a per-status
+    partial-state table (count / DECIMAL-exact sum / min / max), and
+    the published rollup is a MERGE of states — |groups|-sized inputs,
+    no fact rescan. The oracle is the DIRECT aggregate over all facts:
+    the gate proves merge-of-partials ≡ full rebuild bit-for-bit, which
+    is the algebraic property that lets a 100 TB warehouse restate one
+    late day and re-merge instead of rescanning history."""
+    from kafka_streams_common_spark.operators.rollup import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    batches = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    states = [
+        partial_agg_state(b, ["o_orderstatus"], "o_totalprice")
+        for b in batches
+    ]
+    merged = merge_agg_states(states, ["o_orderstatus"])
+    return merged.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_m").cast("double").alias("sum_totalprice"),
+        F.col("min_m").alias("min_totalprice"),
+        F.col("max_m").alias("max_totalprice"),
+    )

@@ -120,6 +120,50 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_suppressed_window_counts",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(ts) AS m FROM events)
+    SELECT a.window_start, a.event_type, a.n_events
+    FROM agg a, mx
+    WHERE a.window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_suppressed_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation with a watermark — the
+    ``Suppressed.untilWindowCloses`` semantics of the Kafka Streams DSL
+    (emit a window exactly once, when it can no longer change): each
+    1-hour window emits only after the 30-minute watermark passes its
+    end, so the bounded run yields precisely the CLOSED windows. The
+    oracle replays the final-watermark rule — windows whose end ≤
+    max(ts) − 30 min — proving the exactly-once emission boundary
+    (complete-mode tumbling is the separate
+    ``streaming_tumbling_window_counts`` row; open windows' counts are
+    retained in state, not lost). At scale this is the only windowed
+    output mode that keeps sinks append-only (no retractions), the
+    contract downstream log consumers need."""
+    from pyspark.sql import functions as F
+
+    comp = _streaming_compiler(spark, sf_dir)
+    sdf = (
+        comp.stream_source("events")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(sdf, spark, output_mode="append")
+
+
+@query(
     "streaming_sliding_window_counts",
     oracle="""
     WITH b AS (
@@ -282,6 +326,67 @@ def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, state_dir, key_field="user_id", seq_field="ts", tiebreak_field="event_id"
     )
     return state.select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+
+@query(
+    "streaming_fk_join_enrichment",
+    oracle=LATEST_EVENTS_CTE
+    + """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           le.event_type AS user_segment,
+           le.ts AS segment_ts
+    FROM orders o LEFT JOIN latest_events le ON o.o_custkey = le.user_id
+    """,
+)
+def streaming_fk_join_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable FOREIGN-KEY join (``streaming/runner.py:
+    run_fk_join_materialization``) — the Kafka Streams
+    ``KTable.join(other, foreignKeyExtractor)`` shape the reference's
+    primary-key join chains can't express: orders reference the user
+    dimension by FK, the dimension is a CHANGELOG (latest event per
+    user = the user's current segment), and every dimension update
+    re-emits the dependent orders with fresh enrichment (the
+    subscription/response-topic mechanics, played here by the
+    per-microbatch changed-key set; re-emission dynamics pinned in
+    tests/test_streaming.py). The driver-gated check is the final view:
+    batch ≡ stream because latest-per-key is order-insensitive and the
+    view is a full rejoin against final state."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.streaming.runner import (
+        run_fk_join_materialization,
+    )
+
+    comp = _streaming_compiler(spark, sf_dir)
+    dim = comp.stream_source("events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    facts = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    state_dir = tempfile.mkdtemp(prefix="kscs_fk_")
+    atexit.register(shutil.rmtree, state_dir, True)
+    view, _emissions = run_fk_join_materialization(
+        dim,
+        facts,
+        spark,
+        state_dir,
+        dim_key="user_id",
+        fk_field="o_custkey",
+        seq_field="ts",
+        tiebreak_field="event_id",
+    )
+    return view.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("event_type").alias("user_segment"),
+        F.col("ts").alias("segment_ts"),
+    )
 
 
 @query(

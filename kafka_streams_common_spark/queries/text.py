@@ -1041,3 +1041,71 @@ def text_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("fold"),
     )
+
+
+@query(
+    "llm_dsir_importance_weights",
+    oracle="""
+    WITH tokened AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(2, len(t)), i -> t[i-1] || ' ' || t[i]
+      )) AS bigram
+      FROM tokened WHERE len(t) >= 2
+    ),
+    dc AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(bigram AS VARCHAR)), 1, 15))::BIGINT
+               % 4096 AS bucket,
+             count(*) AS m
+      FROM grams GROUP BY 1, 2
+    ),
+    cc AS (SELECT bucket, sum(m) AS cc FROM dc GROUP BY 1),
+    tc AS (
+      SELECT dc.bucket, sum(dc.m) AS tc
+      FROM dc JOIN documents USING (doc_id)
+      WHERE documents.lang = 'en' GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(cc) FROM cc) AS ctot,
+             (SELECT sum(tc) FROM tc) AS ttot
+    ),
+    lr AS (
+      SELECT cc.bucket,
+             CAST(round(ln(
+               (CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE)
+                  / CAST(tot.ttot + 4096 AS DOUBLE))
+               / (CAST(cc.cc + 1 AS DOUBLE)
+                  / CAST(tot.ctot + 4096 AS DOUBLE))
+             ), 6) AS DECIMAL(18,6)) AS lr
+      FROM cc LEFT JOIN tc ON cc.bucket = tc.bucket, tot
+    ),
+    sc AS (
+      SELECT dc.doc_id, sum(dc.m) AS n_bigrams, sum(dc.m * lr.lr) AS sum_lr
+      FROM dc JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(sc.sum_lr AS DOUBLE) / sc.n_bigrams AS dsir_score,
+           coalesce(CAST(sc.sum_lr AS DOUBLE) / sc.n_bigrams > 0, FALSE)
+             AS keep
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def llm_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights over the fixture corpus with the
+    English subset as the target domain
+    (``operators/text.py: dsir_importance_weights``): every document
+    scored by its hashed-bigram log-likelihood ratio between target and
+    corpus distributions — the importance-resampling filter a
+    pretraining pipeline uses to tilt a crawl toward a domain without
+    training a classifier. The oracle replays the same 4096-bucket
+    model with the md5 bucket hash and 6 dp DECIMAL log-ratios, so the
+    scores are bit-equal."""
+    from kafka_streams_common_spark.operators.text import dsir_importance_weights
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter("lang = 'en'")
+    return dsir_importance_weights(docs, target, n_buckets=4096)

@@ -190,3 +190,105 @@ def run_changelog_materialization(
         # NOT(NULL) is NULL and would silently drop live keys.
         return state.filter(f"NOT coalesce(({tombstone_predicate}), false)")
     return state
+
+
+def run_fk_join_materialization(
+    dim_stream: DataFrame,
+    facts: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    dim_key: str,
+    fk_field: str,
+    seq_field: str,
+    tiebreak_field: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """KTable FOREIGN-KEY join materialization — the Kafka Streams
+    ``KTable.join(other, foreignKeyExtractor, ...)`` semantics the
+    reference's primary-key-only join chains (J1-J5,
+    ``DynamicTopologyBuilder.java``) cannot express: facts reference a
+    DIMENSION row by foreign key, and when the dimension CHANGES, every
+    dependent fact row re-emits with the new enrichment (Kafka Streams
+    implements this with a subscription/response topic pair; here the
+    per-microbatch changed-key set plays the subscription role).
+
+    Per microbatch: fold the dimension changelog batch into a
+    latest-per-key state table (same versioned-parquet merge as
+    :func:`run_changelog_materialization`), then append to the EMISSIONS
+    log the facts owned by keys whose dimension row changed in this
+    batch, joined against the fresh state. Facts are scanned per batch
+    only for the changed-key subset (broadcast semi-join on the batch's
+    key set — dimension-update-sized, not fact-sized).
+
+    Returns ``(view, emissions)``: the final enriched view (facts ⟕
+    latest dimension state — what a fresh full rebuild would produce;
+    the batch≡stream anchor) and the append-only emission log with an
+    ``epoch`` column (the changelog a downstream consumer would see;
+    re-emission dynamics are pinned in tests/test_streaming.py).
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    dim_dir = os.path.join(state_dir, "dim")
+    emit_dir = os.path.join(state_dir, "emit")
+    os.makedirs(dim_dir, exist_ok=True)
+    os.makedirs(emit_dir, exist_ok=True)
+    marker = os.path.join(dim_dir, "CURRENT")
+
+    def current_state() -> DataFrame | None:
+        if not os.path.exists(marker):
+            return None
+        with open(marker, "r", encoding="utf-8") as fh:
+            path = fh.read().strip()
+        return spark.read.parquet(path) if path else None
+
+    dim_cols = dim_stream.columns
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        state = current_state()
+        merged = batch_df if state is None else state.unionByName(batch_df)
+        new_state = latest_per_key(merged, dim_key, seq_field, tiebreak_field)
+        version_path = os.path.join(dim_dir, f"v{epoch_id}_{uuid.uuid4().hex[:8]}")
+        new_state.write.mode("overwrite").parquet(version_path)
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version_path)
+        os.replace(tmp, marker)
+        # changed keys this batch = keys present in the batch (a
+        # latest-per-key fold can only change a key it saw); re-emit
+        # their dependent facts with the fresh enrichment
+        changed = batch_df.select(F.col(dim_key)).distinct()
+        fresh = spark.read.parquet(version_path)
+        emission = (
+            facts.join(
+                F.broadcast(changed),
+                facts[fk_field] == changed[dim_key],
+                "left_semi",
+            )
+            .join(
+                fresh, facts[fk_field] == fresh[dim_key], "left"
+            )
+            .drop(dim_key)
+            .withColumn("epoch", F.lit(epoch_id).cast("bigint"))
+        )
+        emission.write.mode("append").parquet(emit_dir)
+
+    writer = dim_stream.writeStream.foreachBatch(merge_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    state = current_state()
+    assert state is not None, "no microbatch produced state"
+    view = facts.join(
+        state, facts[fk_field] == state[dim_key], "left"
+    ).drop(dim_key)
+    try:
+        emissions = spark.read.parquet(emit_dir)
+    except Exception:
+        emissions = view.filter(F.lit(False)).withColumn(
+            "epoch", F.lit(0).cast("bigint")
+        )
+    return view, emissions

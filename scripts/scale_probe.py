@@ -22,7 +22,11 @@ import time
 
 from pyspark.sql import functions as F
 
-from kafka_streams_common_spark.operators.cluster import connected_components
+from kafka_streams_common_spark.operators.cluster import (
+    connected_components,
+    connected_components_two_phase,
+    pagerank,
+)
 from kafka_streams_common_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -33,6 +37,7 @@ from kafka_streams_common_spark.operators.similarity import (
     hyperplane_lsh_near_dup_pairs,
 )
 from kafka_streams_common_spark.operators.dedup import (
+    bloom_decontaminate,
     decontaminate,
     line_dedup,
     passage_dedup,
@@ -48,7 +53,11 @@ from kafka_streams_common_spark.operators.bpe import (
     word_frequencies,
 )
 from kafka_streams_common_spark.operators.profile import profile_columns
-from kafka_streams_common_spark.operators.text import classifier_score
+from kafka_streams_common_spark.operators.text import (
+    classifier_score,
+    dsir_importance_weights,
+)
+from kafka_streams_common_spark.operators.zorder import zorder_key
 from kafka_streams_common_spark.operators.skewjoin import salted_join
 from kafka_streams_common_spark.operators.text import (
     bigram_repetition,
@@ -249,6 +258,62 @@ def main() -> None:
             lambda: cell_diverse_sample(emb1, n_per_cell=8),
             lambda: cell_diverse_sample(emb8, n_per_cell=8),
         ),
+        # Bloom prefilter: benchmark (and its 128 KiB bitset) fixed,
+        # corpus 8× — duplication makes every copy a candidate, the
+        # adversarial case for the exact-verify stage
+        "bloom_decontaminate": (
+            lambda: bloom_decontaminate(
+                docs1, docs1.limit(100).localCheckpoint(eager=True)
+            ),
+            lambda: bloom_decontaminate(
+                docs8, docs1.limit(100).localCheckpoint(eager=True)
+            ),
+        ),
+        # two-phase CC on the same duplicated near-clique graph the
+        # propagation probe uses — round count must stay flat
+        "connected_components_two_phase": (
+            lambda: connected_components_two_phase(
+                docs1.select("doc_id"), minhash_lsh_pairs(docs1)
+            ),
+            lambda: connected_components_two_phase(
+                docs8.select("doc_id"), minhash_lsh_pairs(docs8)
+            ),
+        ),
+        # target-domain model fixed; corpus (and its bucket counts) 8×
+        "dsir_importance_weights": (
+            lambda: dsir_importance_weights(
+                docs1, docs1.filter("lang = 'en'")
+            ),
+            lambda: dsir_importance_weights(
+                docs8, docs8.filter("lang = 'en'")
+            ),
+        ),
+        # 8× edge multiplicity on the same node set: the distinct
+        # collapse + 3 fixed iterations must track input size
+        "pagerank_3iter": (
+            lambda: pagerank(
+                events1.select(
+                    F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+                    F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+                ).unionAll(
+                    events1.select(
+                        F.concat(F.lit("t"), F.col("event_type")).alias("src"),
+                        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("dst"),
+                    )
+                )
+            ),
+            lambda: pagerank(
+                events8.select(
+                    F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+                    F.concat(F.lit("t"), F.col("event_type")).alias("dst"),
+                ).unionAll(
+                    events8.select(
+                        F.concat(F.lit("t"), F.col("event_type")).alias("src"),
+                        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("dst"),
+                    )
+                )
+            ),
+        ),
     }
 
     noop_probes = {
@@ -276,6 +341,11 @@ def main() -> None:
         "classifier_score": (
             lambda: classifier_score(docs1),
             lambda: classifier_score(docs8),
+        ),
+        # scalar min/max agg + map-only interleave — should track bytes
+        "zorder_key_events": (
+            lambda: zorder_key(events1, ["user_id", "value"]),
+            lambda: zorder_key(events8, ["user_id", "value"]),
         ),
         "bpe_pair_census": (
             lambda: _pair_census(_initial_symbols(word_frequencies(docs1))),

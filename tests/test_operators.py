@@ -924,3 +924,49 @@ def test_bloom_filter_words_no_false_negatives_and_low_fp(spark):
     fp = membership_count(outside) / 10000
     # n=2000, m=2^14, k=4 -> p ≈ (1-e^(-8000/16384))^4 ≈ 0.023
     assert fp < 0.05, fp
+
+
+def test_zorder_key_tightens_multidim_file_boxes(spark):
+    """Sorting by zkey and cutting into 'files' must bound each file's
+    min/max span on BOTH dimensions — the zone-map property: a filter
+    on EITHER column prunes files. Under a single-column sort the other
+    column spans ~full width in every file (zero pruning for its
+    predicates); under z-order both spans must be well under half the
+    domain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.zorder import zorder_key
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+    def avg_box_area(df, sort_col):
+        n_files = 16
+        ranked = df.withColumn(
+            "f", F.ntile(n_files).over(Window.orderBy(sort_col, "o_orderkey"))
+        )
+        spans = ranked.groupBy("f").agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("dc"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("dp"),
+        )
+        tot = df.agg(
+            (F.max("o_custkey") - F.min("o_custkey")).cast("double").alias("c"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("p"),
+        ).collect()[0]
+        rows = spans.collect()
+        dc = sum(r["dc"] / tot["c"] for r in rows) / len(rows)
+        dp = sum(r["dp"] / tot["p"] for r in rows) / len(rows)
+        return dc, dp
+
+    z = zorder_key(orders, ["o_custkey", "o_totalprice"], bits=16)
+    dc_z, dp_z = avg_box_area(z, "zkey")
+    dc_s, dp_s = avg_box_area(z, "o_custkey")
+    # custkey sort: its own span is tiny (~1/16) but price spans ~all of
+    # the domain in every file — a price predicate prunes nothing
+    assert dp_s > 0.8, dp_s
+    # z-order: BOTH spans bounded well under half the domain, so
+    # predicates on either column prune files
+    assert dc_z < 0.5 and dp_z < 0.5, (dc_z, dp_z)
+    # ...and the price dimension specifically beats the custkey layout
+    assert dp_z < dp_s * 0.6, (dp_z, dp_s)

@@ -511,3 +511,72 @@ def test_cdc_tombstone_no_resurrection_across_batches(spark, tmp_path):
     )
     got = {r["user_id"]: r["event_type"] for r in second.collect()}
     assert got == {2: "upd", 3: "upd"}, got  # 1 stays deleted, 3 resurrects
+
+
+def test_fk_join_reemits_dependent_facts_on_dimension_update(spark, tmp_path):
+    """KTable FK-join semantics: when a dimension key's row changes,
+    every fact referencing it by foreign key re-emits with the fresh
+    enrichment; facts of untouched keys do not re-emit; dimension
+    updates with no dependent facts emit nothing."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.streaming.runner import (
+        run_fk_join_materialization,
+    )
+
+    src = str(tmp_path / "dim_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+        ).coalesce(1)
+        stage = str(tmp_path / f"stage{k}")
+        df.write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    write_wave(0, [(1, t0, 10, "segA"), (2, t0, 11, "segX")])
+    write_wave(1, [(1, t0 + dt.timedelta(hours=1), 12, "segB"),
+                   (3, t0, 13, "segZ")])
+
+    facts = spark.createDataFrame(
+        [(101, 1, 10.0), (102, 1, 20.0), (103, 2, 30.0)],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    dim = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view, emissions = run_fk_join_materialization(
+        dim, facts, spark, str(tmp_path / "state"),
+        dim_key="user_id", fk_field="o_custkey",
+        seq_field="ts", tiebreak_field="event_id",
+    )
+    final = {(r["o_orderkey"], r["event_type"]) for r in view.collect()}
+    assert final == {(101, "segB"), (102, "segB"), (103, "segX")}
+
+    em = [
+        (r["epoch"], r["o_orderkey"], r["event_type"])
+        for r in emissions.collect()
+    ]
+    epochs = sorted({e for e, _, _ in em})
+    assert len(epochs) == 2, em
+    first, second = epochs
+    wave0 = {(ok, seg) for e, ok, seg in em if e == first}
+    wave1 = {(ok, seg) for e, ok, seg in em if e == second}
+    # wave 0: user 1's two orders enriched segA, user 2's order segX
+    assert wave0 == {(101, "segA"), (102, "segA"), (103, "segX")}
+    # wave 1: user 1 updated -> ONLY its dependents re-emit, now segB;
+    # user 3 has no dependent facts -> nothing
+    assert wave1 == {(101, "segB"), (102, "segB")}
