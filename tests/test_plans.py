@@ -334,3 +334,59 @@ def test_asof_forward_and_scd2_lookup_compile_joinless(spark):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "Join" not in plan, name
         assert "Window" in plan, name
+
+
+def test_bloom_decontaminate_probe_join_is_broadcast(spark):
+    """The corpus-wide Bloom probe must be a BroadcastHashJoin against
+    the word table (corpus rows never shuffle for the membership test)
+    and contain no all-pairs join anywhere."""
+    plan = plan_of(QUERIES["dedup_decontaminate_bloom"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_plan_is_hashjoin_only_no_global_window(spark):
+    """The fixed-iteration PageRank must compose hash joins and hash
+    aggregations only — no cartesian expansion and no single-partition
+    funnel (the scalar node-count travels via a broadcast)."""
+    plan = plan_of(QUERIES["graph_pagerank_customer_supplier"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the broadcast of the 1-row
+    # node-count; it must be a BROADCAST nested loop, never a plain one
+    assert "Window" not in plan
+
+
+def test_zorder_key_is_scan_plus_broadcast_stats(spark):
+    """zorder_key = one scalar min/max aggregation broadcast back onto
+    the scan + codegen interleave: the fact side must not shuffle (no
+    hashpartitioning exchange on the orders scan path)."""
+    plan = plan_of(QUERIES["zorder_key_orders"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the 1-row stats side arrives via BroadcastExchange; the fact scan
+    # and the stats scan are the only two reads
+    assert "BroadcastExchange" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2
+
+
+def test_dsir_score_join_is_broadcast(spark):
+    """Scoring joins per-doc bucket counts against the BROADCAST bucket
+    log-ratio table; the only sort-merge allowed is the final
+    doc_id-keyed reattach of scores to the corpus id list (two
+    corpus-sized sides — SMJ is the right strategy there)."""
+    plan = plan_of(QUERIES["llm_dsir_importance_weights"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # one physical join appears twice in "formatted" output (tree line
+    # + detail header)
+    assert plan.count("SortMergeJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_equals_rebuild_shape(spark):
+    """The merged-partials rollup must stay pure hash aggregation —
+    union of |groups|-sized states, no join, no window."""
+    plan = plan_of(QUERIES["incremental_agg_orders_by_status"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
