@@ -858,3 +858,39 @@ def dsir_importance_weights(
             F.coalesce(F.col("dsir_score") > 0, F.lit(False)).alias("keep"),
         )
     )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    "Weighted random sampling with a reservoir"): each row gets key
+    ``u^(1/w)`` for a uniform ``u``; the top-k keys ARE a weighted
+    sample without replacement. The corpus-curation staple when docs
+    deserve inclusion odds proportional to a quality/length weight —
+    one distributed top-k, no sequential reservoir, no RNG state.
+
+    Determinism (repo convention): ``u`` derives from md5 of the id
+    (reproducible on any engine/cluster/partitioning — the
+    hash-as-uniform trick every sampling operator here uses), the
+    ranking key is ``ln(u)/w`` (monotone in ``u^(1/w)``, avoids pow
+    underflow) rounded to 12 dp with the id as tiebreak, and the top-k
+    compiles to TakeOrderedAndProject — a per-partition heap + driver
+    merge of k rows, never a global sort.
+
+    Weights must be strictly positive; rows with NULL or non-positive
+    weight are excluded (sampling odds zero).
+    """
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    u = (md5_int64(F.col(id_col)) + 1).cast("double") / float(1 << 60)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    return (
+        docs.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

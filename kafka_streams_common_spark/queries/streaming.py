@@ -635,6 +635,102 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "streaming_stream_stream_full_outer_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 1 HOUR - INTERVAL 30 MINUTE - INTERVAL 1 SECOND
+               AS c
+    )
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           coalesce(a.user_id, b.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    CROSS JOIN cutoff
+    WHERE (a.ts IS NULL OR a.ts < cutoff.c)
+      AND (b.ts IS NULL OR b.ts < cutoff.c)
+    """,
+)
+def streaming_stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER windowed join — closing the JoinWindows
+    ladder (inner and left-outer are the sibling rows): unmatched rows
+    on EITHER side emit null-padded once the watermark proves no
+    counterpart can arrive. Same interior-cutoff convention as the
+    left-outer row (see its docstring): both the streamed result and
+    the oracle filter BOTH legs to the decided region, making the
+    comparison edge-proof regardless of the engine's eviction boundary;
+    unbounded deployments need no cutoff — only the equivalence
+    harness does."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+
+    comp = _streaming_compiler(spark, sf_dir)
+    clicks = (
+        comp.stream_source("events")
+        .filter("event_type = 'click'")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        comp.stream_source("events")
+        .filter("event_type = 'purchase'")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
+        "click_ts",
+        "p_ts",
+    )
+    out = run_stream_to_memory(joined, spark, output_mode="append")
+    ev = table(spark, sf_dir, "events")
+    cutoff = (
+        ev.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 1 HOUR")
+                - F.expr("INTERVAL 30 MINUTES")
+                - F.expr("INTERVAL 1 SECOND")
+            ).alias("c")
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .filter(
+            (F.col("click_ts").isNull() | (F.col("click_ts") < F.col("c")))
+            & (F.col("p_ts").isNull() | (F.col("p_ts") < F.col("c")))
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
+@query(
     "streaming_latest_per_key_state",
     oracle=LATEST_EVENTS_CTE
     + "SELECT user_id, event_id, ts, event_type, value, props FROM latest_events",

@@ -1109,3 +1109,38 @@ def llm_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     target = docs.filter("lang = 'en'")
     return dsir_importance_weights(docs, target, n_buckets=4096)
+
+
+@query(
+    "llm_weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars, sample_key
+    FROM (
+      SELECT doc_id, n_chars,
+             round(
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   + 1) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 12) AS sample_key
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def llm_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (``operators/text.py: weighted_priority_sample``): 100 documents
+    drawn with inclusion odds proportional to length — the
+    Efraimidis–Spirakis priority trick (top-k of ``u^{1/w}`` keys) that
+    turns sequential reservoir sampling into one distributed
+    TakeOrderedAndProject. md5-derived uniforms make the draw
+    bit-reproducible on any engine; the oracle replays the identical
+    key arithmetic."""
+    from kafka_streams_common_spark.operators.text import (
+        weighted_priority_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_priority_sample(docs, k=100, weight_col="n_chars").select(
+        "doc_id", "n_chars", "sample_key"
+    )

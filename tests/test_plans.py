@@ -390,3 +390,10 @@ def test_incremental_merge_equals_rebuild_shape(spark):
     assert "HashAggregate" in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_weighted_sample_compiles_to_topk_heap(spark):
+    """Efraimidis–Spirakis sampling must be a TakeOrderedAndProject
+    (per-partition heap of k), never a global sort of the corpus."""
+    plan = plan_of(QUERIES["llm_weighted_sample_docs"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
