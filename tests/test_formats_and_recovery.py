@@ -134,3 +134,32 @@ def test_corpus_shard_writer(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n
     assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+
+
+def test_schema_evolution_merge_and_missing_column_null_fill(spark, tmp_path):
+    """Schema evolution across parquet batches (the S6/SchemaService
+    seam a long-lived pipeline hits): a later ingest batch adds a
+    column; mergeSchema reads expose the union schema with NULL-filled
+    history, and the P1 null-fill projection contract applies to the
+    evolved column exactly like a missing config field."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).write.parquet(os.path.join(d, "batch=0"))
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id bigint, v string, score double"
+    ).write.parquet(os.path.join(d, "batch=1"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 30.0}
+    # evolved column participates in aggregation with null-safe semantics
+    agg = merged.agg(
+        F.count("score").alias("n"), F.sum("score").alias("s")
+    ).collect()[0]
+    assert (agg["n"], agg["s"]) == (1, 30.0)
