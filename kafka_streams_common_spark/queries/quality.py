@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from kafka_streams_common_spark.operators.profile import (
     check_constraints,
     profile_columns,
+    profile_drift_psi,
 )
 from kafka_streams_common_spark.operators.skewjoin import salted_join
 from kafka_streams_common_spark.queries.registry import query, table
@@ -344,3 +345,59 @@ def scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_right=False,  # valid_from unique per key after the filter
     )
     return out.select("o_orderkey", "o_custkey", "o_orderdate", "state")
+
+
+@query(
+    "dq_drift_psi_totalprice",
+    oracle="""
+    WITH a AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+               WHERE o_orderkey % 2 = 0),
+    b AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+          WHERE o_orderkey % 2 = 1),
+    s AS (SELECT min(x) AS mn, max(x) AS mx
+          FROM (SELECT x FROM a UNION ALL SELECT x FROM b)),
+    ca AS (
+      SELECT least(CAST(floor((x - s.mn) / (s.mx - s.mn) * 10) AS BIGINT), 9)
+               AS bucket, count(*) AS n_a
+      FROM a, s GROUP BY 1
+    ),
+    cb AS (
+      SELECT least(CAST(floor((x - s.mn) / (s.mx - s.mn) * 10) AS BIGINT), 9)
+               AS bucket, count(*) AS n_b
+      FROM b, s GROUP BY 1
+    ),
+    g AS (
+      SELECT r.bucket,
+             coalesce(ca.n_a, 0) AS n_a,
+             coalesce(cb.n_b, 0) AS n_b
+      FROM range(10) r(bucket)
+      LEFT JOIN ca ON r.bucket = ca.bucket
+      LEFT JOIN cb ON r.bucket = cb.bucket
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM g)
+    SELECT g.bucket, g.n_a, g.n_b,
+           CAST(g.n_a + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE) AS p_a,
+           CAST(g.n_b + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE) AS p_b,
+           round(
+             (CAST(g.n_a + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE)
+              - CAST(g.n_b + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))
+             * ln((CAST(g.n_a + 1 AS DOUBLE) / CAST(t.ta + 10 AS DOUBLE))
+                  / (CAST(g.n_b + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))),
+             8) AS psi_term
+    FROM g, t
+    """,
+)
+def dq_drift_psi_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (``operators/profile.py:
+    profile_drift_psi``): Population Stability Index between two
+    simulated ingest batches of order totals, decomposed per bucket so
+    an alert names WHERE the distribution moved. Completes the
+    governance ladder profile → constraints → drift. The oracle
+    replays the identical bucket/smoothing/log arithmetic."""
+    orders = table(spark, sf_dir, "orders")
+    return profile_drift_psi(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+        n_buckets=10,
+    )

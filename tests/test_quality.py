@@ -181,3 +181,33 @@ def test_profile_and_chunk_empty_edge_cases(spark):
     chunks = chunk_documents(one_empty_doc).collect()
     assert len(chunks) == 1 and chunks[0]["chunk_text"] == ""
     assert chunks[0]["n_chunk_tokens"] == 1  # split('') -> [''] convention
+
+
+def test_psi_drift_detects_shift_and_handles_degenerate_inputs(spark):
+    """PSI must read ~0 for identically-distributed halves, read large
+    for a shifted batch, and stay finite on empty/constant inputs
+    (add-one smoothing)."""
+    from kafka_streams_common_spark.operators.profile import profile_drift_psi
+
+    base = spark.range(0, 2000).selectExpr("cast(id % 100 as double) as x")
+    same = spark.range(2000, 4000).selectExpr("cast(id % 100 as double) as x")
+    shifted = spark.range(0, 2000).selectExpr(
+        "cast(id % 100 + 80 as double) as x"
+    )
+
+    def psi(a, b):
+        rows = profile_drift_psi(a, b, "x", n_buckets=10).collect()
+        assert len(rows) == 10
+        return sum(r["psi_term"] for r in rows)
+
+    assert abs(psi(base, same)) < 0.01
+    assert psi(base, shifted) > 0.25  # the standard "action" threshold
+    # degenerate: one side empty -> finite PSI, no division error
+    empty = base.filter("x < 0")
+    assert psi(base, empty) == psi(base, empty)  # not NaN
+    # degenerate: constant column -> single bucket; equal-size batches
+    # give bit-zero drift (with unequal sizes the add-one smoothing
+    # contributes a small size-dependent term, by design)
+    const_a = spark.range(10).selectExpr("cast(5 as double) as x")
+    const_b = spark.range(10, 20).selectExpr("cast(5 as double) as x")
+    assert abs(psi(const_a, const_b)) < 1e-9
