@@ -104,6 +104,15 @@ TRACKING_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    # SESSION warm-up (r8, documented in BASELINE.md): one throwaway
+    # query so the first benched query's own warm-up run isn't also
+    # paying whole-session JVM/JIT/codegen/file-listing costs — the
+    # first-position inflation diagnosed on j5_enrichment_chain (its
+    # isolated median equals its frozen row; in-sequence it read 1.2-
+    # 1.35× purely from leading the list).
+    QUERIES["tpch_q1_pricing_summary"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
     results: dict[str, float] = {}
     def run(fn) -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -36,15 +36,16 @@ r7 close (the round-7 session-2 registrations with no driver row ever —
 the governance tier, BPE census, classifier, temperature sampling, CDC
 tombstones, the stats tier, trending/normalize/URL, forward as-of, SCD2
 lookup, k-fold, rate limiter — plus the changed-code re-exposures named
-there), then ALL 15 new-in-r8 queries (first exposure: approx profile,
+there), then ALL 17 new-in-r8 queries (first exposure: approx profile,
 UDTF-in-LATERAL, two-phase connected components, Bloom-prefiltered
 decontamination, streaming sliding/session/suppressed-append windows,
 the stream-stream FULL OUTER join, the KTable foreign-key join,
 PageRank, DSIR importance weights, the Z-order layout key, incremental
 aggregate-state maintenance, weighted priority sampling, PSI drift
-detection), then 3 stale refreshes from the [1,5] two-green tier.
-Displaced to the r9 refresh queue, each with ≥ 2 green driver rounds
-on unchanged code: set_intersect, unpivot_customer_measures ([1,5]);
+detection, csv/json source round-trips), then 1 stale refresh from the
+[1,5] two-green tier (cube). Displaced to the r9 refresh queue, each
+with ≥ 2 green driver rounds on unchanged code: grouping_sets_orders,
+set_except, set_intersect, unpivot_customer_measures ([1,5]);
 sim_centroid_by_label,
 text_hash_sample, text_pii_scrub, text_repetition_metrics,
 text_stratified_sample, text_tfidf_top_terms ([2,5]); dedup_exact,
@@ -132,14 +133,15 @@ _R8_WINDOW = _R8_HEAD + (
     "streaming_stream_stream_full_outer_join",
     "llm_weighted_sample_docs",
     "dq_drift_psi_totalprice",
-    # stale refresh: 3 of the [1,5] two-green tier (never-checked rows
-    # outrank refreshes, so the rest of the stale set — set_intersect,
-    # unpivot, sim_centroid_by_label, the other [2,5] rows, the
-    # three-green tiers — leads the r9 refresh queue; every displaced
-    # row holds ≥ 2 green driver rounds on unchanged code)
+    "source_csv_roundtrip_nation",
+    "source_json_roundtrip_nation",
+    # stale refresh: 1 slot left after pinning every never-checked row
+    # (the rotation invariant); the rest of the stale set —
+    # grouping_sets_orders, set_except, set_intersect, unpivot, the
+    # [2,5] rows, the three-green tiers — leads the r9 refresh queue;
+    # every displaced row holds ≥ 2 green driver rounds on unchanged
+    # code
     "cube_orders_by_status_priority",
-    "grouping_sets_orders",
-    "set_except",
 )
 
 # Past the window: every one of these has a green driver row from r6 or

@@ -406,3 +406,65 @@ def s2_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 file-format legs through the external gate: the same catalog path
+# reads csv and json — proven by round-tripping a fixture table through
+# each format and re-reading it via TableCatalog/TableRef
+# ---------------------------------------------------------------------------
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.catalog import TableCatalog, TableRef
+    from kafka_streams_common_spark.queries.registry import table
+
+    src = table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix=f"kscs_{fmt}_src_")
+    atexit.register(shutil.rmtree, d, True)
+    w = src.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    getattr(w, fmt)(d)
+    cat = TableCatalog(
+        {
+            "nation_rt": TableRef(
+                name="nation_rt",
+                path=d,
+                format=fmt,
+                schema=src.schema,
+                key_field="n_nationkey",
+            )
+        }
+    )
+    return cat.resolve("nation_rt").read(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "source_csv_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's csv leg through the external gate: the nation table written
+    as csv (headered) and re-read via
+    the same TableCatalog/TableRef path every pipeline uses. The gate
+    proves the format round-trip is value-exact, not just that the
+    reader doesn't crash."""
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@query(
+    "source_json_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's json-lines leg through the external gate — same round-trip
+    contract as the csv row."""
+    return _format_roundtrip(spark, sf_dir, "json")

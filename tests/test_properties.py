@@ -13,6 +13,7 @@ from datetime import datetime, timedelta
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from kafka_streams_common_spark.operators.asof import asof_join
 from kafka_streams_common_spark.operators.dedup import ngram_jaccard_pairs
@@ -419,3 +420,59 @@ def test_asof_forward_with_tolerance_matches_bruteforce(spark_, lefts, rights, t
                  if rk == k and rt >= t and (rt - t) <= timedelta(minutes=tol)]
         want = min(cands)[1] if cands else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+_maybe_null_vals = st.lists(
+    st.tuples(_keys, _offsets, st.booleans()), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=lefts, rights=_maybe_null_vals, fwd=st.booleans(),
+       tol_min=st.integers(min_value=0, max_value=60))
+def test_asof_direction_tolerance_nulls_match_bruteforce(
+    spark_, lefts, rights, fwd, tol_min
+):
+    """The r8 struct-carry as-of against brute force across BOTH
+    directions, with tolerance, and with genuinely-NULL carried values
+    (the matched row must win even when its value is NULL — per-column
+    carry would resurrect older values)."""
+    left_rows = [
+        (k, BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(lefts)
+    ]
+    seen = set()
+    right_rows = []
+    for i, (k, m, has_v) in enumerate(rights):
+        if (k, m) not in seen:
+            seen.add((k, m))
+            right_rows.append(
+                (k, BASE + timedelta(minutes=m), f"v{i}" if has_v else None)
+            )
+    left = spark_.createDataFrame(left_rows, ["k", "t", "lid"])
+    right = (
+        spark_.createDataFrame(right_rows, "k bigint, t timestamp, v string")
+        if right_rows
+        else spark_.createDataFrame([], "k bigint, t timestamp, v string")
+    )
+    direction = "forward" if fwd else "backward"
+    tol = timedelta(minutes=tol_min)
+    out = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_cols=["v"], direction=direction,
+            tolerance=F.expr(f"INTERVAL {tol_min} MINUTES"),
+        ).collect()
+    }
+    for lid, (k, m) in enumerate(lefts):
+        lt = BASE + timedelta(minutes=m)
+        if fwd:
+            cands = [(t, v) for (rk, t, v) in right_rows if rk == k and t >= lt]
+            match = min(cands) if cands else None
+            ok = match is not None and match[0] - lt <= tol
+        else:
+            cands = [(t, v) for (rk, t, v) in right_rows if rk == k and t <= lt]
+            match = max(cands) if cands else None
+            ok = match is not None and lt - match[0] <= tol
+        expect = match[1] if ok else None
+        assert out[lid] == expect, (lid, k, m, direction, tol_min)
