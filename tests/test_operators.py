@@ -970,3 +970,47 @@ def test_zorder_key_tightens_multidim_file_boxes(spark):
     assert dc_z < 0.5 and dp_z < 0.5, (dc_z, dp_z)
     # ...and the price dimension specifically beats the custkey layout
     assert dp_z < dp_s * 0.6, (dp_z, dp_s)
+
+
+def test_rollup_state_merge_is_tree_shape_invariant(spark):
+    """Mergeable partial states: any merge tree over any batch split
+    must produce the identical state as the direct aggregate — the
+    algebraic property incremental view maintenance rests on."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.rollup import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    direct = partial_agg_state(orders, ["o_orderstatus"], "o_totalprice")
+
+    def canon(df):
+        return {
+            (r["o_orderstatus"], r["n_rows"], str(r["sum_m"]),
+             r["min_m"], r["max_m"])
+            for r in df.collect()
+        }
+
+    want = canon(direct)
+    parts = [
+        partial_agg_state(
+            orders.filter(F.col("o_orderkey") % 4 == i),
+            ["o_orderstatus"], "o_totalprice",
+        )
+        for i in range(4)
+    ]
+    # flat merge
+    assert canon(merge_agg_states(parts, ["o_orderstatus"])) == want
+    # nested/unbalanced merge tree: ((0+1)+2)+3 vs (0+1)+(2+3)
+    left = merge_agg_states(parts[:2], ["o_orderstatus"])
+    right = merge_agg_states(parts[2:], ["o_orderstatus"])
+    assert canon(merge_agg_states([left, right], ["o_orderstatus"])) == want
+    deep = merge_agg_states(
+        [merge_agg_states([merge_agg_states(parts[:2], ["o_orderstatus"]),
+                           parts[2]], ["o_orderstatus"]), parts[3]],
+        ["o_orderstatus"],
+    )
+    assert canon(deep) == want
