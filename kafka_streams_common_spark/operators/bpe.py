@@ -240,3 +240,62 @@ def bpe_merge_table(
         ],
         "merge_rank BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT",
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a trained merge table — the TOKENIZE step that closes the
+    train→apply loop: returns ``(doc_id, tokens array<string>,
+    n_tokens)`` with merges applied greedy-leftmost in merge-rank order
+    (exactly the classic BPE apply; pinned against a pure-Python
+    reference in tests/test_bpe.py).
+
+    Scale shape — the vocabulary trick again, on the apply side: the
+    corpus is scanned ONCE into (doc_id, position, word); DISTINCT
+    words (vocab-sized, ≪ corpus) run the merge folds — each merge is
+    the same whole-stage-codegen array fold the trainer uses, composed
+    ``checkpoint_every`` merges per materialization so plan depth stays
+    bounded — and per-doc token streams come back from ONE broadcast-or-
+    hash join of the position table against the encoded vocabulary,
+    flattened in position order inside the aggregate. Every word is
+    encoded once however often it occurs; a 32k-merge tokenizer runs
+    32k vocab-sized map steps and zero corpus-sized ones beyond the
+    initial scan and final join.
+    """
+    words_pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    vocab = words_pos.select("word").distinct()
+    enc = vocab.select(
+        "word",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("sym"),
+    )
+    for i in range(0, len(merges), max(1, checkpoint_every)):
+        sym = F.col("sym")
+        for left, right in merges[i : i + checkpoint_every]:
+            sym = _apply_merge(sym, left, right)
+        enc = enc.select("word", sym.alias("sym")).localCheckpoint(eager=True)
+    return (
+        words_pos.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sym"))
+                ).getField("sym")
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id",
+            "tokens",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

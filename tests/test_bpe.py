@@ -9,6 +9,7 @@ import pytest
 
 from kafka_streams_common_spark.operators.bpe import (
     END_OF_WORD,
+    bpe_encode,
     bpe_merge_table,
     bpe_train,
 )
@@ -114,3 +115,52 @@ def test_bpe_batched_merges_match_sequential_with_fewer_census_rounds(spark):
     assert bat == seq == ref_bpe(texts, 12)
     assert seq_stats["census_rounds"] == 12
     assert bat_stats["census_rounds"] < 12, bat_stats
+
+
+def ref_encode(texts, merges):
+    """Greedy leftmost application of the merge table in rank order."""
+    out = {}
+    for i, t in enumerate(texts):
+        toks = []
+        for w in t.split(" "):
+            sym = list(w) + [END_OF_WORD]
+            for left, right, *_ in merges:
+                res, j = [], 0
+                while j < len(sym):
+                    if j + 1 < len(sym) and sym[j] == left and sym[j + 1] == right:
+                        res.append(left + right)
+                        j += 2
+                    else:
+                        res.append(sym[j])
+                        j += 1
+                sym = res
+            toks.extend(sym)
+        out[i] = toks
+    return out
+
+
+def test_bpe_encode_matches_reference_and_reuses_vocab(spark):
+    """bpe_encode (train→apply loop closed): token streams equal the
+    greedy-leftmost pure-Python reference on randomized corpora, with
+    merges crossing the checkpoint_every materialization boundary."""
+    rng = random.Random(23)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 10))
+        )
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=10)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(
+            docs, [(l, r) for l, r, _ in merges], checkpoint_every=4
+        ).collect()
+    }
+    want = ref_encode(texts, merges)
+    assert got == want
+    # n_tokens column agrees with the stream
+    for r in bpe_encode(docs, [(l, r) for l, r, _ in merges]).collect():
+        assert r["n_tokens"] == len(r["tokens"])
