@@ -50,6 +50,7 @@ from kafka_streams_common_spark.operators.similarity import (
 from kafka_streams_common_spark.operators.bpe import (
     _initial_symbols,
     _pair_census,
+    bpe_encode,
     word_frequencies,
 )
 from kafka_streams_common_spark.operators.profile import profile_columns
@@ -316,6 +317,12 @@ def main() -> None:
         ),
     }
 
+    from kafka_streams_common_spark.operators.bpe import bpe_train
+
+    _BPE_MERGES = [
+        (l, r) for l, r, _ in bpe_train(docs1, n_merges=16)
+    ]
+
     noop_probes = {
         "profile_columns_events": (
             lambda: profile_columns(events1),
@@ -347,6 +354,17 @@ def main() -> None:
             lambda: zorder_key(events1, ["user_id", "value"]),
             lambda: zorder_key(events8, ["user_id", "value"]),
         ),
+        # fixed merge table; 8x corpus duplicates WORDS, so the encoded
+        # vocabulary is identical — apply-side cost must track the scan
+        # + join, never merges x corpus
+        "bpe_encode_16merges": (
+            lambda: bpe_encode(
+                docs1, _BPE_MERGES, checkpoint_every=8
+            ).select("doc_id", "n_tokens"),
+            lambda: bpe_encode(
+                docs8, _BPE_MERGES, checkpoint_every=8
+            ).select("doc_id", "n_tokens"),
+        ),
         "bpe_pair_census": (
             lambda: _pair_census(_initial_symbols(word_frequencies(docs1))),
             lambda: _pair_census(_initial_symbols(word_frequencies(docs8))),
@@ -355,7 +373,13 @@ def main() -> None:
 
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
-        noop_probes = {k: v for k, v in noop_probes.items() if k in sys.argv[1:]}
+        from kafka_streams_common_spark.operators.bpe import bpe_train
+
+    _BPE_MERGES = [
+        (l, r) for l, r, _ in bpe_train(docs1, n_merges=16)
+    ]
+
+    noop_probes = {k: v for k, v in noop_probes.items() if k in sys.argv[1:]}
     for name, entry in list(probes.items()) + [
         (k, v + ("noop",)) for k, v in noop_probes.items()
     ]:
