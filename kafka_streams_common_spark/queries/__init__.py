@@ -150,6 +150,15 @@ _R8_WINDOW = _R8_HEAD + (
 # (scripts/driver_sim.py runs ALL oracles) each round.
 _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R8_WINDOW)
 
+# Queries registered AFTER the r8 window filled (round-8 session
+# additions past the 50-slot budget): local-parity-green only until
+# round 9 — pinned here so the r9 rotation MUST lead with them, the
+# same convention that promoted _R8_HEAD.
+_R9_HEAD = (
+    "er_fuzzy_match_part_names",
+)
+assert all(n in QUERIES for n in _R9_HEAD)
+
 _missing = [n for n in _R8_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)

@@ -3032,3 +3032,96 @@ def incremental_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("min_m").alias("min_totalprice"),
         F.col("max_m").alias("max_totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# record linkage: blocked fuzzy match to a reference dictionary
+# ---------------------------------------------------------------------------
+
+@query(
+    "er_fuzzy_match_part_names",
+    oracle="""
+    WITH ref AS (SELECT DISTINCT p_name AS ref_name FROM part),
+    dirty AS (
+      SELECT p_partkey,
+             CASE WHEN substr(p_name, dp, 1) = ' '
+                  THEN concat(substr(p_name, 1, dp), substr(p_name, dp + 2))
+                  ELSE concat(substr(p_name, 1, dp - 1), substr(p_name, dp + 1))
+             END AS dirty_name
+      FROM (
+        SELECT p_partkey, p_name,
+               1 + (('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT
+                    % length(p_name)) AS dp
+        FROM part
+      )
+    ),
+    d_tok AS (
+      SELECT p_partkey, dirty_name, unnest(string_split(dirty_name, ' ')) AS tok
+      FROM dirty
+    ),
+    r_tok AS (
+      SELECT DISTINCT ref_name, unnest(string_split(ref_name, ' ')) AS tok
+      FROM ref
+    ),
+    cand AS (
+      SELECT DISTINCT d.p_partkey, d.dirty_name, r.ref_name
+      FROM (SELECT * FROM d_tok WHERE tok <> '') d
+      JOIN (SELECT * FROM r_tok WHERE tok <> '') r USING (tok)
+    ),
+    scored AS (
+      SELECT p_partkey, dirty_name, ref_name,
+             levenshtein(dirty_name, ref_name) AS dist
+      FROM cand
+    ),
+    best AS (
+      SELECT p_partkey, ref_name, dist FROM (
+        SELECT p_partkey, ref_name, dist,
+               row_number() OVER (
+                 PARTITION BY p_partkey ORDER BY dist, ref_name
+               ) AS rn
+        FROM scored WHERE dist <= 2
+      ) WHERE rn = 1
+    )
+    SELECT d.p_partkey, d.dirty_name,
+           b.ref_name AS matched_name,
+           CAST(b.dist AS BIGINT) AS distance
+    FROM dirty d LEFT JOIN best b USING (p_partkey)
+    """,
+)
+def er_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (``operators/linkage.py``): part names corrupted by
+    a deterministic one-character drop (md5-chosen position, shifted off
+    spaces) resolved back to the clean name dictionary — token-blocked
+    candidates (inverted-index equi-join, never all-pairs), levenshtein
+    verification, deterministic (distance, name)-argmin resolution,
+    unmatched rows retained as NULLs. The oracle replays the
+    perturbation, blocking, and edit-distance bit-for-bit (levenshtein
+    is the classic DP in both engines)."""
+    from kafka_streams_common_spark.operators.linkage import (
+        fuzzy_match_to_reference,
+    )
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    part = table(spark, sf_dir, "part")
+    dp = (md5_int64("p_partkey") % F.length("p_name") + 1).alias("dp")
+    base = part.select("p_partkey", "p_name", dp)
+    dirty = base.select(
+        "p_partkey",
+        F.when(
+            F.expr("substr(p_name, dp, 1)") == " ",
+            F.concat(
+                F.expr("substr(p_name, 1, dp)"), F.expr("substr(p_name, dp + 2)")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.expr("substr(p_name, 1, dp - 1)"),
+                F.expr("substr(p_name, dp + 1)"),
+            )
+        )
+        .alias("dirty_name"),
+    )
+    ref = part.select(F.col("p_name").alias("ref_name"))
+    return fuzzy_match_to_reference(
+        dirty, ref, "dirty_name", "ref_name", "p_partkey", max_distance=2
+    )
