@@ -156,6 +156,9 @@ _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R8_WINDOW)
 # same convention that promoted _R8_HEAD.
 _R9_HEAD = (
     "er_fuzzy_match_part_names",
+    "attribution_linear_credit",
+    "events_cohort_retention",
+    "graph_triangle_count_copurchase",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

@@ -3125,3 +3125,163 @@ def er_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_match_to_reference(
         dirty, ref, "dirty_name", "ref_name", "p_partkey", max_distance=2
     )
+
+
+# ---------------------------------------------------------------------------
+# marketing attribution + cohort retention (event analytics tier)
+# ---------------------------------------------------------------------------
+
+@query(
+    "attribution_linear_credit",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS touch_id, user_id, ts AS t_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.purchase_id, p.user_id, t.touch_id
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, user_id, touch_id,
+           CAST(round(1.0 / count(*) OVER (PARTITION BY purchase_id), 8)
+                AS DOUBLE) AS credit
+    FROM pairs
+    """,
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click in a purchase's 7-day
+    lookback shares equal credit (1/n per touch) — the one attribution
+    shape the backward as-of row (last-touch) cannot express, because
+    it needs ALL qualifying touches, not the latest. One user-keyed
+    range join (purchases × their own recent clicks — lookback-bounded,
+    never all-pairs) plus a purchase-keyed count window over the
+    matched touches only. Credit is rounded to 8 dp so the division is
+    engine-identical."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id")
+    return pairs.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 8).alias("credit"),
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             to_timestamp((CAST(epoch(ts) AS BIGINT) // 604800) * 604800)
+               AS w
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT wk.user_id, f.cohort_week,
+             (CAST(epoch(wk.w) AS BIGINT)
+              - CAST(epoch(f.cohort_week) AS BIGINT)) // 604800
+               AS week_offset
+      FROM wk JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-seen week, counted as active per
+    weeks-since-cohort. Two hash aggregations (first-seen per user,
+    then distinct (user, cohort, offset) → counts) and one user-keyed
+    join of the |users|-sized cohort table back onto the events — at
+    100 TB the cohort table broadcasts or co-partitions on the user
+    key; nothing is ever all-pairs. Week buckets are epoch-aligned
+    (`time_bucket`/`timestampadd` arithmetic identical on both
+    engines)."""
+    ev = table(spark, sf_dir, "events")
+    week = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / (7 * 86400)).cast("bigint") * (7 * 86400)
+    )
+    wk = ev.select("user_id", week.alias("w"))
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = (
+        wk
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (F.unix_timestamp("w") - F.unix_timestamp("cohort_week"))
+                / (7 * 86400)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    )
+
+
+@query(
+    "graph_triangle_count_copurchase",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts sharing an
+    order) via degree-oriented wedge closing
+    (``operators/cluster.py: triangle_count`` — Suri & Vassilvitskii's
+    'curse of the last reducer' fix: orienting edges toward the
+    (degree, id)-larger endpoint caps every node's out-degree at
+    O(√|E|), so hub wedge explosion is structurally bounded). The
+    oracle is the naive triple self-join — ground truth the oriented
+    plan must reproduce exactly."""
+    from kafka_streams_common_spark.operators.cluster import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)

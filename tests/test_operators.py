@@ -1014,3 +1014,23 @@ def test_rollup_state_merge_is_tree_shape_invariant(spark):
         ["o_orderstatus"],
     )
     assert canon(deep) == want
+
+
+def test_triangle_count_oriented_equals_known_graphs(spark):
+    """Degree-oriented triangle counting against known answers: complete
+    graphs (C(n,3)), bipartite graphs (0), and a hub star plus one
+    closing edge (exactly 1) — the hub case the orientation exists for."""
+    from kafka_streams_common_spark.operators.cluster import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    k6 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    assert tc(k6) == 20  # C(6,3)
+    bipartite = [(i, 100 + j) for i in range(5) for j in range(5)]
+    assert tc(bipartite) == 0
+    star_plus = [(0, i) for i in range(1, 20)] + [(1, 2)]
+    assert tc(star_plus) == 1
+    # duplicate + reversed edges must not inflate the count
+    assert tc(k6 + [(j, i) for i, j in k6]) == 20
