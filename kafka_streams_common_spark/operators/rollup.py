@@ -53,3 +53,62 @@ def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         F.min("min_m").alias("min_m"),
         F.max("max_m").alias("max_m"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two table snapshots: one row per changed
+    key with ``change_type`` ∈ {insert, update, delete} — the diff a
+    warehouse publishes when a source can't emit a changelog (the
+    reverse direction of the CDC-apply operators: they fold changes into
+    state, this recovers changes from states).
+
+    Keys present only in ``new`` → insert; only in ``old`` → delete;
+    present in both with ANY non-key column differing → update
+    (NULL-safe comparison via a canonical row digest, so NULL→value and
+    value→NULL transitions register). Unchanged keys are dropped — the
+    output is change-volume-sized, not table-sized.
+
+    Scale shape: one full outer join co-partitioned on the key plus a
+    map-side md5 of the non-key columns on each side; at 100 TB both
+    snapshots hash-shuffle once on the key (or not at all if bucketed
+    on it), and nothing else moves. Schemas must match.
+    """
+    if old.columns != new.columns:
+        raise ValueError(
+            f"schema mismatch: {old.columns} vs {new.columns}"
+        )
+    val_cols = [c for c in old.columns if c not in key_cols]
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        # canonical NULL-safe row digest over non-key columns
+        return df.select(
+            *key_cols,
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in val_cols
+                    ],
+                )
+            ).alias(f"__h_{tag}"),
+        )
+
+    o = digest(old, "o")
+    n = digest(new, "n")
+    joined = o.join(n, key_cols, "full_outer").filter(
+        F.col("__h_o").isNull()
+        | F.col("__h_n").isNull()
+        | (F.col("__h_o") != F.col("__h_n"))
+    )
+    return joined.select(
+        *key_cols,
+        F.when(F.col("__h_o").isNull(), F.lit("insert"))
+        .when(F.col("__h_n").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+    )

@@ -159,6 +159,7 @@ _R9_HEAD = (
     "attribution_linear_credit",
     "events_cohort_retention",
     "graph_triangle_count_copurchase",
+    "cdc_snapshot_diff_orders",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

@@ -401,3 +401,54 @@ def dq_drift_psi_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         n_buckets=10,
     )
+
+
+@query(
+    "cdc_snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed from two snapshots (``operators/rollup.py:
+    snapshot_diff``): the reverse of the CDC-apply rows — keys dropped
+    since the old snapshot register as deletes, newly present keys as
+    inserts, value changes (here a simulated status rewrite on every
+    7th order) as updates; unchanged keys never leave their partitions.
+    One key-partitioned full outer join + map-side row digests; output
+    is change-volume-sized. The oracle diffs the same two snapshots
+    column-by-column (the fixture has no NULLs in the diffed columns,
+    so digest and column comparison agree; the operator's digest is the
+    NULL-safe general form)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    from kafka_streams_common_spark.operators.rollup import snapshot_diff
+
+    return snapshot_diff(old, new, ["o_orderkey"])

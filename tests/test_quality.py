@@ -211,3 +211,27 @@ def test_psi_drift_detects_shift_and_handles_degenerate_inputs(spark):
     const_a = spark.range(10).selectExpr("cast(5 as double) as x")
     const_b = spark.range(10, 20).selectExpr("cast(5 as double) as x")
     assert abs(psi(const_a, const_b)) < 1e-9
+
+
+def test_snapshot_diff_null_transitions_and_no_change(spark):
+    """snapshot_diff must register NULL→value and value→NULL as updates
+    (NULL-safe digest), classify inserts/deletes, and emit NOTHING for
+    identical snapshots."""
+    from kafka_streams_common_spark.operators.rollup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k bigint, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "now-set"), (3, None), (5, "e")], "k bigint, v string"
+    )
+    got = {
+        (r["k"], r["change_type"]) for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        (2, "update"),  # NULL -> value
+        (3, "update"),  # value -> NULL
+        (4, "delete"),
+        (5, "insert"),
+    }
+    assert snapshot_diff(old, old, ["k"]).count() == 0
