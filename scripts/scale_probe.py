@@ -54,6 +54,7 @@ from kafka_streams_common_spark.operators.bpe import (
     word_frequencies,
 )
 from kafka_streams_common_spark.operators.profile import profile_columns
+from kafka_streams_common_spark.operators.rollup import snapshot_diff
 from kafka_streams_common_spark.operators.text import (
     classifier_score,
     dsir_importance_weights,
@@ -357,6 +358,35 @@ def main() -> None:
         # fixed merge table; 8x corpus duplicates WORDS, so the encoded
         # vocabulary is identical — apply-side cost must track the scan
         # + join, never merges x corpus
+        # key-keyed full outer diff: 8x rows on both sides, change set
+        # (every 7th key rewritten, 10% membership churn) scales with
+        # the keys — output stays change-volume-sized
+        "snapshot_diff_events": (
+            lambda: snapshot_diff(
+                events1.filter(F.col("event_id") % 10 != 0)
+                .select("event_id", "event_type", "value"),
+                events1.filter(F.col("event_id") % 10 != 1)
+                .select(
+                    "event_id",
+                    F.when(F.col("event_id") % 7 == 0, F.lit("X"))
+                    .otherwise(F.col("event_type")).alias("event_type"),
+                    "value",
+                ),
+                ["event_id"],
+            ),
+            lambda: snapshot_diff(
+                events8.filter(F.col("event_id") % 10 != 0)
+                .select("event_id", "event_type", "value"),
+                events8.filter(F.col("event_id") % 10 != 1)
+                .select(
+                    "event_id",
+                    F.when(F.col("event_id") % 7 == 0, F.lit("X"))
+                    .otherwise(F.col("event_type")).alias("event_type"),
+                    "value",
+                ),
+                ["event_id"],
+            ),
+        ),
         "bpe_encode_16merges": (
             lambda: bpe_encode(
                 docs1, _BPE_MERGES, checkpoint_every=8
