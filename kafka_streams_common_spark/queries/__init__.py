@@ -160,6 +160,8 @@ _R9_HEAD = (
     "events_cohort_retention",
     "graph_triangle_count_copurchase",
     "cdc_snapshot_diff_orders",
+    "events_top_paths",
+    "events_activity_gaps",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

@@ -3285,3 +3285,93 @@ def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
     )
     return triangle_count(edges)
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ordered GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 25
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each user's full event-type sequence
+    (deterministically ordered by (ts, event_id)) collapsed to a path
+    string, top-25 most common journeys — the product-analytics view
+    funnels are a special case of. One user-keyed aggregation (the
+    in-aggregate sort touches each user's own events only — no global
+    window) + a path-keyed count + TakeOrderedAndProject for the
+    top-k. Long-tail journeys never reach the driver."""
+    ev = table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(25)
+    )
+
+
+@query(
+    "events_activity_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(CASE WHEN gap_us > 259200000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps_over_3d
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection — the gaps half of the gaps-and-islands pattern
+    (sessions/SCD2 are the islands half): per user, the longest silence
+    between consecutive events and how many silences exceeded 3 days —
+    the churn-risk / outage readout. One user-partitioned lag window
+    (the same single hash exchange every per-entity sequence op here
+    pays) + a user-keyed aggregation; deterministic under equal
+    timestamps via the event_id tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact: the fixture's timestamps carry sub-second
+    # precision, and second-truncation vs rounding differs per engine
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum((F.col("gap_us") > 259_200_000_000).cast("long"))
+        .cast("bigint")
+        .alias("n_gaps_over_3d"),
+    )
