@@ -164,3 +164,24 @@ def test_bpe_encode_matches_reference_and_reuses_vocab(spark):
     # n_tokens column agrees with the stream
     for r in bpe_encode(docs, [(l, r) for l, r, _ in merges]).collect():
         assert r["n_tokens"] == len(r["tokens"])
+
+
+def test_bpe_batched_tiny_alphabet_collision_stress(spark):
+    """Alphabet {a,b} with deep merge tables: repeated-symbol pairs,
+    overlapping runs ('aaaa…'), and merge-token string collisions
+    (e.g. 'abc' reachable as ab+c and a+bc) are all maximally likely —
+    the exact regime _batch_select's guards exist for. Batched must
+    stay bit-identical to the pure-Python reference."""
+    rng = random.Random(31)
+    for trial in range(2):
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+                for _ in range(rng.randint(4, 14))
+            )
+            for _ in range(50)
+        ]
+        docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = bpe_train(docs, n_merges=14, batch=8)
+        want = ref_bpe(texts, 14)
+        assert got == want, f"trial {trial}"
