@@ -162,6 +162,11 @@ _R9_HEAD = (
     "cdc_snapshot_diff_orders",
     "events_top_paths",
     "events_activity_gaps",
+    "events_concurrency_sweep",
+    "events_cumulative_distinct_users",
+    "events_markov_transitions",
+    "customer_rfm_segments",
+    "basket_part_pair_lift",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

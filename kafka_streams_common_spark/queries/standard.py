@@ -3375,3 +3375,405 @@ def events_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_gaps_over_3d"),
     )
+
+
+@query(
+    "events_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ),
+    seg AS (
+      -- clip each interval at midnight so every segment lives in one day
+      SELECT CAST(s AS DATE) AS day, s AS seg_s,
+             least(e, CAST(CAST(s AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY) AS seg_e
+      FROM iv
+      UNION ALL
+      SELECT CAST(e AS DATE) AS day,
+             CAST(CAST(e AS DATE) AS TIMESTAMP) AS seg_s, e AS seg_e
+      FROM iv
+      WHERE CAST(e AS DATE) > CAST(s AS DATE)
+        AND e > CAST(CAST(e AS DATE) AS TIMESTAMP)
+    ),
+    edges AS (
+      SELECT day, seg_s AS t, 1 AS delta FROM seg
+      UNION ALL
+      SELECT day, seg_e AS t, -1 AS delta FROM seg
+    ),
+    run AS (
+      SELECT day,
+             sum(delta) OVER (
+               PARTITION BY day ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS open_now
+      FROM edges
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(open_now) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep-line rewrite: each event
+    opens a 30-minute activity interval; instead of the quadratic
+    interval self-join ("how many intervals overlap mine"), intervals
+    become +1/-1 edge events and concurrency is a running sum. Clipping
+    intervals at midnight makes the running-sum window PARTITIONED by
+    day — each day's prefix sums are exact locally, so the plan is one
+    day-partitioned sort + window + keyed max, parallel across days,
+    with no global single-partition window (the standard scale trap for
+    sweep lines). End-exclusive semantics: at equal t the -1 sorts
+    before the +1 (ORDER BY t, delta), and the max prefix is invariant
+    to permutations of identical edges, so the result is deterministic
+    across partitionings and engines."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    midnight_after_s = F.date_add(F.to_date("s"), 1).cast("timestamp")
+    day_of_e = F.to_date("e").cast("timestamp")
+    seg1 = iv.select(
+        F.to_date("s").alias("day"),
+        F.col("s").alias("seg_s"),
+        F.least("e", midnight_after_s).alias("seg_e"),
+    )
+    seg2 = iv.filter(
+        (F.to_date("e") > F.to_date("s")) & (F.col("e") > day_of_e)
+    ).select(
+        F.to_date("e").alias("day"),
+        day_of_e.alias("seg_s"),
+        F.col("e").alias("seg_e"),
+    )
+    seg = seg1.unionAll(seg2)
+    edges = seg.select(
+        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("day", F.col("seg_e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = edges.select("day", F.sum("delta").over(w).alias("open_now"))
+    return run.groupBy("day").agg(
+        F.max("open_now").cast("bigint").alias("max_concurrent")
+    ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "max_concurrent")
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    news AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (
+             ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM days d LEFT JOIN news n ON d.day = n.day
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day via the first-touch rewrite:
+    the naive form — COUNT(DISTINCT user) over an expanding window —
+    re-scans every prior day's users per day (quadratic state, and a
+    distinct inside a running frame that neither engine executes
+    incrementally). Instead each user contributes exactly once at
+    min(day): one user-keyed aggregation over the facts, then a
+    day-keyed count, then a running sum over the |days|-sized
+    aggregate. The only unpartitioned window runs over days, not
+    events — constant-bounded at any corpus size (a year is 365
+    rows), the same aggregate-level-window posture as the other
+    calendar rollups here."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    news = first_seen.groupBy(F.col("first_day").alias("nday")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    joined = days.join(news, days.day == news.nday, "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS p_transition
+    FROM counts
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often one follows the other in a
+    user's (ts, event_id)-ordered stream and the row-normalized
+    transition probability. One user-partitioned lead window (the
+    shared per-entity sequence exchange), a keyed count, then
+    normalization via a window over the |types|²-sized count table —
+    aggregate-level, never over facts. The probability is a single
+    division of two exact BIGINT counts evaluated in DOUBLE, the same
+    expression on both engines — no accumulation-order float risk."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wtot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wtot).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS anchor_day FROM orders
+    ),
+    per AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_day,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', p.last_day, a.anchor_day) AS BIGINT) AS r_days,
+             CAST(p.freq AS BIGINT) AS freq, p.mon
+      FROM per p CROSS JOIN anchor a
+    ),
+    b AS (
+      SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.25) AS r1,
+             quantile_cont(CAST(r_days AS DOUBLE), 0.50) AS r2,
+             quantile_cont(CAST(r_days AS DOUBLE), 0.75) AS r3,
+             quantile_cont(CAST(freq AS DOUBLE), 0.25) AS f1,
+             quantile_cont(CAST(freq AS DOUBLE), 0.50) AS f2,
+             quantile_cont(CAST(freq AS DOUBLE), 0.75) AS f3,
+             quantile_cont(mon, 0.25) AS m1,
+             quantile_cont(mon, 0.50) AS m2,
+             quantile_cont(mon, 0.75) AS m3
+      FROM rfm
+    )
+    SELECT o_custkey, r_days, freq, mon,
+           CAST(4 - ((CAST(r_days AS DOUBLE) > b.r1)::INT
+                     + (CAST(r_days AS DOUBLE) > b.r2)::INT
+                     + (CAST(r_days AS DOUBLE) > b.r3)::INT) AS BIGINT) AS r_score,
+           CAST(1 + ((CAST(freq AS DOUBLE) > b.f1)::INT
+                     + (CAST(freq AS DOUBLE) > b.f2)::INT
+                     + (CAST(freq AS DOUBLE) > b.f3)::INT) AS BIGINT) AS f_score,
+           CAST(1 + ((mon > b.m1)::INT + (mon > b.m2)::INT
+                     + (mon > b.m3)::INT) AS BIGINT) AS m_score,
+           CAST(4 - ((CAST(r_days AS DOUBLE) > b.r1)::INT
+                     + (CAST(r_days AS DOUBLE) > b.r2)::INT
+                     + (CAST(r_days AS DOUBLE) > b.r3)::INT) AS VARCHAR)
+             || CAST(1 + ((CAST(freq AS DOUBLE) > b.f1)::INT
+                          + (CAST(freq AS DOUBLE) > b.f2)::INT
+                          + (CAST(freq AS DOUBLE) > b.f3)::INT) AS VARCHAR)
+             || CAST(1 + ((mon > b.m1)::INT + (mon > b.m2)::INT
+                          + (mon > b.m3)::INT) AS VARCHAR) AS segment
+    FROM rfm CROSS JOIN b
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation scored
+    against broadcast quartile cutpoints — NOT a global ntile: ntile is
+    a single-partition total sort over every customer, the classic
+    segmentation scale trap. Here one customer-keyed aggregation builds
+    the |customers|-sized RFM table, a constant-size (9-value) quantile
+    aggregate is broadcast back, and every score is a map-side
+    comparison — no global window anywhere, fully parallel at any
+    customer count. Quantiles are the SQL-standard interpolated
+    definition evaluated in DOUBLE on identical inputs on both engines;
+    monetary sums are DECIMAL-exact before the single cast."""
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("mon"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor_day"))
+    rfm = per.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor_day", "last_day").cast("bigint").alias("r_days"),
+        "freq",
+        "mon",
+    )
+    b = rfm.agg(
+        *[
+            F.expr(f"percentile(CAST({c} AS DOUBLE), {p})").alias(f"{c[0]}{i}")
+            for c in ("r_days", "freq", "mon")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(b))
+    rd = F.col("r_days").cast("double")
+    fq = F.col("freq").cast("double")
+    r_score = (
+        F.lit(4)
+        - (rd > F.col("r1")).cast("int")
+        - (rd > F.col("r2")).cast("int")
+        - (rd > F.col("r3")).cast("int")
+    ).cast("bigint")
+    f_score = (
+        F.lit(1)
+        + (fq > F.col("f1")).cast("int")
+        + (fq > F.col("f2")).cast("int")
+        + (fq > F.col("f3")).cast("int")
+    ).cast("bigint")
+    m_score = (
+        F.lit(1)
+        + (F.col("mon") > F.col("m1")).cast("int")
+        + (F.col("mon") > F.col("m2")).cast("int")
+        + (F.col("mon") > F.col("m3")).cast("int")
+    ).cast("bigint")
+    return scored.select(
+        "o_custkey",
+        "r_days",
+        "freq",
+        "mon",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat(
+            r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+        ).alias("segment"),
+    )
+
+
+@query(
+    "basket_part_pair_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (
+      SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets
+    ),
+    pc AS (
+      SELECT l_partkey, count(*) AS n_part FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    top AS (
+      SELECT part_a, part_b, n_pair FROM pairs
+      ORDER BY n_pair DESC, part_a, part_b LIMIT 20
+    )
+    SELECT t.part_a, t.part_b, CAST(t.n_pair AS BIGINT) AS n_pair,
+           CAST(t.n_pair AS DOUBLE) / CAST(tot.n_baskets AS DOUBLE) AS support,
+           CAST(t.n_pair * tot.n_baskets AS DOUBLE)
+             / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+    FROM top t
+    JOIN pc pa ON pa.l_partkey = t.part_a
+    JOIN pc pb ON pb.l_partkey = t.part_b
+    CROSS JOIN tot
+    """,
+)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: top-20 co-purchased part pairs with
+    support and lift. The pair explosion is per-basket quadratic but
+    structurally bounded by basket size (TPC-H orders have ≤7 lines;
+    real pipelines cap or sample mega-baskets before this step — the
+    same max_df posture as the shingle index in dedup). Plan: one
+    distinct projection of (basket, item), an orderkey-equi self-join
+    (co-partitioned, never cartesian), a pair-keyed count, then
+    TakeOrderedAndProject for the top-k; per-part counts and the basket
+    total join back against the CONSTANT-size top-20 table, so the
+    lift arithmetic — exact BIGINT products evaluated in one DOUBLE
+    division — touches 20 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    tot = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    pc = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        baskets.join(
+            b2,
+            (baskets.l_orderkey == b2.o2) & (baskets.l_partkey < b2.p2),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("part_a"), F.col("p2").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    top = pairs.orderBy(F.desc("n_pair"), "part_a", "part_b").limit(20)
+    pa = pc.select(F.col("l_partkey").alias("ka"), F.col("n_part").alias("n_a"))
+    pb = pc.select(F.col("l_partkey").alias("kb"), F.col("n_part").alias("n_b"))
+    return (
+        top.join(pa, top.part_a == pa.ka)
+        .join(pb, top.part_b == pb.kb)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_baskets").cast("double"))
+            .alias("support"),
+            (
+                (F.col("n_pair") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
