@@ -167,6 +167,9 @@ _R9_HEAD = (
     "events_markov_transitions",
     "customer_rfm_segments",
     "basket_part_pair_lift",
+    "timeseries_gapfill_events",
+    "stat_mad_outliers",
+    "dq_benford_first_digit",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

@@ -3777,3 +3777,177 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "timeseries_gapfill_events",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM daily
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.day, coalesce(d.n_events, 0) AS n_events
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_events AS BIGINT) AS n_events,
+           strftime(max(CASE WHEN n_events > 0 THEN day END) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), '%Y-%m-%d') AS last_active_day
+    FROM filled
+    """,
+)
+def timeseries_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill: a generated date spine (sequence + explode
+    between the observed min/max day) left-joined to daily counts so
+    silent days appear as explicit zeros, plus a forward-filled
+    last-active-day column — the resample/ffill primitive time-series
+    stores ship natively. The facts collapse to one day-keyed count
+    FIRST; the spine join and the forward-fill window run over the
+    |days|-sized aggregate (a decade is ~3,650 rows), so the only
+    unpartitioned window is constant-bounded — the same
+    aggregate-level-window posture as the calendar rollups above."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day")
+    )
+    filled = (
+        spine.join(daily.withColumnRenamed("day", "dday"),
+                   spine.day == F.col("dday"), "left")
+        .select("day", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return filled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.date_format(
+            F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w),
+            "yyyy-MM-dd",
+        ).alias("last_active_day"),
+    )
+
+
+@query(
+    "stat_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           any_value(d.med) AS med, any_value(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0
+    GROUP BY d.event_type
+    """,
+)
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    resistant twin of events_zscore_outliers (mean/std break down when
+    the outliers themselves inflate the std; median/MAD have a 50%
+    breakdown point). Two grouped interpolated medians (per-type keyed
+    aggregations) with the |types|-sized med/mad tables broadcast back
+    for the map-side deviation tests. The mad > 0 guard is applied
+    identically on both engines — the zero-variance divide-by-zero
+    parity trap the z-score family documents, avoided by construction
+    here since MAD gates a comparison, not a division."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("long"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_share,
+           log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) AS expected_share,
+           CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+             - log10(1.0 + 1.0 / CAST(c.digit AS DOUBLE)) AS deviation
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data / unit-mixing detector for financial columns. The
+    first significant digit is taken from the INTEGER-string rendering
+    (floor → BIGINT → VARCHAR) rather than floating log10 bucketing,
+    which misassigns exact powers of ten when log10 lands at
+    2.9999999999999996 — integer formatting is engine-stable. One
+    map-side digit projection, a 9-row count, shares as single
+    divisions of exact BIGINTs, and the Benford expectation
+    log10(1 + 1/d) evaluated by the same expression on both engines."""
+    orders = table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "obs_share"
+        ),
+        expected.alias("expected_share"),
+        (
+            F.col("n").cast("double") / F.col("total").cast("double") - expected
+        ).alias("deviation"),
+    )
