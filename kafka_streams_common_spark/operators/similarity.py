@@ -1203,3 +1203,112 @@ def random_project(
             (summed.cast("double") / F.lit(scale)).alias(f"p{j}")
         )
     return ints.select(id_col, *projections)
+
+
+def mmr_diversified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 12,
+    lam: float = 0.7,
+    div_weight: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results per query maximizing
+    ``lam * sim(q, c) - div_weight * max_{s in selected} sim(c, s)`` —
+    the RAG-retrieval staple that stops the result list collapsing onto
+    near-duplicate passages.
+
+    Shape: the greedy loop is inherently sequential PER QUERY but only
+    over a SHORTLIST — so the corpus-sized work is the exact cosine
+    shortlist (one broadcast scan, same plan as
+    :func:`brute_force_cosine_topk`), the shortlist×shortlist pair
+    similarities are computed JVM-side with the shared fold (tiny:
+    |queries|·shortlist² rows), and the greedy selection runs inside one
+    Arrow ``applyInPandas`` kernel per query group — distributed across
+    queries, never a driver loop. The kernel performs only IEEE scalar
+    multiply/subtract/max on similarities already computed by the JVM
+    fold, so results are bit-reproducible against an engine-independent
+    oracle. ``lam`` and ``div_weight`` are taken as SEPARATE literals:
+    deriving ``1 - 0.7`` in floating point yields 0.30000000000000004
+    and breaks cross-engine parity with oracles that spell ``0.3``.
+
+    Returns ``(q_id, step, vec_id, mmr_score)`` with ``step`` 1-based in
+    selection order.
+    """
+    import pandas as pd
+
+    cand = brute_force_cosine_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    emb = corpus.select(
+        F.col(id_col).alias("__eid"), F.col(vec_col).alias("__evec")
+    )
+    c1 = cand.join(emb, F.col(id_col) == F.col("__eid")).select(
+        query_id_col,
+        F.col(id_col).alias("a"),
+        F.col("score").alias("qsim_a"),
+        F.col("__evec").alias("__va"),
+    )
+    c2 = c1.select(
+        F.col(query_id_col).alias("__q2"),
+        F.col("a").alias("b"),
+        F.col("__va").alias("__vb"),
+    )
+    pairs = (
+        c1.join(
+            c2,
+            (F.col(query_id_col) == F.col("__q2")) & (F.col("a") != F.col("b")),
+        )
+        .select(
+            query_id_col,
+            "a",
+            "qsim_a",
+            "b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("sim_ab"),
+        )
+    )
+
+    out_schema = (
+        f"{query_id_col} long, step long, {id_col} long, mmr_score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_id_col].iloc[0]
+        qsim: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for a, qs, b, s in zip(pdf["a"], pdf["qsim_a"], pdf["b"], pdf["sim_ab"]):
+            qsim[int(a)] = float(qs)
+            sim[(int(a), int(b))] = float(s)
+        cands = sorted(qsim)
+        selected: list[int] = []
+        rows = []
+        for step in range(1, min(k, len(cands)) + 1):
+            best_key = None
+            best_score = None
+            for c in cands:
+                if c in selected:
+                    continue
+                pen = max((sim[(c, s)] for s in selected), default=0.0)
+                score = lam * qsim[c] - div_weight * pen
+                key = (-score, c)
+                if best_key is None or key < best_key:
+                    best_key, best_score = key, score
+            picked = best_key[1]
+            selected.append(picked)
+            rows.append((qid, step, picked, best_score))
+        return pd.DataFrame(
+            rows, columns=[query_id_col, "step", id_col, "mmr_score"]
+        )
+
+    return pairs.groupBy(query_id_col).applyInPandas(greedy, out_schema)

@@ -170,6 +170,7 @@ _R9_HEAD = (
     "timeseries_gapfill_events",
     "stat_mad_outliers",
     "dq_benford_first_digit",
+    "sim_mmr_diversified_topk",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

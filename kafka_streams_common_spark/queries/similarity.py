@@ -587,3 +587,86 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_project(
         table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8, seed=7
     )
+
+
+_MMR_PICK = """
+         (SELECT {expr} FROM cand c
+          WHERE c.q_id = s.q_id AND NOT list_contains(s.sel_list, c.vec_id)
+          ORDER BY 0.7 * c.score - 0.3 * (
+            SELECT max(p.sim_ab) FROM pair p
+            WHERE p.q_id = s.q_id AND p.a = c.vec_id
+              AND list_contains(s.sel_list, p.b)) DESC, c.vec_id
+          LIMIT 1)
+"""
+_MMR_SCORE_EXPR = """0.7 * c.score - 0.3 * (
+            SELECT max(p.sim_ab) FROM pair p
+            WHERE p.q_id = s.q_id AND p.a = c.vec_id
+              AND list_contains(s.sel_list, p.b))"""
+
+
+@query(
+    "sim_mmr_diversified_topk",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {_cos_sql('e.embedding', 'q.q_emb')} AS score
+      FROM embeddings e, q WHERE q.q_id != e.vec_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id, score FROM (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 12
+    ),
+    pair AS (
+      SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b,
+             {_cos_sql('e1.embedding', 'e2.embedding')} AS sim_ab
+      FROM cand c1
+      JOIN cand c2 ON c1.q_id = c2.q_id AND c1.vec_id != c2.vec_id
+      JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+      JOIN embeddings e2 ON e2.vec_id = c2.vec_id
+    ),
+    sel AS (
+      SELECT q_id, 1 AS step, vec_id AS picked,
+             0.7 * score - 0.3 * 0.0 AS mmr_score,
+             [vec_id] AS sel_list
+      FROM (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT s.q_id, s.step + 1,
+             {_MMR_PICK.format(expr='c.vec_id')},
+             {_MMR_PICK.format(expr=_MMR_SCORE_EXPR)},
+             list_append(s.sel_list, {_MMR_PICK.format(expr='c.vec_id')})
+      FROM sel s WHERE s.step < 5
+    )
+    SELECT q_id, CAST(step AS BIGINT) AS step, picked AS vec_id, mmr_score
+    FROM sel
+    """,
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (``operators/similarity.py:
+    mmr_diversified_topk``): exact cosine shortlist (12) per query, then
+    greedy maximal-marginal-relevance selection of 5 with λ=0.7 — the
+    RAG diversification pass that keeps near-duplicate passages from
+    filling the context window. The oracle replays the greedy loop as a
+    DuckDB RECURSIVE CTE over the same shortlist and pair similarities
+    (the sequential-fold cosine spelling both engines share); the Spark
+    side runs the loop in an Arrow kernel per query group over
+    JVM-computed similarities, so both sides perform the identical IEEE
+    multiply/subtract/max sequence — bit-equal hashes, no tolerance."""
+    from kafka_streams_common_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    corpus, queries = _query_set(spark, sf_dir)
+    return mmr_diversified_topk(corpus, queries, k=5, shortlist=12)

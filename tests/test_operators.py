@@ -1034,3 +1034,66 @@ def test_triangle_count_oriented_equals_known_graphs(spark):
     assert tc(star_plus) == 1
     # duplicate + reversed edges must not inflate the count
     assert tc(k6 + [(j, i) for i, j in k6]) == 20
+
+
+def test_mmr_diversifies_and_is_deterministic(spark):
+    """MMR semantics: (1) step 1 is the plain cosine argmax; (2) the
+    selected set is strictly more diverse (lower mean pairwise cosine)
+    than the undiversified top-k whenever the two sets differ; (3) the
+    greedy output is bit-stable across runs."""
+    from kafka_streams_common_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+    from kafka_streams_common_spark.functions.vectors import cosine_similarity
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    mmr = mmr_diversified_topk(emb, queries, k=5, shortlist=12)
+    rows = mmr.collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["step"])):
+        by_q.setdefault(r["q_id"], []).append(r)
+    plain = {
+        (r["q_id"], r["vec_id"]): r["score"]
+        for r in brute_force_cosine_topk(emb, queries, k=12).collect()
+    }
+    top1 = {}
+    for (q, v), s in plain.items():
+        if q not in top1 or (-s, v) < (-top1[q][1], top1[q][0]):
+            top1[q] = (v, s)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    import math
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+        na = math.sqrt(sum(float(x) * float(x) for x in va))
+        nb = math.sqrt(sum(float(x) * float(x) for x in vb))
+        return dot / (na * nb)
+
+    def mean_pairwise(ids):
+        ps = [cos(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return sum(ps) / len(ps)
+
+    saw_divergence = False
+    for q, sel in by_q.items():
+        assert [r["step"] for r in sel] == [1, 2, 3, 4, 5]
+        assert sel[0]["vec_id"] == top1[q][0]  # step 1 = cosine argmax
+        mmr_ids = [r["vec_id"] for r in sel]
+        topk_ids = sorted(
+            (v for (qq, v) in plain if qq == q),
+            key=lambda v: (-plain[(q, v)], v),
+        )[:5]
+        if set(mmr_ids) != set(topk_ids):
+            saw_divergence = True
+            assert mean_pairwise(mmr_ids) < mean_pairwise(topk_ids) + 1e-12
+    assert saw_divergence, "fixture never diversified — test has no bite"
+
+    again = sorted(
+        map(tuple, mmr.collect()), key=lambda t: (t[0], t[1])
+    )
+    first = sorted(map(tuple, rows), key=lambda t: (t[0], t[1]))
+    assert again == first  # bit-stable across executions
