@@ -98,6 +98,23 @@ TRACKING_QUERIES = [
     "graph_pagerank_customer_supplier",
     "llm_dsir_importance_weights",
     "zorder_key_orders",
+    # round-8 session-2/3 additions
+    "er_fuzzy_match_part_names",
+    "attribution_linear_credit",
+    "events_cohort_retention",
+    "graph_triangle_count_copurchase",
+    "cdc_snapshot_diff_orders",
+    "events_top_paths",
+    "events_activity_gaps",
+    "events_concurrency_sweep",
+    "events_cumulative_distinct_users",
+    "events_markov_transitions",
+    "customer_rfm_segments",
+    "basket_part_pair_lift",
+    "timeseries_gapfill_events",
+    "stat_mad_outliers",
+    "dq_benford_first_digit",
+    "sim_mmr_diversified_topk",
 ]
 
 

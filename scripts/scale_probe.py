@@ -401,15 +401,119 @@ def main() -> None:
         ),
     }
 
+    # --- round-8 session-3 query shapes (minimal inline forms of the
+    # registered queries, fed the replicated corpora) ---
+
+    def _sweep(ev):
+        """events_concurrency_sweep core: day-clipped ±1 edges + run-sum."""
+        iv = ev.select(
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        )
+        nm = F.date_add(F.to_date("s"), 1).cast("timestamp")
+        de = F.to_date("e").cast("timestamp")
+        seg = iv.select(
+            F.to_date("s").alias("day"),
+            F.col("s").alias("seg_s"),
+            F.least("e", nm).alias("seg_e"),
+        ).unionAll(
+            iv.filter(
+                (F.to_date("e") > F.to_date("s")) & (F.col("e") > de)
+            ).select(
+                F.to_date("e").alias("day"),
+                de.alias("seg_s"),
+                F.col("e").alias("seg_e"),
+            )
+        )
+        edges = seg.select(
+            "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+        ).unionAll(
+            seg.select(
+                "day", F.col("seg_e").alias("t"), F.lit(-1).alias("delta")
+            )
+        )
+        w = (
+            Window.partitionBy("day")
+            .orderBy("t", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            edges.select("day", F.sum("delta").over(w).alias("o"))
+            .groupBy("day")
+            .agg(F.max("o").alias("max_concurrent"))
+        )
+
+    def _basket_pairs(li):
+        """basket_part_pair_lift core: distinct baskets + equi self-join."""
+        b = li.select("l_orderkey", "l_partkey").distinct()
+        b2 = b.select(
+            F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+        )
+        return (
+            b.join(b2, (b.l_orderkey == b2.o2) & (b.l_partkey < b2.p2))
+            .groupBy("l_partkey", "p2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _first_touch(ev):
+        """events_cumulative_distinct_users core: first-seen rewrite."""
+        fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+        return fs.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+
+    def _markov(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.select(
+                "event_type", F.lead("event_type").over(w).alias("nxt")
+            )
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("event_type", "nxt")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    lineitem1 = table(spark, SF_DIR, "lineitem")
+    lineitem8 = replicate(lineitem1, "l_orderkey", COPIES).localCheckpoint(
+        eager=True
+    )
+
+    from kafka_streams_common_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    probes.update(
+        {
+            "concurrency_sweep": (
+                lambda: _sweep(events1),
+                lambda: _sweep(events8),
+            ),
+            "basket_pair_lift": (
+                lambda: _basket_pairs(lineitem1),
+                lambda: _basket_pairs(lineitem8),
+            ),
+            "cumulative_distinct_users": (
+                lambda: _first_touch(events1),
+                lambda: _first_touch(events8),
+            ),
+            "markov_transitions": (
+                lambda: _markov(events1),
+                lambda: _markov(events8),
+            ),
+            "mmr_diversified_topk": (
+                lambda: mmr_diversified_topk(
+                    emb1, ivf_queries, k=5, shortlist=12
+                ),
+                lambda: mmr_diversified_topk(
+                    emb8, ivf_queries, k=5, shortlist=12
+                ),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
-        from kafka_streams_common_spark.operators.bpe import bpe_train
-
-    _BPE_MERGES = [
-        (l, r) for l, r, _ in bpe_train(docs1, n_merges=16)
-    ]
-
-    noop_probes = {k: v for k, v in noop_probes.items() if k in sys.argv[1:]}
+        noop_probes = {
+            k: v for k, v in noop_probes.items() if k in sys.argv[1:]
+        }
     for name, entry in list(probes.items()) + [
         (k, v + ("noop",)) for k, v in noop_probes.items()
     ]:
