@@ -115,6 +115,9 @@ TRACKING_QUERIES = [
     "stat_mad_outliers",
     "dq_benford_first_digit",
     "sim_mmr_diversified_topk",
+    "dedup_soft_weights",
+    "events_ohlc_daily",
+    "graph_link_prediction_jaccard",
 ]
 
 

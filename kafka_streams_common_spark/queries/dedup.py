@@ -566,3 +566,57 @@ def dedup_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return contamination_report(corpus, bench, n=5)
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=_shingles_sql(_MAX_DF).replace("WITH toks", "WITH RECURSIVE toks")
+    + """,
+    edges AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+    bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+           UNION ALL SELECT doc_b, doc_a FROM edges),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           1.0 / CAST(s.cluster_size AS DOUBLE) AS soft_weight
+    FROM clusters c JOIN sizes s USING (cluster_id)
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style down-weighting: instead of DROPPING near-dup
+    documents (dedup_apply's hard gate), every member of a near-dup
+    cluster keeps a sampling weight 1/cluster_size, so the cluster
+    contributes one document's worth of probability mass to training
+    while preserving intra-cluster variation. Same id-only clustering
+    shuffles as dedup_connected_components (bodies never move); the
+    size table is |clusters|-keyed and the weight is one exact
+    BIGINT→DOUBLE division. Singletons get weight 1.0."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.cluster import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, tau=0.7, max_df=_MAX_DF)
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias(
+            "soft_weight"
+        ),
+    )

@@ -3951,3 +3951,199 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("total").cast("double") - expected
         ).alias("deviation"),
     )
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, value,
+             row_number() OVER (
+               PARTITION BY CAST(ts AS DATE), event_type
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY CAST(ts AS DATE), event_type
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY day, event_type
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the time-series bar primitive (open/high/low/
+    close per day per series): first/last are defined by the total
+    (ts, event_id) order, not arg_min/arg_max whose tie behavior is
+    engine-unspecified — two row_number windows over the SAME
+    (day, type) partitioning (one sort, both directions derived), then
+    a keyed aggregate with conditional first/last extraction. The
+    window is partitioned by the bar key, so bars parallelize across
+    days×series at any scale; no global sort anywhere."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    wa = Window.partitionBy(F.to_date("ts"), "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy(F.to_date("ts"), "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        day,
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("day", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS (
+      SELECT p1.l_partkey AS a, p2.l_partkey AS b
+      FROM p p1 JOIN p p2
+        ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+      GROUP BY p1.l_partkey, p2.l_partkey
+      HAVING count(*) >= 2
+    ),
+    bi AS (
+      SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    ),
+    deg AS (
+      SELECT a AS node, count(*) AS degree FROM bi GROUP BY a
+    ),
+    bic AS (
+      SELECT bi.a, bi.b FROM bi
+      JOIN deg da ON da.node = bi.a AND da.degree <= 50
+      JOIN deg db ON db.node = bi.b AND db.degree <= 50
+    ),
+    wedge AS (
+      SELECT w1.a AS u, w2.a AS v, count(*) AS inter
+      FROM bic w1 JOIN bic w2
+        ON w1.b = w2.b AND w1.a < w2.a
+      GROUP BY w1.a, w2.a
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.inter,
+             du.degree + dv.degree - w.inter AS uni
+      FROM wedge w
+      JOIN deg du ON du.node = w.u
+      JOIN deg dv ON dv.node = w.v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.a = w.u AND e0.b = w.v
+      )
+    )
+    SELECT u AS part_a, v AS part_b, CAST(inter AS BIGINT) AS n_common,
+           CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, part_a, part_b LIMIT 20
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph (edges = part pairs
+    co-ordered in ≥2 distinct orders — the support threshold every
+    association miner applies first, which keeps the graph sparse and
+    the signal real): for part pairs NOT already linked, neighborhood
+    Jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| — the "customers who bought X
+    also bought Y" recommender signal.
+    The wedge join (common-neighbor count through the shared endpoint)
+    is the quadratic hazard: a hub of degree d spawns d² wedges, so
+    hub nodes above a degree cap (50) are excluded from WEDGE
+    GENERATION — the same structural bound triangle counting uses —
+    while true degrees still feed the union term. Anti-join removes
+    existing edges; top-20 via TakeOrderedAndProject. Intersection and
+    union are exact BIGINTs; Jaccard is one DOUBLE division."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    e0 = (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("a", "b")
+    )
+    bi = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = bi.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    capped = (
+        bi.join(deg.withColumnRenamed("node", "na"), F.col("a") == F.col("na"))
+        .filter(F.col("degree") <= 50)
+        .select("a", "b")
+        .join(
+            deg.select(
+                F.col("node").alias("nb"), F.col("degree").alias("db_")
+            ),
+            F.col("b") == F.col("nb"),
+        )
+        .filter(F.col("db_") <= 50)
+        .select("a", "b")
+    )
+    w2 = capped.select(F.col("a").alias("v"), F.col("b").alias("bb"))
+    wedge = (
+        capped.join(w2, (F.col("b") == F.col("bb")) & (F.col("a") < F.col("v")))
+        .groupBy(F.col("a").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand = (
+        wedge.join(
+            e0.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .join(
+            deg.select(F.col("node").alias("u"), F.col("degree").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "inter",
+            (F.col("du") + F.col("dv") - F.col("inter")).alias("uni"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("inter").cast("bigint").alias("n_common"),
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
+    )
