@@ -397,3 +397,83 @@ def test_weighted_sample_compiles_to_topk_heap(spark):
     (per-partition heap of k), never a global sort of the corpus."""
     plan = plan_of(QUERIES["llm_weighted_sample_docs"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_concurrency_sweep_window_is_day_partitioned(spark):
+    """The sweep-line running sum must be partitioned by day — an
+    unpartitioned window (Exchange SinglePartition) would serialize the
+    entire event history through one task."""
+    plan = plan_of(QUERIES["events_concurrency_sweep"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_rfm_uses_broadcast_cutpoints_not_global_ntile(spark):
+    """RFM scores come from broadcast quantile cutpoints: two broadcast
+    exchanges (anchor date + 9-value cutpoint row), no Window at all —
+    a global ntile would plan Exchange SinglePartition + Sort + Window."""
+    plan = plan_of(QUERIES["customer_rfm_segments"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan or "BroadcastExchange" in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_basket_pair_lift_topk_is_heap_and_no_cartesian(spark):
+    plan = plan_of(QUERIES["basket_part_pair_lift"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_wedge_joins_are_equi(spark):
+    """Wedge generation and degree joins must be hash equi-joins; the
+    only nested-loop shape allowed anywhere is none — support filter and
+    degree cap keep everything keyed."""
+    plan = plan_of(QUERIES["graph_link_prediction_jaccard"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_outliers_stats_joins_are_broadcast(spark):
+    """Both the per-type median and MAD tables are |types|-sized and must
+    broadcast back onto the fact scan — a SortMergeJoin would shuffle the
+    events twice for nothing."""
+    plan = plan_of(QUERIES["stat_mad_outliers"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_ohlc_windows_share_one_partitioning(spark):
+    """Both row_number directions run over the same (day, type) hash
+    partitioning — exactly one exchange for the window stage, and no
+    single-partition funnel."""
+    plan = plan_of(QUERIES["events_ohlc_daily"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_mmr_shortlist_scan_is_the_only_nested_loop(spark):
+    """The exact-shortlist scan streams the corpus once against the
+    broadcast query set (the documented intentional BNLJ from
+    brute_force_cosine_topk); the pair-sim self-join and the kernel
+    grouping must all be keyed — no CartesianProduct anywhere."""
+    plan = plan_of(QUERIES["sim_mmr_diversified_topk"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the Arrow greedy kernel
+
+
+def test_soft_weights_size_join_is_id_only(spark):
+    """Cluster sizing joins carry ids only — document bodies must never
+    appear downstream of the clustering shuffles (no 'text' column past
+    the shingle stage)."""
+    plan = plan_of(QUERIES["dedup_soft_weights"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_spine_join_is_broadcast(spark):
+    """The date spine is generated from a 1-row bounds aggregate and is
+    |days|-sized; joining it to daily counts must not shuffle-sort two
+    tiny aggregates through SortMergeJoin at fixture scale — broadcast
+    from either side is the designed shape."""
+    plan = plan_of(QUERIES["timeseries_gapfill_events"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
