@@ -112,3 +112,56 @@ def snapshot_diff(
         .otherwise(F.lit("update"))
         .alias("change_type"),
     )
+
+
+def peak_concurrency_by_day(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "INTERVAL 30 MINUTES",
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per day, sweep-line
+    form: each row opens an end-exclusive interval ``[ts, ts+duration)``;
+    intervals are CLIPPED at midnight so every ±1 edge lives in exactly
+    one day and the running-sum window is day-partitioned — parallel
+    across days, never the global single-partition sort a textbook sweep
+    line implies. At equal timestamps ends (-1) sort before starts (+1),
+    and the max prefix sum is invariant to permutations of identical
+    edges, so the result is deterministic under any partitioning.
+
+    Returns ``(day DATE, max_concurrent BIGINT)``.
+    """
+    from pyspark.sql import Window
+
+    iv = df.select(
+        F.col(ts_col).alias("s"),
+        (F.col(ts_col) + F.expr(duration)).alias("e"),
+    )
+    midnight_after_s = F.date_add(F.to_date("s"), 1).cast("timestamp")
+    day_of_e = F.to_date("e").cast("timestamp")
+    seg1 = iv.select(
+        F.to_date("s").alias("day"),
+        F.col("s").alias("seg_s"),
+        F.least("e", midnight_after_s).alias("seg_e"),
+    )
+    seg2 = iv.filter(
+        (F.to_date("e") > F.to_date("s")) & (F.col("e") > day_of_e)
+    ).select(
+        F.to_date("e").alias("day"),
+        day_of_e.alias("seg_s"),
+        F.col("e").alias("seg_e"),
+    )
+    seg = seg1.unionAll(seg2)
+    edges = seg.select(
+        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select("day", F.col("seg_e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = edges.select("day", F.sum("delta").over(w).alias("open_now"))
+    return run.groupBy("day").agg(
+        F.max("open_now").cast("bigint").alias("max_concurrent")
+    )

@@ -3426,40 +3426,14 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the +1 (ORDER BY t, delta), and the max prefix is invariant
     to permutations of identical edges, so the result is deterministic
     across partitionings and engines."""
+    from kafka_streams_common_spark.operators.rollup import (
+        peak_concurrency_by_day,
+    )
+
     ev = table(spark, sf_dir, "events")
-    iv = ev.select(
-        F.col("ts").alias("s"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    return peak_concurrency_by_day(ev, "ts", "INTERVAL 30 MINUTES").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "max_concurrent"
     )
-    midnight_after_s = F.date_add(F.to_date("s"), 1).cast("timestamp")
-    day_of_e = F.to_date("e").cast("timestamp")
-    seg1 = iv.select(
-        F.to_date("s").alias("day"),
-        F.col("s").alias("seg_s"),
-        F.least("e", midnight_after_s).alias("seg_e"),
-    )
-    seg2 = iv.filter(
-        (F.to_date("e") > F.to_date("s")) & (F.col("e") > day_of_e)
-    ).select(
-        F.to_date("e").alias("day"),
-        day_of_e.alias("seg_s"),
-        F.col("e").alias("seg_e"),
-    )
-    seg = seg1.unionAll(seg2)
-    edges = seg.select(
-        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        seg.select("day", F.col("seg_e").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w = (
-        Window.partitionBy("day")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = edges.select("day", F.sum("delta").over(w).alias("open_now"))
-    return run.groupBy("day").agg(
-        F.max("open_now").cast("bigint").alias("max_concurrent")
-    ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "max_concurrent")
 
 
 @query(

@@ -404,44 +404,13 @@ def main() -> None:
     # --- round-8 session-3 query shapes (minimal inline forms of the
     # registered queries, fed the replicated corpora) ---
 
+    from kafka_streams_common_spark.operators.rollup import (
+        peak_concurrency_by_day,
+    )
+
     def _sweep(ev):
-        """events_concurrency_sweep core: day-clipped ±1 edges + run-sum."""
-        iv = ev.select(
-            F.col("ts").alias("s"),
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
-        )
-        nm = F.date_add(F.to_date("s"), 1).cast("timestamp")
-        de = F.to_date("e").cast("timestamp")
-        seg = iv.select(
-            F.to_date("s").alias("day"),
-            F.col("s").alias("seg_s"),
-            F.least("e", nm).alias("seg_e"),
-        ).unionAll(
-            iv.filter(
-                (F.to_date("e") > F.to_date("s")) & (F.col("e") > de)
-            ).select(
-                F.to_date("e").alias("day"),
-                de.alias("seg_s"),
-                F.col("e").alias("seg_e"),
-            )
-        )
-        edges = seg.select(
-            "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
-        ).unionAll(
-            seg.select(
-                "day", F.col("seg_e").alias("t"), F.lit(-1).alias("delta")
-            )
-        )
-        w = (
-            Window.partitionBy("day")
-            .orderBy("t", "delta")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return (
-            edges.select("day", F.sum("delta").over(w).alias("o"))
-            .groupBy("day")
-            .agg(F.max("o").alias("max_concurrent"))
-        )
+        """events_concurrency_sweep core (operators/rollup.py)."""
+        return peak_concurrency_by_day(ev)
 
     def _basket_pairs(li):
         """basket_part_pair_lift core: distinct baskets + equi self-join."""

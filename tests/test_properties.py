@@ -476,3 +476,124 @@ def test_asof_direction_tolerance_nulls_match_bruteforce(
             ok = match is not None and lt - match[0] <= tol
         expect = match[1] if ok else None
         assert out[lid] == expect, (lid, k, m, direction, tol_min)
+
+
+_iv_offsets = st.lists(
+    st.integers(min_value=0, max_value=3 * 24 * 60),  # minutes over 3 days
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(offsets=_iv_offsets, dur_min=st.integers(min_value=1, max_value=600))
+def test_peak_concurrency_matches_bruteforce(spark_, offsets, dur_min):
+    """Sweep-line peak concurrency vs point-evaluation brute force:
+    concurrency at time t = #{intervals [s, s+d) containing t}; the
+    per-day max is attained at an interval start or at the day boundary
+    (for intervals carried over midnight). Durations up to 10h force
+    multi-midnight spans through the clipping logic; duplicate offsets
+    force equal-timestamp edge ordering."""
+    from datetime import date
+    from kafka_streams_common_spark.operators.rollup import (
+        peak_concurrency_by_day,
+    )
+
+    starts = [BASE + timedelta(minutes=m) for m in offsets]
+    d = timedelta(minutes=dur_min)
+    df = spark_.createDataFrame([(s,) for s in starts], "ts timestamp")
+    got = {
+        r["day"]: r["max_concurrent"]
+        for r in peak_concurrency_by_day(
+            df, "ts", f"INTERVAL {dur_min} MINUTES"
+        ).collect()
+    }
+
+    def conc(t):
+        return sum(1 for s in starts if s <= t < s + d)
+
+    days = sorted({(s + timedelta(minutes=k)).date()
+                   for s in starts
+                   for k in range(0, dur_min + 1)})
+    expect = {}
+    for day in days:
+        day_start = datetime(day.year, day.month, day.day)
+        day_end = day_start + timedelta(days=1)
+        points = [day_start] + [
+            s for s in starts if day_start <= s < day_end
+        ]
+        m = max(conc(t) for t in points)
+        if m > 0:
+            expect[day] = m
+    assert got == expect
+
+
+_mmr_vecs = st.lists(
+    st.tuples(
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=-3, max_value=3),
+        st.integers(min_value=1, max_value=3),
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_mmr_vecs)
+def test_mmr_matches_python_greedy(spark_, vecs):
+    """MMR greedy selection vs an independent pure-Python reference:
+    identical picks AND bit-identical scores (both sides reduce to the
+    same IEEE multiply/subtract/max over sequentially-folded cosines).
+    Vectors include duplicates (score ties → id tiebreak)."""
+    import math
+
+    from kafka_streams_common_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    corpus = [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(vecs)]
+    df = spark_.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    k, shortlist = 3, 5
+    got = sorted(
+        (r["step"], r["vec_id"], r["mmr_score"])
+        for r in mmr_diversified_topk(df, queries, k=k, shortlist=shortlist).collect()
+    )
+
+    def cos(u, v):
+        dot = 0.0
+        for x, y in zip(u, v):
+            dot = dot + x * y
+        nu = 0.0
+        for x in u:
+            nu = nu + x * x
+        nv = 0.0
+        for y in v:
+            nv = nv + y * y
+        return dot / (math.sqrt(nu) * math.sqrt(nv))
+
+    vec = dict(corpus)
+    qv = vec[0]
+    scored = sorted(
+        ((cos(vec[i], qv), i) for i, _ in corpus if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:shortlist]
+    qsim = {i: s for s, i in scored}
+    cands = sorted(qsim)
+    sel, expect = [], []
+    for step in range(1, min(k, len(cands)) + 1):
+        best = None
+        for c in cands:
+            if c in sel:
+                continue
+            pen = max((cos(vec[c], vec[s]) for s in sel), default=0.0)
+            sc = 0.7 * qsim[c] - 0.3 * pen
+            key = (-sc, c)
+            if best is None or key < best[0]:
+                best = (key, c, sc)
+        sel.append(best[1])
+        expect.append((step, best[1], best[2]))
+    assert got == sorted(expect)
