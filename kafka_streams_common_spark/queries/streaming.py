@@ -1083,3 +1083,63 @@ def streaming_rate_limit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         "window_start_us",
     )
+
+
+@query(
+    "streaming_ohlc_daily",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, value,
+             row_number() OVER (
+               PARTITION BY CAST(ts AS DATE), event_type
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY CAST(ts AS DATE), event_type
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY day, event_type
+    """,
+)
+def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars computed ON A STREAM — the live-dashboard twin of
+    ``events_ohlc_daily``: open/close are ``min_by``/``max_by`` against
+    the (ts, event_id) struct (a DECLARATIVE algebraic aggregate, so it
+    streams with ordinary window state — no sort, no row_number, works
+    in any output mode), high/low/count are plain aggregates. Because
+    (ts, event_id) is unique, struct-argmin equals the batch query's
+    row_number()-over-total-order definition, and the complete-mode
+    final state must hash-match the batch oracle — stream ≡ batch by
+    construction. The batch form keeps row_number for engines without
+    ordered argmin; this form is what you deploy."""
+    from pyspark.sql import functions as F
+
+    comp = _streaming_compiler(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    sdf = (
+        comp.stream_source("events")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(sdf, spark, output_mode="complete")
