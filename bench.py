@@ -118,6 +118,9 @@ TRACKING_QUERIES = [
     "dedup_soft_weights",
     "events_ohlc_daily",
     "graph_link_prediction_jaccard",
+    "text_ngram_novelty",
+    "events_type_overlap_matrix",
+    "window_percent_change_daily",
 ]
 
 

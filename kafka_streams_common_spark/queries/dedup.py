@@ -620,3 +620,60 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "soft_weight"
         ),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=_shingles_sql()
+    + """,
+    dfreq AS (SELECT sh AS k, count(*) AS df FROM sh GROUP BY sh),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM sh s JOIN dfreq d ON s.sh = d.k
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+    FROM per_doc
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score — the memorization-risk / boilerplate
+    readout used in corpus audits: per document, the fraction of its
+    distinct 3-gram shingles that appear in NO other document (document
+    frequency 1). Low novelty flags template/boilerplate text before it
+    inflates near-dup clusters; high novelty marks unique content worth
+    up-weighting. Same inverted shingle index as the Jaccard dedup tier
+    (the shingle table is the shared 100 TB workhorse): one
+    shingle-keyed df census, one broadcast-shaped join back, one
+    doc-keyed count — never all-pairs. Counts are exact BIGINTs; the
+    score is one DOUBLE division."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import _hashed_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = _hashed_shingles(docs, n=3, text_col="text", id_col="doc_id")
+    dfreq = sh.groupBy(F.col("sh").alias("k")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    per_doc = (
+        sh.join(dfreq, sh.sh == dfreq.k)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"))
+        .alias("novelty"),
+    )

@@ -4121,3 +4121,94 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "events_type_overlap_matrix",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    tc AS (
+      SELECT event_type, count(*) AS n_type FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(p.n_both AS DOUBLE) / CAST(ta.n_type AS DOUBLE)
+             AS p_b_given_a
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    """,
+)
+def events_type_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every ordered pair of event types,
+    how many users did BOTH and P(B|A) — the segment-overlap readout
+    behind "users who viewed also purchased". The |users|×|types|
+    distinct projection is the only fact-sized shuffle; the self-join is
+    user-keyed (co-partitioned, per-user row count bounded by |types|,
+    so the blowup is |types|² per user, a constant), and the output is
+    |types|² rows. Conditional probability is one DOUBLE division of
+    exact BIGINTs against the broadcast per-type census."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    b = ut.select(F.col("user_id").alias("u2"), F.col("event_type").alias("type_b"))
+    pairs = (
+        ut.join(b, ut.user_id == b.u2)
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return pairs.join(
+        F.broadcast(tc.withColumnRenamed("event_type", "type_a")), "type_a"
+    ).select(
+        "type_a",
+        "type_b",
+        "n_both",
+        (F.col("n_both").cast("double") / F.col("n_type").cast("double")).alias(
+            "p_b_given_a"
+        ),
+    )
+
+
+@query(
+    "window_percent_change_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_events - lag(n_events) OVER (ORDER BY day) AS BIGINT)
+             AS delta,
+           CAST(n_events - lag(n_events) OVER (ORDER BY day) AS DOUBLE)
+             / CAST(lag(n_events) OVER (ORDER BY day) AS DOUBLE)
+             AS pct_change
+    FROM daily
+    """,
+)
+def window_percent_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day traffic change — the dashboard delta/percent tile:
+    facts collapse to a day-keyed count FIRST, then one lag window over
+    the |days|-sized aggregate (constant-bounded, the shared
+    calendar-rollup posture). First day's delta/pct are NULL on both
+    engines; the percent is one DOUBLE division of exact BIGINTs."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("n_events") - prev).cast("bigint").alias("delta"),
+        (
+            (F.col("n_events") - prev).cast("double") / prev.cast("double")
+        ).alias("pct_change"),
+    )
