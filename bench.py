@@ -121,6 +121,8 @@ TRACKING_QUERIES = [
     "text_ngram_novelty",
     "events_type_overlap_matrix",
     "window_percent_change_daily",
+    "timeseries_cusum_change",
+    "timeseries_dow_seasonality",
 ]
 
 

@@ -4212,3 +4212,116 @@ def window_percent_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") - prev).cast("double") / prev.cast("double")
         ).alias("pct_change"),
     )
+
+
+@query(
+    "timeseries_cusum_change",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS mean_n
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum(n_events) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+             - CAST(row_number() OVER (ORDER BY day) AS DOUBLE) * m.mean_n
+             AS cusum
+    FROM daily CROSS JOIN m
+    """,
+)
+def timeseries_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point signal over daily volume: cumulative sum of
+    deviations from the global mean — the sustained-shift detector a
+    point-wise z-score misses (ten days of a small uniform drop never
+    trip a per-day threshold but accumulate linearly in CUSUM). The
+    deviation sum is restated as exact-BIGINT running counts minus
+    rank×mean — ONE float multiply per day instead of a float
+    accumulation, so the value is bit-stable on both engines at any
+    partitioning. Facts collapse to the |days| census first; the
+    running window is constant-bounded."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    m = daily.agg(
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_n")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("day")
+    return daily.crossJoin(F.broadcast(m)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (
+            F.sum("n_events").over(w).cast("double")
+            - F.row_number().over(wr).cast("double") * F.col("mean_n")
+        ).alias("cusum"),
+    )
+
+
+@query(
+    "timeseries_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    dow AS (
+      SELECT dayofweek(day) AS dow,
+             count(*) AS n_days,
+             sum(n_events) AS n_total
+      FROM daily GROUP BY dayofweek(day)
+    ),
+    tot AS (SELECT sum(n_total) AS grand, sum(n_days) AS all_days FROM dow)
+    SELECT CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(d.n_total AS BIGINT) AS n_total,
+           CAST(d.n_total AS DOUBLE) / CAST(d.n_days AS DOUBLE)
+             AS avg_per_day,
+           (CAST(d.n_total AS DOUBLE) / CAST(d.n_days AS DOUBLE))
+             / (CAST(t.grand AS DOUBLE) / CAST(t.all_days AS DOUBLE))
+             AS seasonal_index
+    FROM dow d CROSS JOIN tot t
+    """,
+)
+def timeseries_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile: average daily volume per weekday
+    vs the overall daily average (seasonal index > 1 = busier than
+    typical) — the additive-decomposition readout behind staffing and
+    anomaly baselines. Two tiny keyed aggregates over the |days| census;
+    every ratio is a DOUBLE division of exact BIGINTs evaluated by the
+    same expression on both engines. DuckDB's dayofweek (0=Sunday) is
+    matched by Spark's ``dayofweek()-1``."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    dow = daily.groupBy(
+        (F.dayofweek("day") - F.lit(1)).cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("n_total"),
+    )
+    tot = dow.agg(
+        F.sum("n_total").alias("grand"), F.sum("n_days").alias("all_days")
+    )
+    avg = F.col("n_total").cast("double") / F.col("n_days").cast("double")
+    overall = F.col("grand").cast("double") / F.col("all_days").cast("double")
+    return dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "n_total",
+        avg.alias("avg_per_day"),
+        (avg / overall).alias("seasonal_index"),
+    )
