@@ -448,6 +448,45 @@ def main() -> None:
     from kafka_streams_common_spark.operators.similarity import (
         mmr_diversified_topk,
     )
+    from kafka_streams_common_spark.operators.dedup import _hashed_shingles
+
+    def _novelty(docs):
+        sh = _hashed_shingles(docs, n=3, text_col="text", id_col="doc_id")
+        dfq = sh.groupBy(F.col("sh").alias("k")).agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        return (
+            sh.join(dfq, sh.sh == dfq.k)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+            )
+        )
+
+    def _overlap(ev):
+        ut = ev.select("user_id", "event_type").distinct()
+        b = ut.select(
+            F.col("user_id").alias("u2"), F.col("event_type").alias("tb")
+        )
+        return (
+            ut.join(b, ut.user_id == b.u2)
+            .groupBy("event_type", "tb")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+        )
+
+    def _ohlc(ev):
+        key = F.struct("ts", "event_id")
+        return (
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.min_by("value", key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", key).alias("close"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
 
     probes.update(
         {
@@ -474,6 +513,20 @@ def main() -> None:
                 lambda: mmr_diversified_topk(
                     emb8, ivf_queries, k=5, shortlist=12
                 ),
+            ),
+            # novelty: the 8x corpus makes EVERY shingle df>=8 -> zero
+            # novel shingles, the adversarial all-duplicate regime
+            "ngram_novelty": (
+                lambda: _novelty(docs1),
+                lambda: _novelty(docs8),
+            ),
+            "type_overlap_matrix": (
+                lambda: _overlap(events1),
+                lambda: _overlap(events8),
+            ),
+            "ohlc_daily": (
+                lambda: _ohlc(events1),
+                lambda: _ohlc(events8),
             ),
         }
     )

@@ -597,3 +597,53 @@ def test_mmr_matches_python_greedy(spark_, vecs):
         sel.append(best[1])
         expect.append((step, best[1], best[2]))
     assert got == sorted(expect)
+
+
+_ohlc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2 * 24 * 60),  # minutes, 2 days
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_ohlc_rows)
+def test_ohlc_argmin_matches_bruteforce(spark_, rows):
+    """The declarative min_by/max_by-over-(ts,event_id)-struct OHLC (the
+    streaming form) vs a Python brute force on the total order —
+    duplicate timestamps force the event_id tiebreak through both."""
+    data = [
+        (i, BASE + timedelta(minutes=m), t, float(v))
+        for i, (m, t, v) in enumerate(rows)
+    ]
+    df = spark_.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+    key = F.struct("ts", "event_id")
+    got = {
+        (r["day"].isoformat(), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"]
+        )
+        for r in df.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    expect = {}
+    groups: dict[tuple, list] = {}
+    for i, ts, t, v in data:
+        groups.setdefault((ts.date().isoformat(), t), []).append((ts, i, v))
+    for k, g in groups.items():
+        g.sort()
+        vals = [v for _, _, v in g]
+        expect[k] = (g[0][2], max(vals), min(vals), g[-1][2], len(g))
+    assert got == expect
