@@ -123,6 +123,7 @@ TRACKING_QUERIES = [
     "window_percent_change_daily",
     "timeseries_cusum_change",
     "timeseries_dow_seasonality",
+    "sim_knn_label_accuracy",
 ]
 
 

@@ -670,3 +670,86 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, queries = _query_set(spark, sf_dir)
     return mmr_diversified_topk(corpus, queries, k=5, shortlist=12)
+
+
+@query(
+    "sim_knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.label,
+             {_cos_sql('e.embedding', 'q.q_emb')} AS score, e.vec_id
+      FROM embeddings e, q WHERE q.q_id != e.vec_id
+    ),
+    knn AS (
+      SELECT q_id, q_label, label FROM (
+        SELECT q_id, q_label, label, score, vec_id,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT q_id, q_label, label, count(*) AS v
+      FROM knn GROUP BY q_id, q_label, label
+    ),
+    pred AS (
+      SELECT q_id, q_label, label AS pred_label FROM (
+        SELECT q_id, q_label, label, v,
+               row_number() OVER (
+                 PARTITION BY q_id ORDER BY v DESC, label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(q_label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY q_label
+    """,
+)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy on an eval sample (every 10th
+    vector) — the embedding-quality / label-noise diagnostic run before
+    trusting a labeled corpus: each sampled vector's label is predicted
+    by majority vote of its 5 cosine-nearest neighbors (self excluded),
+    reported as per-label accuracy. Deterministic end-to-end: neighbor
+    sets ordered by (score desc, vec_id), votes resolved by (count desc,
+    label). The exact shortlist scan is the documented brute-force
+    baseline over the SAMPLE (|sample|×|corpus| pairs); building the
+    full kNN graph at 100 TB swaps in ivf_cosine_topk cell probing —
+    same downstream vote, oracle unchanged on the sampled gate."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    nn = brute_force_cosine_topk(emb, queries.select("q_id", "q_emb"), k=5)
+    knn = nn.join(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("label")),
+        nn.vec_id == F.col("n_id"),
+    ).join(F.broadcast(queries.select("q_id", "q_label")), "q_id")
+    votes = knn.groupBy("q_id", "q_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "q_label", F.col("label").alias("pred_label"))
+    )
+    correct = (F.col("pred_label") == F.col("q_label")).cast("long")
+    return pred.groupBy(F.col("q_label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("accuracy"),
+    )
