@@ -1143,3 +1143,88 @@ def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(sdf, spark, output_mode="complete")
+
+
+@query(
+    "streaming_temporal_asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey, o_orderdate
+                 ORDER BY o_orderkey DESC
+               ) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT greatest(
+               (SELECT max(ts) FROM events),
+               (SELECT max(CAST(o_orderdate AS TIMESTAMP)) FROM orders)
+             ) AS mx
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           r.o_orderkey, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= CAST(r.o_orderdate AS TIMESTAMP)
+    CROSS JOIN m
+    WHERE epoch_us(e.ts) < epoch_us(m.mx) - 3600000000 - 1000000
+    """,
+)
+def streaming_temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink-style temporal-table join ON STREAMS
+    (``streaming/stateful.py: temporal_asof_state``): an order-version
+    stream and an event-probe stream union into one keyed watermarked
+    stream; per key, rows buffer until the watermark passes, then fold
+    in event-time order with a monotone carried version — each event
+    emits the user's latest order at-or-before its time, exactly the
+    batch as-of semantics, decided incrementally with per-key state =
+    one carried version + the in-lag buffer. The oracle is the BATCH
+    ASOF join restricted to the decided region (events older than the
+    final watermark − 1 s safety margin) — the same decided-region
+    convention as the streaming rate limiter."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.streaming.stateful import (
+        temporal_asof_state,
+    )
+
+    comp = _streaming_compiler(spark, sf_dir)
+    left = comp.stream_source("events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).cast("long").alias("side"),
+        F.col("event_id").alias("id"),
+        F.lit(None).cast("long").alias("rkey"),
+        F.lit(None).cast("double").alias("rval"),
+    )
+    right = comp.stream_source("orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+        F.lit(0).cast("long").alias("side"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderkey").alias("rkey"),
+        F.col("o_totalprice").alias("rval"),
+    )
+    unioned = left.unionAll(right).withWatermark("ts", "1 hour")
+    out = temporal_asof_state(unioned)
+    decided = run_stream_to_memory(out, spark, output_mode="append")
+
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    mx_ev = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    mx_or = orders.agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+    ).collect()[0][0]
+    cut = max(mx_ev, mx_or) - 3_600_000_000 - 1_000_000
+    return decided.filter(F.col("ts_us") < cut).select(
+        F.col("id").alias("event_id"),
+        F.col("key").alias("user_id"),
+        "ts_us",
+        F.col("matched_rkey").alias("o_orderkey"),
+        F.col("matched_rval").alias("o_totalprice"),
+    )

@@ -638,3 +638,152 @@ def rate_limit_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def temporal_asof_state(
+    stream: DataFrame,
+    key_field: str = "key",
+) -> DataFrame:
+    """STREAMING temporal (backward as-of) join — the Flink
+    temporal-table join Spark has no built-in for: each LEFT event is
+    enriched with the latest RIGHT version whose event time is ≤ the
+    left event's time, decided in EVENT-TIME order under a watermark.
+
+    Input is the two sides UNIONED into one keyed, watermarked stream
+    (the stateful twin of ``operators/asof.py``'s union+window batch
+    construction) with columns ``(key, ts, ts_us, side, id, rkey,
+    rval)`` — ``side`` 0 for right/version rows (payload in
+    ``rkey``/``rval``), 1 for left/probe rows. Rows buffer in state
+    until the watermark passes them, then fold sorted by
+    ``(ts, side, id)``: a right row advances the carried version iff
+    its ``(ts, id)`` exceeds the carried one (monotone carry — a late
+    right older than the current version is correctly ignored), a left
+    row emits with whatever version is carried at its event time
+    (NULLs before the first version). Side 0 < side 1 means a version
+    timestamped exactly at the probe's time IS visible to it — the
+    ``≥`` convention of the batch as-of and DuckDB's ASOF JOIN; at
+    equal right timestamps the max-id version wins, matching the batch
+    oracle's ``row_number() … ORDER BY id DESC`` dedupe.
+
+    State per key after folding: ONE carried version + the
+    inside-watermark buffer — the KTable-minimum footprint of any
+    temporal join (the version must persist for future probes, so
+    dormant keys keep exactly one row; the buffer is bounded by the
+    lag). Left rows arriving later than an already-folded watermark
+    are dropped — the same late-data contract as windowed aggregation.
+
+    Emits in APPEND mode: ``(key, id, ts_us, matched_rkey,
+    matched_rval, matched_ts_us)``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("matched_rkey", T.LongType()),
+            T.StructField("matched_rval", T.DoubleType()),
+            T.StructField("matched_ts_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("last_id", T.LongType()),
+            T.StructField("last_rkey", T.LongType()),
+            T.StructField("last_rval", T.DoubleType()),
+            T.StructField("buf_side", T.ArrayType(T.LongType())),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_id", T.ArrayType(T.LongType())),
+            T.StructField("buf_rkey", T.ArrayType(T.LongType())),
+            T.StructField("buf_rval", T.ArrayType(T.DoubleType())),
+            T.StructField("evict_wm", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            (last_ts, last_id, last_rkey, last_rval,
+             b_side, b_ts, b_id, b_rkey, b_rval, evict_wm) = state.get
+            buf = [
+                (int(t), int(s), int(i),
+                 None if rk is None else int(rk),
+                 None if rv is None or rv != rv else float(rv))
+                for s, t, i, rk, rv in zip(b_side, b_ts, b_id, b_rkey, b_rval)
+            ]
+            evict_wm = int(evict_wm or 0)
+        else:
+            last_ts, last_id, last_rkey, last_rval = None, None, None, None
+            buf, evict_wm = [], 0
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for s, t, i, rk, rv in zip(
+                    pdf["side"], pdf["ts_us"], pdf["id"],
+                    pdf["rkey"], pdf["rval"],
+                ):
+                    buf.append(
+                        (int(t), int(s), int(i),
+                         None if pd.isna(rk) else int(rk),
+                         None if pd.isna(rv) else float(rv))
+                    )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        eligible = sorted(e for e in buf if e[0] <= wm_us)
+        buf = [e for e in buf if e[0] > wm_us]
+        emitted = []
+        for t, s, i, rk, rv in eligible:
+            if s == 0:
+                # monotone version carry: a late right OLDER than the
+                # carried version must not regress it
+                if last_ts is None or (t, i) >= (last_ts, last_id):
+                    last_ts, last_id, last_rkey, last_rval = t, i, rk, rv
+            else:
+                if t <= evict_wm:
+                    continue  # left beyond an earlier fold: late-drop
+                emitted.append((key[0], i, t, last_rkey, last_rval,
+                                last_ts if last_rkey is not None else None))
+        evict_wm = max(evict_wm, wm_us)
+        state.update(
+            (
+                last_ts, last_id, last_rkey, last_rval,
+                [e[1] for e in buf],
+                [e[0] for e in buf],
+                [e[2] for e in buf],
+                [e[3] for e in buf],
+                [float("nan") if e[4] is None else e[4] for e in buf],
+                evict_wm,
+            )
+        )
+        if buf:
+            state.setTimeoutTimestamp(
+                max(
+                    min(e[0] for e in buf) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "key": [e[0] for e in emitted],
+                    "id": [e[1] for e in emitted],
+                    "ts_us": [e[2] for e in emitted],
+                    "matched_rkey": pd.array(
+                        [e[3] for e in emitted], dtype="Int64"
+                    ),
+                    "matched_rval": [
+                        float("nan") if e[4] is None else e[4]
+                        for e in emitted
+                    ],
+                    "matched_ts_us": pd.array(
+                        [e[5] for e in emitted], dtype="Int64"
+                    ),
+                }
+            )
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

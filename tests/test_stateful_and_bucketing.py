@@ -392,3 +392,110 @@ def test_rate_limit_state_out_of_order_quota(spark, tmp_path):
     ops = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
     assert ops and ops[-1]["numRowsTotal"] == 1, ops[-1]
     assert len([p for p in progress if p.get("numInputRows", 0) > 0]) > 1
+
+
+def test_temporal_asof_out_of_order_across_batches(spark, tmp_path):
+    """The streaming temporal join's reason to exist: version and probe
+    rows land in the WRONG order across microbatches. A bufferless
+    arrival-order join gets user 1 wrong twice (the probe arrives before
+    its version; a stale older version arrives after a newer one and
+    must not regress the carry). The watermark-buffered fold must
+    reproduce the batch as-of answer, including the ≥ (version visible
+    at equal timestamp) convention and NULLs before the first version."""
+    import datetime as dt
+    import os
+    import time
+
+    from kafka_streams_common_spark.streaming.stateful import (
+        temporal_asof_state,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows,
+            "key bigint, ts timestamp, side bigint, id bigint, "
+            "rkey bigint, rval double",
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    L, R = 1, 0
+    # batch 0: user 1's PROBE (t+20) arrives BEFORE its version;
+    #          user 2's version lands at t+30 (after user 2's probe time)
+    write_wave(0, [
+        (1, t0 + 20 * sec, L, 1001, None, None),
+        (2, t0 + 30 * sec, R, 200, 200, 2.0),
+    ])
+    # batch 1: user 1's version (event time t+10 — EARLIER than the
+    #          probe already seen); user 2's probe at t+25 (no version
+    #          at-or-before ⇒ NULL match)
+    write_wave(1, [
+        (1, t0 + 10 * sec, R, 101, 101, 1.0),
+        (2, t0 + 25 * sec, L, 1002, None, None),
+    ])
+    # batch 2: a STALE user-1 version (t+5, older than the carried t+10
+    #          one — monotone carry must ignore it); a second user-1
+    #          probe at t+40; user 4 probes AT its version's exact
+    #          timestamp (the ≥ convention); user 3 far in the future
+    #          drives the watermark past everything
+    write_wave(2, [
+        (1, t0 + 5 * sec, R, 100, 100, 0.5),
+        (1, t0 + 40 * sec, L, 1003, None, None),
+        (4, t0 + 20 * sec, R, 400, 400, 4.0),
+        (4, t0 + 20 * sec, L, 1004, None, None),
+        (3, t0 + dt.timedelta(hours=2), R, 300, 300, 3.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "key bigint, ts timestamp, side bigint, id bigint, "
+            "rkey bigint, rval double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "60 seconds")
+        .select(
+            "key", "ts", F.unix_micros("ts").alias("ts_us"),
+            "side", "id", "rkey", "rval",
+        )
+    )
+    out = temporal_asof_state(stream)
+    name = "temporal_asof_probe"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = {
+        r["id"]: (r["matched_rkey"], r["matched_rval"], r["matched_ts_us"])
+        for r in spark.table(name).collect()
+    }
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    # probe(u1, t+20): version t+10 folded first in EVENT-TIME order
+    assert got[1001] == (101, 1.0, us(t0 + 10 * sec))
+    # probe(u2, t+25): its only version is t+30 — after the probe ⇒ NULL
+    assert got[1002] == (None, None, None)
+    # probe(u1, t+40): the stale t+5 version must NOT have regressed
+    # the carried t+10 one
+    assert got[1003] == (101, 1.0, us(t0 + 10 * sec))
+    # probe(u4, t+20) at its version's EXACT time: version visible (≥)
+    assert got[1004] == (400, 4.0, us(t0 + 20 * sec))
