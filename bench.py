@@ -124,6 +124,8 @@ TRACKING_QUERIES = [
     "timeseries_cusum_change",
     "timeseries_dow_seasonality",
     "sim_knn_label_accuracy",
+    "dedup_containment_pairs",
+    "customer_revenue_concentration",
 ]
 
 

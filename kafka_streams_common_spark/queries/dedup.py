@@ -677,3 +677,61 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"))
         .alias("novelty"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=_shingles_sql(_MAX_DF)
+    + """SELECT p.doc_a, p.doc_b,
+           CAST(p.common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+             AS containment
+    FROM pairs p
+    JOIN sz sa ON p.doc_a = sa.doc_id
+    JOIN sz sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+            >= 0.9
+      AND (sa.sz + sb.sz - p.common) > 0
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs — |A∩B| / min(|A|,|B|) ≥ 0.9: the
+    subset-duplicate detector Jaccard structurally misses (a paragraph
+    quoted inside a 100× longer page has Jaccard ≈ 0.01 but containment
+    ≈ 1.0 — the quotation/mirror/wrapper case ExactSubstr papers call
+    out). Identical plan skeleton to dedup_ngram_jaccard — the SAME
+    shingle inverted index and pair census, only the final score
+    expression differs — so the max_df skew cap and the
+    never-all-pairs posture carry over unchanged. Score is one DOUBLE
+    division of exact BIGINT counts."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.dedup import _hashed_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = _hashed_shingles(docs, n=3, text_col="text", id_col="doc_id")
+    dfq = sh.groupBy(F.col("sh").alias("k")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    shf = sh.join(dfq.filter(F.col("df") <= _MAX_DF), sh.sh == F.col("k")).select(
+        "doc_id", "sh"
+    )
+    shf = shf.localCheckpoint(eager=True)
+    sz = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    b = shf.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    pairs = (
+        shf.join(b, (shf.sh == b.shb) & (shf.doc_id < b.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    cont = F.col("common").cast("double") / F.least(
+        F.col("sza"), F.col("szb")
+    ).cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.col("sza") + F.col("szb") - F.col("common")) > 0)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.9)
+    )

@@ -4325,3 +4325,87 @@ def timeseries_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_per_day"),
         (avg / overall).alias("seasonal_index"),
     )
+
+
+@query(
+    "customer_revenue_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT quantile_cont(rev, 0.1) AS q1, quantile_cont(rev, 0.2) AS q2,
+             quantile_cont(rev, 0.3) AS q3, quantile_cont(rev, 0.4) AS q4,
+             quantile_cont(rev, 0.5) AS q5, quantile_cont(rev, 0.6) AS q6,
+             quantile_cont(rev, 0.7) AS q7, quantile_cont(rev, 0.8) AS q8,
+             quantile_cont(rev, 0.9) AS q9
+      FROM per
+    ),
+    bucketed AS (
+      SELECT CAST(1 + (rev > b.q1)::INT + (rev > b.q2)::INT
+                    + (rev > b.q3)::INT + (rev > b.q4)::INT
+                    + (rev > b.q5)::INT + (rev > b.q6)::INT
+                    + (rev > b.q7)::INT + (rev > b.q8)::INT
+                    + (rev > b.q9)::INT AS BIGINT) AS decile,
+             rev
+      FROM per CROSS JOIN b
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n_customers,
+             CAST(sum(CAST(round(rev, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS decile_rev
+      FROM bucketed GROUP BY decile
+    ),
+    tot AS (SELECT sum(CAST(round(rev, 2) AS DECIMAL(18,2))) AS grand FROM per)
+    SELECT a.decile, CAST(a.n_customers AS BIGINT) AS n_customers,
+           a.decile_rev,
+           a.decile_rev / CAST(t.grand AS DOUBLE) AS revenue_share
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile — the Pareto/80-20
+    readout: customers bucketed into revenue deciles by BROADCAST
+    quantile cutpoints (the RFM trick again — a global ntile would
+    single-partition-sort every customer), then per-decile revenue and
+    share of total. DECIMAL-exact revenue sums on both engines; shares
+    are single divisions of exact totals. The whole curve is ten rows
+    computed from one customer-keyed aggregation plus two broadcast
+    scalars."""
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    b = per.agg(
+        *[
+            F.expr(f"percentile(rev, {q / 10})").alias(f"q{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for q in range(1, 10):
+        decile = decile + (F.col("rev") > F.col(f"q{q}")).cast("int")
+    bucketed = per.crossJoin(F.broadcast(b)).select(
+        decile.cast("bigint").alias("decile"), "rev"
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.round("rev", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("decile_rev"),
+    )
+    tot = per.agg(
+        F.sum(F.round("rev", 2).cast("decimal(18,2)")).alias("grand")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_rev",
+        (F.col("decile_rev") / F.col("grand").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
