@@ -121,29 +121,27 @@ def _hashed_shingles(docs: DataFrame, n: int, text_col: str, id_col: str) -> Dat
     )
 
 
-def ngram_jaccard_pairs(
+def shingle_pair_census(
     docs: DataFrame,
     n: int = 3,
-    tau: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: ``(doc_a, doc_b, jaccard)``,
-    ``doc_a < doc_b``, ``jaccard >= tau``.
-
-    Inverted-index join: explode distinct shingle hashes, self-equi-join on
-    the hash, count common shingles per pair, compute
-    ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_df`` drops shingles appearing in more
-    than that many documents — at corpus scale a handful of stop-shingles
-    otherwise produce O(df²) join rows (key skew); dropping them only lowers
-    jaccard estimates for unrelated pairs.
+) -> tuple[DataFrame, DataFrame]:
+    """The shared inverted-index census every shingle-overlap score is
+    built from: ``(pairs, sizes)`` with pairs ``(doc_a, doc_b, common)``
+    (``doc_a < doc_b``, count of shared distinct shingle hashes) and
+    sizes ``(doc_id, sz)``. Jaccard, containment and novelty differ only
+    in the expression applied downstream — sharing the census keeps the
+    max_df skew cap and the materialization pattern in one place.
 
     The hashed-shingle table is materialized once (same localCheckpoint
     pattern as the minhash/simhash signature tables; at cluster scale
     substitute a parquet persist): it feeds three-to-four consuming
     subtrees (df census, per-doc sizes, both self-join sides) and would
-    otherwise re-shingle the corpus per subtree.
+    otherwise re-shingle the corpus per subtree. ``max_df`` drops
+    shingles appearing in more than that many documents — a handful of
+    stop-shingles otherwise produce O(df²) join rows (key skew).
     """
     sh = _hashed_shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
     if max_df is not None:
@@ -157,11 +155,31 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    return pairs, sizes
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: ``(doc_a, doc_b, jaccard)``,
+    ``doc_a < doc_b``, ``jaccard >= tau``.
+
+    Inverted-index join (:func:`shingle_pair_census` — one materialized
+    shingle table, df-capped, pair census + sizes), then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Dropping over-``max_df`` stop-shingles
+    only lowers jaccard estimates for unrelated pairs.
+    """
+    common, sizes = shingle_pair_census(docs, n, text_col, id_col, max_df)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (

@@ -136,21 +136,26 @@ def peak_concurrency_by_day(
         F.col(ts_col).alias("s"),
         (F.col(ts_col) + F.expr(duration)).alias("e"),
     )
-    midnight_after_s = F.date_add(F.to_date("s"), 1).cast("timestamp")
-    day_of_e = F.to_date("e").cast("timestamp")
-    seg1 = iv.select(
-        F.to_date("s").alias("day"),
-        F.col("s").alias("seg_s"),
-        F.least("e", midnight_after_s).alias("seg_e"),
-    )
-    seg2 = iv.filter(
-        (F.to_date("e") > F.to_date("s")) & (F.col("e") > day_of_e)
+    # last covered day of the END-EXCLUSIVE interval: day(e) unless e
+    # falls exactly on its midnight, then the previous day — so a
+    # multi-day interval contributes a segment to EVERY day it covers
+    # (a start-day + end-day pair alone silently skips interior days)
+    last_day = F.when(
+        F.col("e") > F.to_date("e").cast("timestamp"), F.to_date("e")
+    ).otherwise(F.date_sub(F.to_date("e"), 1))
+    seg = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.to_date("s"), last_day, F.expr("interval 1 day"))
+        ).alias("day"),
     ).select(
-        F.to_date("e").alias("day"),
-        day_of_e.alias("seg_s"),
-        F.col("e").alias("seg_e"),
+        "day",
+        F.greatest("s", F.col("day").cast("timestamp")).alias("seg_s"),
+        F.least(
+            "e", F.date_add("day", 1).cast("timestamp")
+        ).alias("seg_e"),
     )
-    seg = seg1.unionAll(seg2)
     edges = seg.select(
         "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta")
     ).unionAll(

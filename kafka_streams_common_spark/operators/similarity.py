@@ -1265,10 +1265,14 @@ def mmr_diversified_topk(
         F.col("a").alias("b"),
         F.col("__va").alias("__vb"),
     )
+    # LEFT join: a query whose shortlist has exactly one candidate has
+    # no (a, b) pair rows — an inner join would drop the whole group
+    # and the query would silently vanish from the output
     pairs = (
         c1.join(
             c2,
             (F.col(query_id_col) == F.col("__q2")) & (F.col("a") != F.col("b")),
+            "left",
         )
         .select(
             query_id_col,
@@ -1289,7 +1293,8 @@ def mmr_diversified_topk(
         sim: dict[tuple[int, int], float] = {}
         for a, qs, b, s in zip(pdf["a"], pdf["qsim_a"], pdf["b"], pdf["sim_ab"]):
             qsim[int(a)] = float(qs)
-            sim[(int(a), int(b))] = float(s)
+            if not pd.isna(b):  # lone-candidate rows carry a NULL pair side
+                sim[(int(a), int(b))] = float(s)
         cands = sorted(qsim)
         selected: list[int] = []
         rows = []

@@ -154,6 +154,15 @@ _PAST_WINDOW = tuple(n for n in QUERIES if n not in _R8_WINDOW)
 # additions past the 50-slot budget): local-parity-green only until
 # round 9 — pinned here so the r9 rotation MUST lead with them, the
 # same convention that promoted _R8_HEAD.
+# CHANGED-CODE re-exposures owed in r9 (rotation invariant #2): the
+# r8s3 shingle_pair_census extraction touched ngram_jaccard_pairs, so
+# its consumers with pre-r8 green rows — dedup_ngram_jaccard,
+# dedup_connected_components, dedup_apply_canonical_corpus,
+# pipeline_curate_corpus — must re-enter the r9 window right after
+# this head (two of the census consumers, dedup_soft_weights and
+# dedup_containment_pairs, are new and already pinned here;
+# dedup_connected_components_two_phase gets its r8 row on the
+# refactored code).
 _R9_HEAD = (
     "er_fuzzy_match_part_names",
     "attribution_linear_credit",

@@ -656,7 +656,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.dedup import _hashed_shingles
 
     docs = table(spark, sf_dir, "documents")
-    sh = _hashed_shingles(docs, n=3, text_col="text", id_col="doc_id")
+    # materialized once — the df census and the score join would
+    # otherwise each re-shingle the corpus (the shingle_pair_census
+    # pattern; no pair join here, so only the checkpoint is shared)
+    sh = _hashed_shingles(docs, n=3, text_col="text", id_col="doc_id").localCheckpoint(
+        eager=True
+    )
     dfreq = sh.groupBy(F.col("sh").alias("k")).agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -698,33 +703,20 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset-duplicate detector Jaccard structurally misses (a paragraph
     quoted inside a 100× longer page has Jaccard ≈ 0.01 but containment
     ≈ 1.0 — the quotation/mirror/wrapper case ExactSubstr papers call
-    out). Identical plan skeleton to dedup_ngram_jaccard — the SAME
-    shingle inverted index and pair census, only the final score
-    expression differs — so the max_df skew cap and the
-    never-all-pairs posture carry over unchanged. Score is one DOUBLE
+    out). Shares ``shingle_pair_census`` with
+    dedup_ngram_jaccard — literally the same inverted index and pair
+    census, only the final score expression differs — so the max_df
+    skew cap and the never-all-pairs posture carry over by
+    construction. Score is one DOUBLE
     division of exact BIGINT counts."""
     from pyspark.sql import functions as F
 
-    from kafka_streams_common_spark.operators.dedup import _hashed_shingles
+    from kafka_streams_common_spark.operators.dedup import shingle_pair_census
 
     docs = table(spark, sf_dir, "documents")
-    sh = _hashed_shingles(docs, n=3, text_col="text", id_col="doc_id")
-    dfq = sh.groupBy(F.col("sh").alias("k")).agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    shf = sh.join(dfq.filter(F.col("df") <= _MAX_DF), sh.sh == F.col("k")).select(
-        "doc_id", "sh"
-    )
-    shf = shf.localCheckpoint(eager=True)
-    sz = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    b = shf.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    pairs = (
-        shf.join(b, (shf.sh == b.shb) & (shf.doc_id < b.doc_b))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    pairs, sizes = shingle_pair_census(docs, n=3, max_df=_MAX_DF)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     cont = F.col("common").cast("double") / F.least(
         F.col("sza"), F.col("szb")
     ).cast("double")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from kafka_streams_common_spark.operators.asof import asof_join
 from kafka_streams_common_spark.operators.rangejoin import interval_self_pairs
 from kafka_streams_common_spark.queries.registry import query, table
+from kafka_streams_common_spark.queries._shared_oracles import OHLC_DAILY_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -3929,25 +3930,7 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ohlc_daily",
-    oracle="""
-    WITH ranked AS (
-      SELECT CAST(ts AS DATE) AS day, event_type, value,
-             row_number() OVER (
-               PARTITION BY CAST(ts AS DATE), event_type
-               ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (
-               PARTITION BY CAST(ts AS DATE), event_type
-               ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM ranked GROUP BY day, event_type
-    """,
+    oracle=OHLC_DAILY_ORACLE,
 )
 def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC resampling — the time-series bar primitive (open/high/low/

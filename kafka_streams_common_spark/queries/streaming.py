@@ -29,6 +29,7 @@ from kafka_streams_common_spark.config import (
 )
 from kafka_streams_common_spark.queries.core import LATEST_EVENTS_CTE
 from kafka_streams_common_spark.queries.registry import query
+from kafka_streams_common_spark.queries._shared_oracles import OHLC_DAILY_ORACLE
 from kafka_streams_common_spark.streaming import (
     StreamingCompiler,
     run_changelog_materialization,
@@ -1087,25 +1088,7 @@ def streaming_rate_limit_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_ohlc_daily",
-    oracle="""
-    WITH ranked AS (
-      SELECT CAST(ts AS DATE) AS day, event_type, value,
-             row_number() OVER (
-               PARTITION BY CAST(ts AS DATE), event_type
-               ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (
-               PARTITION BY CAST(ts AS DATE), event_type
-               ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM ranked GROUP BY day, event_type
-    """,
+    oracle=OHLC_DAILY_ORACLE,
 )
 def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars computed ON A STREAM — the live-dashboard twin of

@@ -1097,3 +1097,22 @@ def test_mmr_diversifies_and_is_deterministic(spark):
     )
     first = sorted(map(tuple, rows), key=lambda t: (t[0], t[1]))
     assert again == first  # bit-stable across executions
+
+
+def test_mmr_single_candidate_group_survives(spark):
+    """A query whose shortlist holds exactly ONE candidate must still
+    emit its step-1 row (the pair self-join has no rows for it — a
+    LEFT join keeps the group; an inner join silently dropped it)."""
+    from kafka_streams_common_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rows = mmr_diversified_topk(df, q, k=3, shortlist=5).collect()
+    assert [(r["step"], r["vec_id"]) for r in rows] == [(1, 1)]

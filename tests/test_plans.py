@@ -413,8 +413,10 @@ def test_rfm_uses_broadcast_cutpoints_not_global_ntile(spark):
     exchanges (anchor date + 9-value cutpoint row), no Window at all —
     a global ntile would plan Exchange SinglePartition + Sort + Window."""
     plan = plan_of(QUERIES["customer_rfm_segments"](spark, SF_SMOKE))
+    # "Window" is the load-bearing assertion: a global ntile IS a Window.
+    # (SinglePartition legitimately appears for the 1-row scalar
+    # aggregates that feed the broadcasts, so it cannot be asserted away.)
     assert "Window" not in plan
-    assert "SinglePartition" not in plan or "BroadcastExchange" in plan
     assert plan.count("BroadcastExchange") >= 2
 
 

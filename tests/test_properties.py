@@ -486,14 +486,22 @@ _iv_offsets = st.lists(
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(offsets=_iv_offsets, dur_min=st.integers(min_value=1, max_value=600))
+@given(
+    offsets=_iv_offsets,
+    dur_min=st.one_of(
+        st.integers(min_value=1, max_value=600),
+        # multi-day durations: intervals that fully COVER interior days,
+        # which a start-day + end-day clipping pair would silently skip
+        st.integers(min_value=24 * 60, max_value=3 * 24 * 60),
+    ),
+)
 def test_peak_concurrency_matches_bruteforce(spark_, offsets, dur_min):
     """Sweep-line peak concurrency vs point-evaluation brute force:
     concurrency at time t = #{intervals [s, s+d) containing t}; the
     per-day max is attained at an interval start or at the day boundary
-    (for intervals carried over midnight). Durations up to 10h force
-    multi-midnight spans through the clipping logic; duplicate offsets
-    force equal-timestamp edge ordering."""
+    (for intervals carried over midnight). Durations span minutes to
+    DAYS, forcing interior-day coverage through the clipping logic;
+    duplicate offsets force equal-timestamp edge ordering."""
     from datetime import date
     from kafka_streams_common_spark.operators.rollup import (
         peak_concurrency_by_day,
