@@ -499,3 +499,103 @@ def test_temporal_asof_out_of_order_across_batches(spark, tmp_path):
     assert got[1003] == (101, 1.0, us(t0 + 10 * sec))
     # probe(u4, t+20) at its version's EXACT time: version visible (≥)
     assert got[1004] == (400, 4.0, us(t0 + 20 * sec))
+
+
+def test_temporal_asof_recovers_from_checkpoint(spark, tmp_path):
+    """Fault tolerance for CUSTOM state: stop the temporal-join query
+    after the first waves, start a NEW query from the same checkpoint,
+    feed the rest — the carried version and buffered probes must
+    survive the restart (GroupState is checkpoint-backed), and the
+    final emissions must equal the uninterrupted run's."""
+    import datetime as dt
+    import os
+    import time
+
+    from kafka_streams_common_spark.streaming.stateful import (
+        temporal_asof_state,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows,
+            "key bigint, ts timestamp, side bigint, id bigint, "
+            "rkey bigint, rval double",
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    L, R = 1, 0
+
+    def make_stream():
+        return (
+            spark.readStream.schema(
+                "key bigint, ts timestamp, side bigint, id bigint, "
+                "rkey bigint, rval double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "60 seconds")
+            .select(
+                "key", "ts", F.unix_micros("ts").alias("ts_us"),
+                "side", "id", "rkey", "rval",
+            )
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        # parquet sink, not memory: the memory sink refuses checkpoint
+        # recovery ("does not support recovering") — the file sink is
+        # the fault-tolerant one, which is the point of this test
+        return (
+            temporal_asof_state(make_stream())
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    # waves 0-1 before the restart: the version arrives, and a probe
+    # BUFFERS (still inside the watermark) — both live only in state
+    write_wave(0, [(1, t0 + 10 * sec, R, 101, 101, 1.0)])
+    write_wave(1, [(1, t0 + 20 * sec, L, 1001, None, None)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # wave 2 lands while the query is DOWN; the restarted query must
+    # resume from state: carried version 101 + buffered probe 1001
+    write_wave(2, [
+        (1, t0 + 40 * sec, L, 1002, None, None),
+        (2, t0 + dt.timedelta(hours=2), R, 300, 300, 3.0),
+    ])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+
+    got = {
+        r["id"]: (r["matched_rkey"], r["matched_rval"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # both probes decided after the restart, matched to the version
+    # carried ACROSS the checkpoint boundary
+    assert got[1001] == (101, 1.0)
+    assert got[1002] == (101, 1.0)
