@@ -126,6 +126,8 @@ TRACKING_QUERIES = [
     "sim_knn_label_accuracy",
     "dedup_containment_pairs",
     "customer_revenue_concentration",
+    "agg_countmin_heavy_hitters",
+    "stat_chi2_event_type_dow",
 ]
 
 

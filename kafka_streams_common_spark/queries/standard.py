@@ -4392,3 +4392,173 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             "revenue_share"
         ),
     )
+
+
+@query(
+    "agg_countmin_heavy_hitters",
+    oracle="""
+    WITH hashes AS (SELECT unnest(generate_series(0, 3)) AS i),
+    sk AS (
+      SELECT h.i,
+             ('0x' || substr(md5('cm' || CAST(h.i AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+             count(*) AS c
+      FROM events e CROSS JOIN hashes h
+      GROUP BY 1, 2
+    ),
+    ub AS (
+      SELECT DISTINCT e.user_id, h.i,
+             ('0x' || substr(md5('cm' || CAST(h.i AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM events e CROSS JOIN hashes h
+    ),
+    est AS (
+      SELECT u.user_id, min(s.c) AS cm_estimate
+      FROM ub u JOIN sk s ON u.i = s.i AND u.bucket = s.bucket
+      GROUP BY u.user_id
+    ),
+    t AS (SELECT user_id, count(*) AS n_true FROM events GROUP BY user_id)
+    SELECT t.user_id, CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(e.cm_estimate AS BIGINT) AS cm_estimate
+    FROM t JOIN est e ON t.user_id = e.user_id
+    ORDER BY t.n_true DESC, t.user_id LIMIT 20
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the MERGEABLE fixed-memory
+    frequency sketch (4 md5-derived hash rows × 256 buckets = 1,024
+    counters at ANY key cardinality; per-partition sketches add
+    cell-wise, the same mergeability contract as the HLL rollup).
+    Estimates only ever OVER-count (collision mass adds), so the sketch
+    answers "is this key over threshold" with one-sided error — the
+    streaming-friendly hot-key detector behind the rate limiter's
+    offline twin. Unlike probabilistic sketch libraries, the md5 bucket
+    derivation is engine-replayable, so the oracle reproduces the
+    ESTIMATES bit-for-bit, not just an ε-band: top-20 true hitters with
+    true and estimated counts. The true-count join exists for the gate;
+    the production readout is the 1,024-row sketch alone."""
+    ev = table(spark, sf_dir, "events")
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    def bucket() -> F.Column:
+        return md5_int64(
+            F.concat(
+                F.lit("cm"),
+                F.col("i").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ) % 256
+
+    fanned = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    )
+    sk = fanned.select("i", bucket().alias("bucket")).groupBy(
+        "i", "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ub = (
+        ev.select("user_id").distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+        .select("user_id", "i", bucket().alias("bucket"))
+    )
+    est = (
+        ub.join(F.broadcast(sk), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    t = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        t.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        )
+        .orderBy(F.desc("n_true"), "user_id")
+        .limit(20)
+    )
+
+
+@query(
+    "stat_chi2_event_type_dow",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             count(*) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(observed) AS row_total FROM cells GROUP BY 1),
+    ct AS (SELECT dow, sum(observed) AS col_total FROM cells GROUP BY 1),
+    g AS (SELECT sum(observed) AS grand FROM cells),
+    scored AS (
+      SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+             CAST(c.observed AS BIGINT) AS observed,
+             CAST(rt.row_total * ct.col_total AS DOUBLE)
+               / CAST(g.grand AS DOUBLE) AS expected,
+             (CAST(c.observed AS DOUBLE)
+                - CAST(rt.row_total * ct.col_total AS DOUBLE)
+                  / CAST(g.grand AS DOUBLE))
+             * (CAST(c.observed AS DOUBLE)
+                - CAST(rt.row_total * ct.col_total AS DOUBLE)
+                  / CAST(g.grand AS DOUBLE))
+             / (CAST(rt.row_total * ct.col_total AS DOUBLE)
+                / CAST(g.grand AS DOUBLE)) AS contrib
+      FROM cells c
+      JOIN rt ON rt.event_type = c.event_type
+      JOIN ct ON ct.dow = c.dow
+      CROSS JOIN g
+    )
+    SELECT event_type, dow, observed, expected, contrib,
+           CAST(sum(CAST(round(contrib, 12) AS DECIMAL(28,12))) OVER ()
+                AS DOUBLE) AS chi2
+    FROM scored
+    """,
+)
+def stat_chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event-type mix independent of
+    weekday? (the segmentation-drift check behind "do weekend users
+    behave differently"). Expected counts come from exact BIGINT
+    marginals in one DOUBLE expression; the χ² statistic sums per-cell
+    contributions ROUNDED to 12 dp into a DECIMAL — a raw double sum
+    over cells is accumulation-order-dependent and breaks cross-engine
+    hashing (the same order-free trick as the moment-sum stats). All
+    windows run over the |types|×7 cell aggregate. Spark's dayofweek is
+    1-based Sunday; DuckDB's 0-based — aligned by subtracting 1."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek(F.to_date("ts")) - F.lit(1)).cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    ct = cells.groupBy("dow").agg(F.sum("observed").alias("col_total"))
+    g = cells.agg(F.sum("observed").alias("grand"))
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col(
+        "grand"
+    ).cast("double")
+    dev = F.col("observed").cast("double") - expected
+    scored = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "dow",
+            F.col("observed").cast("bigint").alias("observed"),
+            expected.alias("expected"),
+            (dev * dev / expected).alias("contrib"),
+        )
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "event_type",
+        "dow",
+        "observed",
+        "expected",
+        "contrib",
+        F.sum(F.round("contrib", 12).cast("decimal(28,12)"))
+        .over(w)
+        .cast("double")
+        .alias("chi2"),
+    )
