@@ -128,6 +128,15 @@ TRACKING_QUERIES = [
     "customer_revenue_concentration",
     "agg_countmin_heavy_hitters",
     "stat_chi2_event_type_dow",
+    # round-8 session-4 additions
+    "ab_test_proportion_ztest",
+    "timeseries_ewma_daily_by_type",
+    "timeseries_twap_value_daily",
+    "graph_bfs_hops_copurchase",
+    "eval_classifier_auc",
+    "eval_calibration_bins",
+    "text_bm25_search",
+    "dq_quarantine_bad_records",
 ]
 
 

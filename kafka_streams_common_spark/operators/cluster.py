@@ -322,3 +322,38 @@ def triangle_count(
     return wedges.join(closing, ["wx", "wy"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src_col: str = "a",
+    dst_col: str = "b",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded breadth-first search: minimum hop count from any seed to
+    every node reachable within ``max_hops``, over a DIRECTED edge list
+    (pass both directions for an undirected graph).
+
+    The Pregel-shaped iteration: hop h's frontier joins the edge list
+    (one shuffle on the node key, id-only rows), unions into the
+    distance table, and a min-hop aggregate dedups — ``max_hops``
+    bounded rounds, each linear in frontier × degree. The edge list
+    should be localCheckpointed by the CALLER if it is the result of a
+    non-trivial plan (it is scanned once per round). Returns
+    ``(node, hops)`` with ``hops`` = 0 for seeds.
+    """
+    dist = seeds.select(F.col(node_col).alias("node"), F.lit(0).alias("hop"))
+    for h in range(1, max_hops + 1):
+        frontier = (
+            dist.filter(F.col("hop") == h - 1)
+            .join(edges, F.col("node") == F.col(src_col))
+            .select(F.col(dst_col).alias("node"), F.lit(h).alias("hop"))
+        )
+        dist = (
+            dist.unionAll(frontier)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return dist.select("node", F.col("hop").alias("hops"))

@@ -746,6 +746,42 @@ def classifier_score(
     )
 
 
+def classifier_logit_mills(
+    docs: DataFrame,
+    seed: str = "w1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The :func:`classifier_score` logit kept in exact integer MILLS
+    (bigint) — the form downstream *evaluation* needs: ranking by an
+    integer is total and engine-exact, so AUC ranks and calibration bins
+    built on it never hinge on float ties. ``extra_cols`` (Columns over
+    the input, e.g. a label expression) ride along in the same map-only
+    projection so callers never re-join on id. Same scale shape as the
+    scorer: tokenize once, hash-is-the-lookup fold, no shuffle."""
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks"), *extra_cols
+    )
+    mills = lambda t: (  # noqa: E731
+        md5_int64(F.concat(F.lit(seed + "|"), t)) % 2001 - 1000
+    )
+    carried = [
+        fld.name
+        for fld in toks.schema.fields
+        if fld.name not in (id_col, "__toks")
+    ]
+    return toks.select(
+        id_col,
+        F.aggregate(
+            F.transform(F.col("__toks"), mills),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("logit_mills"),
+        *[F.col(c) for c in carried],
+    )
+
+
 def dsir_importance_weights(
     corpus: DataFrame,
     target: DataFrame,

@@ -1,0 +1,73 @@
+"""Time-series operators that need per-key sequential recurrences.
+
+Window functions cover anything expressible as a frame aggregate (moving
+averages, cumulative sums, lag/lead deltas — see queries/standard.py), but a
+*recurrence* like EWMA (``y_i = a·x_i + (1-a)·y_{i-1}``) is inherently
+sequential in i. The scalable Spark shape is a grouped Arrow kernel: the
+series is keyed (one key = one independent series), each key's rows land in
+one ``applyInPandas`` group, and the kernel runs the O(n) scan in C-speed
+NumPy. Parallelism comes from the number of series, state is one scalar per
+key, and no executor ever holds more than one key's series — the same
+contract Structured Streaming's stateful operators make.
+
+Determinism contract: the fold computes ``a*x + (1-a)*prev`` with IEEE
+float64 in exactly that expression shape, which is the same one the DuckDB
+recursive-CTE oracle evaluates — multiply, multiply, add, each correctly
+rounded — so results are bit-identical across engines on any partitioning
+(the per-key scan order is total, fixed by ``order_col``).
+
+Reference scope note: the reference library (kafka-streams-common) has no
+time-series surface at all; this extends the engine the way its KTable
+aggregations would be extended with a custom ``Aggregator``
+(DynamicTopologyBuilder.java:205-219 sketches only count).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructType
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key series.
+
+    ``y_1 = x_1`` (first observation seeds the state), then
+    ``y_i = alpha·x_i + (1-alpha)·y_{i-1}`` in ``order_col`` order within
+    each key group. Prefer an exactly-representable ``alpha`` (0.25, 0.5,
+    0.125…) so the recurrence is bit-reproducible on any engine.
+
+    Scale shape: one shuffle on ``key_cols`` (the applyInPandas grouping),
+    then a map-side NumPy scan per series. Memory per task = one series —
+    appropriate when series are bounded (per-entity daily rollups), which
+    is the case for every pre-aggregated census this engine feeds it.
+    """
+    a = float(alpha)
+    out_schema = StructType(list(df.schema.fields)).add(out_col, DoubleType())
+    cols = list(df.columns) + [out_col]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        vals = pdf[value_col].astype("float64").to_list()
+        out = []
+        prev = 0.0
+        for i, x in enumerate(vals):
+            # same expression shape as the oracle: a*x + (1-a)*prev,
+            # two correctly-rounded multiplies and one add per step
+            prev = x if i == 0 else a * x + (1.0 - a) * prev
+            out.append(prev)
+        pdf = pdf.assign(**{out_col: out})
+        return pdf[cols]
+
+    return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
+        kernel, out_schema
+    )

@@ -452,3 +452,95 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_common_spark.operators.rollup import snapshot_diff
 
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "dq_quarantine_bad_records",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        CASE WHEN NOT regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
+             THEN 1 ELSE 0 END AS bad_props,
+        CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
+              AND CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)
+                  >= 95
+             THEN 1 ELSE 0 END AS k_out_of_range,
+        CASE WHEN value > 300.0 THEN 1 ELSE 0 END AS value_extreme
+      FROM events
+    ),
+    c AS (
+      SELECT count(*) AS n_total,
+             sum(bad_props) AS n_bad_props,
+             sum(k_out_of_range) AS n_k_oor,
+             sum(value_extreme) AS n_val,
+             sum(CASE WHEN bad_props = 0 AND k_out_of_range = 0
+                       AND value_extreme = 0 THEN 1 ELSE 0 END) AS n_pass
+      FROM flagged
+    )
+    SELECT reason, n_records,
+           CAST(n_records AS DOUBLE) / CAST(n_total AS DOUBLE) AS fraction
+    FROM (
+      SELECT 'bad_props' AS reason, CAST(n_bad_props AS BIGINT)
+               AS n_records, n_total FROM c
+      UNION ALL
+      SELECT 'k_out_of_range', CAST(n_k_oor AS BIGINT), n_total FROM c
+      UNION ALL
+      SELECT 'value_extreme', CAST(n_val AS BIGINT), n_total FROM c
+      UNION ALL
+      SELECT 'passed', CAST(n_pass AS BIGINT), n_total FROM c
+    )
+    """,
+)
+def dq_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine routing — the dead-letter pattern every
+    ingest pipeline needs: each record is checked against an ordered
+    rule list (malformed ``props`` payload; parsed ``k`` outside
+    [0, 95); ``value`` beyond the 300 operational ceiling) and the
+    output is the routing census (records per quarantine reason +
+    records passed), the report a data-platform SLO dashboard reads.
+    A record failing several rules counts once per reason — quarantine
+    topics are per-reason in practice. Scale shape: validity is a
+    scan-level expression (regex parse, no JSON UDF, no shuffle), the
+    census is ONE scalar aggregate over the scan, and the four report
+    rows are an unpivot of that single row — the event log is read
+    once and never shuffled. The same predicates applied as a filter
+    ARE the quarantine/pass routing split (streaming twin:
+    ``foreachBatch`` writing per-reason sinks)."""
+    ev = table(spark, sf_dir, "events")
+    valid_props = F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
+    k_val = F.regexp_extract("props", '"k": (-?[0-9]+)', 1).cast("bigint")
+    bad_props = F.when(~valid_props, 1).otherwise(0)
+    k_oor = F.when(valid_props & (k_val >= 95), 1).otherwise(0)
+    val_ext = F.when(F.col("value") > 300.0, 1).otherwise(0)
+    c = ev.select(
+        bad_props.alias("bad_props"),
+        k_oor.alias("k_out_of_range"),
+        val_ext.alias("value_extreme"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("bad_props").alias("n_bad_props"),
+        F.sum("k_out_of_range").alias("n_k_oor"),
+        F.sum("value_extreme").alias("n_val"),
+        F.sum(
+            F.when(
+                (F.col("bad_props") == 0)
+                & (F.col("k_out_of_range") == 0)
+                & (F.col("value_extreme") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass"),
+    )
+    report = c.select(
+        F.expr(
+            "stack(4, 'bad_props', n_bad_props, 'k_out_of_range', n_k_oor,"
+            " 'value_extreme', n_val, 'passed', n_pass)"
+        ).alias("reason", "n_records"),
+        "n_total",
+    )
+    return report.select(
+        "reason",
+        F.col("n_records").cast("bigint").alias("n_records"),
+        (
+            F.col("n_records").cast("double") / F.col("n_total").cast("double")
+        ).alias("fraction"),
+    )

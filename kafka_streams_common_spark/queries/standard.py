@@ -4562,3 +4562,302 @@ def stat_chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# experimentation / sequential time-series / graph reachability (session 4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ab_test_proportion_ztest",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS variant,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purch
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT
+        sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+        sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+        sum(CASE WHEN variant = 0 AND n_purch >= 14 THEN 1 ELSE 0 END) AS ca,
+        sum(CASE WHEN variant = 1 AND n_purch >= 14 THEN 1 ELSE 0 END) AS cb
+      FROM pu
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+           CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS rate_a,
+           CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS rate_b,
+           CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                    * (1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+           ELSE NULL END AS z_score
+    FROM c
+    """,
+)
+def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment readout: users are
+    deterministically bucketed into variants by ``md5(user_id) % 2``
+    (the hash-based assignment every experimentation platform uses —
+    reproducible on any engine, unlike ``rand()``), conversion = "user
+    made ≥ 14 purchases" (the fixture's median split), and the z-score
+    is the pooled-proportion test statistic analysts feed to a normal
+    CDF. Counts are exact BIGINTs from one user-grained aggregation;
+    the z formula is a single fixed DOUBLE expression, so the statistic
+    is bit-identical across engines. Scale shape: one shuffle on
+    user_id (the per-user fold), then a scalar aggregate — the event
+    log itself is never re-shuffled, and the variant hash is computed
+    scan-side."""
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy(
+        "user_id", (md5_int64(F.col("user_id")) % 2).alias("variant")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purch"
+        )
+    )
+    c = pu.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("n_purch") >= 14), 1)
+            .otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("n_purch") >= 14), 1)
+            .otherwise(0)
+        ).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na").cast("double")
+    rb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    return c.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        # guard the degenerate pooled rates (0 or 1): non-ANSI Spark
+        # division yields NULL where DuckDB yields inf/NaN — emit an
+        # explicit NULL on both sides instead (same fix as the z-score
+        # outlier guard)
+        F.when(
+            (F.col("ca") + F.col("cb") > 0)
+            & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb")),
+            (ra - rb)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (
+                    F.lit(1.0) / F.col("na").cast("double")
+                    + F.lit(1.0) / F.col("nb").cast("double")
+                )
+            ),
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "timeseries_ewma_daily_by_type",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+      SELECT event_type, day, n_events,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, day, n_events, rn, CAST(n_events AS DOUBLE) AS ewma
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.day, x.n_events, x.rn,
+             0.25 * CAST(x.n_events AS DOUBLE) + 0.75 * r.ewma
+      FROM numbered x JOIN r
+        ON x.event_type = r.event_type AND x.rn = r.rn + 1
+    )
+    SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events, ewma
+    FROM r
+    """,
+)
+def timeseries_ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of daily volume per event type (α = 0.25, seeded
+    by the first observation) — the recurrence behind anomaly baselines
+    and monitoring dashboards that a frame-bounded moving average can't
+    express (every past point contributes, geometrically decayed). The
+    recurrence is inherently sequential per series, so it runs as a
+    grouped Arrow kernel (``operators/timeseries.py: ewma``): one
+    shuffle keys the |types|×|days| census by series, then a map-side
+    NumPy scan per key — parallel across series, one scalar of state
+    each, never the raw event log. α = 0.25 is exactly representable,
+    and the kernel evaluates the same ``a·x + (1−a)·prev`` expression
+    shape as the oracle's recursive CTE, so the doubles are
+    bit-identical across engines. The oracle IS the sequential
+    definition — recursion the distributed plan replaces."""
+    from kafka_streams_common_spark.operators.timeseries import ewma
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return ewma(daily, ["event_type"], "day", "n_events", alpha=0.25)
+
+
+@query(
+    "timeseries_twap_value_daily",
+    oracle="""
+    WITH seg AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+             ) AS t1,
+             epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)
+                      + INTERVAL 1 DAY) AS day_end
+      FROM events
+    ),
+    w AS (
+      SELECT day, cents, coalesce(t1, day_end) - t0 AS dur_us FROM seg
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(sum(CAST(cents AS DECIMAL(18,0))
+                    * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(sum(dur_us) AS DOUBLE) / 100.0 AS twap
+    FROM w GROUP BY day
+    """,
+)
+def timeseries_twap_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per day (TWAP): each observation
+    holds until the next one (last one until midnight), and the day's
+    average weights each value by its holding duration in microseconds —
+    the market-data convention that makes irregular sampling honest
+    (a value that held for six hours counts 6×10⁹ times more than one
+    replaced in a millisecond). Weights are exact BIGINT microsecond
+    gaps from a per-day ``lead``; values become exact integer cents via
+    DECIMAL(18,2); the value×duration dot product accumulates in
+    DECIMAL (order-free, overflow-proof at ~4×10¹⁵ per term) and
+    converts to DOUBLE once per day. Scale shape: one shuffle on day
+    (window + aggregate share the partitioning — Catalyst plans a
+    single exchange), state one row per event in the window sort."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("day").orderBy("ts", "event_id")
+    seg = ev.select(
+        day,
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.unix_micros("ts").alias("t0"),
+        F.unix_micros(F.date_add(F.to_date("ts"), 1).cast("timestamp")).alias(
+            "day_end"
+        ),
+    ).withColumn("t1", F.lead("t0").over(w))
+    wtd = seg.select(
+        "day",
+        "cents",
+        (F.coalesce("t1", "day_end") - F.col("t0")).alias("dur_us"),
+    )
+    return wtd.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        (
+            F.sum(
+                F.col("cents").cast("decimal(18,0)")
+                * F.col("dur_us").cast("decimal(18,0)")
+            ).cast("double")
+            / F.sum("dur_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "total_us",
+        "twap",
+    )
+
+
+@query(
+    "graph_bfs_hops_copurchase",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS (
+      SELECT p1.l_partkey AS a, p2.l_partkey AS b
+      FROM p p1 JOIN p p2
+        ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    bi AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    seed AS (SELECT min(a) AS node FROM bi),
+    walk AS (
+      SELECT node, 0 AS hop FROM seed
+      UNION
+      SELECT bi.b AS node, w.hop + 1 AS hop
+      FROM walk w JOIN bi ON bi.a = w.node
+      WHERE w.hop < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search (≤ 3 hops) from the smallest node of
+    the support-≥2 co-purchase graph — "parts reachable within k
+    recommendation steps", the reachability primitive under related-item
+    expansion and blast-radius queries. The distributed shape is
+    iterative frontier expansion: hop h's nodes join the edge list
+    (shuffle on the node key, id-only rows), union into the
+    distance table, and a min-hop aggregate dedups — k bounded
+    iterations, each linear in frontier×degree, the textbook Pregel/BFS
+    pattern (vs the oracle's recursive CTE, which IS the sequential
+    definition). Edges are materialized once via localCheckpoint and
+    reused by all three iterations; bodies/attributes never enter the
+    loop. The support threshold (co-ordered in ≥ 2 orders, same edge
+    set as link prediction) keeps the graph sparse so hop counts carry
+    signal."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    e0 = (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("a", "b")
+    )
+    bi = e0.unionAll(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    from kafka_streams_common_spark.operators.cluster import bfs_hops
+
+    seeds = bi.agg(F.min("a").alias("node"))
+    dist = bfs_hops(bi, seeds, max_hops=3)
+    return dist.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )

@@ -1144,3 +1144,283 @@ def llm_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(docs, k=100, weight_col="n_chars").select(
         "doc_id", "n_chars", "sample_key"
     )
+
+
+@query(
+    "eval_classifier_auc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS pos, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             CAST(list_sum(list_transform(t,
+               x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                    - 1000)) AS BIGINT) AS mills
+      FROM toks
+    ),
+    hist AS (
+      SELECT mills,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np_s,
+             sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn_s
+      FROM s GROUP BY mills
+    ),
+    c AS (
+      SELECT np_s, nn_s,
+             coalesce(sum(nn_s) OVER (
+               ORDER BY mills
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS below
+      FROM hist
+    )
+    SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+           CAST(sum(nn_s) AS BIGINT) AS n_neg,
+           CAST(sum(np_s * (2 * below + nn_s)) AS DOUBLE)
+             / CAST(2 * sum(np_s) * sum(nn_s) AS DOUBLE) AS auc
+    FROM c
+    """,
+)
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the hashed linear classifier against a weak label
+    (lang = 'en') — the Mann-Whitney readout every data-quality
+    classifier ships with before it gates a corpus. Computed the
+    scalable way: NOT a corpus-wide rank window but a SCORE HISTOGRAM —
+    group by the exact integer-mills logit, then one ordered pass over
+    the histogram accumulates, for each score, the negatives strictly
+    below it; ``Σ np_s·(2·below + nn_s) / (2·np·nn)`` is exactly the
+    tie-averaged pairwise win rate (the ×2 keeps half-credit for ties
+    in integers until the final division). The window runs over
+    |distinct scores| rows — bounded by the logit's value range, not
+    the corpus — and the scoring itself is the map-only hash fold
+    (``operators/text.py: classifier_logit_mills``). Everything before
+    the one double division is exact integer arithmetic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = classifier_logit_mills(
+        docs, extra_cols=((F.col("lang") == "en").alias("pos"),)
+    )
+    hist = scored.groupBy(F.col("logit_mills").alias("mills")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np_s"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("nn_s"),
+    )
+    w = Window.orderBy("mills").rowsBetween(Window.unboundedPreceding, -1)
+    c = hist.select(
+        "np_s",
+        "nn_s",
+        F.coalesce(F.sum("nn_s").over(w), F.lit(0)).alias("below"),
+    )
+    return c.agg(
+        F.sum("np_s").cast("bigint").alias("n_pos"),
+        F.sum("nn_s").cast("bigint").alias("n_neg"),
+        (
+            F.sum(
+                F.col("np_s") * (2 * F.col("below") + F.col("nn_s"))
+            ).cast("double")
+            / (2 * F.sum("np_s") * F.sum("nn_s")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS pos, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             CAST(list_sum(list_transform(t,
+               x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                    - 1000)) AS BIGINT) AS mills
+      FROM toks
+    ),
+    b AS (
+      SELECT pos, mills,
+             ntile(10) OVER (ORDER BY mills, doc_id) AS bin
+      FROM s
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mills) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+             AS mean_logit,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS pos_rate
+    FROM b GROUP BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the classifier score: decile bins of the
+    exact integer-mills logit (ties broken by doc_id — a total,
+    engine-exact order) vs the observed positive rate (lang = 'en') per
+    bin — the reliability diagram that tells you whether a gate
+    threshold means what its score claims. Mean logit and positive rate
+    are single double divisions of exact integer sums. The ntile is the
+    one global sort; at corpus scale the same readout comes from
+    assigning bins by precomputed quantile boundaries (one
+    approx-quantile pass + a scan-side CASE), which this query's
+    histogram inputs already support — the gate pins the exact-decile
+    semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = classifier_logit_mills(
+        docs, extra_cols=((F.col("lang") == "en").alias("pos"),)
+    )
+    b = scored.select(
+        "pos",
+        "logit_mills",
+        F.ntile(10)
+        .over(Window.orderBy("logit_mills", "doc_id"))
+        .alias("bin"),
+    )
+    return b.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("logit_mills").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000.0)
+        ).alias("mean_logit"),
+        (
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pos_rate"),
+    )
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT)
+               AS tf_spark,
+             CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT)
+               AS tf_merge,
+             CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT)
+               AS tf_window
+      FROM toks
+    ),
+    g AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+             sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+             sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge,
+             sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+      FROM base
+    )
+    SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+           ln((CAST(n_docs AS DOUBLE) - CAST(df_spark AS DOUBLE) + 0.5)
+              / (CAST(df_spark AS DOUBLE) + 0.5))
+             * (CAST(tf_spark AS DOUBLE) * 2.2)
+             / (CAST(tf_spark AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           + ln((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5)
+              / (CAST(df_merge AS DOUBLE) + 0.5))
+             * (CAST(tf_merge AS DOUBLE) * 2.2)
+             / (CAST(tf_merge AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           + ln((CAST(n_docs AS DOUBLE) - CAST(df_window AS DOUBLE) + 0.5)
+              / (CAST(df_window AS DOUBLE) + 0.5))
+             * (CAST(tf_window AS DOUBLE) * 2.2)
+             / (CAST(tf_window AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           AS score
+    FROM base CROSS JOIN g
+    WHERE tf_spark > 0 OR tf_merge > 0 OR tf_window > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking (k1 = 1.2, b = 0.75) for the query
+    {spark, merge, window}: classic Robertson idf
+    ``ln((N − df + ½)/(df + ½))`` × saturating tf with document-length
+    normalization — the retrieval scorer under every lexical search and
+    RAG hybrid ranker. Scale shape: term frequencies come from
+    ``size(filter(tokens, = term))`` — a map-only array fold, NO
+    explode and NO posting-list shuffle; corpus statistics (N, Σdl,
+    per-term df) are ONE scalar aggregate broadcast back; scoring is a
+    scan-level expression and the top-20 is TakeOrderedAndProject.
+    Per-document scores are a FIXED three-term expression (not a
+    row-order float sum), so doubles match the oracle bit-for-bit;
+    zero-tf terms contribute exactly 0.0."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    terms = ("spark", "merge", "window")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+
+    def tf_col(trm: str) -> F.Column:
+        # closure (not a default arg) — a 2-arg lambda would be read by
+        # PySpark as the (element, index) higher-order-function form
+        return (
+            F.size(F.filter("t", lambda x: x == F.lit(trm)))
+            .cast("bigint")
+            .alias(f"tf_{trm}")
+        )
+
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("dl"),
+        *[tf_col(trm) for trm in terms],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{trm}") > 0, 1).otherwise(0)).alias(
+                f"df_{trm}"
+            )
+            for trm in terms
+        ],
+    )
+
+    def contrib(trm: str) -> F.Column:
+        tf = F.col(f"tf_{trm}").cast("double")
+        df = F.col(f"df_{trm}").cast("double")
+        n = F.col("n_docs").cast("double")
+        avgdl = F.col("sum_dl").cast("double") / n
+        idf = F.log((n - df + 0.5) / (df + 0.5))
+        return (
+            idf
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / avgdl))
+        )
+
+    return (
+        base.crossJoin(F.broadcast(g))
+        .filter(
+            (F.col("tf_spark") > 0)
+            | (F.col("tf_merge") > 0)
+            | (F.col("tf_window") > 0)
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "tf_spark",
+            "tf_merge",
+            "tf_window",
+            (contrib("spark") + contrib("merge") + contrib("window")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -531,6 +531,180 @@ def main() -> None:
         }
     )
 
+    # --- session-4 operators: sequential recurrence, reachability,
+    # ranking/eval, duration weighting, routing census ---
+
+    from kafka_streams_common_spark.operators.cluster import bfs_hops
+    from kafka_streams_common_spark.operators.timeseries import ewma
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    def _ewma_user_daily(ev):
+        """timeseries_ewma core, keyed per USER (150 parallel series;
+        the 8x corpus has 8x the counts per day, same series shape —
+        cost concentrates in the census aggregation, the designed
+        dominant term)."""
+        daily = ev.groupBy(
+            "user_id",
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        return ewma(daily, ["user_id"], "day", "n", alpha=0.25)
+
+    def _bfs(li):
+        """graph_bfs_hops core: support->=2 co-purchase edges + 3 rounds.
+        Replication multiplies SUPPORT (same edge set, 8x the pair
+        census input) — the edge-build join is the dominant term."""
+        b = li.select("l_orderkey", "l_partkey").distinct()
+        b2 = b.select(
+            F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+        )
+        e0 = (
+            b.join(b2, (b.l_orderkey == b2.o2) & (b.l_partkey < b2.p2))
+            .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("a", "b")
+        )
+        bi = e0.unionAll(
+            e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint(eager=False)
+        return bfs_hops(bi, bi.agg(F.min("a").alias("node")), max_hops=3)
+
+    def _auc_hist(docs):
+        """eval_classifier_auc core: map-only hash fold + score
+        histogram + one value-bounded ordered pass."""
+        scored = classifier_logit_mills(
+            docs, extra_cols=((F.col("lang") == "en").alias("pos"),)
+        )
+        hist = scored.groupBy(F.col("logit_mills").alias("m")).agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np_s"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("nn_s"),
+        )
+        w = (
+            Window.orderBy("m")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        c = hist.select(
+            "np_s", "nn_s",
+            F.coalesce(F.sum("nn_s").over(w), F.lit(0)).alias("below"),
+        )
+        return c.agg(
+            (
+                F.sum(F.col("np_s") * (2 * F.col("below") + F.col("nn_s")))
+                .cast("double")
+                / (2 * F.sum("np_s") * F.sum("nn_s")).cast("double")
+            ).alias("auc")
+        )
+
+    def _bm25(docs):
+        """text_bm25_search core (registered query against a directory;
+        probe replays the plan on the replicated frame)."""
+        toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+        base = toks.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.size(F.filter("t", lambda x: x == F.lit("spark")))
+            .cast("bigint")
+            .alias("tf"),
+        )
+        g = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sdl"),
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).alias("df"),
+        )
+        tf = F.col("tf").cast("double")
+        idf = F.log(
+            (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+        avgdl = F.col("sdl").cast("double") / F.col("n").cast("double")
+        return (
+            base.crossJoin(F.broadcast(g))
+            .filter(F.col("tf") > 0)
+            .select(
+                "doc_id",
+                (
+                    idf * tf * 2.2
+                    / (tf + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / avgdl))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(20)
+        )
+
+    def _twap(ev):
+        w = Window.partitionBy("day").orderBy("ts", "event_id")
+        seg = ev.select(
+            F.to_date("ts").alias("day"), "ts", "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.unix_micros("ts").alias("t0"),
+            F.unix_micros(
+                F.date_add(F.to_date("ts"), 1).cast("timestamp")
+            ).alias("day_end"),
+        ).withColumn("t1", F.lead("t0").over(w))
+        return (
+            seg.select(
+                "day", "cents",
+                (F.coalesce("t1", "day_end") - F.col("t0")).alias("dur"),
+            )
+            .groupBy("day")
+            .agg(
+                (
+                    F.sum(
+                        F.col("cents").cast("decimal(18,0)")
+                        * F.col("dur").cast("decimal(18,0)")
+                    ).cast("double")
+                    / F.sum("dur").cast("double")
+                    / F.lit(100.0)
+                ).alias("twap")
+            )
+        )
+
+    def _quarantine(ev):
+        valid = F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
+        k = F.regexp_extract("props", '"k": (-?[0-9]+)', 1).cast("bigint")
+        return ev.select(
+            F.when(~valid, 1).otherwise(0).alias("bp"),
+            F.when(valid & (k >= 95), 1).otherwise(0).alias("ko"),
+            F.when(F.col("value") > 300.0, 1).otherwise(0).alias("ve"),
+        ).agg(
+            F.sum("bp").alias("n_bp"),
+            F.sum("ko").alias("n_ko"),
+            F.sum("ve").alias("n_ve"),
+        )
+
+    probes.update(
+        {
+            "ewma_user_daily": (
+                lambda: _ewma_user_daily(events1),
+                lambda: _ewma_user_daily(events8),
+            ),
+            "bfs_hops_3": (
+                lambda: _bfs(lineitem1),
+                lambda: _bfs(lineitem8),
+            ),
+            "classifier_auc": (
+                lambda: _auc_hist(docs1),
+                lambda: _auc_hist(docs8),
+            ),
+            "bm25_topk": (
+                lambda: _bm25(docs1),
+                lambda: _bm25(docs8),
+            ),
+            "twap_daily": (
+                lambda: _twap(events1),
+                lambda: _twap(events8),
+            ),
+            "quarantine_census": (
+                lambda: _quarantine(events1),
+                lambda: _quarantine(events8),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

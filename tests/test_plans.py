@@ -479,3 +479,63 @@ def test_gapfill_spine_join_is_broadcast(spark):
     from either side is the designed shape."""
     plan = plan_of(QUERIES["timeseries_gapfill_events"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_tf_is_map_only_and_stats_broadcast(spark):
+    """BM25 term frequencies come from array folds (no Generate/explode,
+    no posting-list shuffle); corpus stats join back via broadcast; the
+    top-20 compiles to a heap, not a full sort."""
+    plan = plan_of(QUERIES["text_bm25_search"](spark, SF_SMOKE))
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quarantine_census_is_single_scan(spark):
+    """The routing census reads the event log exactly once — validity is
+    a scan-level expression, the census one scalar aggregate, the report
+    an unpivot of a single row (no join, no re-scan)."""
+    plan = plan_of(QUERIES["dq_quarantine_bad_records"](spark, SF_SMOKE))
+    # formatted mode lists each node twice (tree + details) -> 2 == 1 scan
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_ab_ztest_single_scan_two_aggregates(spark):
+    """Variant assignment is scan-side (hash expression, no dim join);
+    the test statistic is two stacked aggregates over one scan."""
+    plan = plan_of(QUERIES["ab_test_proportion_ztest"](spark, SF_SMOKE))
+    # formatted mode lists each node twice (tree + details) -> 2 == 1 scan
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_auc_histogram_window_is_value_bounded(spark):
+    """The AUC ordered pass runs over the score HISTOGRAM (post-groupBy),
+    not the corpus: the plan's window input must sit above an aggregate,
+    and no join appears anywhere (labels ride the map-side projection)."""
+    plan = plan_of(QUERIES["eval_classifier_auc"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_twap_window_and_agg_share_day_partitioning(spark):
+    """The lead() window and the daily aggregate both key on day — one
+    hashpartitioning exchange feeds both (no second shuffle between
+    window and groupBy)."""
+    plan = plan_of(QUERIES["timeseries_twap_value_daily"](spark, SF_SMOKE))
+    # exactly one shuffle, keyed on day, listed once in the details
+    assert plan.count("hashpartitioning(day#") == 1
+    assert "SinglePartition" not in plan
+    # the scan is pruned to the three consumed columns
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp,value:double>" in plan
+
+
+def test_ewma_is_grouped_arrow_kernel(spark):
+    """The EWMA recurrence runs as FlatMapGroupsInPandas (Arrow grouped
+    kernel) over the pre-aggregated census — the raw log collapses to
+    |keys|x|days| rows before the Python stage."""
+    plan = plan_of(QUERIES["timeseries_ewma_daily_by_type"](spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "HashAggregate" in plan
