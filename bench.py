@@ -137,6 +137,7 @@ TRACKING_QUERIES = [
     "eval_calibration_bins",
     "text_bm25_search",
     "dq_quarantine_bad_records",
+    "eval_confusion_threshold",
 ]
 
 

@@ -204,6 +204,8 @@ _R9_HEAD = (
     "eval_calibration_bins",
     "text_bm25_search",
     "dq_quarantine_bad_records",
+    "streaming_ewma_value",
+    "eval_confusion_threshold",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

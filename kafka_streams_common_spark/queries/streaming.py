@@ -1211,3 +1211,76 @@ def streaming_temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_rkey").alias("o_orderkey"),
         F.col("matched_rval").alias("o_totalprice"),
     )
+
+
+@query(
+    "streaming_ewma_value",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_type AS key, epoch_us(ts) AS ts_us, event_id,
+             value AS x
+      FROM events
+    ),
+    cut AS (SELECT max(ts_us) - 3600000000 - 1000000 AS c FROM ev),
+    numbered AS (
+      SELECT key, ts_us, event_id, x,
+             row_number() OVER (
+               PARTITION BY key ORDER BY ts_us, event_id
+             ) AS rn
+      FROM ev
+    ),
+    r AS (
+      SELECT key, ts_us, event_id, x, rn, x AS ewma
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT q.key, q.ts_us, q.event_id, q.x, q.rn,
+             0.25 * q.x + 0.75 * r.ewma
+      FROM numbered q JOIN r ON q.key = r.key AND q.rn = r.rn + 1
+    )
+    SELECT key, ts_us, event_id, x, ewma
+    FROM r CROSS JOIN cut WHERE r.ts_us < cut.c
+    """,
+)
+def streaming_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing ON THE STREAM (streaming/stateful.ewma_state) —
+    the live-monitoring twin of ``timeseries_ewma_daily_by_type``: per
+    event type, every event's value is folded into ``0.25·x +
+    0.75·prev`` in global event-time order, the anomaly baseline that
+    updates as data arrives. The recurrence is order-sensitive, so
+    events buffer in state until the watermark passes them (the
+    funnel/rate-limiter buffered-reorder convention); per-key state is
+    ONE carried scalar + the in-lag buffer — the O(1) footprint a
+    KTable ``aggregate()`` keeps, and the state-size argument for why a
+    recurrence streams where a window re-sort cannot. Bounded-source
+    equivalence on the decided region: a fold is final once the final
+    watermark passed it (1h lag + 1s margin), where the batch replay is
+    the recursive-CTE definition — stream ≡ batch bit-for-bit (same
+    float expression shape, exactly-representable α)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.streaming.stateful import ewma_state
+
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = (
+        comp.stream_source("events")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    out = ewma_state(stream, alpha=0.25, key_field="event_type")
+    decided = run_stream_to_memory(out, spark, output_mode="append")
+    max_us = (
+        table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    cut = max_us - 3_600_000_000 - 1_000_000
+    return decided.filter(F.col("ts_us") < cut).select(
+        "key", "ts_us", "event_id", "x", "ewma"
+    )

@@ -1424,3 +1424,94 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "eval_confusion_threshold",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS pos, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT pos,
+             CAST(list_sum(list_transform(t,
+               x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                    - 1000)) AS BIGINT) > 0 AS pred
+      FROM toks
+    ),
+    c AS (
+      SELECT
+        sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS tp,
+        sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS fp,
+        sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS fn,
+        sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS tn
+      FROM s
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+           ELSE NULL END AS precision_,
+           CASE WHEN tp + fn > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+           ELSE NULL END AS recall_,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+           ELSE NULL END AS f1
+    FROM c
+    """,
+)
+def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 of the classifier GATE
+    (logit > 0) against the weak label — the operating-point readout
+    that pairs with the threshold-free AUC: counts are exact BIGINTs
+    from one map-only fold + one scalar aggregate (no shuffle of the
+    corpus), each metric a guarded single DOUBLE division (empty
+    denominators → NULL identically on both engines). F1 uses the
+    2tp/(2tp+fp+fn) form — one division, no compounding."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    s = classifier_logit_mills(
+        docs, extra_cols=((F.col("lang") == "en").alias("pos"),)
+    ).select((F.col("logit_mills") > 0).alias("pred"), "pos")
+    c = s.agg(
+        F.sum(F.when(F.col("pred") & F.col("pos"), 1).otherwise(0)).alias(
+            "tp"
+        ),
+        F.sum(F.when(F.col("pred") & ~F.col("pos"), 1).otherwise(0)).alias(
+            "fp"
+        ),
+        F.sum(F.when(~F.col("pred") & F.col("pos"), 1).otherwise(0)).alias(
+            "fn"
+        ),
+        F.sum(F.when(~F.col("pred") & ~F.col("pos"), 1).otherwise(0)).alias(
+            "tn"
+        ),
+    )
+    return c.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision_"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall_"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+    )

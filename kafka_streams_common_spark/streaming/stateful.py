@@ -787,3 +787,111 @@ def temporal_asof_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def ewma_state(
+    stream: DataFrame,
+    alpha: float = 0.25,
+    key_field: str = "event_type",
+    ts_us_field: str = "ts_us",
+    id_field: str = "event_id",
+    value_field: str = "value",
+) -> DataFrame:
+    """STREAMING EWMA — the ``operators/timeseries.py: ewma`` recurrence
+    computed incrementally on a live stream: per key, every event's
+    smoothed value is ``a·x + (1−a)·prev`` over the sequence in GLOBAL
+    EVENT-TIME order. The recurrence is order-sensitive (one early event
+    folded late changes every subsequent output), so events BUFFER in
+    state until the watermark passes them and fold in (ts, id) order —
+    the funnel/rate-limiter buffered-reorder convention: once the
+    watermark passes an event no earlier event can arrive, so its folded
+    EWMA is final and is emitted exactly once.
+
+    State per key = ONE carried scalar (the running EWMA) + the buffer
+    inside the watermark lag (bounded by delay × per-key rate). The
+    carried scalar is the whole point: unlike windowed smoothing, the
+    recurrence needs no history — this is the O(1)-per-key state a
+    Kafka Streams ``aggregate()`` would keep, which is why state is
+    never removed (a key's next event, whenever it comes, continues the
+    chain; |keys| scalars is the permanent footprint, not a leak).
+    Event-time timers flush the buffered tail exactly like the funnel
+    operator: re-armed to the earliest still-buffered event after every
+    fold, cleared when the buffer drains (no pending obligation).
+
+    Determinism contract: the fold computes ``a*x + (1.0-a)*prev`` in
+    float64 — the same expression shape the batch kernel and the
+    recursive-CTE oracle evaluate — so stream ≡ batch bit-for-bit on
+    the decided region, with an exactly-representable default α.
+    """
+    a = float(alpha)
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("prev", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_id", T.ArrayType(T.LongType())),
+            T.StructField("buf_x", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            prev, n, buf_ts, buf_id, buf_x = state.get
+            buf = list(zip(buf_ts, buf_id, buf_x))
+        else:
+            prev, n, buf = 0.0, 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (int(t), int(i), float(x))
+                    for t, i, x in zip(
+                        pdf[ts_us_field], pdf[id_field], pdf[value_field]
+                    )
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        eligible = sorted(e for e in buf if e[0] <= wm_us)
+        buf = [e for e in buf if e[0] > wm_us]
+        rows: list[tuple] = []
+        for t, i, x in eligible:
+            # identical expression shape to the batch kernel/oracle
+            prev = x if n == 0 else a * x + (1.0 - a) * prev
+            n += 1
+            rows.append((str(key[0]), t, i, x, prev))
+        state.update(
+            (
+                prev,
+                n,
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+            )
+        )
+        if buf:
+            nxt = max(
+                min(e[0] for e in buf) // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(nxt)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["key", "ts_us", "event_id", "x", "ewma"]
+            )
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

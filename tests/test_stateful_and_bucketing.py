@@ -599,3 +599,79 @@ def test_temporal_asof_recovers_from_checkpoint(spark, tmp_path):
     # carried ACROSS the checkpoint boundary
     assert got[1001] == (101, 1.0)
     assert got[1002] == (101, 1.0)
+
+
+def test_streaming_ewma_out_of_order_across_batches(spark, tmp_path):
+    """The streaming EWMA's reason to buffer: the recurrence is
+    order-sensitive, so folding in ARRIVAL order across microbatches
+    gives different smoothed values than event-time order. Deliver one
+    key's events shuffled across three batches; the folded chain must
+    equal the event-time-ordered recurrence, each event emitted exactly
+    once."""
+    import datetime as dt
+    import os
+    import time
+
+    from kafka_streams_common_spark.streaming.stateful import ewma_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id bigint, value double"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"stage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"stage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    # event-time order for key "a": t+10 (4.0), t+20 (8.0), t+30 (2.0)
+    # delivered: the MIDDLE event first, then the first, then the last
+    write_wave(0, [("a", t0 + 20 * sec, 2, 8.0)])
+    write_wave(1, [("a", t0 + 10 * sec, 1, 4.0)])
+    write_wave(2, [
+        ("a", t0 + 30 * sec, 3, 2.0),
+        # far-future row drives the global watermark past key a's events
+        ("z", t0 + dt.timedelta(hours=2), 99, 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "60 seconds")
+        .select(
+            "event_type", "event_id", "ts",
+            F.unix_micros("ts").alias("ts_us"), "value",
+        )
+    )
+    out = ewma_state(stream, alpha=0.25, key_field="event_type")
+    name = "ewma_ooo_probe"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = [r for r in spark.table(name).collect() if r["key"] == "a"]
+    got = {r["event_id"]: r["ewma"] for r in rows}
+    assert len(rows) == 3  # each decided event exactly once
+    # event-time-ordered recurrence, NOT arrival order (which would
+    # seed with 8.0): 4.0 -> .25*8+.75*4 = 5.0 -> .25*2+.75*5 = 4.25
+    assert got == {1: 4.0, 2: 5.0, 3: 4.25}
