@@ -655,3 +655,90 @@ def test_ohlc_argmin_matches_bruteforce(spark_, rows):
         vals = [v for _, _, v in g]
         expect[k] = (g[0][2], max(vals), min(vals), g[-1][2], len(g))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# EWMA grouped kernel vs the sequential definition (randomized structure:
+# duplicate values, single-point series, identical keys, shuffled arrival)
+# ---------------------------------------------------------------------------
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=30),  # order position
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_series)
+def test_ewma_matches_sequential_fold(spark_, rows):
+    from kafka_streams_common_spark.operators.timeseries import ewma
+
+    # unique (key, position): the recurrence needs a total order
+    seen: set = set()
+    uniq = []
+    for k, p, x in rows:
+        if (k, p) not in seen:
+            seen.add((k, p))
+            uniq.append((k, f"p{p:02d}", x))
+    df = spark_.createDataFrame(uniq, ["k", "t", "x"])
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma(df, ["k"], "t", "x", alpha=0.25).collect()
+    }
+    by_key: dict = {}
+    for k, t, x in sorted(uniq):
+        by_key.setdefault(k, []).append((t, x))
+    want = {}
+    for k, series in by_key.items():
+        prev = None
+        for t, x in series:
+            prev = float(x) if prev is None else 0.25 * x + 0.75 * prev
+            want[(k, t)] = prev
+    assert got == want  # bit-exact
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS vs brute force on random sparse digraphs
+# ---------------------------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_edges, max_hops=st.integers(min_value=1, max_value=3))
+def test_bfs_hops_matches_bruteforce_random(spark_, edges, max_hops):
+    from kafka_streams_common_spark.operators.cluster import bfs_hops
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    seed = min(a for a, _ in edges)
+    edf = spark_.createDataFrame(edges, ["a", "b"])
+    seeds = spark_.createDataFrame([(seed,)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edf, seeds, max_hops=max_hops).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want, frontier = {seed: 0}, [seed]
+    for hop in range(1, max_hops + 1):
+        frontier = sorted(
+            {n for cur in frontier for n in adj.get(cur, ()) if n not in want}
+        )
+        for n in frontier:
+            want[n] = hop
+    assert got == want
