@@ -138,6 +138,9 @@ TRACKING_QUERIES = [
     "text_bm25_search",
     "dq_quarantine_bad_records",
     "eval_confusion_threshold",
+    "dq_drift_ks_totalprice",
+    "timeseries_autocorr_daily",
+    "eval_score_length_spearman",
 ]
 
 

@@ -206,6 +206,9 @@ _R9_HEAD = (
     "dq_quarantine_bad_records",
     "streaming_ewma_value",
     "eval_confusion_threshold",
+    "dq_drift_ks_totalprice",
+    "timeseries_autocorr_daily",
+    "eval_score_length_spearman",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

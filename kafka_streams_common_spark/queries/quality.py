@@ -544,3 +544,91 @@ def dq_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_records").cast("double") / F.col("n_total").cast("double")
         ).alias("fraction"),
     )
+
+
+@query(
+    "dq_drift_ks_totalprice",
+    oracle="""
+    WITH v AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS in_b
+      FROM orders
+    ),
+    h AS (
+      SELECT x, sum(in_a) AS n_a_v, sum(in_b) AS n_b_v
+      FROM v GROUP BY x
+    ),
+    t AS (SELECT sum(n_a_v) AS na, sum(n_b_v) AS nb FROM h),
+    c AS (
+      SELECT
+        sum(n_a_v) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        sum(n_b_v) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM h
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           max(abs(CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+                   - CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+             AS d_stat,
+           max(abs(CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+                   - CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+             * sqrt(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                    / CAST(t.na + t.nb AS DOUBLE)) AS ks_scaled
+    FROM c CROSS JOIN t
+    GROUP BY t.na, t.nb
+    """,
+)
+def dq_drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the same two
+    simulated ingest batches the PSI monitor compares — the BIN-FREE
+    companion: PSI can miss drift that stays inside its 10 buckets,
+    while KS takes the sup over every observed value (D = max |ECDF_a −
+    ECDF_b|, plus the √(n_a·n_b/(n_a+n_b))-scaled statistic fed to the
+    asymptotic p-value). Counts per distinct value and both cumulative
+    sums are exact BIGINTs; each ECDF point is one double division, so
+    the max picks identical doubles on both engines. The ordered pass
+    runs over the VALUE HISTOGRAM (distinct totalprices) — at corpus
+    scale the swap is a two-pass binned KS on an approx-quantile grid
+    (error ≤ grid resolution), same posture as the calibration deciles;
+    the exact sup-statistic here is the gate."""
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    v = orders.select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderkey") % 2 == 0).cast("bigint").alias("in_a"),
+        (F.col("o_orderkey") % 2 == 1).cast("bigint").alias("in_b"),
+    )
+    h = v.groupBy("x").agg(
+        F.sum("in_a").alias("n_a_v"), F.sum("in_b").alias("n_b_v")
+    )
+    t = h.agg(F.sum("n_a_v").alias("na"), F.sum("n_b_v").alias("nb"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        F.sum("n_a_v").over(w).alias("ca"),
+        F.sum("n_b_v").over(w).alias("cb"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na").cast("double")
+        - F.col("cb").cast("double") / F.col("nb").cast("double")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(F.max(diff).alias("d_stat"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "d_stat",
+            (
+                F.col("d_stat")
+                * F.sqrt(
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                    / (F.col("na") + F.col("nb")).cast("double")
+                )
+            ).alias("ks_scaled"),
+        )
+    )

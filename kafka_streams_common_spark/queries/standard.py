@@ -4861,3 +4861,82 @@ def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("hops").cast("bigint").alias("hops"),
     )
+
+
+@query(
+    "timeseries_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    numbered AS (
+      SELECT n, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    pairs AS (
+      SELECT l.lag_k, a.n AS y, b.n AS x
+      FROM range(1, 8) l(lag_k)
+      JOIN numbered a ON TRUE
+      JOIN numbered b ON b.rn = a.rn - l.lag_k
+    ),
+    m AS (
+      SELECT lag_k, count(*) AS np,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs GROUP BY lag_k
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, CAST(np AS BIGINT) AS n_pairs,
+           CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0 THEN
+             CAST(np * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(np * syy - sy * sy AS DOUBLE)))
+           ELSE NULL END AS autocorr_r
+    FROM m
+    """,
+)
+def timeseries_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily volume at lags 1–7 — the
+    periodicity detector behind the seasonality profile (a weekly cycle
+    shows as a lag-7 peak; a trend as slow decay): Pearson r between
+    the day series and its k-shifted self, per lag. Facts collapse to
+    the |days| census FIRST; the 7 lag pairings are an equi-join of the
+    tiny numbered census against a generated lag spine, and every
+    moment (Σx, Σx², Σxy…) is an exact BIGINT — the r formula is one
+    fixed DOUBLE expression with the zero-variance guard applied
+    identically on both engines (the z-score family lesson). Nothing
+    larger than |days|×7 is ever shuffled."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    numbered = daily.select(
+        "n", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag_k"))
+    a = numbered.select(F.col("n").alias("y"), F.col("rn").alias("ra"))
+    b = numbered.select(F.col("n").alias("x"), F.col("rn").alias("rb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("rb") == F.col("ra") - F.col("lag_k"))
+    )
+    m = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("autocorr_r"),
+    )

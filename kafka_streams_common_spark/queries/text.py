@@ -1515,3 +1515,114 @@ def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
         ).alias("f1"),
     )
+
+
+@query(
+    "eval_score_length_spearman",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             CAST(list_sum(list_transform(t,
+               x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                    - 1000)) AS BIGINT) AS mills
+      FROM toks
+    ),
+    ha_ AS (SELECT mills AS v, count(*) AS cnt FROM s GROUP BY mills),
+    ha AS (
+      SELECT v, cnt,
+             2 * coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+      FROM ha_
+    ),
+    hb_ AS (SELECT n_chars AS v, count(*) AS cnt FROM s GROUP BY n_chars),
+    hb AS (
+      SELECT v, cnt,
+             2 * coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+      FROM hb_
+    ),
+    ranked AS (
+      SELECT ha.r2 AS ra, hb.r2 AS rb
+      FROM s JOIN ha ON s.mills = ha.v JOIN hb ON s.n_chars = hb.v
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+             sum(ra * rb) AS sab
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+             CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+           ELSE NULL END AS spearman_rho
+    FROM m
+    """,
+)
+def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the classifier logit and raw
+    document length — the confound check every learned quality gate
+    needs (a score that mostly ranks by LENGTH filters nothing length
+    stats wouldn't): Pearson on tie-averaged ranks, with ranks DOUBLED
+    so tie averaging stays integer (2·avg_rank = 2·count_below + cnt +
+    1), making every moment an exact BIGINT and ρ one guarded DOUBLE
+    expression. Ranks come from the two VALUE HISTOGRAMS (cumulative
+    counts over distinct scores / lengths — the AUC posture: bounded by
+    value range, not corpus size), joined back map-side; no per-row
+    global rank window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    s = classifier_logit_mills(docs, extra_cols=(F.col("n_chars"),))
+
+    def ranks(col: str):
+        h = s.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return h.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+    ha = ranks("logit_mills").withColumnsRenamed({"v": "va", "r2": "ra"})
+    hb = ranks("n_chars").withColumnsRenamed({"v": "vb", "r2": "rb"})
+    ranked = (
+        s.join(F.broadcast(ha), s.logit_mills == ha.va)
+        .join(F.broadcast(hb), s.n_chars == hb.vb)
+        .select("ra", "rb")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.when(
+            (va > 0) & (vb > 0),
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
+                "double"
+            )
+            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+        ).alias("spearman_rho"),
+    )

@@ -223,3 +223,46 @@ def test_quarantine_census_consistent(spark):
     assert rows["value_extreme"]["n_records"] > 0
     assert rows["k_out_of_range"]["n_records"] > 0
     assert rows["bad_props"]["n_records"] == 0  # clean fixture, by design
+
+
+# ---------------------------------------------------------------------------
+# Spearman — histogram average-ranks vs a direct rank-and-correlate
+# ---------------------------------------------------------------------------
+
+def test_spearman_matches_direct_ranks(spark):
+    row = QUERIES["eval_score_length_spearman"](spark, SF_SMOKE).collect()[0]
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    s = classifier_logit_mills(
+        docs, extra_cols=(F.col("n_chars"),)
+    ).collect()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    ra = avg_ranks([r["logit_mills"] for r in s])
+    rb = avg_ranks([r["n_chars"] for r in s])
+    n = len(s)
+    sa, sb = sum(ra), sum(rb)
+    saa = sum(x * x for x in ra)
+    sbb = sum(x * x for x in rb)
+    sab = sum(x * y for x, y in zip(ra, rb))
+    want = (n * sab - sa * sb) / (
+        math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+    )
+    assert row["n_docs"] == n
+    assert math.isclose(row["spearman_rho"], want, rel_tol=1e-12)
