@@ -728,21 +728,17 @@ def classifier_score(
     no shuffle, no weight-table join (the hash IS the lookup); the gate
     is a scan-level predicate downstream.
     """
-    toks = docs.select(
-        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    # ONE scoring core: the gate and its evaluation suite (AUC,
+    # calibration, confusion, Spearman) must score the same model —
+    # both derive from classifier_logit_mills
+    scored = classifier_logit_mills(
+        docs, seed=seed, text_col=text_col, id_col=id_col
     )
-    mills = lambda t: (  # noqa: E731
-        md5_int64(F.concat(F.lit(seed + "|"), t)) % 2001 - 1000
-    )
-    score_mills = F.aggregate(
-        F.transform(F.col("__toks"), mills),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    return toks.select(
+    logit = F.col("logit_mills") / 1000.0
+    return scored.select(
         id_col,
-        (score_mills / 1000.0).alias("logit"),
-        (score_mills / 1000.0 > F.lit(threshold)).alias("keep"),
+        logit.alias("logit"),
+        (logit > F.lit(threshold)).alias("keep"),
     )
 
 

@@ -462,8 +462,10 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN NOT regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
              THEN 1 ELSE 0 END AS bad_props,
         CASE WHEN regexp_matches(props, '^\\{"k": -?[0-9]+\\}$')
-              AND CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)
-                  >= 95
+              AND (CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)
+                     >= 95
+                   OR CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1)
+                           AS BIGINT) < 0)
              THEN 1 ELSE 0 END AS k_out_of_range,
         CASE WHEN value > 300.0 THEN 1 ELSE 0 END AS value_extreme
       FROM events
@@ -510,7 +512,9 @@ def dq_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_props = F.col("props").rlike('^\\{"k": -?[0-9]+\\}$')
     k_val = F.regexp_extract("props", '"k": (-?[0-9]+)', 1).cast("bigint")
     bad_props = F.when(~valid_props, 1).otherwise(0)
-    k_oor = F.when(valid_props & (k_val >= 95), 1).otherwise(0)
+    k_oor = F.when(
+        valid_props & ((k_val >= 95) | (k_val < 0)), 1
+    ).otherwise(0)
     val_ext = F.when(F.col("value") > 300.0, 1).otherwise(0)
     c = ev.select(
         bad_props.alias("bad_props"),

@@ -4880,16 +4880,19 @@ def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN numbered b ON b.rn = a.rn - l.lag_k
     ),
     m AS (
-      SELECT lag_k, count(*) AS np,
-             sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      SELECT lag_k, count(*) AS np_exact,
+             CAST(count(*) AS DOUBLE) AS np,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
       FROM pairs GROUP BY lag_k
     )
-    SELECT CAST(lag_k AS BIGINT) AS lag_k, CAST(np AS BIGINT) AS n_pairs,
+    SELECT CAST(lag_k AS BIGINT) AS lag_k,
+           CAST(np_exact AS BIGINT) AS n_pairs,
            CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0 THEN
-             CAST(np * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(np * syy - sy * sy AS DOUBLE)))
+             (np * sxy - sx * sy)
+             / (sqrt(np * sxx - sx * sx) * sqrt(np * syy - sy * sy))
            ELSE NULL END AS autocorr_r
     FROM m
     """,
@@ -4901,8 +4904,9 @@ def timeseries_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day series and its k-shifted self, per lag. Facts collapse to
     the |days| census FIRST; the 7 lag pairings are an equi-join of the
     tiny numbered census against a generated lag spine, and every
-    moment (Σx, Σx², Σxy…) is an exact BIGINT — the r formula is one
-    fixed DOUBLE expression with the zero-variance guard applied
+    moment (Σx, Σx², Σxy…) accumulates in DECIMAL (order-free, exact
+    past int64 — day counts in the billions square beyond BIGINT) —
+    the r formula is one fixed DOUBLE expression over their sums with the zero-variance guard applied
     identically on both engines (the z-score family lesson). Nothing
     larger than |days|×7 is ever shuffled."""
     ev = table(spark, sf_dir, "events")
@@ -4919,24 +4923,26 @@ def timeseries_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("rb") == F.col("ra") - F.col("lag_k"))
     )
+    # moments in DECIMAL then DOUBLE: x*x on billions-per-day counts
+    # overflows BIGINT near int64 max — the Spearman lesson applied here
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731
     m = pairs.groupBy("lag_k").agg(
-        F.count(F.lit(1)).alias("np"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).alias("np_exact"),
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).cast("double").alias("syy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).cast("double").alias("sxy"),
     )
     vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
     return m.select(
         F.col("lag_k").cast("bigint").alias("lag_k"),
-        F.col("np").cast("bigint").alias("n_pairs"),
+        F.col("np_exact").cast("bigint").alias("n_pairs"),
         F.when(
             (vx > 0) & (vy > 0),
-            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("autocorr_r"),
     )

@@ -1551,16 +1551,18 @@ def eval_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s JOIN ha ON s.mills = ha.v JOIN hb ON s.n_chars = hb.v
     ),
     m AS (
-      SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
-             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
-             sum(ra * rb) AS sab
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(ra) AS DOUBLE) AS sa, CAST(sum(rb) AS DOUBLE) AS sb,
+             CAST(sum(ra * ra) AS DOUBLE) AS saa,
+             CAST(sum(rb * rb) AS DOUBLE) AS sbb,
+             CAST(sum(ra * rb) AS DOUBLE) AS sab,
+             count(*) AS n_exact
       FROM ranked
     )
-    SELECT CAST(n AS BIGINT) AS n_docs,
+    SELECT CAST(n_exact AS BIGINT) AS n_docs,
            CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
-             CAST(n * sab - sa * sb AS DOUBLE)
-             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
-                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+             (n * sab - sa * sb)
+             / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
            ELSE NULL END AS spearman_rho
     FROM m
     """,
@@ -1571,8 +1573,9 @@ def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs (a score that mostly ranks by LENGTH filters nothing length
     stats wouldn't): Pearson on tie-averaged ranks, with ranks DOUBLED
     so tie averaging stays integer (2·avg_rank = 2·count_below + cnt +
-    1), making every moment an exact BIGINT and ρ one guarded DOUBLE
-    expression. Ranks come from the two VALUE HISTOGRAMS (cumulative
+    1), making tie handling integer-exact; moments accumulate in DECIMAL
+    (sum(ra²) ~ 4n³/3 overflows BIGINT at ~5×10⁴ docs) and ρ is one
+    guarded DOUBLE expression over their exact sums. Ranks come from the two VALUE HISTOGRAMS (cumulative
     counts over distinct scores / lengths — the AUC posture: bounded by
     value range, not corpus size), joined back map-side; no per-row
     global rank window."""
@@ -1606,23 +1609,27 @@ def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(hb), s.n_chars == hb.vb)
         .select("ra", "rb")
     )
+    # moments accumulate in DECIMAL (order-free, exact far past int64 —
+    # doubled ranks make sum(ra*ra) ~ 4n^3/3, which overflows BIGINT at
+    # ~5x10^4 docs) and convert to DOUBLE once; the rho formula then
+    # runs in double with the identical expression shape on both engines
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731
     m = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ra").alias("sa"),
-        F.sum("rb").alias("sb"),
-        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
-        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
-        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("ra"))).cast("double").alias("sa"),
+        F.sum(d(F.col("rb"))).cast("double").alias("sb"),
+        F.sum(d(F.col("ra")) * d(F.col("ra"))).cast("double").alias("saa"),
+        F.sum(d(F.col("rb")) * d(F.col("rb"))).cast("double").alias("sbb"),
+        F.sum(d(F.col("ra")) * d(F.col("rb"))).cast("double").alias("sab"),
     )
     va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
     vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
     return m.select(
-        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n_exact").cast("bigint").alias("n_docs"),
         F.when(
             (va > 0) & (vb > 0),
-            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast(
-                "double"
-            )
-            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            / (F.sqrt(va) * F.sqrt(vb)),
         ).alias("spearman_rho"),
     )

@@ -442,10 +442,14 @@ def funnel_state_machine(
     )
 
     def _fold(t, buf, wm_us):
-        """Fold buffered (ts, stage) events with ts <= wm_us in event-time
+        """Fold buffered (ts, stage) events with ts < wm_us in event-time
         order; return (changed, remaining_buffer)."""
-        eligible = sorted(e for e in buf if e[0] <= wm_us)
-        remaining = [e for e in buf if e[0] > wm_us]
+        # STRICT <: the engine admits rows with ts == watermark (only
+        # ts < watermark is guaranteed late-dropped), so an equal-ts
+        # peer may still arrive — folding at equality could emit
+        # out of (ts, id) order
+        eligible = sorted(e for e in buf if e[0] < wm_us)
+        remaining = [e for e in buf if e[0] >= wm_us]
         changed = False
         for ts, stage in eligible:
             s = int(stage)
@@ -572,8 +576,12 @@ def rate_limit_state(
                     for a, b in zip(pdf[ts_us_field], pdf[id_field])
                 )
         wm_us = state.getCurrentWatermarkMs() * 1000
-        eligible = sorted(e for e in buf if e[0] <= wm_us)
-        buf = [e for e in buf if e[0] > wm_us]
+        # STRICT <: the engine admits rows with ts == watermark (only
+        # ts < watermark is guaranteed late-dropped), so an equal-ts
+        # peer may still arrive — folding at equality could emit
+        # out of (ts, id) order
+        eligible = sorted(e for e in buf if e[0] < wm_us)
+        buf = [e for e in buf if e[0] >= wm_us]
         admitted = []
         for ts, eid in eligible:
             w = ts - (ts % window_us)
@@ -728,8 +736,12 @@ def temporal_asof_state(
                          None if pd.isna(rv) else float(rv))
                     )
         wm_us = state.getCurrentWatermarkMs() * 1000
-        eligible = sorted(e for e in buf if e[0] <= wm_us)
-        buf = [e for e in buf if e[0] > wm_us]
+        # STRICT <: the engine admits rows with ts == watermark (only
+        # ts < watermark is guaranteed late-dropped), so an equal-ts
+        # peer may still arrive — folding at equality could emit
+        # out of (ts, id) order
+        eligible = sorted(e for e in buf if e[0] < wm_us)
+        buf = [e for e in buf if e[0] >= wm_us]
         emitted = []
         for t, s, i, rk, rv in eligible:
             if s == 0:
@@ -860,8 +872,12 @@ def ewma_state(
                     )
                 )
         wm_us = state.getCurrentWatermarkMs() * 1000
-        eligible = sorted(e for e in buf if e[0] <= wm_us)
-        buf = [e for e in buf if e[0] > wm_us]
+        # STRICT <: the engine admits rows with ts == watermark (only
+        # ts < watermark is guaranteed late-dropped), so an equal-ts
+        # peer may still arrive — folding at equality could emit
+        # out of (ts, id) order
+        eligible = sorted(e for e in buf if e[0] < wm_us)
+        buf = [e for e in buf if e[0] >= wm_us]
         rows: list[tuple] = []
         for t, i, x in eligible:
             # identical expression shape to the batch kernel/oracle
