@@ -141,6 +141,8 @@ TRACKING_QUERIES = [
     "dq_drift_ks_totalprice",
     "timeseries_autocorr_daily",
     "eval_score_length_spearman",
+    "geo_radius_join_customers",
+    "events_pattern_match_sequence",
 ]
 
 

@@ -216,6 +216,8 @@ _R9_HEAD = (
     "dq_drift_ks_totalprice",
     "timeseries_autocorr_daily",
     "eval_score_length_spearman",
+    "geo_radius_join_customers",
+    "events_pattern_match_sequence",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

@@ -4946,3 +4946,207 @@ def timeseries_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("autocorr_r"),
     )
+
+
+@query(
+    "geo_radius_join_customers",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             47.0 + CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                           || '|lat'), 1, 15))::BIGINT % 1000000 AS DOUBLE)
+                    / 1000000.0 AS lat,
+             8.0 + CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                          || '|lon'), 1, 15))::BIGINT % 1000000 AS DOUBLE)
+                   / 1000000.0 * 1.5 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_custkey, lat, lon,
+             CAST(floor((lat - 47.0) / 0.05) AS BIGINT) AS cl,
+             CAST(floor((lon - 8.0) / 0.075) AS BIGINT) AS cn
+      FROM pts
+    ),
+    cand AS (
+      SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+             a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2
+      FROM cells a
+      JOIN range(-1, 2) dl(dl) ON TRUE
+      JOIN range(-1, 2) dn(dn) ON TRUE
+      JOIN cells b
+        ON b.cl = a.cl + dl.dl AND b.cn = a.cn + dn.dn
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT a_custkey, b_custkey,
+           round(2.0 * 6371.0 * asin(sqrt(
+             sin((radians(lat2) - radians(lat1)) / 2)
+               * sin((radians(lat2) - radians(lat1)) / 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+               * sin((radians(lon2) - radians(lon1)) / 2)
+               * sin((radians(lon2) - radians(lon1)) / 2)
+           )), 6) AS dist_km
+    FROM cand
+    WHERE 2.0 * 6371.0 * asin(sqrt(
+            sin((radians(lat2) - radians(lat1)) / 2)
+              * sin((radians(lat2) - radians(lat1)) / 2)
+            + cos(radians(lat1)) * cos(radians(lat2))
+              * sin((radians(lon2) - radians(lon1)) / 2)
+              * sin((radians(lon2) - radians(lon1)) / 2)
+          )) <= 5.0
+    """,
+)
+def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join — "customer pairs within 5 km" — the
+    geo primitive under store-catchment, fraud-ring, and delivery
+    analytics, built the scalable way: GRID-CELL BANDING (the geohash
+    pattern). Deterministic md5-derived coordinates in a ~111×167 km
+    box stand in for real lat/lon (the fixture has none; the operator
+    shape is what's pinned). Each point lands in a 0.05°×0.075° cell
+    (≥ the 5 km radius), candidates come from an EQUI-join against the
+    3×3 neighbor cells (map-side explode of 9 offsets — never an
+    all-pairs theta join), and exact haversine verifies. Work is
+    Σ(points-per-cell²) over 9 neighbor cells — density-bounded, the
+    same skew posture as LSH buckets (cap mega-cells on real data).
+    The haversine expression is shape-identical on both engines; the
+    reported distance rounds to 6 dp so a sub-ulp libm difference in
+    trig cannot flip the hash (the ≤ 5 km gate itself is evaluated on
+    the raw double on both sides)."""
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    lat = (
+        47.0
+        + (
+            md5_int64(F.concat(F.col("c_custkey").cast("string"), F.lit("|lat")))
+            % 1000000
+        ).cast("double")
+        / 1000000.0
+    )
+    lon = (
+        8.0
+        + (
+            md5_int64(F.concat(F.col("c_custkey").cast("string"), F.lit("|lon")))
+            % 1000000
+        ).cast("double")
+        / 1000000.0
+        * 1.5
+    )
+    cells = cust.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor((lat - 47.0) / 0.05).cast("bigint").alias("cl"),
+        F.floor((lon - 8.0) / 0.075).cast("bigint").alias("cn"),
+    )
+    # 3x3 neighborhood as a literal-array explode: pure map-side row
+    # multiplication, no join node (a broadcast cross would plan as a
+    # BroadcastNestedLoopJoin and muddy the no-theta-join plan assert)
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dl).cast("bigint").alias("dl"),
+                F.lit(dn).cast("bigint").alias("dn"),
+            )
+            for dl in (-1, 0, 1)
+            for dn in (-1, 0, 1)
+        ]
+    )
+    a = cells.select(
+        F.col("c_custkey").alias("a_custkey"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+        "cl",
+        "cn",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "a_custkey", "lat1", "lon1", "cl", "cn",
+        F.col("o.dl").alias("dl"), F.col("o.dn").alias("dn"),
+    )
+    b = cells.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        F.col("cl").alias("bcl"),
+        F.col("cn").alias("bcn"),
+    )
+    cand = a.join(
+        b,
+        (F.col("bcl") == F.col("cl") + F.col("dl"))
+        & (F.col("bcn") == F.col("cn") + F.col("dn"))
+        & (F.col("a_custkey") < F.col("b_custkey")),
+    )
+    dlat = (F.radians("lat2") - F.radians("lat1")) / 2
+    dlon = (F.radians("lon2") - F.radians("lon1")) / 2
+    hav = 2.0 * 6371.0 * F.asin(
+        F.sqrt(
+            F.sin(dlat) * F.sin(dlat)
+            + F.cos(F.radians("lat1"))
+            * F.cos(F.radians("lat2"))
+            * F.sin(dlon)
+            * F.sin(dlon)
+        )
+    )
+    return cand.filter(hav <= 5.0).select(
+        "a_custkey", "b_custkey", F.round(hav, 6).alias("dist_km")
+    )
+
+
+@query(
+    "events_pattern_match_sequence",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'v[^p]*c[^p]*p')) AS BIGINT)
+             AS n_matches,
+           len(regexp_extract_all(s, 'v[^p]*c[^p]*p')) > 0 AS matched
+    FROM seq
+    """,
+)
+def events_pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE shape Spark lacks natively: encode each user's
+    event-type history (total (ts, id) order) as a compact symbol
+    string, then run a REGEX over it ('view, then click, then purchase,
+    with no purchase in between' = ``v[^p]*c[^p]*p``) — funnel logic
+    with arbitrary regular-language structure (negation, alternation,
+    greedy gaps) that windowed joins can't express. Non-overlapping
+    match COUNT and a matched flag per user. Scale shape: one shuffle
+    on user_id, per-user sort inside the aggregate, string length
+    bounded by per-user activity (cap/slice hyperactive users upstream
+    — the hot-key posture of every per-entity fold); the regex runs
+    map-side on the |users| aggregate. Symbol alphabet = first letter
+    of event_type (distinct across the fixture's five types)."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x.getField("c"),
+            ),
+            "",
+        ).alias("s"),
+    )
+    n_matches = F.size(
+        F.regexp_extract_all("s", F.lit("v[^p]*c[^p]*p"), 0)
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        n_matches.cast("bigint").alias("n_matches"),
+        (n_matches > 0).alias("matched"),
+    )

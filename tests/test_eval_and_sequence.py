@@ -266,3 +266,82 @@ def test_spearman_matches_direct_ranks(spark):
     )
     assert row["n_docs"] == n
     assert math.isclose(row["spearman_rho"], want, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# spatial radius join — cell-banded candidates vs all-pairs haversine
+# ---------------------------------------------------------------------------
+
+def test_geo_radius_matches_allpairs(spark):
+    got = {
+        (r["a_custkey"], r["b_custkey"]): r["dist_km"]
+        for r in QUERIES["geo_radius_join_customers"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    import hashlib
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    keys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    pts = {
+        k: (
+            47.0 + (md5i(f"{k}|lat") % 1000000) / 1000000.0,
+            8.0 + (md5i(f"{k}|lon") % 1000000) / 1000000.0 * 1.5,
+        )
+        for k in keys
+    }
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (*p, *q))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2.0 * 6371.0 * math.asin(math.sqrt(h))
+
+    want = {}
+    ks = sorted(keys)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            d = hav(pts[a], pts[b])
+            if d <= 5.0:
+                want[(a, b)] = d
+    assert set(got) == set(want)  # banding misses nothing within radius
+    for k, d in want.items():
+        assert math.isclose(got[k], round(d, 6), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern match — regex over ordered symbols vs Python re
+# ---------------------------------------------------------------------------
+
+def test_pattern_match_matches_python_re(spark):
+    import re
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_matches"], r["matched"])
+        for r in QUERIES["events_pattern_match_sequence"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"][0])
+    pat = re.compile(r"v[^p]*c[^p]*p")
+    for u, syms in seqs.items():
+        s = "".join(syms)
+        n = len(pat.findall(s))
+        assert got[u] == (len(syms), n, n > 0)
+    assert set(got) == set(seqs)

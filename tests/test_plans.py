@@ -539,3 +539,21 @@ def test_ewma_is_grouped_arrow_kernel(spark):
     plan = plan_of(QUERIES["timeseries_ewma_daily_by_type"](spark, SF_SMOKE))
     assert "FlatMapGroupsInPandas" in plan
     assert "HashAggregate" in plan
+
+
+def test_geo_radius_join_is_equi_banded(spark):
+    """The spatial self-join must run as an equi-join on (cell, neighbor
+    offset) — a theta-join on raw distance shows up as CartesianProduct
+    or BroadcastNestedLoopJoin."""
+    plan = plan_of(QUERIES["geo_radius_join_customers"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pattern_match_is_one_user_shuffle(spark):
+    """Sequence assembly + regex run in one user-keyed aggregation over
+    a single scan — no join, no second shuffle."""
+    plan = plan_of(QUERIES["events_pattern_match_sequence"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 2  # tree + details = 1 scan
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id#") == 1
