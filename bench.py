@@ -143,6 +143,9 @@ TRACKING_QUERIES = [
     "eval_score_length_spearman",
     "geo_radius_join_customers",
     "events_pattern_match_sequence",
+    "merge_upsert_user_state",
+    "bucketed_join_orders_lineitem",
+    "agg_approx_percentile_value",
 ]
 
 

@@ -218,6 +218,10 @@ _R9_HEAD = (
     "eval_score_length_spearman",
     "geo_radius_join_customers",
     "events_pattern_match_sequence",
+    # round-8 session-5 additions (stored layout / merge / sketch gates)
+    "merge_upsert_user_state",
+    "bucketed_join_orders_lineitem",
+    "agg_approx_percentile_value",
 )
 assert all(n in QUERIES for n in _R9_HEAD)
 

@@ -468,3 +468,72 @@ def source_json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1's json-lines leg through the external gate — same round-trip
     contract as the csv row."""
     return _format_roundtrip(spark, sf_dir, "json")
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO: the general upsert statement over the CDC split of the
+# events changelog (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_upsert_user_state",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS __rn
+      FROM events
+    )
+    WHERE __rn = 1
+      AND NOT (ts >= TIMESTAMP '2024-01-20' AND event_type = 'error')
+    """,
+)
+def merge_upsert_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style MERGE INTO over the changelog's CDC split:
+    target = per-user state snapshot as of Jan 20 (latest-per-key,
+    max_by hash-agg), source = the post-cutoff delta folded the same
+    way; WHEN MATCHED UPDATE, WHEN MATCHED AND tombstone DELETE, WHEN
+    NOT MATCHED INSERT ('error' plays the tombstone). The merged table
+    must equal latest-per-key over the WHOLE log minus keys whose
+    winner is a post-cutoff tombstone — the oracle replays exactly
+    that, so the equivalence (snapshot ⊕ delta ≡ full-log fold) is the
+    thing being gated, not just the plumbing.
+
+    Scale posture (operators/merge.py): the snapshot side never
+    shuffles post-fold — the delta broadcasts into a LEFT join for
+    update/delete, and the insert anti-join sees only the snapshot's
+    projected key column.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.merge import merge_into
+    from kafka_streams_common_spark.queries.registry import table
+
+    events = table(spark, sf_dir, "events")
+
+    def fold(df: DataFrame) -> DataFrame:
+        s = F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+        return (
+            df.groupBy("user_id")
+            .agg(s)
+            .select(
+                "user_id",
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.value").alias("value"),
+            )
+        )
+
+    target = fold(events.filter(F.col("ts") < "2024-01-20"))
+    delta = fold(events.filter(F.col("ts") >= "2024-01-20"))
+    return merge_into(
+        target,
+        delta,
+        "user_id",
+        delete_condition=F.col("event_type") == "error",
+    )

@@ -5150,3 +5150,131 @@ def events_pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame
         n_matches.cast("bigint").alias("n_matches"),
         (n_matches > 0).alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout: pay the big-x-big join shuffle once at write time
+# (operators/bucketing.py)
+# ---------------------------------------------------------------------------
+
+def _bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the query and the plan test: write orders and lineitem
+    bucketed by orderkey (8 buckets), SortMergeJoin them exchange-free."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_streams_common_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    d = tempfile.mkdtemp(prefix="kscs_bucketed_")
+    atexit.register(shutil.rmtree, d, True)
+    write_bucketed(orders, "kscs_b_orders", "o_orderkey", 8, f"{d}/orders")
+    write_bucketed(li, "kscs_b_lineitem", "l_orderkey", 8, f"{d}/lineitem")
+    return bucketed_join(
+        spark,
+        "kscs_b_orders",
+        "kscs_b_lineitem",
+        on=lambda o, l: o.o_orderkey == l.l_orderkey,
+    )
+
+
+@query(
+    "bucketed_join_orders_lineitem",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-layout answer to the repo's biggest recurring join
+    (orders x lineitem on orderkey, TPC-H Q3/Q4/Q12's spine): both
+    tables written ``bucketBy(8, orderkey).sortBy(orderkey)``, then
+    joined as a SortMergeJoin whose distribution is satisfied by the
+    bucketed scans — ZERO Exchange in the join subtree (asserted in
+    tests/test_plans.py). The write pays one hash repartition per
+    table; every subsequent join on the key is shuffle-free, which at
+    100 TB converts the per-query O(data) shuffle into a one-time
+    ingest cost. The oracle replays the plain join on the raw parquet
+    — the layout must be invisible to results.
+    """
+    j = _bucketed_orders_lineitem_join(spark, sf_dir)
+    return (
+        j.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate percentiles with an exactness invariant gate (the
+# agg_approx_distinct_users convention for sketch outputs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_approx_percentile_value",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.9), 6) AS exact_p90,
+           TRUE AS p50_in_rank_band,
+           TRUE AS p90_in_rank_band
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna sketch) per event type —
+    the fixed-size mergeable quantile pass a 100 TB pipeline runs where
+    exact ``percentile`` would shuffle every value to one reducer per
+    group. Like the HLL row, the sketch value itself has no cross-engine
+    oracle (DuckDB's approx_quantile is t-digest), so the gated outputs
+    are the EXACT interpolated percentiles plus booleans asserting the
+    sketch landed inside the +/-5%-rank band around its target: GK with
+    accuracy=10000 guarantees rank error <= n/10000, ~50x tighter than
+    the band, so the gate only flips on a genuinely broken sketch while
+    staying deterministic on unseen driver data. Exact percentiles are
+    rounded to 6 dp (Spark interpolates in DOUBLE, DuckDB's
+    quantile_cont likewise — sub-ulp differences must not flip the
+    hash)."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile("value", 0.5).alias("__e50"),
+        F.percentile("value", 0.9).alias("__e90"),
+        F.percentile("value", 0.45).alias("__lo50"),
+        F.percentile("value", 0.55).alias("__hi50"),
+        F.percentile("value", 0.85).alias("__lo90"),
+        F.percentile("value", 0.95).alias("__hi90"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__a50"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("__a90"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round("__e50", 6).alias("exact_p50"),
+        F.round("__e90", 6).alias("exact_p90"),
+        F.col("__a50").between(F.col("__lo50"), F.col("__hi50")).alias(
+            "p50_in_rank_band"
+        ),
+        F.col("__a90").between(F.col("__lo90"), F.col("__hi90")).alias(
+            "p90_in_rank_band"
+        ),
+    )
