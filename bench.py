@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
+stdout line is the headline JSON: {"metric": "headline_queries_total_sec",
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...};
+one preceding line carries the FYI tracking rows (kept separate so a
+tail-capture or last-line parse always gets an intact headline — the
+round-8 single-line output was clipped by the driver's capture).
 
 Protocol (BASELINE.md): 1 warm-up + 3 timed runs per query, median recorded.
 Timing writes the full result to the noop sink, which materializes EVERY
@@ -192,6 +195,24 @@ def main() -> None:
     bench_set(TRACKING_QUERIES, tracking)
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Two lines, tracking FIRST and headline LAST: the grading driver
+    # tail-captures stdout, and in round 8 the single ever-growing line
+    # was clipped mid-way, losing the headline ("parsed": null in
+    # BENCH_r08.json). The headline line is small and final, so it
+    # survives both a tail capture and a last-line parse; the FYI
+    # tracking rows (no frozen budget — BASELINE.md "Tracking table")
+    # ride on their own sacrificial first line.
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_queries_total_sec",
+                "value": round(sum(tracking.values()), 3),
+                "unit": "sec",
+                "tracking": tracking,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -200,8 +221,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
-                # FYI-only rows — no frozen budget; see BASELINE.md
-                "tracking": tracking,
                 "tracking_total_sec": round(sum(tracking.values()), 3),
             }
         )

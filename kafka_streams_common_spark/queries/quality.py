@@ -592,13 +592,16 @@ def dq_drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ECDF_b|, plus the √(n_a·n_b/(n_a+n_b))-scaled statistic fed to the
     asymptotic p-value). Counts per distinct value and both cumulative
     sums are exact BIGINTs; each ECDF point is one double division, so
-    the max picks identical doubles on both engines. The ordered pass
-    runs over the VALUE HISTOGRAM (distinct totalprices) — at corpus
-    scale the swap is a two-pass binned KS on an approx-quantile grid
-    (error ≤ grid resolution), same posture as the calibration deciles;
-    the exact sup-statistic here is the gate."""
+    the max picks identical doubles on both engines. Values are
+    near-distinct, so the histogram is effectively |orders|-sized — the
+    cumulative pass therefore runs through ``operators/prefix.py``:
+    bounded quantile boundaries bucket the value axis, per-bucket sums
+    broadcast back as offsets, within-bucket running sums stay parallel
+    — the EXACT sup statistic (the oracle replays the plain
+    running-sum form bit-for-bit) with no single-partition sort."""
+    from kafka_streams_common_spark.operators.prefix import global_prefix
+
     orders = table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     v = orders.select(
         F.col("o_totalprice").alias("x"),
@@ -609,10 +612,9 @@ def dq_drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("n_a_v"), F.sum("in_b").alias("n_b_v")
     )
     t = h.agg(F.sum("n_a_v").alias("na"), F.sum("n_b_v").alias("nb"))
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    c = h.select(
-        F.sum("n_a_v").over(w).alias("ca"),
-        F.sum("n_b_v").over(w).alias("cb"),
+    c = global_prefix(h, ["x"], sum_cols=["n_a_v", "n_b_v"]).select(
+        F.col("run_n_a_v").alias("ca"),
+        F.col("run_n_b_v").alias("cb"),
     )
     diff = F.abs(
         F.col("ca").cast("double") / F.col("na").cast("double")

@@ -1190,14 +1190,16 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram accumulates, for each score, the negatives strictly
     below it; ``Σ np_s·(2·below + nn_s) / (2·np·nn)`` is exactly the
     tie-averaged pairwise win rate (the ×2 keeps half-credit for ties
-    in integers until the final division). The window runs over
+    in integers until the final division). The ordered pass runs over
     |distinct scores| rows — bounded by the logit's value range, not
-    the corpus — and the scoring itself is the map-only hash fold
+    the corpus — and even that goes through the bucketed distributed
+    prefix (``operators/prefix.py``), so no single-partition sort
+    exists at any width; the scoring itself is the map-only hash fold
     (``operators/text.py: classifier_logit_mills``). Everything before
     the one double division is exact integer arithmetic."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from kafka_streams_common_spark.operators.prefix import global_prefix
     from kafka_streams_common_spark.operators.text import (
         classifier_logit_mills,
     )
@@ -1210,11 +1212,13 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np_s"),
         F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("nn_s"),
     )
-    w = Window.orderBy("mills").rowsBetween(Window.unboundedPreceding, -1)
-    c = hist.select(
+    # exclusive prefix over the score histogram via the bucketed
+    # distributed prefix (operators/prefix.py) — the histogram is
+    # value-bounded but can still be wide; nothing single-partitions
+    c = global_prefix(hist, ["mills"], sum_cols=["nn_s"]).select(
         "np_s",
         "nn_s",
-        F.coalesce(F.sum("nn_s").over(w), F.lit(0)).alias("below"),
+        (F.col("run_nn_s") - F.col("nn_s")).alias("below"),
     )
     return c.agg(
         F.sum("np_s").cast("bigint").alias("n_pos"),
@@ -1262,15 +1266,21 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact order) vs the observed positive rate (lang = 'en') per
     bin — the reliability diagram that tells you whether a gate
     threshold means what its score claims. Mean logit and positive rate
-    are single double divisions of exact integer sums. The ntile is the
-    one global sort; at corpus scale the same readout comes from
-    assigning bins by precomputed quantile boundaries (one
-    approx-quantile pass + a scan-side CASE), which this query's
-    histogram inputs already support — the gate pins the exact-decile
-    semantics."""
-    from pyspark.sql import Window
+    are single double divisions of exact integer sums. Exact-ntile
+    semantics WITHOUT the global single-partition sort: a bounded
+    approx-quantile boundary set buckets the corpus, per-bucket row
+    counts broadcast back as rank offsets, and the decile index is
+    recomputed from the exact global rank via the shared ntile algebra
+    (``operators/prefix.py``) — bit-identical to
+    ``ntile(10) OVER (ORDER BY mills, doc_id)`` (the oracle keeps that
+    exact form) while every corpus-sized sort stays per-bucket
+    parallel."""
     from pyspark.sql import functions as F
 
+    from kafka_streams_common_spark.operators.prefix import (
+        global_prefix,
+        ntile_from_rank,
+    )
     from kafka_streams_common_spark.operators.text import (
         classifier_logit_mills,
     )
@@ -1278,13 +1288,15 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     scored = classifier_logit_mills(
         docs, extra_cols=((F.col("lang") == "en").alias("pos"),)
+    ).select("doc_id", "pos", "logit_mills")
+    ranked = global_prefix(
+        scored, ["logit_mills", "doc_id"], rank_col="__rank"
     )
-    b = scored.select(
+    total = scored.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    b = ranked.crossJoin(F.broadcast(total)).select(
         "pos",
         "logit_mills",
-        F.ntile(10)
-        .over(Window.orderBy("logit_mills", "doc_id"))
-        .alias("bin"),
+        ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias("bin"),
     )
     return b.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1575,13 +1587,15 @@ def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     so tie averaging stays integer (2·avg_rank = 2·count_below + cnt +
     1), making tie handling integer-exact; moments accumulate in DECIMAL
     (sum(ra²) ~ 4n³/3 overflows BIGINT at ~5×10⁴ docs) and ρ is one
-    guarded DOUBLE expression over their exact sums. Ranks come from the two VALUE HISTOGRAMS (cumulative
-    counts over distinct scores / lengths — the AUC posture: bounded by
-    value range, not corpus size), joined back map-side; no per-row
-    global rank window."""
-    from pyspark.sql import Window
+    guarded DOUBLE expression over their exact sums. Ranks come from
+    the two VALUE HISTOGRAMS (cumulative counts over distinct scores /
+    lengths — the AUC posture: bounded by value range, not corpus
+    size), each accumulated through the bucketed distributed prefix
+    (``operators/prefix.py``) and joined back map-side; no
+    single-partition window anywhere."""
     from pyspark.sql import functions as F
 
+    from kafka_streams_common_spark.operators.prefix import global_prefix
     from kafka_streams_common_spark.operators.text import (
         classifier_logit_mills,
     )
@@ -1593,14 +1607,10 @@ def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = s.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-        return h.select(
+        # 2·avg_rank = 2·count_below + cnt + 1 = 2·run_cnt − cnt + 1
+        return global_prefix(h, ["v"], sum_cols=["cnt"]).select(
             "v",
-            (
-                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                + F.col("cnt")
-                + 1
-            ).alias("r2"),
+            (2 * F.col("run_cnt") - F.col("cnt") + 1).alias("r2"),
         )
     ha = ranks("logit_mills").withColumnsRenamed({"v": "va", "r2": "ra"})
     hb = ranks("n_chars").withColumnsRenamed({"v": "vb", "r2": "rb"})

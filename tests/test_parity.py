@@ -16,6 +16,21 @@ def test_query_matches_oracle(name, spark, oracle_con):
     assert_matches_oracle(df, oracle_con, ORACLES[name])
 
 
+def test_registered_count_matches_readme():
+    """README.md's verification ledger states the registered-query
+    count in prose; the ledger is the trust anchor, so the prose must
+    track ``len(QUERIES)`` exactly (the r8 verdict caught a drift)."""
+    import pathlib
+    import re
+
+    readme = pathlib.Path(__file__).resolve().parents[1] / "README.md"
+    m = re.search(r"this repo\nregisters (\d+) — all (\d+) oracle-gated",
+                  readme.read_text())
+    assert m, "README ledger count sentence not found"
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+    assert int(m.group(2)) == len(ORACLES), (m.group(2), len(ORACLES))
+
+
 def test_every_query_runs_and_named(spark):
     for name, fn in QUERIES.items():
         df = fn(spark, SF_ORACLE)

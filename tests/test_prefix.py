@@ -1,0 +1,107 @@
+"""Distributed global prefix aggregation vs the single-partition truth.
+
+``operators/prefix.py`` must be BIT-IDENTICAL to the
+``Window.orderBy(...)`` (no partitionBy) plan it replaces — rank,
+running sums, and the derived ntile — across bucket counts, ties, and
+degenerate inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_streams_common_spark.operators.prefix import (
+    global_prefix,
+    ntile_from_rank,
+)
+
+
+def _fixture(spark):
+    # values with heavy ties (v repeats), negative values, and a
+    # unique tiebreaker id
+    rows = [(i, (i * 7) % 13 - 6, (i * 3) % 5) for i in range(997)]
+    return spark.createDataFrame(rows, "id long, v long, w long")
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32, 2000])
+def test_rank_matches_global_window(spark, n_buckets):
+    df = _fixture(spark)
+    got = global_prefix(
+        df, ["v", "id"], rank_col="rnk", n_buckets=n_buckets
+    )
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("rnk")
+    )
+    diff = (
+        got.select("id", "rnk")
+        .exceptAll(want)
+        .unionAll(want.exceptAll(got.select("id", "rnk")))
+    )
+    assert diff.count() == 0
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_running_sums_match_global_window(spark, n_buckets):
+    df = _fixture(spark).groupBy("v").agg(
+        F.sum("w").alias("sw"), F.count(F.lit(1)).alias("cnt")
+    )  # distinct order key, like the KS histogram
+    got = global_prefix(
+        df, ["v"], sum_cols=["sw", "cnt"], n_buckets=n_buckets
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "v",
+        F.sum("sw").over(w).alias("run_sw"),
+        F.sum("cnt").over(w).alias("run_cnt"),
+    )
+    got_pd = got.select("v", "run_sw", "run_cnt").orderBy("v").toPandas()
+    want_pd = want.orderBy("v").toPandas()
+    assert got_pd.equals(want_pd)
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    df = _fixture(spark)
+    for k in (3, 10, 997, 1500):  # includes n % k != 0 and k > n
+        ranked = global_prefix(df, ["v", "id"], rank_col="rnk", n_buckets=8)
+        total = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        got = ranked.crossJoin(F.broadcast(total)).select(
+            "id", ntile_from_rank(F.col("rnk"), F.col("n"), k).alias("b")
+        )
+        want = df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("b")
+        )
+        diff = (
+            got.exceptAll(want).unionAll(want.exceptAll(got))
+        )
+        assert diff.count() == 0, f"k={k}"
+
+
+def test_all_null_and_empty_inputs(spark):
+    empty = spark.createDataFrame([], "id long, v long")
+    out = global_prefix(empty, ["v", "id"], rank_col="rnk", sum_cols=["v"])
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v", "rnk", "run_v"}
+
+
+def test_requires_something_to_compute(spark):
+    df = _fixture(spark)
+    with pytest.raises(ValueError):
+        global_prefix(df, ["v"])
+
+
+def test_no_global_sort_in_plan(spark):
+    """The replacement's whole point: no data-sized single-partition
+    WindowExec. Every Window in the physical plan must carry a
+    partitionBy (the __bucket column)."""
+    df = _fixture(spark)
+    plan = (
+        global_prefix(df, ["v", "id"], rank_col="rnk", n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__bucket" in line, line
