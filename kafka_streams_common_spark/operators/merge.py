@@ -51,9 +51,23 @@ def merge_into(
     delete_condition: Column | None = None,
     insert: bool = True,
     broadcast_source: bool = True,
+    dedup_source_by: list[str] | None = None,
 ) -> DataFrame:
     """Apply ``source`` onto ``target`` keyed by column ``on``; returns
     the merged table with target's schema.
+
+    PRECONDITION — unique source keys: like SQL MERGE (which raises on
+    multiple source matches), ``source`` must hold AT MOST ONE row per
+    ``on`` key. A duplicated key would multiply each matched target row
+    once per duplicate through the left join AND append every
+    non-tombstone duplicate through the insert leg — silent fan-out,
+    not an error. If the feed can carry several versions per key (the
+    raw-CDC norm), pass ``dedup_source_by``: a list of source columns
+    ordered by, e.g. ``["op_ts", "seq"]``, and the source is first
+    folded to its per-key row with the GREATEST ordering tuple (the S2
+    latest-per-key ``max_by`` fold — one hash aggregation, map-side
+    combinable). The ordering must be total within a key, or which
+    duplicate wins is nondeterministic.
 
     ``update_cols``: target columns overwritten from the source's
     same-named columns on match (default: every shared non-key column).
@@ -83,6 +97,23 @@ def merge_into(
         if delete_condition is not None
         else F.lit(False),
     )
+    if dedup_source_by is not None:
+        absent = [c for c in dedup_source_by if c not in source.columns]
+        if absent:
+            raise ValueError(f"dedup_source_by absent from source: {absent}")
+        # latest-per-key fold (registry.py S2 pattern): max_by on the
+        # ordering tuple, then unpack — one map-side-combinable hash agg
+        cols = [c for c in src.columns if c != on]
+        src = (
+            src.groupBy(on)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols]),
+                    F.struct(*[F.col(c) for c in dedup_source_by]),
+                ).alias("__latest")
+            )
+            .select(on, *[F.col(f"__latest.{c}").alias(c) for c in cols])
+        )
     s = (F.broadcast(src) if broadcast_source else src).alias("__s")
     t = target.alias("__t")
     matched = F.col(f"__s.{on}").isNotNull()

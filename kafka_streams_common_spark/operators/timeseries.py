@@ -38,6 +38,7 @@ def ewma(
     value_col: str,
     alpha: float = 0.25,
     out_col: str = "ewma",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key series.
 
@@ -45,6 +46,14 @@ def ewma(
     ``y_i = alpha·x_i + (1-alpha)·y_{i-1}`` in ``order_col`` order within
     each key group. Prefer an exactly-representable ``alpha`` (0.25, 0.5,
     0.125…) so the recurrence is bit-reproducible on any engine.
+
+    DETERMINISM: ``(key_cols, order_col)`` must be unique per row — a
+    recurrence has no well-defined result under order ties (the stable
+    sort would preserve whatever row order the shuffle delivered). If
+    the series can carry duplicate timestamps, pass ``tiebreak_cols``
+    to extend the sort into a total order; every in-repo caller feeds a
+    pre-aggregated census (one row per key × period) so the default
+    stays bare.
 
     Scale shape: one shuffle on ``key_cols`` (the applyInPandas grouping),
     then a map-side NumPy scan per series. Memory per task = one series —
@@ -54,9 +63,10 @@ def ewma(
     a = float(alpha)
     out_schema = StructType(list(df.schema.fields)).add(out_col, DoubleType())
     cols = list(df.columns) + [out_col]
+    sort_cols = [order_col] + list(tiebreak_cols or [])
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         vals = pdf[value_col].astype("float64").to_list()
         out = []
         prev = 0.0

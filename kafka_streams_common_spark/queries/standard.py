@@ -4986,13 +4986,13 @@ def timeseries_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                * sin((radians(lon2) - radians(lon1)) / 2)
            )), 6) AS dist_km
     FROM cand
-    WHERE 2.0 * 6371.0 * asin(sqrt(
+    WHERE round(2.0 * 6371.0 * asin(sqrt(
             sin((radians(lat2) - radians(lat1)) / 2)
               * sin((radians(lat2) - radians(lat1)) / 2)
             + cos(radians(lat1)) * cos(radians(lat2))
               * sin((radians(lon2) - radians(lon1)) / 2)
               * sin((radians(lon2) - radians(lon1)) / 2)
-          )) <= 5.0
+          )), 6) <= 5.0
     """,
 )
 def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5007,10 +5007,11 @@ def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs theta join), and exact haversine verifies. Work is
     Σ(points-per-cell²) over 9 neighbor cells — density-bounded, the
     same skew posture as LSH buckets (cap mega-cells on real data).
-    The haversine expression is shape-identical on both engines; the
-    reported distance rounds to 6 dp so a sub-ulp libm difference in
-    trig cannot flip the hash (the ≤ 5 km gate itself is evaluated on
-    the raw double on both sides)."""
+    The haversine expression is shape-identical on both engines, and
+    BOTH the reported distance AND the ≤ 5 km gate evaluate on the
+    6-dp-rounded value, so a sub-ulp libm difference in trig can flip
+    neither a cell value nor row MEMBERSHIP at the radius boundary —
+    gate and report quantize identically on both sides."""
     from kafka_streams_common_spark.functions.hashing import md5_int64
 
     cust = table(spark, sf_dir, "customer").select("c_custkey")
@@ -5086,7 +5087,7 @@ def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sin(dlon)
         )
     )
-    return cand.filter(hav <= 5.0).select(
+    return cand.filter(F.round(hav, 6) <= 5.0).select(
         "a_custkey", "b_custkey", F.round(hav, 6).alias("dist_km")
     )
 

@@ -668,7 +668,7 @@ def main() -> None:
         k = F.regexp_extract("props", '"k": (-?[0-9]+)', 1).cast("bigint")
         return ev.select(
             F.when(~valid, 1).otherwise(0).alias("bp"),
-            F.when(valid & (k >= 95), 1).otherwise(0).alias("ko"),
+            F.when(valid & ((k >= 95) | (k < 0)), 1).otherwise(0).alias("ko"),
             F.when(F.col("value") > 300.0, 1).otherwise(0).alias("ve"),
         ).agg(
             F.sum("bp").alias("n_bp"),

@@ -46,6 +46,32 @@ def test_ewma_matches_sequential_reference(spark):
     assert ewma(one, ["k"], "t", "x").collect()[0]["ewma"] == 42.0
 
 
+def test_ewma_tiebreak_cols_make_duplicate_timestamps_deterministic(spark):
+    """Duplicate order_col values: tiebreak_cols extends the sort to a
+    total order, so the fold is reproducible regardless of the row
+    order the shuffle delivers."""
+    rows = [("k", "t0", i, float(v)) for i, v in enumerate([5, 1, 9, 3])]
+    for seed in (0, 1, 2):
+        shuffled = list(rows)
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(
+            shuffled, ["k", "t", "seq", "x"]
+        ).repartition(4)
+        got = [
+            r["ewma"]
+            for r in ewma(
+                df, ["k"], "t", "x", alpha=0.25, tiebreak_cols=["seq"]
+            )
+            .orderBy("seq")
+            .collect()
+        ]
+        want, prev = [], None
+        for _, _, _, x in rows:
+            prev = x if prev is None else 0.25 * x + 0.75 * prev
+            want.append(prev)
+        assert got == want, seed
+
+
 # ---------------------------------------------------------------------------
 # BFS — iterative frontier expansion vs brute-force shortest hops
 # ---------------------------------------------------------------------------

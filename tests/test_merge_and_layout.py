@@ -73,6 +73,45 @@ def test_merge_null_delete_condition_counts_false(spark):
     assert [(r["k"], r["v"]) for r in got] == [(1, "A")]
 
 
+def test_merge_dedup_source_by_folds_duplicate_keys(spark):
+    """A duplicated source key must NOT fan out when dedup_source_by is
+    given: the row with the greatest ordering tuple wins on every leg —
+    update, delete, and insert."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [
+            (1, "A1", 1, "u"),  # superseded
+            (1, "A2", 2, "u"),  # wins for k=1 -> update to A2
+            (2, "B1", 2, "d"),  # wins for k=2 -> delete
+            (2, "B2", 1, "u"),  # superseded
+            (4, "D1", 1, "u"),  # superseded
+            (4, "D2", 3, "u"),  # wins for k=4 -> single insert
+        ],
+        "k int, v string, seq int, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_into(
+            target,
+            source,
+            "k",
+            delete_condition=F.col("op") == "d",
+            dedup_source_by=["seq"],
+        ).collect()
+    }
+    assert got == {1: "A2", 4: "D2"}
+    # and the same feed WITHOUT the fold fans out (the documented
+    # precondition violation — 2 rows for k=1, duplicate inserts for 4)
+    fanned = merge_into(
+        target, source, "k", delete_condition=F.col("op") == "d"
+    ).collect()
+    assert len([r for r in fanned if r["k"] == 4]) == 2
+    with pytest.raises(ValueError):
+        merge_into(target, source, "k", dedup_source_by=["nope"])
+
+
 def test_merge_rejects_bad_update_cols_and_missing_key(spark):
     target, source = _fixture(spark)
     with pytest.raises(ValueError, match="absent from source"):
