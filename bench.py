@@ -149,6 +149,8 @@ TRACKING_QUERIES = [
     "merge_upsert_user_state",
     "bucketed_join_orders_lineitem",
     "agg_approx_percentile_value",
+    # round-9 additions
+    "er_fuzzy_match_brand_ngram",
 ]
 
 

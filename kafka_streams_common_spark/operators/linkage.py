@@ -14,8 +14,12 @@ magnitude smaller than the facts) broadcasts its token index; edit
 distance is a JVM builtin (``levenshtein``) evaluated per candidate, and
 the best-match argmin is a hash aggregation keyed on the dirty id. A
 single-token typo can break one token, so multi-token names still share
-at least one blocking token with their entity — single-token names would
-need an n-gram blocking pass instead (same shape, finer keys).
+at least one blocking token with their entity — for SINGLE-token names
+(where the typo breaks the only blocking key) pass
+``blocking="ngram"``: character n-grams as the blocking keys, same
+inverted-index shape, finer keys — a single edit destroys at most
+``ngram_size`` of the name's n-grams, so recall survives any one typo
+in any name of length > 2·ngram_size − 1.
 """
 
 from __future__ import annotations
@@ -31,10 +35,18 @@ def fuzzy_match_to_reference(
     ref_name_col: str,
     id_col: str,
     max_distance: int = 2,
+    blocking: str = "token",
+    ngram_size: int = 3,
 ) -> DataFrame:
     """Resolve each dirty row to its best reference entity.
 
-    Blocking: a candidate pair must share at least one whitespace token.
+    Blocking: a candidate pair must share at least one key —
+    whitespace tokens (``blocking="token"``, the multi-token-name
+    default) or character n-grams (``blocking="ngram"``, ``ngram_size``
+    chars; the single-token-name mode — a typo inside the only token
+    breaks token blocking entirely but destroys at most ``ngram_size``
+    n-grams). Names shorter than ``ngram_size`` contribute themselves
+    as the one key.
     Verification: ``levenshtein(dirty, ref) <= max_distance``.
     Resolution: per dirty id, the (distance, ref_name)-minimal match —
     deterministic under ties. Returns
@@ -42,17 +54,29 @@ def fuzzy_match_to_reference(
     rows keep NULL matched_name/distance (they need a human or a finer
     blocking pass, not a silent drop).
     """
+    if blocking not in ("token", "ngram"):
+        raise ValueError(f"unknown blocking mode: {blocking!r}")
+
+    def keys(col: str):
+        if blocking == "token":
+            return F.explode(F.split(F.col(col), " "))
+        n = int(ngram_size)
+        return F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({col}) - {n} + 1,"
+                f" 1)), i -> substring({col}, i, {n}))"
+            )
+        )
+
     d_tok = dirty.select(
         F.col(id_col),
         F.col(dirty_name_col).alias("__dirty"),
-        F.explode(F.split(F.col(dirty_name_col), " ")).alias("__tok"),
+        keys(dirty_name_col).alias("__tok"),
     ).filter(F.col("__tok") != "")
     r_tok = (
         reference.select(F.col(ref_name_col).alias("__ref"))
         .distinct()
-        .select(
-            "__ref", F.explode(F.split(F.col("__ref"), " ")).alias("__tok")
-        )
+        .select("__ref", keys("__ref").alias("__tok"))
         .filter(F.col("__tok") != "")
         .distinct()
     )

@@ -180,6 +180,14 @@ _R10_OWED = (
 )
 assert all(n in QUERIES for n in _R10_OWED)
 
+# new-in-r9 registrations (never driver-checked; local-parity green):
+# pinned to lead the r10 window together with _R10_OWED, ahead of the
+# stale refresh queue — the standing convention for late registrations
+_R10_NEW = (
+    "er_fuzzy_match_brand_ngram",
+)
+assert all(n in QUERIES for n in _R10_NEW)
+
 # Past the window: every one of these has a green driver row from
 # r6/r7/r8 on unchanged code, except the _R10_OWED changed-code rows
 # above and the six ≥3-green r5 rows named in the module docstring. All

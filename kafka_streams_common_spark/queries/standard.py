@@ -3128,6 +3128,103 @@ def er_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "er_fuzzy_match_brand_ngram",
+    oracle="""
+    WITH ref AS (SELECT DISTINCT p_brand AS ref_name FROM part),
+    dirty AS (
+      SELECT p_partkey,
+             concat(substr(p_brand, 1, dp - 1), substr(p_brand, dp + 1))
+               AS dirty_name
+      FROM (
+        SELECT p_partkey, p_brand,
+               1 + (('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || '|b'),
+                     1, 15))::BIGINT % length(p_brand)) AS dp
+        FROM part
+      )
+    ),
+    d_tok AS (
+      SELECT DISTINCT p_partkey, dirty_name,
+             unnest(list_transform(
+               range(1, greatest(length(dirty_name) - 2, 1) + 1),
+               i -> substr(dirty_name, CAST(i AS INT), 3))) AS tok
+      FROM dirty
+    ),
+    r_tok AS (
+      SELECT DISTINCT ref_name,
+             unnest(list_transform(
+               range(1, greatest(length(ref_name) - 2, 1) + 1),
+               i -> substr(ref_name, CAST(i AS INT), 3))) AS tok
+      FROM ref
+    ),
+    cand AS (
+      SELECT DISTINCT d.p_partkey, d.dirty_name, r.ref_name
+      FROM (SELECT * FROM d_tok WHERE tok <> '') d
+      JOIN (SELECT * FROM r_tok WHERE tok <> '') r USING (tok)
+    ),
+    scored AS (
+      SELECT p_partkey, dirty_name, ref_name,
+             levenshtein(dirty_name, ref_name) AS dist
+      FROM cand
+    ),
+    best AS (
+      SELECT p_partkey, ref_name, dist FROM (
+        SELECT p_partkey, ref_name, dist,
+               row_number() OVER (
+                 PARTITION BY p_partkey ORDER BY dist, ref_name
+               ) AS rn
+        FROM scored WHERE dist <= 2
+      ) WHERE rn = 1
+    )
+    SELECT d.p_partkey, d.dirty_name,
+           b.ref_name AS matched_name,
+           CAST(b.dist AS BIGINT) AS distance
+    FROM dirty d LEFT JOIN best b USING (p_partkey)
+    """,
+)
+def er_fuzzy_match_brand_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, n-gram blocking mode (``operators/linkage.py``
+    ``blocking="ngram"``) — the SINGLE-token-name witness the token
+    mode's own docstring concedes it cannot handle: ``p_brand`` is one
+    token ("Brand#NM"), so a one-character drop (md5-chosen position)
+    breaks the only whitespace blocking key and token blocking yields
+    ZERO candidates. Character-3-gram keys survive any single edit
+    (at most 3 of the name's 6 grams die), so every corrupted brand
+    still blocks with its entity; levenshtein verifies and the
+    (distance, name)-argmin resolves — same inverted-index shape,
+    finer keys, reference side still a broadcast. The oracle replays
+    perturbation, 3-gram blocking, and scoring bit-for-bit."""
+    from kafka_streams_common_spark.operators.linkage import (
+        fuzzy_match_to_reference,
+    )
+    from kafka_streams_common_spark.functions.hashing import md5_int64
+
+    part = table(spark, sf_dir, "part")
+    dp = (
+        md5_int64(F.concat(F.col("p_partkey").cast("string"), F.lit("|b")))
+        % F.length("p_brand")
+        + 1
+    ).alias("dp")
+    dirty = part.select("p_partkey", "p_brand", dp).select(
+        "p_partkey",
+        F.concat(
+            F.expr("substr(p_brand, 1, dp - 1)"),
+            F.expr("substr(p_brand, dp + 1)"),
+        ).alias("dirty_name"),
+    )
+    ref = part.select(F.col("p_brand").alias("ref_name"))
+    return fuzzy_match_to_reference(
+        dirty,
+        ref,
+        "dirty_name",
+        "ref_name",
+        "p_partkey",
+        max_distance=2,
+        blocking="ngram",
+        ngram_size=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # marketing attribution + cohort retention (event analytics tier)
 # ---------------------------------------------------------------------------
