@@ -151,6 +151,7 @@ TRACKING_QUERIES = [
     "agg_approx_percentile_value",
     # round-9 additions
     "er_fuzzy_match_brand_ngram",
+    "llm_token_budget_shards",
 ]
 
 

@@ -465,6 +465,48 @@ def pack_sequences(
     )
 
 
+def token_budget_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """ORDER-PRESERVING token-budget sharding: walk the corpus in
+    ``id_col`` order and cut a new shard every ``budget_tokens`` tokens —
+    ``shard = floor(start_offset / budget)`` where ``start_offset`` is
+    the exact number of tokens strictly before the document. Returns
+    ``(id_col, n_tokens, shard)``.
+
+    This is the writer shape for dataloaders that stream a REPRODUCIBLE
+    global order (curriculum schedules, resumable epochs): unlike
+    ``pack_sequences`` (order-free bin packing for maximal fill) the
+    document sequence is preserved, every shard is a contiguous id
+    range, and shard sizes are budget ± one document. Exact start
+    offsets come from the distributed global prefix
+    (``operators/prefix.py`` — bounded boundary collect, per-bucket
+    parallel windows, no single-partition sort), so the assignment is
+    deterministic, engine-exact integer arithmetic at any corpus size.
+    """
+    from kafka_streams_common_spark.operators.prefix import global_prefix
+
+    counts = docs.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    run = global_prefix(counts, [id_col], sum_cols=["n_tokens"])
+    return run.select(
+        id_col,
+        "n_tokens",
+        (
+            (F.col("run_n_tokens") - F.col("n_tokens"))
+            / F.lit(int(budget_tokens))
+        )
+        .cast("bigint")
+        .alias(shard_col),
+    )
+
+
 # Gopher quality-rule constants (Rae et al. 2021, "Scaling Language Models:
 # ... Gopher", Appendix A1.1 — public paper). min_words is adapted down to
 # the fixture's 10-99-word documents; callers pass the paper's 50 for a

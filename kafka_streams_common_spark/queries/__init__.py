@@ -185,6 +185,7 @@ assert all(n in QUERIES for n in _R10_OWED)
 # stale refresh queue — the standing convention for late registrations
 _R10_NEW = (
     "er_fuzzy_match_brand_ngram",
+    "llm_token_budget_shards",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

@@ -474,6 +474,59 @@ def llm_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_token_budget_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+      FROM t
+    )
+    SELECT CAST(off // 20000 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM r GROUP BY 1
+    """,
+)
+def llm_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving token-budget sharding
+    (``operators/text.py: token_budget_shards``): cut the corpus, in
+    deterministic doc_id order, into contiguous ~20k-token shards —
+    ``shard = floor(start_offset / budget)`` on the EXACT global token
+    prefix. The writer shape for reproducible-order dataloaders
+    (curriculum schedules, resumable epochs), complementing
+    ``llm_pack_sequences`` (order-free fill-maximizing packing) and
+    ``llm_corpus_shards`` (row-budgeted range shards). The exact global
+    running sum comes from the distributed bucketed prefix
+    (``operators/prefix.py``) — no single-partition sort — and the
+    oracle replays the plain running-sum form bit-for-bit; the readout
+    aggregates each shard's doc count, token total, and id range (the
+    contiguity witness: ranges are disjoint and ordered by shard)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.text import (
+        token_budget_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = token_budget_shards(docs, 20000)
+    return shards.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
     "text_unigram_logprob",
     oracle="""
     WITH w AS (

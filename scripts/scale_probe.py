@@ -705,6 +705,44 @@ def main() -> None:
         }
     )
 
+    # distributed global prefix (operators/prefix.py) — the r9 swap for
+    # every global-ordered readout. Two shapes: exact global RANK over
+    # the raw corpus (the calibration-decile shape) and running SUMS
+    # over a near-distinct value histogram (the KS-ECDF shape). Both
+    # must grow ~linearly; the single-partition window they replace
+    # grows superlinearly and, at real scale, simply dies.
+    from kafka_streams_common_spark.operators.prefix import global_prefix
+
+    def _prefix_rank(docs):
+        ranked = global_prefix(
+            docs.select("doc_id", F.length("text").alias("x")),
+            ["x", "doc_id"],
+            rank_col="rnk",
+        )
+        return ranked.groupBy().agg(
+            F.sum("rnk").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    def _prefix_ecdf(ev):
+        h = ev.groupBy(F.col("value").alias("x")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        c = global_prefix(h, ["x"], sum_cols=["cnt"])
+        return c.groupBy().agg(F.max("run_cnt").alias("n"))
+
+    probes.update(
+        {
+            "prefix_global_rank": (
+                lambda: _prefix_rank(docs1),
+                lambda: _prefix_rank(docs8),
+            ),
+            "prefix_ecdf_sums": (
+                lambda: _prefix_ecdf(events1),
+                lambda: _prefix_ecdf(events8),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

@@ -105,3 +105,28 @@ def test_no_global_sort_in_plan(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__bucket" in line, line
+
+
+def test_token_budget_shards_contiguous_and_exact(spark):
+    """token_budget_shards (the order-preserving consumer): shard ids
+    are floor(start_offset / budget) against an exact sequential
+    reference; shards form contiguous, ordered id ranges."""
+    from kafka_streams_common_spark.operators.text import (
+        token_budget_shards,
+    )
+
+    rows = [(i, " ".join(["w"] * ((i * 13) % 17 + 1))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard"])
+        for r in token_budget_shards(docs, 50).collect()
+    }
+    off = 0
+    prev_shard = 0
+    for i, text in rows:  # doc_id order
+        n = len(text.split(" "))
+        want_shard = off // 50
+        assert got[i] == (n, want_shard), i
+        assert want_shard >= prev_shard  # order-preserving contiguity
+        prev_shard = want_shard
+        off += n
