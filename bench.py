@@ -152,6 +152,7 @@ TRACKING_QUERIES = [
     # round-9 additions
     "er_fuzzy_match_brand_ngram",
     "llm_token_budget_shards",
+    "timeseries_holt_trend_daily",
 ]
 
 

@@ -81,3 +81,66 @@ def ewma(
     return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
         kernel, out_schema
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per key series
+    — the level+trend recurrence behind short-horizon forecasting that
+    EWMA (level only) cannot express:
+
+    ``l_1 = x_1``, ``b_1 = 0``, then
+    ``l_i = alpha·x_i + (1−alpha)·(l_{i−1} + b_{i−1})``,
+    ``b_i = beta·(l_i − l_{i−1}) + (1−beta)·b_{i−1}``.
+
+    Adds ``level``, ``trend``, and ``forecast`` (= level + trend, the
+    one-step-ahead prediction). Same execution and determinism contract
+    as ``ewma`` above: grouped Arrow kernel, one shuffle on
+    ``key_cols``, float64 in exactly the expression shapes a recursive
+    CTE replays (prefer exactly-representable alpha/beta);
+    ``(key_cols, order_col)`` must be unique unless ``tiebreak_cols``
+    extends the sort to a total order.
+    """
+    a = float(alpha)
+    g = float(beta)
+    out_schema = (
+        StructType(list(df.schema.fields))
+        .add("level", DoubleType())
+        .add("trend", DoubleType())
+        .add("forecast", DoubleType())
+    )
+    cols = list(df.columns) + ["level", "trend", "forecast"]
+    sort_cols = [order_col] + list(tiebreak_cols or [])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].astype("float64").to_list()
+        levels, trends = [], []
+        lv = bv = 0.0
+        for i, x in enumerate(vals):
+            if i == 0:
+                lv, bv = x, 0.0
+            else:
+                prev = lv
+                # same expression shapes as the recursive-CTE oracle
+                lv = a * x + (1.0 - a) * (prev + bv)
+                bv = g * (lv - prev) + (1.0 - g) * bv
+            levels.append(lv)
+            trends.append(bv)
+        pdf = pdf.assign(
+            level=levels,
+            trend=trends,
+            forecast=[lv + bv for lv, bv in zip(levels, trends)],
+        )
+        return pdf[cols]
+
+    return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
+        kernel, out_schema
+    )

@@ -186,6 +186,7 @@ assert all(n in QUERIES for n in _R10_OWED)
 _R10_NEW = (
     "er_fuzzy_match_brand_ngram",
     "llm_token_budget_shards",
+    "timeseries_holt_trend_daily",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

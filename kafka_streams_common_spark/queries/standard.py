@@ -4815,6 +4815,65 @@ def timeseries_ewma_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "timeseries_holt_trend_daily",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+      SELECT event_type, day, n_events,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    r AS (
+      SELECT event_type, day, n_events, rn,
+             CAST(n_events AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.day, x.n_events, x.rn,
+             0.5 * CAST(x.n_events AS DOUBLE) + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * CAST(x.n_events AS DOUBLE)
+                      + 0.5 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM numbered x JOIN r
+        ON x.event_type = r.event_type AND x.rn = r.rn + 1
+    )
+    SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+           l AS level, b AS trend, l + b AS forecast
+    FROM r
+    """,
+)
+def timeseries_holt_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing of daily volume per event type
+    (α = 0.5, β = 0.25, level seeded by the first observation, trend by
+    zero) — the level+trend recurrence behind short-horizon load
+    forecasting that EWMA (level only) and frame-bounded moving
+    averages cannot express; ``forecast = level + trend`` is the
+    one-step-ahead prediction monitoring alerts threshold against.
+    Runs as the same grouped Arrow kernel as the EWMA row
+    (``operators/timeseries.py: holt_linear``): one shuffle keys the
+    |types|×|days| census by series, a NumPy scan per key (state = two
+    scalars), parallel across series. α/β are exactly representable and
+    the kernel's update expressions are shape-identical to the oracle's
+    recursive CTE (which re-derives the new level inside the trend
+    update — the same correctly-rounded doubles), so results are
+    bit-identical across engines. The oracle IS the sequential
+    definition the distributed plan replaces."""
+    from kafka_streams_common_spark.operators.timeseries import holt_linear
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return holt_linear(
+        daily, ["event_type"], "day", "n_events", alpha=0.5, beta=0.25
+    )
+
+
+@query(
     "timeseries_twap_value_daily",
     oracle="""
     WITH seg AS (

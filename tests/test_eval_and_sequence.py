@@ -371,3 +371,34 @@ def test_pattern_match_matches_python_re(spark):
         n = len(pat.findall(s))
         assert got[u] == (len(syms), n, n > 0)
     assert set(got) == set(seqs)
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    from kafka_streams_common_spark.operators.timeseries import holt_linear
+
+    rng = random.Random(11)
+    rows = [
+        (key, f"t{i:03d}", rng.randint(0, 500))
+        for key in ("a", "b")
+        for i in range(30)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {
+        (r["k"], r["t"]): (r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, ["k"], "t", "x", alpha=0.5, beta=0.25)
+        .collect()
+    }
+    by_key: dict[str, list] = {}
+    for k, t, x in sorted(rows):
+        by_key.setdefault(k, []).append((t, x))
+    for k, series in by_key.items():
+        lv = bv = None
+        for i, (t, x) in enumerate(series):
+            if i == 0:
+                lv, bv = float(x), 0.0
+            else:
+                prev = lv
+                lv = 0.5 * x + 0.5 * (prev + bv)
+                bv = 0.25 * (lv - prev) + 0.75 * bv
+            assert got[(k, t)] == (lv, bv, lv + bv)  # bit-exact
