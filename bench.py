@@ -153,6 +153,7 @@ TRACKING_QUERIES = [
     "er_fuzzy_match_brand_ngram",
     "llm_token_budget_shards",
     "timeseries_holt_trend_daily",
+    "dedup_incremental_vs_corpus",
 ]
 
 

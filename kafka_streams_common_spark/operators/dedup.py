@@ -437,6 +437,122 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_match(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    tau: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental (two-sided) MinHash+LSH near-dup matching:
+    ``(new_id, corpus_id, jaccard ≥ tau)`` — each NEW document against
+    the already-indexed CORPUS, the ingest-time dedup shape. The
+    self-join form (:func:`minhash_lsh_pairs`) would recompare
+    corpus×corpus on every batch; here the corpus side's signatures are
+    computed once per call (and at production scale are the persisted
+    signature layer — see the localCheckpoint note there), band buckets
+    equi-join NEW×CORPUS only, and exact Jaccard verifies candidates.
+    Same banding math and miss-probability analysis as the self-join
+    form; same hashed-shingle verification, so the brute-force SQL
+    ground truth is the oracle. ``max_bucket`` caps CORPUS-side bucket
+    occupancy (the indexed side is where template skew accumulates).
+
+    The banding expression intentionally mirrors
+    :func:`minhash_lsh_pairs` rather than extracting a shared helper:
+    that function's code is pinned by prior driver-verified rounds, and
+    a refactor would re-open its changed-code re-exposure debt for no
+    behavioral gain.
+    """
+    rows_per_band = num_perm // bands
+
+    def band_structs():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    "sig", b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bkey"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    def buckets_of(docs: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(
+            docs, n, num_perm, text_col, id_col
+        ).localCheckpoint(eager=True)
+        return sig.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(band_structs()).alias("bs"),
+        ).select(
+            out_id,
+            F.col("bs.band").alias("band"),
+            F.col("bs.bkey").alias("bkey"),
+        )
+
+    b_new = buckets_of(new_docs, "new_id")
+    b_cor = buckets_of(corpus_docs, "corpus_id")
+    if max_bucket is not None:
+        ok = (
+            b_cor.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band", "bkey")
+        )
+        b_cor = b_cor.join(ok, ["band", "bkey"])
+    cand = (
+        b_new.join(b_cor, ["band", "bkey"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+    def sets_of(docs: DataFrame, ids: DataFrame, idc: str) -> DataFrame:
+        sel = docs.join(
+            F.broadcast(ids.distinct()),
+            F.col(id_col) == F.col(idc),
+            "left_semi",
+        )
+        return (
+            _hashed_shingles(sel, n, text_col, id_col)
+            .groupBy("doc_id")
+            .agg(
+                F.collect_set("sh").alias("shset"),
+                F.count(F.lit(1)).alias("sz"),
+            )
+        )
+
+    sa = sets_of(new_docs, cand.select("new_id"), "new_id").alias("sa")
+    sb = sets_of(
+        corpus_docs, cand.select("corpus_id"), "corpus_id"
+    ).alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.shset"), F.col("sb.shset")))
+    return (
+        cand.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("corpus_id") == F.col("sb.doc_id"))
+        .select(
+            "new_id",
+            "corpus_id",
+            (common / (F.col("sa.sz") + F.col("sb.sz") - common)).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
 def _simhash_udf(bits: int):
     """Arrow-batched SimHash kernel — one value per document text.
 

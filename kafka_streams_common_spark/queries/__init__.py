@@ -187,6 +187,7 @@ _R10_NEW = (
     "er_fuzzy_match_brand_ngram",
     "llm_token_budget_shards",
     "timeseries_holt_trend_daily",
+    "dedup_incremental_vs_corpus",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

@@ -106,6 +106,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_vs_corpus",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh_raw AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(1, len(t) - 2)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh FROM sh_raw
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT new_id, corpus_id, common / (sa.sz + sb.sz - common) AS jaccard
+  FROM pairs
+  JOIN sz sa ON new_id = sa.doc_id
+  JOIN sz sb ON corpus_id = sb.doc_id
+)
+SELECT new_id, corpus_id, jaccard FROM jac WHERE jaccard >= 0.8
+""",
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: the simulated NEW batch (doc_id % 10 = 0)
+    matched against the INDEXED corpus (the rest) via two-sided
+    MinHash(128)+LSH(32×4) banding with exact Jaccard verification at
+    τ=0.8 (``operators/dedup.py: minhash_lsh_match``) — the incremental
+    shape a production pipeline runs per batch instead of re-pairing
+    the whole corpus with itself (candidates = new×corpus bucket
+    collisions only; the corpus signature layer is what you persist).
+    Oracle is the brute-force cross-side ground truth; same per-pair
+    miss-probability bound as the self-join row (≈5e-8 at the τ
+    boundary, ~0 for the fixture's near-exact duplicates)."""
+    from kafka_streams_common_spark.operators.dedup import minhash_lsh_match
+
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_match(new, corpus, n=3, tau=0.8)
+
+
+@query(
     "dedup_connected_components",
     oracle=_shingles_sql(_MAX_DF).replace("WITH toks", "WITH RECURSIVE toks")
     + """,
