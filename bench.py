@@ -154,6 +154,8 @@ TRACKING_QUERIES = [
     "llm_token_budget_shards",
     "timeseries_holt_trend_daily",
     "dedup_incremental_vs_corpus",
+    "sink_partitioned_overwrite_day",
+    "source_schema_evolution_mergeread",
 ]
 
 

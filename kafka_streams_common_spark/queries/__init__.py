@@ -188,6 +188,8 @@ _R10_NEW = (
     "llm_token_budget_shards",
     "timeseries_holt_trend_daily",
     "dedup_incremental_vs_corpus",
+    "sink_partitioned_overwrite_day",
+    "source_schema_evolution_mergeread",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

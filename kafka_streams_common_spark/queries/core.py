@@ -470,6 +470,115 @@ def source_json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "json")
 
 
+@query(
+    "sink_partitioned_overwrite_day",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN strftime(CAST(ts AS DATE), '%Y-%m-%d') = '2024-01-15'
+                THEN value + 1000.0 ELSE value END AS value,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+    FROM events
+    """,
+)
+def sink_partitioned_overwrite_day(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S4 generalized to the warehouse write shape: a DAY-partitioned
+    parquet sink plus a DYNAMIC partition overwrite of one day — the
+    idempotent-backfill operation every date-partitioned pipeline
+    re-runs ("recompute 2024-01-15 and replace just that partition").
+    Writes the full table partitioned by day, then overwrites ONLY the
+    2024-01-15 partition with patched rows (value + 1000) using
+    ``partitionOverwriteMode=dynamic``; reads the directory back and
+    returns every row. The gate is exact: the read-back must equal the
+    source with exactly that day patched — a STATIC-mode regression
+    (which truncates the whole table on step 2) vanishes every other
+    day and fails row counts; a hash-placement or dropped-partition bug
+    flips values. Partition pruning on the re-read is the layout's
+    point at 100 TB: one day's backfill touches one directory."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    tmp = tempfile.mkdtemp(prefix="kscs_partsink_")
+    atexit.register(shutil.rmtree, tmp, True)
+    out = tmp + "/out"
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    patched = ev.filter(F.col("day") == "2024-01-15").withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    (
+        patched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("day").cast("string").alias("day"),
+    )
+
+
+@query(
+    "source_schema_evolution_mergeread",
+    oracle="""
+    SELECT 'v1' AS batch, n_nationkey, n_name,
+           CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'v2' AS batch, n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_schema_evolution_mergeread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S1's schema-evolution leg: an old batch written WITHOUT a column
+    and a new batch written WITH it, read together under
+    ``mergeSchema=true`` — the additive-column evolution every
+    long-lived ingest directory accumulates. The gate is exact: the
+    unified read must carry the superset schema with NULL backfill for
+    the old batch (silently dropping the new column, failing the read,
+    or misaligning columns by position all flip the hash). At 100 TB
+    the same read works because parquet footer schemas merge per file —
+    no rewrite of old data."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+
+    nation = table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="kscs_evolve_")
+    atexit.register(shutil.rmtree, tmp, True)
+    out = tmp + "/out"
+    nation.select(
+        F.lit("v1").alias("batch"), "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(out + "/batch=old")
+    nation.select(
+        F.lit("v2").alias("batch"), "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(out + "/batch=new")
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    return back.select("batch", "n_nationkey", "n_name", "n_regionkey")
+
+
 # ---------------------------------------------------------------------------
 # MERGE INTO: the general upsert statement over the CDC split of the
 # events changelog (operators/merge.py)
