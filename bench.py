@@ -156,6 +156,7 @@ TRACKING_QUERIES = [
     "dedup_incremental_vs_corpus",
     "sink_partitioned_overwrite_day",
     "source_schema_evolution_mergeread",
+    "sim_incremental_near_dup_vs_corpus",
 ]
 
 

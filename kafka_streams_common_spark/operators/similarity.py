@@ -471,6 +471,93 @@ def hyperplane_lsh_near_dup_pairs(
     )
 
 
+def hyperplane_lsh_match(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    tau: float = 0.9,
+    dim: int = 64,
+    num_bits: int = 320,
+    bands: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental (two-sided) cosine near-dup matching:
+    ``(new_id, corpus_id, score ≥ tau)`` — each NEW vector against the
+    already-indexed CORPUS, the embedding twin of
+    ``operators/dedup.py: minhash_lsh_match`` (ingest-time semantic
+    dedup of a fresh batch against the index, without re-pairing
+    corpus×corpus). Same signature/banding math and miss-probability
+    analysis as :func:`hyperplane_lsh_near_dup_pairs`; candidates are
+    NEW×CORPUS bucket collisions only, every emitted score is the exact
+    double-fold cosine. The banding expression intentionally mirrors
+    the self-join form rather than extracting a shared helper — that
+    function's code is pinned by prior driver-verified rounds.
+    """
+    rows_per_band = num_bits // bands
+
+    def buckets_of(df: DataFrame, out_id: str) -> DataFrame:
+        vecs = fan_out(df).select(
+            F.col(id_col).alias(out_id),
+            to_double_array(F.col(vec_col)).alias("v"),
+        )
+        bits = _hyperplane_bits_udf(num_bits, dim)(F.col("v"))
+        sigs = vecs.select(out_id, bits.alias("sig")).localCheckpoint(
+            eager=True
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bkey"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            out_id, F.explode(band_structs).alias("bs")
+        ).select(
+            out_id,
+            F.col("bs.band").alias("band"),
+            F.col("bs.bkey").alias("bkey"),
+        )
+
+    cand = (
+        buckets_of(new_vecs, "new_id")
+        .join(buckets_of(corpus_vecs, "corpus_id"), ["band", "bkey"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    va = new_vecs.select(
+        F.col(id_col).alias("new_id"),
+        to_double_array(F.col(vec_col)).alias("va"),
+    )
+    vb = corpus_vecs.select(
+        F.col(id_col).alias("corpus_id"),
+        to_double_array(F.col(vec_col)).alias("vb"),
+    )
+    score = dot_product(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    return (
+        cand.join(va, "new_id")
+        .join(vb, "corpus_id")
+        .select("new_id", "corpus_id", score.alias("score"))
+        .filter(F.col("score") >= tau)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     tau: float = 0.95,

@@ -190,6 +190,7 @@ _R10_NEW = (
     "dedup_incremental_vs_corpus",
     "sink_partitioned_overwrite_day",
     "source_schema_evolution_mergeread",
+    "sim_incremental_near_dup_vs_corpus",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

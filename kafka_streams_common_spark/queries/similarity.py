@@ -132,6 +132,61 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_incremental_near_dup_vs_corpus",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    newb AS (
+      SELECT vec_id + 1000000 AS new_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
+               AS v
+      FROM embeddings
+    )
+    SELECT n.new_id, b.vec_id AS corpus_id,
+           {_cos_sql('n.v', 'b.v')} AS score
+    FROM newb n, base b
+    WHERE {_cos_sql('n.v', 'b.v')} >= 0.95
+    """,
+)
+def sim_incremental_near_dup_vs_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time SEMANTIC dedup: a simulated NEW embedding batch (the
+    planted perturbed copies — each ≈0.999-cosine to one corpus vector)
+    matched against the INDEXED corpus via two-sided hyperplane-LSH
+    banding with exact cosine verification at τ=0.95
+    (``operators/similarity.py: hyperplane_lsh_match``) — the embedding
+    twin of ``dedup_incremental_vs_corpus``: candidates are new×corpus
+    bucket collisions only; the corpus signature layer is what a
+    production index persists, so per-batch cost is O(batch), never
+    O(corpus²). Oracle is the brute-force cross-side ground truth (same
+    ~2e-14 per-pair miss bound as the self-join near-dup row)."""
+    from kafka_streams_common_spark.operators.similarity import (
+        hyperplane_lsh_match,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", to_double_array("embedding").alias("embedding")
+    )
+    new = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return hyperplane_lsh_match(new, corpus, tau=0.95, dim=64)
+
+
+@query(
     "sim_ivf_topk",
     oracle=f"""
     WITH q AS (

@@ -557,3 +557,33 @@ def test_pattern_match_is_one_user_shuffle(spark):
     assert plan.count("Scan parquet") == 2  # tree + details = 1 scan
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id#") == 1
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """The point of the day-partitioned layout: a one-day read of the
+    written directory must carry a PartitionFilters entry on the scan
+    (directory pruning), not a full-table scan + post-filter."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "value",
+            "date_format(to_date(ts), 'yyyy-MM-dd') AS day",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="kscs_prune_")
+    atexit.register(shutil.rmtree, tmp, True)
+    ev.write.mode("overwrite").partitionBy("day").parquet(tmp + "/out")
+    rd = spark.read.parquet(tmp + "/out").filter("day = '2024-01-15'")
+    plan = plan_of(rd)
+    assert "PartitionFilters" in plan
+    # the day predicate must appear in PartitionFilters, and the scan's
+    # data filters must NOT re-test it row-wise
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "2024-01-15" in pf_line
