@@ -1654,7 +1654,14 @@ def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    s = classifier_logit_mills(docs, extra_cols=(F.col("n_chars"),))
+    # materialize the scored projection ONCE: it feeds three consumers
+    # (both rank histograms + the join-back), and the classifier fold is
+    # a full corpus scan — without this it re-runs per consumer. The
+    # table is two scalars per document (the mills/length pair), the
+    # same persist-the-signature-layer discipline as the LSH operators.
+    s = classifier_logit_mills(
+        docs, extra_cols=(F.col("n_chars"),)
+    ).select("logit_mills", "n_chars").localCheckpoint(eager=True)
 
     def ranks(col: str):
         h = s.groupBy(F.col(col).alias("v")).agg(
