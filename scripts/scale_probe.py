@@ -743,6 +743,38 @@ def main() -> None:
         }
     )
 
+    # incremental (two-sided) matchers — r9: a FIXED new batch against a
+    # 1×/8× indexed corpus. The per-batch cost should grow with corpus
+    # bucket occupancy (sub-linear for near-unique content), never with
+    # corpus² — the whole point of the two-sided form.
+    from kafka_streams_common_spark.operators.dedup import minhash_lsh_match
+    from kafka_streams_common_spark.operators.similarity import (
+        hyperplane_lsh_match,
+    )
+
+    new_docs = docs1.filter(F.col("doc_id") % 50 == 0).localCheckpoint(
+        eager=True
+    )
+    new_vecs = emb1.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(50_000_000)).alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    probes.update(
+        {
+            "incremental_minhash_match": (
+                lambda: minhash_lsh_match(new_docs, docs1, n=3, tau=0.8),
+                lambda: minhash_lsh_match(new_docs, docs8, n=3, tau=0.8),
+            ),
+            "incremental_embedding_match": (
+                lambda: hyperplane_lsh_match(
+                    new_vecs, emb1, tau=0.95, dim=64
+                ),
+                lambda: hyperplane_lsh_match(
+                    new_vecs, emb8, tau=0.95, dim=64
+                ),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

@@ -742,3 +742,41 @@ def test_bfs_hops_matches_bruteforce_random(spark_, edges, max_hops):
         for n in frontier:
             want[n] = hop
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# global_prefix vs the single-partition window on randomized structure:
+# heavy ties, negative values, tiny inputs, degenerate bucket counts
+# ---------------------------------------------------------------------------
+
+_pvals = st.lists(
+    st.integers(min_value=-5, max_value=5), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_pvals, n_buckets=st.sampled_from([1, 3, 7]))
+def test_global_prefix_property(spark, vals, n_buckets):
+    from pyspark.sql import Window
+
+    from kafka_streams_common_spark.operators.prefix import global_prefix
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    got = {
+        r["id"]: (r["rnk"], r["run_v"])
+        for r in global_prefix(
+            df, ["v", "id"], sum_cols=["v"], rank_col="rnk",
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["rnk"], r["run_v"])
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).alias("rnk"),
+            F.sum("v").over(w).alias("run_v"),
+        ).collect()
+    }
+    assert got == want
