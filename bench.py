@@ -157,6 +157,7 @@ TRACKING_QUERIES = [
     "sink_partitioned_overwrite_day",
     "source_schema_evolution_mergeread",
     "sim_incremental_near_dup_vs_corpus",
+    "eval_pr_curve",
 ]
 
 

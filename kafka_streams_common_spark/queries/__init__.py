@@ -191,6 +191,7 @@ _R10_NEW = (
     "sink_partitioned_overwrite_day",
     "source_schema_evolution_mergeread",
     "sim_incremental_near_dup_vs_corpus",
+    "eval_pr_curve",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

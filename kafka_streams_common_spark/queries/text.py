@@ -1492,6 +1492,106 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_pr_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS pos, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT pos,
+             CAST(list_sum(list_transform(t,
+               x -> ('0x' || substr(md5('w1|' || x), 1, 15))::BIGINT % 2001
+                    - 1000)) AS BIGINT) AS mills
+      FROM toks
+    ),
+    h AS (
+      SELECT mills,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np_s,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn_s
+      FROM s GROUP BY mills
+    ),
+    t AS (SELECT sum(np_s) AS np, sum(nn_s) AS nn FROM h),
+    c AS (
+      SELECT mills,
+             sum(np_s) OVER (ORDER BY mills DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(nn_s) OVER (ORDER BY mills DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM h
+    )
+    SELECT c.mills AS threshold_mills,
+           CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
+           CAST(t.np - c.tp AS BIGINT) AS fn,
+           CASE WHEN c.tp + c.fp > 0 THEN
+             CAST(c.tp AS DOUBLE) / CAST(c.tp + c.fp AS DOUBLE)
+           ELSE NULL END AS precision_,
+           CASE WHEN t.np > 0 THEN
+             CAST(c.tp AS DOUBLE) / CAST(t.np AS DOUBLE)
+           ELSE NULL END AS recall_
+    FROM c CROSS JOIN t
+    """,
+)
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL precision-recall curve of the classifier vs the weak label:
+    one row per DISTINCT score (threshold = "predict positive at
+    mills ≥ t"), with exact tp/fp/fn from cumulative histogram counts —
+    the curve behind threshold selection, where the single-operating-
+    point row (``eval_confusion_threshold``) and the threshold-free
+    AUC only summarize. Scale shape: the corpus collapses to the score
+    HISTOGRAM (value-bounded) in one map-only fold + one aggregation;
+    the descending cumulative pass runs through the distributed
+    bucketed prefix (``operators/prefix.py`` over negated mills — same
+    construction, no single-partition sort); totals are one broadcast
+    scalar; every metric is a guarded single DOUBLE division of exact
+    BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.prefix import global_prefix
+    from kafka_streams_common_spark.operators.text import (
+        classifier_logit_mills,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = classifier_logit_mills(
+        docs, extra_cols=((F.col("lang") == "en").alias("pos"),)
+    )
+    h = scored.groupBy(F.col("logit_mills").alias("mills")).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np_s"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn_s"),
+    )
+    t = h.agg(F.sum("np_s").alias("np"), F.sum("nn_s").alias("nn"))
+    # descending cumulative = ascending prefix over the NEGATED score
+    c = (
+        global_prefix(
+            h.withColumn("neg_mills", -F.col("mills")),
+            ["neg_mills"],
+            sum_cols=["np_s", "nn_s"],
+        )
+        .select(
+            "mills",
+            F.col("run_np_s").alias("tp"),
+            F.col("run_nn_s").alias("fp"),
+        )
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("mills").alias("threshold_mills"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("np") - F.col("tp")).cast("bigint").alias("fn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision_"),
+        F.when(
+            F.col("np") > 0,
+            F.col("tp").cast("double") / F.col("np").cast("double"),
+        ).alias("recall_"),
+    )
+
+
+@query(
     "eval_confusion_threshold",
     oracle="""
     WITH toks AS (
