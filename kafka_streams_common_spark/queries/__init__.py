@@ -192,6 +192,7 @@ _R10_NEW = (
     "source_schema_evolution_mergeread",
     "sim_incremental_near_dup_vs_corpus",
     "eval_pr_curve",
+    "streaming_holt_trend",
 )
 assert all(n in QUERIES for n in _R10_NEW)
 

@@ -1214,6 +1214,80 @@ def streaming_temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_holt_trend",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT event_type AS key, epoch_us(ts) AS ts_us, event_id,
+             value AS x
+      FROM events
+    ),
+    cut AS (SELECT max(ts_us) - 3600000000 - 1000000 AS c FROM ev),
+    numbered AS (
+      SELECT key, ts_us, event_id, x,
+             row_number() OVER (
+               PARTITION BY key ORDER BY ts_us, event_id
+             ) AS rn
+      FROM ev
+    ),
+    r AS (
+      SELECT key, ts_us, event_id, x, rn,
+             x AS l, CAST(0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT q.key, q.ts_us, q.event_id, q.x, q.rn,
+             0.5 * q.x + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * q.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+      FROM numbered q JOIN r ON q.key = r.key AND q.rn = r.rn + 1
+    )
+    SELECT key, ts_us, event_id, x,
+           l AS level, b AS trend, l + b AS forecast
+    FROM r CROSS JOIN cut WHERE r.ts_us < cut.c
+    """,
+)
+def streaming_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing ON THE STREAM
+    (streaming/stateful.holt_state) — the live twin of
+    ``timeseries_holt_trend_daily`` and the level+trend extension of
+    ``streaming_ewma_value``: per event type, every event folds into
+    the two-scalar recurrence in global event-time order and emits its
+    (level, trend, one-step forecast) once decided — the
+    load-forecasting baseline that updates as data arrives. Same
+    buffered-reorder/strict-watermark/event-time-timer conventions and
+    the same O(1)-per-key carried state (two scalars instead of one).
+    Bounded-source equivalence on the decided region (1h lag + 1s
+    margin) against the recursive-CTE definition — stream ≡ batch
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.queries.registry import table
+    from kafka_streams_common_spark.streaming.stateful import holt_state
+
+    comp = _streaming_compiler(spark, sf_dir)
+    stream = (
+        comp.stream_source("events")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    out = holt_state(stream, alpha=0.5, beta=0.25, key_field="event_type")
+    decided = run_stream_to_memory(out, spark, output_mode="append")
+    max_us = (
+        table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    cut = max_us - 3_600_000_000 - 1_000_000
+    return decided.filter(F.col("ts_us") < cut).select(
+        "key", "ts_us", "event_id", "x", "level", "trend", "forecast"
+    )
+
+
+@query(
     "streaming_ewma_value",
     oracle="""
     WITH RECURSIVE ev AS (

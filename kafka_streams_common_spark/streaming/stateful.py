@@ -801,6 +801,124 @@ def temporal_asof_state(
     )
 
 
+def holt_state(
+    stream: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    key_field: str = "event_type",
+    ts_us_field: str = "ts_us",
+    id_field: str = "event_id",
+    value_field: str = "value",
+) -> DataFrame:
+    """STREAMING Holt linear-trend smoothing — the
+    ``operators/timeseries.py: holt_linear`` recurrence computed
+    incrementally on a live stream: per key, in GLOBAL EVENT-TIME
+    order, ``l = α·x + (1−α)·(l_prev + b_prev)`` then
+    ``b = β·(l − l_prev) + (1−β)·b_prev``; each event emits its folded
+    (level, trend, forecast = level + trend) exactly once when the
+    watermark decides it. Identical conventions to :func:`ewma_state`
+    (buffered reorder under the watermark, strict ``ts < wm`` fold,
+    event-time timers re-armed to the earliest buffered event): the
+    only difference is TWO carried scalars instead of one — still the
+    O(1)-per-key KTable-aggregate footprint, never removed because any
+    later event continues the chain.
+
+    Determinism contract: both update expressions are evaluated in
+    float64 in exactly the shapes the batch kernel and the
+    recursive-CTE oracle use (the oracle re-derives the new level
+    inside the trend update), so stream ≡ batch bit-for-bit on the
+    decided region with exactly-representable α/β.
+    """
+    a = float(alpha)
+    g = float(beta)
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("lv", T.DoubleType()),
+            T.StructField("bv", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_id", T.ArrayType(T.LongType())),
+            T.StructField("buf_x", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            lv, bv, n, buf_ts, buf_id, buf_x = state.get
+            buf = list(zip(buf_ts, buf_id, buf_x))
+        else:
+            lv, bv, n, buf = 0.0, 0.0, 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    (int(t), int(i), float(x))
+                    for t, i, x in zip(
+                        pdf[ts_us_field], pdf[id_field], pdf[value_field]
+                    )
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # STRICT <: same rationale as ewma_state — equal-ts peers may
+        # still arrive, folding at equality could emit out of order
+        eligible = sorted(e for e in buf if e[0] < wm_us)
+        buf = [e for e in buf if e[0] >= wm_us]
+        rows: list[tuple] = []
+        for t, i, x in eligible:
+            if n == 0:
+                lv, bv = x, 0.0
+            else:
+                prev = lv
+                # identical expression shapes to the batch kernel/oracle
+                lv = a * x + (1.0 - a) * (prev + bv)
+                bv = g * (lv - prev) + (1.0 - g) * bv
+            n += 1
+            rows.append((str(key[0]), t, i, x, lv, bv, lv + bv))
+        state.update(
+            (
+                lv,
+                bv,
+                n,
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+            )
+        )
+        if buf:
+            nxt = max(
+                min(e[0] for e in buf) // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(nxt)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "ts_us", "event_id", "x",
+                    "level", "trend", "forecast",
+                ],
+            )
+
+    return stream.groupBy(key_field).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def ewma_state(
     stream: DataFrame,
     alpha: float = 0.25,

@@ -675,3 +675,81 @@ def test_streaming_ewma_out_of_order_across_batches(spark, tmp_path):
     # event-time-ordered recurrence, NOT arrival order (which would
     # seed with 8.0): 4.0 -> .25*8+.75*4 = 5.0 -> .25*2+.75*5 = 4.25
     assert got == {1: 4.0, 2: 5.0, 3: 4.25}
+
+
+def test_streaming_holt_out_of_order_across_batches(spark, tmp_path):
+    """holt_state mirrors the EWMA buffered-reorder contract with TWO
+    carried scalars: shuffled arrival across microbatches must fold in
+    event-time order, each event emitted exactly once with the exact
+    (level, trend, forecast) chain."""
+    import datetime as dt
+    import os
+    import time
+
+    from kafka_streams_common_spark.streaming.stateful import holt_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+
+    def write_wave(k, rows):
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id bigint, value double"
+        ).coalesce(1)
+        df.write.parquet(str(tmp_path / f"hstage{k}"))
+        part = [
+            f for f in os.listdir(str(tmp_path / f"hstage{k}"))
+            if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"hstage{k}"), part), dst)
+        os.utime(dst, (time.time() + k, time.time() + k))
+
+    # event-time order for "a": t+10 (4.0), t+20 (8.0), t+30 (2.0);
+    # delivered middle-first
+    write_wave(0, [("a", t0 + 20 * sec, 2, 8.0)])
+    write_wave(1, [("a", t0 + 10 * sec, 1, 4.0)])
+    write_wave(2, [
+        ("a", t0 + 30 * sec, 3, 2.0),
+        ("z", t0 + dt.timedelta(hours=2), 99, 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "60 seconds")
+        .select(
+            "event_type", "event_id", "ts",
+            F.unix_micros("ts").alias("ts_us"), "value",
+        )
+    )
+    out = holt_state(stream, alpha=0.5, beta=0.25, key_field="event_type")
+    name = "holt_ooo_probe"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = [r for r in spark.table(name).collect() if r["key"] == "a"]
+    got = {r["event_id"]: (r["level"], r["trend"], r["forecast"]) for r in rows}
+    assert len(rows) == 3
+    # event-time recurrence: l1=4, b1=0; l2=.5*8+.5*4=6, b2=.25*2+0=.5;
+    # l3=.5*2+.5*6.5=4.25, b3=.25*(4.25-6)+.75*.5=-0.0625
+    want = {
+        1: (4.0, 0.0, 4.0),
+        2: (6.0, 0.5, 6.5),
+        3: (4.25, -0.0625, 4.1875),
+    }
+    assert got == want
