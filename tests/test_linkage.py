@@ -80,3 +80,25 @@ def test_unknown_blocking_mode_rejected(spark):
         fuzzy_match_to_reference(
             dirty, ref, "name", "ref", "id", blocking="soundex"
         )
+
+
+def test_empty_reference_keeps_all_unmatched(spark):
+    dirty = spark.createDataFrame([(1, "zurich")], "id int, name string")
+    ref = spark.createDataFrame([], "ref string")
+    for mode in ("token", "ngram"):
+        got = fuzzy_match_to_reference(
+            dirty, ref, "name", "ref", "id", blocking=mode
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["matched_name"] is None
+
+
+def test_duplicate_reference_rows_do_not_fan_out(spark):
+    dirty = spark.createDataFrame([(1, "zurch")], "id int, name string")
+    ref = spark.createDataFrame(
+        [("zurich",), ("zurich",)], "ref string"
+    )  # operator must distinct the reference
+    got = fuzzy_match_to_reference(
+        dirty, ref, "name", "ref", "id", blocking="ngram"
+    ).collect()
+    assert len(got) == 1 and got[0]["matched_name"] == "zurich"

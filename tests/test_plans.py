@@ -587,3 +587,41 @@ def test_partitioned_sink_read_prunes_partitions(spark):
     # data filters must NOT re-test it row-wise
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "2024-01-15" in pf_line
+
+
+def test_incremental_matchers_are_equi_banded(spark):
+    """The two-sided matchers must join NEW x CORPUS on (band, bucket)
+    equi-keys — a cartesian or BNLJ would be the O(batch x corpus)
+    failure the banding exists to avoid."""
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_of(
+        QUERIES["dedup_incremental_vs_corpus"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan2 = plan_of(
+        QUERIES["sim_incremental_near_dup_vs_corpus"](spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_token_budget_shards_has_no_global_sort_window(spark):
+    """The order-preserving shard assignment must ride the bucketed
+    prefix — every Window in the plan carries the bucket partition."""
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_of(QUERIES["llm_token_budget_shards"](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__bucket" in line, line
+
+
+def test_pr_curve_has_no_global_sort_window(spark):
+    from tests.conftest import SF_SMOKE
+
+    plan = plan_of(QUERIES["eval_pr_curve"](spark, SF_SMOKE))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__bucket" in line, line

@@ -130,3 +130,22 @@ def test_token_budget_shards_contiguous_and_exact(spark):
         assert want_shard >= prev_shard  # order-preserving contiguity
         prev_shard = want_shard
         off += n
+
+
+def test_token_budget_shards_empty_and_single_doc(spark):
+    from kafka_streams_common_spark.operators.text import (
+        token_budget_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert token_budget_shards(empty, 100).count() == 0
+    one = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    row = token_budget_shards(one, 100).collect()[0]
+    assert (row["doc_id"], row["n_tokens"], row["shard"]) == (7, 3, 0)
+    # a single document larger than the budget still lands in the shard
+    # of its start offset (shard 0) — oversized docs never split
+    big = spark.createDataFrame(
+        [(1, " ".join(["w"] * 250)), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["shard"] for r in token_budget_shards(big, 100).collect()}
+    assert got == {1: 0, 2: 2}  # doc 2 starts at offset 250 -> shard 2
