@@ -40,14 +40,55 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 
-def _bucket_expr(col: str, bounds: list[float]):
-    """Literal bucket id: number of boundaries strictly below the value."""
+def _order_surrogate(df: DataFrame, col: str):
+    """A DOUBLE expression monotone with ``col``'s NATIVE sort order,
+    used ONLY for bucket-boundary derivation and bucket assignment.
+
+    Restricting to types with a monotone double mapping is load-bearing:
+    a numeric-parseable STRING column would bucket numerically but sort
+    lexicographically within buckets, silently corrupting global ranks
+    (keys '1'..'24' would give rank('2')=2 instead of 12). Strings and
+    other types raise instead of mis-ranking.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, NumericType):
+        return F.col(col).cast("double")
+    if isinstance(dt, BooleanType):
+        return F.col(col).cast("int").cast("double")
+    if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+        # date → midnight timestamp → epoch seconds: strictly monotone
+        return F.col(col).cast("timestamp").cast("double")
+    raise TypeError(
+        f"global_prefix order column {col!r} has type {dt.simpleString()}; "
+        "only numeric/boolean/date/timestamp order keys have a bucket "
+        "order consistent with their native sort order. Cast or re-key "
+        "(e.g. a dense numeric id) before calling."
+    )
+
+
+# NULL first-order keys sort FIRST under Spark's default ASC NULLS FIRST
+# — the dedicated bucket below every boundary-derived one keeps them
+# exact instead of dropping them to a NULL bucket id (which would both
+# null their rank and silently inflate later buckets' offsets).
+_NULL_BUCKET = -1
+
+
+def _bucket_expr(surrogate, bounds: list[float]):
+    """Literal bucket id: number of boundaries strictly below the value;
+    NULL keys get the dedicated first bucket."""
     b = F.lit(0)
     for cut in bounds:
-        b = b + (F.col(col).cast("double") > F.lit(float(cut))).cast("int")
-    return b.cast("int")
+        b = b + (surrogate > F.lit(float(cut))).cast("int")
+    return F.when(surrogate.isNull(), F.lit(_NULL_BUCKET)).otherwise(b).cast("int")
 
 
 def global_prefix(
@@ -74,14 +115,14 @@ def global_prefix(
     spark = df.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
     key = order_cols[0]
+    surrogate = _order_surrogate(df, key)
 
     bounds: list[float] = []
     if n > 1:
         qs = [i / n for i in range(1, n)]
         row = df.agg(
-            F.expr(
-                f"approx_percentile(CAST({key} AS DOUBLE), "
-                f"array({', '.join(str(q) for q in qs)}), 2000)"
+            F.percentile_approx(
+                surrogate, F.array(*[F.lit(q) for q in qs]), F.lit(2000)
             ).alias("b")
         ).collect()[0]["b"]
         if row is not None:
@@ -89,7 +130,7 @@ def global_prefix(
             # (harmless) but the literal chain is cheaper without them
             bounds = sorted(set(float(x) for x in row))
 
-    part = df.withColumn("__bucket", _bucket_expr(key, bounds))
+    part = df.withColumn("__bucket", _bucket_expr(surrogate, bounds))
 
     off_aggs = [F.count(F.lit(1)).alias("__cnt")] + [
         F.sum(c).alias(f"__bs_{c}") for c in sum_cols
