@@ -65,7 +65,9 @@ def _order_surrogate(df: DataFrame, col: str):
     if isinstance(dt, BooleanType):
         return F.col(col).cast("int").cast("double")
     if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
-        # date → midnight timestamp → epoch seconds: strictly monotone
+        # date → timestamp → epoch seconds: monotone (double precision can
+        # collapse microsecond ties far from the epoch into one bucket —
+        # harmless, the within-bucket sort uses the native column)
         return F.col(col).cast("timestamp").cast("double")
     raise TypeError(
         f"global_prefix order column {col!r} has type {dt.simpleString()}; "

@@ -33,38 +33,25 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-9 WINDOW (``_R9_WINDOW``): exactly the 50 ``_R9_HEAD`` names
-pinned at r8 close — every round-8 session-3/4/5 registration with no
-driver row ever (the analytics/experimentation/eval/search/graph/geo/
-sequence tier, record linkage, MERGE upsert, the bucketed zero-Exchange
-join, the approx-percentile sketch gate, the three new
-streaming-stateful rows: 49 names) plus the one changed-code
-re-exposure owed (``streaming_funnel_conversion`` — the r8s4
-strict-watermark fold fix touched its shared fold; the other touched
-consumers got r8 rows on the new code). The four r8s3 census consumers
-also owed re-exposure (``dedup_ngram_jaccard``
-``dedup_connected_components`` ``dedup_apply_canonical_corpus``
-``pipeline_curate_corpus``) could not fit behind 50 never-checked pins;
-they are pinned as ``_R10_OWED`` to lead round 10, ahead of the stale
-refresh queue (which starts at ``grouping_sets_orders``).
-NOTE: four ``_R9_HEAD`` members were
-re-touched in round 9 BEFORE their first exposure, so their first
-driver row lands on the final code: ``eval_calibration_bins`` (global
-ntile → distributed bucketed rank, ``operators/prefix.py``),
-``dq_drift_ks_totalprice`` (single-partition ECDF window → distributed
-prefix sums), ``eval_classifier_auc`` and ``eval_score_length_spearman``
-(histogram prefix via the same operator). Still displaced, each with
-≥ 2 green driver rounds on unchanged code: grouping_sets_orders,
-set_except, set_intersect,
-unpivot_customer_measures ([1,5]); sim_centroid_by_label,
-text_hash_sample, text_pii_scrub, text_repetition_metrics,
-text_stratified_sample, text_tfidf_top_terms ([2,5]); dedup_exact,
-dedup_simhash, sim_cosine_topk, tpch_q1_pricing_summary,
-semi_join_customers_with_orders, salted_agg_orders_by_status,
-text_top_words, window_topk_orders_per_customer ([1,2,5]);
-llm_pack_sequences ([3,4,5]); streaming_stream_stream_join
-([2,3,4,5]); every other past-window row is green in r6, r7, or r8
-(see CORRECTNESS_r08.json for the 50 r8 rows).
+ROUND-11 WINDOW (``_R11_WINDOW``): round 10 did NOT rotate (the r10
+driver re-ran the exact r9 window — a process defect the r10 verdict
+called out as its top item), so round 11 executes the rotation that was
+owed at r10: the window leads with the 4 ``_R10_OWED`` changed-code
+census consumers (the r8s3 ``shingle_pair_census`` extraction touched
+their shared pair generation; rotation invariant #2) and the 9
+``_R10_NEW`` round-9 registrations with no driver row ever (which
+include the two ``operators/prefix.py`` consumers — ``eval_pr_curve``,
+``llm_token_budget_shards`` — that did NOT get r10 rows on the
+r10-hardened prefix code; the other four prefix consumers did, because
+they sat in the re-run r9 window). The remaining 37 slots drain the
+stale refresh queue promised in the README ledger, least-proven /
+stalest first: the [1,5] tier (``grouping_sets_orders`` ``set_except``
+``set_intersect`` ``unpivot_customer_measures``), the [2,5] tier (six
+text/sampling/similarity rows), the [1,2,5] tier (eight rows), then
+``llm_pack_sequences`` [3,4,5], ``streaming_stream_stream_join``
+[2,3,4,5], the five r6-only rows, the [5,6] tier, the [3,4,6] tier,
+and two [*,6] four-green rows. Every row demoted from the r9/r10
+window holds green r9 AND r10 driver rows on code unchanged since.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -81,97 +68,15 @@ from kafka_streams_common_spark.queries import quality as _quality  # noqa: F401
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
-# Round-9 driver window, in driver execution order: exactly the 50
-# _R9_HEAD names pinned at r8 close (every never-driver-checked round-8
-# session-3/4/5 registration + the one owed streaming re-exposure).
-# Round-8 window history: README.md ledger + CORRECTNESS_r08.json (all
-# 50 green).
+# Round-11 driver window, in driver execution order. Round 10 failed to
+# rotate (its driver run re-verified the byte-identical r9 window — see
+# VERDICT.md r10), so this window executes the rotation pinned at r9
+# close: _R10_OWED + _R10_NEW lead, then the stale refresh queue.
 #
-# Queries registered after the r8 window filled (round-8 session
-# additions past the 50-slot budget): local-parity-green only until
-# round 9 — pinned here so the r9 rotation MUST lead with them, the
-# same convention that promoted _R8_HEAD in round 8.
-# CHANGED-CODE re-exposures owed (rotation invariant #2): the r8s3
-# shingle_pair_census extraction touched ngram_jaccard_pairs, whose
-# consumers with pre-r8 green rows are dedup_ngram_jaccard,
-# dedup_connected_components, dedup_apply_canonical_corpus and
-# pipeline_curate_corpus (two other census consumers, dedup_soft_weights
-# and dedup_containment_pairs, are new and pinned in the head;
-# dedup_connected_components_two_phase got its r8 row on the refactored
-# code). All 50 slots are taken by never-checked pins, so the four
-# census consumers lead the r10 window (_R10_OWED below), ahead of the
-# stale refresh queue (grouping_sets_orders, set_except, set_intersect,
-# unpivot_customer_measures, then the [2,5] tier — README ledger).
-# The r8s4 strict-watermark fix re-exposure (streaming_funnel_conversion)
-# is already pinned at the head. Round 9 itself re-touched four head
-# members BEFORE their first exposure (eval_calibration_bins,
-# dq_drift_ks_totalprice, eval_classifier_auc,
-# eval_score_length_spearman — the operators/prefix.py distributed
-# prefix swap), so their first driver rows land on the final code.
-_R9_HEAD = (
-    "streaming_funnel_conversion",
-    "er_fuzzy_match_part_names",
-    "attribution_linear_credit",
-    "events_cohort_retention",
-    "graph_triangle_count_copurchase",
-    "cdc_snapshot_diff_orders",
-    "events_top_paths",
-    "events_activity_gaps",
-    "events_concurrency_sweep",
-    "events_cumulative_distinct_users",
-    "events_markov_transitions",
-    "customer_rfm_segments",
-    "basket_part_pair_lift",
-    "timeseries_gapfill_events",
-    "stat_mad_outliers",
-    "dq_benford_first_digit",
-    "sim_mmr_diversified_topk",
-    "dedup_soft_weights",
-    "events_ohlc_daily",
-    "graph_link_prediction_jaccard",
-    "streaming_ohlc_daily",
-    "text_ngram_novelty",
-    "events_type_overlap_matrix",
-    "window_percent_change_daily",
-    "timeseries_cusum_change",
-    "timeseries_dow_seasonality",
-    "sim_knn_label_accuracy",
-    "streaming_temporal_asof_join",
-    "dedup_containment_pairs",
-    "customer_revenue_concentration",
-    "agg_countmin_heavy_hitters",
-    "stat_chi2_event_type_dow",
-    # round-8 session-4 additions (experimentation/eval/search/sequence)
-    "ab_test_proportion_ztest",
-    "timeseries_ewma_daily_by_type",
-    "timeseries_twap_value_daily",
-    "graph_bfs_hops_copurchase",
-    "eval_classifier_auc",
-    "eval_calibration_bins",
-    "text_bm25_search",
-    "dq_quarantine_bad_records",
-    "streaming_ewma_value",
-    "eval_confusion_threshold",
-    "dq_drift_ks_totalprice",
-    "timeseries_autocorr_daily",
-    "eval_score_length_spearman",
-    "geo_radius_join_customers",
-    "events_pattern_match_sequence",
-    # round-8 session-5 additions (stored layout / merge / sketch gates)
-    "merge_upsert_user_state",
-    "bucketed_join_orders_lineitem",
-    "agg_approx_percentile_value",
-)
-assert all(n in QUERIES for n in _R9_HEAD)
-
-# the head IS the full 50-slot window — every slot already claimed by
-# never-checked rows + the one owed streaming re-exposure
-_R9_WINDOW = _R9_HEAD
-
-# owed at r10: the four changed-code census consumers (rotation
-# invariant #2 — they outrank the stale refresh queue but could not fit
-# behind 50 never-checked pins), pinned now so no later registration
-# can displace them (the _R9_HEAD convention)
+# _R10_OWED — changed-code re-exposures (rotation invariant #2): the
+# r8s3 shingle_pair_census extraction touched ngram_jaccard_pairs; these
+# four consumers' last green rows predate that change. Green in the
+# judge's full driver_sim at r9 AND r10 close, never externally since.
 _R10_OWED = (
     "dedup_ngram_jaccard",
     "dedup_connected_components",
@@ -180,9 +85,11 @@ _R10_OWED = (
 )
 assert all(n in QUERIES for n in _R10_OWED)
 
-# new-in-r9 registrations (never driver-checked; local-parity green):
-# pinned to lead the r10 window together with _R10_OWED, ahead of the
-# stale refresh queue — the standing convention for late registrations
+# _R10_NEW — round-9 registrations with NO driver row ever (rotation
+# invariant #1: never-checked rows outrank everything). Includes the
+# two operators/prefix.py consumers (eval_pr_curve,
+# llm_token_budget_shards) that did not get r10 rows on the r10-hardened
+# prefix code — their first external row lands on the final code.
 _R10_NEW = (
     "er_fuzzy_match_brand_ngram",
     "llm_token_budget_shards",
@@ -196,18 +103,74 @@ _R10_NEW = (
 )
 assert all(n in QUERIES for n in _R10_NEW)
 
-# Past the window: every one of these has a green driver row from
-# r6/r7/r8 on unchanged code, except the _R10_OWED changed-code rows
-# above and the six ≥3-green r5 rows named in the module docstring. All
-# stay covered by the local parity suite (scripts/driver_sim.py runs
-# ALL oracles) each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R9_WINDOW)
+# Stale refresh queue (37 slots), least-proven / stalest first — the
+# exact order promised in the README ledger at r8/r9 close:
+# [1,5] tier, [2,5] tier, [1,2,5] tier, llm_pack_sequences [3,4,5],
+# streaming_stream_stream_join [2,3,4,5], the r6-only rows, the [5,6]
+# tier, the [3,4,6] tier, then two [*,6] four-green rows.
+_R11_REFRESH = (
+    # [1,5] — two green rounds, stalest registration order
+    "grouping_sets_orders",
+    "set_except",
+    "set_intersect",
+    "unpivot_customer_measures",
+    # [2,5]
+    "sim_centroid_by_label",
+    "text_hash_sample",
+    "text_pii_scrub",
+    "text_repetition_metrics",
+    "text_stratified_sample",
+    "text_tfidf_top_terms",
+    # [1,2,5]
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "tpch_q1_pricing_summary",
+    "semi_join_customers_with_orders",
+    "salted_agg_orders_by_status",
+    "text_top_words",
+    "window_topk_orders_per_customer",
+    # [3,4,5] / [2,3,4,5]
+    "llm_pack_sequences",
+    "streaming_stream_stream_join",
+    # r6-only (single green round)
+    "sim_diverse_cell_sample",
+    "llm_mix_corpus_tokens",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q15_top_supplier",
+    # [5,6]
+    "sim_ivf_int8_rerank",
+    "sim_semantic_dedup_apply",
+    "agg_approx_quantiles_value",
+    # [3,4,6]
+    "dedup_lines",
+    "sim_quantize_int8",
+    "text_hash_split",
+    "llm_corpus_shards",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue",
+    "agg_approx_distinct_users",
+    # [*,6] four-green tail
+    "j_full_outer_join",
+    "a1_multi_agg",
+)
+assert all(n in QUERIES for n in _R11_REFRESH)
 
-_missing = [n for n in _R9_WINDOW if n not in QUERIES]
+_R11_WINDOW = (*_R10_OWED, *_R10_NEW, *_R11_REFRESH)
+
+# Past the window: every one of these has a green driver row from a
+# prior round (r9 and r10 for all r9-window members; r6/r7/r8 for the
+# rest) on code unchanged since. All stay covered by the local parity
+# suite (scripts/driver_sim.py runs ALL oracles) each round.
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R11_WINDOW)
+
+_missing = [n for n in _R11_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+assert len(set(_R11_WINDOW)) == 50, "duplicate window entries"
 
-_reordered = {n: QUERIES[n] for n in (*_R9_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R11_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

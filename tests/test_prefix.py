@@ -83,6 +83,84 @@ def test_all_null_and_empty_inputs(spark):
     out = global_prefix(empty, ["v", "id"], rank_col="rnk", sum_cols=["v"])
     assert out.count() == 0
     assert set(out.columns) == {"id", "v", "rnk", "run_v"}
+    # ALL order keys NULL: every row lands in the dedicated NULL bucket,
+    # ranks are the plain id-ordered sequence (ASC NULLS FIRST semantics)
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(25)], "id long, v double"
+    )
+    got = global_prefix(all_null, ["v", "id"], rank_col="rnk", n_buckets=8)
+    want = all_null.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("rnk")
+    )
+    diff = (
+        got.select("id", "rnk")
+        .exceptAll(want)
+        .unionAll(want.exceptAll(got.select("id", "rnk")))
+    )
+    assert diff.count() == 0
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_mixed_null_keys_match_global_window(spark, n_buckets):
+    """r10 hardening pin: NULL order keys rank FIRST (Spark ASC NULLS
+    FIRST) via the dedicated first bucket, and the non-NULL buckets'
+    offsets stay exact — rank AND running sums bit-identical to the
+    single-partition Window reference."""
+    rows = [
+        (i, None if i % 7 == 0 else float((i * 11) % 19 - 9), (i * 3) % 5)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, w long")
+    got = global_prefix(
+        df, ["v", "id"], sum_cols=["w"], rank_col="rnk", n_buckets=n_buckets
+    )
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "id",
+        F.row_number().over(Window.orderBy("v", "id")).alias("rnk"),
+        F.sum("w").over(w).alias("run_w"),
+    )
+    got_sel = got.select("id", "rnk", "run_w")
+    diff = got_sel.exceptAll(want).unionAll(want.exceptAll(got_sel))
+    assert diff.count() == 0
+
+
+def test_date_and_timestamp_order_keys(spark):
+    """r10 hardening pin: date/timestamp order keys go through the
+    monotone double surrogate and match the Window reference exactly."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            dt.date(2024, 1, 1) + dt.timedelta(days=(i * 5) % 37),
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=(i * 13) % 101),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, ts timestamp")
+    for col in ("d", "ts"):
+        got = global_prefix(df, [col, "id"], rank_col="rnk", n_buckets=8)
+        want = df.select(
+            "id", F.row_number().over(Window.orderBy(col, "id")).alias("rnk")
+        )
+        diff = (
+            got.select("id", "rnk")
+            .exceptAll(want)
+            .unionAll(want.exceptAll(got.select("id", "rnk")))
+        )
+        assert diff.count() == 0, col
+
+
+def test_string_order_key_raises(spark):
+    """r10 hardening pin: a string order column must raise TypeError
+    instead of silently bucketing in an order inconsistent with the
+    native lexicographic sort ('2' would outrank '12')."""
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(24)], "id long, v string"
+    )
+    with pytest.raises(TypeError, match="order column"):
+        global_prefix(df, ["v", "id"], rank_col="rnk", n_buckets=4)
 
 
 def test_requires_something_to_compute(spark):
