@@ -160,6 +160,18 @@ TRACKING_QUERIES = [
     "eval_pr_curve",
 ]
 
+# Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the
+# applyInPandasWithState ladder had no per-round perf visibility. Each
+# run executes the FULL bounded stream (fresh temp checkpoint/state dirs
+# per invocation inside the query, availableNow to completion), so these
+# time end-to-end micro-batch execution, not just a batch plan — kept in
+# a separate list with 1 warm-up + 3 timed runs like everything else.
+STREAMING_TRACKING_QUERIES = [
+    "streaming_temporal_asof_join",
+    "streaming_ewma_value",
+    "streaming_holt_trend",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,6 +214,7 @@ def main() -> None:
     bench_set(BENCH_QUERIES, results)
     tracking: dict[str, float] = {}
     bench_set(TRACKING_QUERIES, tracking)
+    bench_set(STREAMING_TRACKING_QUERIES, tracking)
     total = round(sum(results.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Two lines, tracking FIRST and headline LAST: the grading driver

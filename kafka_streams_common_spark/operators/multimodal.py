@@ -1,19 +1,29 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas functions.
 
-The decode step is STUBBED with a deterministic fake (this container has no
-image/audio libraries): ``_decode_payload`` derives pseudo pixel dimensions
-and a byte-histogram feature vector purely from the payload bytes. The
-Spark-side contract — binary column + metadata struct schema, ``mapInPandas``
-over Arrow batches, per-partition batching, output schema — is the real,
-tested production shape; swapping the fake for PIL/ffmpeg decode changes only
-the body of ``_decode_payload``.
+Two payload paths:
+
+- ``attach_fake_image_payload`` — raw utf-8 bytes standing in for an
+  opaque blob (the metadata/frame-sampling plumbing queries).
+- ``encode_pgm`` / ``decode_pgm_features`` — a REAL public image format:
+  Netpbm PGM "P5" (binary grayscale; spec: magic, whitespace-separated
+  ASCII width/height/maxval, single whitespace, then width×height raster
+  bytes — https://netpbm.sourceforge.net/doc/pgm.html is the public
+  definition; the format is simple enough to encode with JVM-side
+  expressions and decode with a numpy header parse). The decoder also
+  accepts PPM "P6" (RGB, 3 bytes/pixel). This replaces the round-≤10
+  byte-histogram stub: the ``mapInPandas`` stage now genuinely parses an
+  image container and computes pixel statistics from the decoded raster,
+  so the query oracle gates DECODED CONTENT, not plumbing invariants.
+  A PIL/ffmpeg decoder for JPEG/PNG drops into ``_decode_image`` behind
+  the same magic-number dispatch.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,27 +69,158 @@ def attach_fake_image_payload(
 
 
 def _decode_payload(payload: bytes) -> list[float]:
-    """STUB decode: deterministic byte-histogram features.
+    """Opaque-blob featurization: normalized 16-bin histogram of payload
+    byte values — the format-agnostic fallback featurizer for blobs the
+    engine has no decoder for (arbitrary binary columns).
 
-    Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(payload))``
-    → resize → pixel stats; unavailable in this container, so features are a
-    normalized 16-bin histogram of payload byte values — deterministic,
-    cheap, and shape-compatible with a real feature extractor.
-
-    Vectorized (``np.frombuffer`` + ``bincount``) — even a stub must model
-    the pattern a real decoder body should follow inside the Arrow batch:
-    numpy over the buffer, never a per-byte Python loop. Bit-identical to
-    the scalar spelling ``bins[byte * N // 256] += 1; b / total``: the bin
-    index is exact integer arithmetic and the normalization is the same
-    IEEE-double division.
+    Vectorized (``np.frombuffer`` + ``bincount``) — the pattern every
+    decoder body follows inside the Arrow batch: numpy over the buffer,
+    never a per-byte Python loop. Bit-identical to the scalar spelling
+    ``bins[byte * N // 256] += 1; b / total``: the bin index is exact
+    integer arithmetic and the normalization is the same IEEE-double
+    division.
     """
-    import numpy as np
-
     if not payload:
         return [0.0] * N_HIST_BINS
     b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     bins = np.bincount(b * N_HIST_BINS // 256, minlength=N_HIST_BINS)
     return (bins / len(payload)).tolist()
+
+
+def encode_pgm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim_mod: int = 16
+) -> DataFrame:
+    """Encode each document as a genuine binary Netpbm PGM (P5) image —
+    entirely JVM-side expressions, no Python in the encode path.
+
+    Geometry: ``width = md5(text) % dim_mod + 1``,
+    ``height = md5(reverse(text)) % dim_mod + 1`` (deterministic and
+    oracle-reproducible); raster: the 16-byte md5 digest of the text
+    cycled to ``width*height`` bytes. The output ``payload`` column is a
+    byte-exact P5 file (``P5\\n<w> <h>\\n255\\n`` + raster) that any
+    Netpbm-compliant reader opens — the point is that the DECODER must
+    recover dims and pixels by actually parsing the container.
+    """
+    text = F.col(text_col)
+    w = (F.pmod(md5_int64(text), F.lit(dim_mod)) + 1).cast("int")
+    h = (F.pmod(md5_int64(F.reverse(text)), F.lit(dim_mod)) + 1).cast("int")
+    # 16-byte digest repeated to >= dim_mod*dim_mod bytes, cut to w*h;
+    # Column.substr takes Column args, so the length can be per-row
+    raster = F.unhex(F.repeat(F.md5(text), (dim_mod * dim_mod + 15) // 16)).substr(
+        F.lit(1), (w * h).cast("int")
+    )
+    header = F.encode(F.format_string("P5\n%d %d\n255\n", w, h), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(header, raster).alias("payload"),
+    )
+
+
+def _parse_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a binary Netpbm image (PGM ``P5`` grayscale / PPM ``P6``
+    RGB) per the public spec: magic, then ASCII width/height/maxval
+    separated by whitespace (``#`` comment lines allowed), a single
+    whitespace byte, then the raster. Returns
+    ``(channels, width, height, pixels)`` with ``pixels`` shaped
+    ``(height, width, channels)``.
+    """
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError(f"not a binary PGM/PPM payload: {payload[:2]!r}")
+    channels = 1 if payload[1:2] == b"5" else 3
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(payload) and payload[pos] in b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] not in b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval} (only 1-byte samples)")
+    n = width * height * channels
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"raster has {len(raster)} bytes, expected {n}")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    return channels, width, height, px
+
+
+def _decode_image(payload: bytes) -> dict:
+    """Decode one image payload → dims + pixel statistics + normalized
+    luminance histogram. Dispatches on magic number; PGM/PPM are parsed
+    natively (``_parse_netpbm``); other containers (JPEG/PNG) would add
+    a PIL branch here without touching callers.
+    """
+    channels, width, height, px = _parse_netpbm(payload)
+    lum = px.mean(axis=2) if channels == 3 else px[:, :, 0]
+    flat = px.astype(np.int64).ravel()
+    hist = np.bincount(
+        flat * N_HIST_BINS // 256, minlength=N_HIST_BINS
+    ) / flat.size
+    return {
+        "channels": channels,
+        "width": width,
+        "height": height,
+        "n_px": int(width * height),
+        "mean_px": float(flat.mean()),
+        "min_px": int(flat.min()),
+        "max_px": int(flat.max()),
+        "std_px": float(flat.std()),
+        "mean_luma": float(lum.mean()),
+        "hist": hist.tolist(),
+    }
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("min_px", T.LongType(), True),
+        T.StructField("max_px", T.LongType(), True),
+        T.StructField("hist", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_pgm_features(images: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over ``(doc_id, payload)``:
+    ``mapInPandas`` streams per-partition Arrow batches through
+    ``_decode_image`` — header parse + raster stats per image, no driver
+    collect, linear scaling with partition count. The production shape
+    for decode/feature-extract stages at 100 TB: partition by file/doc,
+    decode inside the batch, emit fixed-width features.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "channels": [s["channels"] for s in stats],
+                    "width": [s["width"] for s in stats],
+                    "height": [s["height"] for s in stats],
+                    "n_px": [s["n_px"] for s in stats],
+                    "mean_px": [s["mean_px"] for s in stats],
+                    "min_px": [s["min_px"] for s in stats],
+                    "max_px": [s["max_px"] for s in stats],
+                    "hist": [s["hist"] for s in stats],
+                }
+            )
+
+    return images.mapInPandas(decode_batches, PIXEL_STATS_SCHEMA)
 
 
 def sample_frames(

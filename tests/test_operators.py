@@ -218,6 +218,74 @@ def test_multimodal_payload_roundtrip(spark):
     assert joined.count() == 0
 
 
+def test_pgm_encode_is_a_real_pgm_and_decode_recovers_content(spark):
+    """The JVM-side encoder must emit byte-exact P5 files a pure-Python
+    Netpbm reference reader opens, and the Spark decode stage must
+    recover dims + pixel stats identical to that reference."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_pgm_features,
+        encode_pgm,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(50)
+    imgs = encode_pgm(docs)
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # reference decode per the published Netpbm spec, no repo code
+    for did, payload in rows.items():
+        hx = hashlib.md5(texts[did].encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        h = int(hashlib.md5(texts[did][::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+        header = f"P5\n{w} {h}\n255\n".encode()
+        digest = bytes.fromhex(hx)
+        raster = (digest * ((w * h) // 16 + 1))[: w * h]
+        assert payload == header + raster, did
+    got = {
+        r["doc_id"]: r
+        for r in decode_pgm_features(imgs).collect()
+    }
+    for did, payload in rows.items():
+        hx = hashlib.md5(texts[did].encode()).hexdigest()
+        digest = bytes.fromhex(hx)
+        w, h = got[did]["width"], got[did]["height"]
+        px = [(digest * ((w * h) // 16 + 1))[i] for i in range(w * h)]
+        r = got[did]
+        assert r["channels"] == 1
+        assert r["n_px"] == w * h == len(px)
+        assert r["min_px"] == min(px) and r["max_px"] == max(px)
+        assert abs(r["mean_px"] - sum(px) / len(px)) < 1e-12
+        assert len(r["hist"]) == 16 and abs(sum(r["hist"]) - 1.0) < 1e-9
+
+
+def test_netpbm_parser_p6_comments_and_errors():
+    """The raw parser handles RGB P6, header comments, and rejects
+    malformed containers — per the public Netpbm spec."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        _decode_image,
+        _parse_netpbm,
+    )
+
+    raster = bytes(range(2 * 3 * 3))  # 3x2 RGB
+    p6 = b"P6\n# a comment line\n3 2\n255\n" + raster
+    channels, w, h, px = _parse_netpbm(p6)
+    assert (channels, w, h) == (3, 3, 2)
+    assert px.shape == (2, 3, 3) and px.ravel().tolist() == list(raster)
+    stats = _decode_image(p6)
+    assert stats["channels"] == 3 and stats["n_px"] == 6
+    assert stats["mean_px"] == float(np.mean(list(raster)))
+    with _pytest.raises(ValueError, match="not a binary"):
+        _parse_netpbm(b"P3\n1 1\n255\n0")  # ASCII PPM unsupported
+    with _pytest.raises(ValueError, match="raster"):
+        _parse_netpbm(b"P5\n4 4\n255\n" + b"\x00" * 15)  # truncated
+    with _pytest.raises(ValueError, match="maxval"):
+        _parse_netpbm(b"P5\n1 1\n65535\n" + b"\x00\x00")  # 2-byte samples
+
+
 def test_approx_distinct_accuracy(spark):
     """HLL++ estimate within its configured rsd of exact distinct counts
     (the bound the no-oracle agg_approx_distinct_users query relies on)."""

@@ -220,6 +220,111 @@ def test_topic_provisioner_gating(tmp_path):
     assert os.path.isdir(path)
 
 
+def _install_fake_kafka_admin(monkeypatch, existing: set[str]):
+    """Inject a fake kafka-python admin surface into sys.modules so
+    ``ensure_topic`` can be driven through the reference's provisioning
+    matrix (TopicProvisioner.java:22-55) without a broker. Returns the
+    call log the fakes append to."""
+    import sys
+    import types
+
+    calls: list[dict] = []
+
+    class TopicAlreadyExistsError(Exception):
+        pass
+
+    class NewTopic:
+        def __init__(self, name, num_partitions, replication_factor, topic_configs):
+            self.name = name
+            self.num_partitions = num_partitions
+            self.replication_factor = replication_factor
+            self.topic_configs = topic_configs
+
+    class KafkaAdminClient:
+        def __init__(self, bootstrap_servers):
+            calls.append({"op": "connect", "bootstrap": bootstrap_servers})
+            self.closed = False
+
+        def create_topics(self, topics):
+            for t in topics:
+                calls.append(
+                    {
+                        "op": "create",
+                        "name": t.name,
+                        "partitions": t.num_partitions,
+                        "rf": t.replication_factor,
+                        "configs": dict(t.topic_configs),
+                    }
+                )
+                if t.name in existing:
+                    raise TopicAlreadyExistsError(t.name)
+
+        def close(self):
+            calls.append({"op": "close"})
+
+    kafka_mod = types.ModuleType("kafka")
+    admin_mod = types.ModuleType("kafka.admin")
+    errors_mod = types.ModuleType("kafka.errors")
+    admin_mod.KafkaAdminClient = KafkaAdminClient
+    admin_mod.NewTopic = NewTopic
+    errors_mod.TopicAlreadyExistsError = TopicAlreadyExistsError
+    kafka_mod.admin = admin_mod
+    kafka_mod.errors = errors_mod
+    monkeypatch.setitem(sys.modules, "kafka", kafka_mod)
+    monkeypatch.setitem(sys.modules, "kafka.admin", admin_mod)
+    monkeypatch.setitem(sys.modules, "kafka.errors", errors_mod)
+    return calls
+
+
+def test_topic_provisioner_contract_matrix(monkeypatch):
+    """Broker-free contract test of the FULL provisioning matrix the
+    reference implements (TopicProvisioner.java:33-51): partitions
+    default 3, RF default 1, retention_ms > 0 → retention.ms config,
+    retention_ms == -1 → cleanup.policy=compact, retention_ms == 0 →
+    no configs (broker default), TopicExistsException tolerated
+    (returns False, never raises), admin client always closed."""
+    from kafka_streams_common_spark.config import OutputDef
+    from kafka_streams_common_spark.sources.admin import ensure_topic
+
+    calls = _install_fake_kafka_admin(monkeypatch, existing={"dup"})
+
+    # defaults: partitions 3 / RF 1 / retention 0 → NO configs at all
+    assert ensure_topic(OutputDef(name="a"), "b:9092") is True
+    create = [c for c in calls if c["op"] == "create"][-1]
+    assert create == {
+        "op": "create", "name": "a", "partitions": 3, "rf": 1, "configs": {},
+    }
+
+    # explicit retention → retention.ms, no cleanup.policy
+    assert ensure_topic(
+        OutputDef(name="r", partitions=12, replication_factor=2, retention_ms=86400000),
+        "b:9092",
+    ) is True
+    create = [c for c in calls if c["op"] == "create"][-1]
+    assert create["partitions"] == 12 and create["rf"] == 2
+    assert create["configs"] == {"retention.ms": "86400000"}
+
+    # retention -1 → compacted topic, retention.ms must NOT be set
+    assert ensure_topic(OutputDef(name="c", retention_ms=-1), "b:9092") is True
+    create = [c for c in calls if c["op"] == "create"][-1]
+    assert create["configs"] == {"cleanup.policy": "compact"}
+
+    # already-exists → tolerated: False, no exception, client still closed
+    n_close = sum(1 for c in calls if c["op"] == "close")
+    assert ensure_topic(OutputDef(name="dup"), "b:9092") is False
+    assert sum(1 for c in calls if c["op"] == "close") == n_close + 1
+
+    # every create path closed its client (try/finally discipline)
+    assert sum(1 for c in calls if c["op"] == "connect") == sum(
+        1 for c in calls if c["op"] == "close"
+    )
+
+    # disabled sink: short-circuits before any client construction
+    n_connect = sum(1 for c in calls if c["op"] == "connect")
+    assert ensure_topic(OutputDef(name="x", enabled=False), "b:9092") is False
+    assert sum(1 for c in calls if c["op"] == "connect") == n_connect
+
+
 @pytest.mark.parametrize("delay,exact", [("365 days", True), ("1 hour", False)])
 def test_streaming_dedup_within_watermark_bounds_state(
     spark, stream_catalog, delay, exact
