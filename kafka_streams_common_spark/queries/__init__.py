@@ -43,20 +43,23 @@ their shared pair generation; rotation invariant #2) and the 9
 include the two ``operators/prefix.py`` consumers — ``eval_pr_curve``,
 ``llm_token_budget_shards`` — that did NOT get r10 rows on the
 r10-hardened prefix code; the other four prefix consumers did, because
-they sat in the re-run r9 window). Next:
-``multimodal_feature_extract``, whose implementation AND oracle changed
-in round 11 itself (real PGM decode replacing the byte-histogram stub —
-invariant #2 applied immediately). The remaining 36 slots drain the
-stale refresh queue promised in the README ledger, least-proven /
-stalest first: the [1,5] tier (``grouping_sets_orders`` ``set_except``
-``set_intersect`` ``unpivot_customer_measures``), the [2,5] tier (six
-text/sampling/similarity rows), the [1,2,5] tier (eight rows), then
-``llm_pack_sequences`` [3,4,5], ``streaming_stream_stream_join``
-[2,3,4,5], the five r6-only rows, the [5,6] tier, the [3,4,6] tier,
-and ``j_full_outer_join`` ([*,6] four-green; its tier-mate
-``a1_multi_agg`` heads the r12 queue, displaced by the changed-code
-re-exposure). Every row demoted from the r9/r10 window holds green r9
-AND r10 driver rows on code unchanged since.
+they sat in the re-run r9 window). Next: the two rows whose
+implementation AND oracle changed in round 11 itself (invariant #2
+applied immediately) — ``multimodal_feature_extract`` (real PGM decode
+replacing the byte-histogram stub) and ``geo_radius_join_customers``
+(arithmetic 1e-6 quantizer replacing the BigDecimal round in the gate —
+the root-caused fix for its r9/r10 perf drift). The remaining 35 slots
+drain the stale refresh queue promised in the README ledger,
+least-proven / stalest first: the [1,5] tier (``grouping_sets_orders``
+``set_except`` ``set_intersect`` ``unpivot_customer_measures``), the
+[2,5] tier (six text/sampling/similarity rows), the [1,2,5] tier
+(eight rows), then ``llm_pack_sequences`` [3,4,5],
+``streaming_stream_stream_join`` [2,3,4,5], the five r6-only rows, the
+[5,6] tier, and the [3,4,6] tier. The [*,6] four-green tier-mates
+``j_full_outer_join`` and ``a1_multi_agg`` head the r12 queue,
+displaced by the changed-code re-exposures. Every row demoted from the
+r9/r10 window holds green r9 AND r10 driver rows on code unchanged
+since.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -109,11 +112,17 @@ _R10_NEW = (
 assert all(n in QUERIES for n in _R10_NEW)
 
 # Changed IN round 11 (rotation invariant #2, applied immediately):
-# multimodal_feature_extract moved off the byte-histogram stub onto the
-# real PGM encode → parse → pixel-stats pipeline with a content oracle —
-# its last green rows (≤ r10) predate both the new code AND the new
-# oracle, so it re-exposes ahead of the stale refresh queue.
-_R11_CHANGED = ("multimodal_feature_extract",)
+# - multimodal_feature_extract moved off the byte-histogram stub onto
+#   the real PGM encode → parse → pixel-stats pipeline with a content
+#   oracle;
+# - geo_radius_join_customers swapped its 6-dp gate/report from
+#   round(hav, 6) (BigDecimal per candidate — the root cause of its
+#   r9/r10 perf drift) to the arithmetic quantizer
+#   floor(hav·1e6 + 0.5)/1e6 on BOTH engines (same row set, measured
+#   3.03 → 1.15 s idle).
+# Their last green rows predate both the new code AND the new oracles,
+# so they re-expose ahead of the stale refresh queue.
+_R11_CHANGED = ("multimodal_feature_extract", "geo_radius_join_customers")
 assert all(n in QUERIES for n in _R11_CHANGED)
 
 # Stale refresh queue (37 slots), least-proven / stalest first — the
@@ -164,9 +173,9 @@ _R11_REFRESH = (
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_revenue",
     "agg_approx_distinct_users",
-    # [*,6] four-green tail (a1_multi_agg displaced to the r12 queue by
-    # the r11 changed-code re-exposure — it holds 4 green rounds)
-    "j_full_outer_join",
+    # ([*,6] four-green tail j_full_outer_join + a1_multi_agg displaced
+    # to the r12 queue head by the two r11 changed-code re-exposures —
+    # each holds 4 green rounds on unchanged code)
 )
 assert all(n in QUERIES for n in _R11_REFRESH)
 

@@ -5134,21 +5134,21 @@ def timeseries_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND a.c_custkey < b.c_custkey
     )
     SELECT a_custkey, b_custkey,
-           round(2.0 * 6371.0 * asin(sqrt(
+           floor(2.0 * 6371.0 * asin(sqrt(
              sin((radians(lat2) - radians(lat1)) / 2)
                * sin((radians(lat2) - radians(lat1)) / 2)
              + cos(radians(lat1)) * cos(radians(lat2))
                * sin((radians(lon2) - radians(lon1)) / 2)
                * sin((radians(lon2) - radians(lon1)) / 2)
-           )), 6) AS dist_km
+           )) * 1000000.0 + 0.5) / 1000000.0 AS dist_km
     FROM cand
-    WHERE round(2.0 * 6371.0 * asin(sqrt(
+    WHERE floor(2.0 * 6371.0 * asin(sqrt(
             sin((radians(lat2) - radians(lat1)) / 2)
               * sin((radians(lat2) - radians(lat1)) / 2)
             + cos(radians(lat1)) * cos(radians(lat2))
               * sin((radians(lon2) - radians(lon1)) / 2)
               * sin((radians(lon2) - radians(lon1)) / 2)
-          )), 6) <= 5.0
+          )) * 1000000.0 + 0.5) / 1000000.0 <= 5.0
     """,
 )
 def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5165,9 +5165,15 @@ def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     same skew posture as LSH buckets (cap mega-cells on real data).
     The haversine expression is shape-identical on both engines, and
     BOTH the reported distance AND the ≤ 5 km gate evaluate on the
-    6-dp-rounded value, so a sub-ulp libm difference in trig can flip
-    neither a cell value nor row MEMBERSHIP at the radius boundary —
-    gate and report quantize identically on both sides."""
+    same 1e-6-grid quantizer ``floor(hav·1e6 + 0.5)/1e6`` — pure IEEE
+    double arithmetic spelled identically in Spark and the SQL oracle,
+    so a sub-ulp libm difference in trig can flip neither a cell value
+    nor row MEMBERSHIP at the radius boundary. (r11: this replaced
+    ``round(hav, 6)`` in the gate — Spark's ROUND allocates a
+    BigDecimal per evaluation, and paying that on every CANDIDATE pair
+    rather than only on survivors was the root cause of the r9/r10
+    3.2-3.9 s tracking drift; the arithmetic quantizer gates the same
+    row set at ~1.15 s idle, under the original r8 reading.)"""
     from kafka_streams_common_spark.functions.hashing import md5_int64
 
     cust = table(spark, sf_dir, "customer").select("c_custkey")
@@ -5243,8 +5249,9 @@ def geo_radius_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sin(dlon)
         )
     )
-    return cand.filter(F.round(hav, 6) <= 5.0).select(
-        "a_custkey", "b_custkey", F.round(hav, 6).alias("dist_km")
+    quant = F.floor(hav * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return cand.filter(quant <= 5.0).select(
+        "a_custkey", "b_custkey", quant.alias("dist_km")
     )
 
 
