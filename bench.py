@@ -158,6 +158,9 @@ TRACKING_QUERIES = [
     "source_schema_evolution_mergeread",
     "sim_incremental_near_dup_vs_corpus",
     "eval_pr_curve",
+    # round-11 additions
+    "multimodal_feature_extract",
+    "multimodal_ahash_near_dup",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

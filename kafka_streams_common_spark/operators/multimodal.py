@@ -223,6 +223,114 @@ def decode_pgm_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(decode_batches, PIXEL_STATS_SCHEMA)
 
 
+def _ahash_bands(payload: bytes) -> list[int]:
+    """Perceptual average-hash (aHash) of one image, as FOUR 16-bit band
+    values (the packed 64-bit form would need sign games in BIGINT
+    engines; bands are what the near-dup join keys on anyway).
+
+    The public aHash recipe: downsample to 8×8 (nearest-neighbor over
+    the decoded luminance), threshold each sample at the 64-sample mean,
+    pack bits row-major. Bit i (r=i//8, c=i%8) samples pixel
+    ``(r·h)//8, (c·w)//8`` — exact integer arithmetic, reproducible in
+    SQL. Band k packs bits 16k..16k+15 (bit j of band = sample 16k+j).
+    """
+    channels, width, height, px = _parse_netpbm(payload)
+    lum = px.astype(np.int64).mean(axis=2) if channels == 3 else px[:, :, 0].astype(np.int64)
+    rows = (np.arange(8) * height) // 8
+    cols = (np.arange(8) * width) // 8
+    s = lum[np.ix_(rows, cols)].ravel()  # 64 samples, row-major
+    bits = s >= s.mean()
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [int((bits[16 * k : 16 * k + 16] * weights).sum()) for k in range(4)]
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("b0", T.LongType(), True),
+        T.StructField("b1", T.LongType(), True),
+        T.StructField("b2", T.LongType(), True),
+        T.StructField("b3", T.LongType(), True),
+    ]
+)
+
+
+def ahash_signatures(images: DataFrame) -> DataFrame:
+    """Arrow-batched aHash over ``(doc_id, payload)`` — decodes each
+    image (REAL container parse) and emits the 4×16-bit band signature."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bands = [_ahash_bands(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                }
+            )
+
+    return images.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash — the multimodal
+    twin of SimHash dedup, with the same 100 TB shape: band-equality
+    candidate generation (pigeonhole: hamming ≤ 3 over 64 bits ⇒ at
+    least one of 4 16-bit bands equal — EXACT, no recall loss), then
+    hamming verification on candidates only. Never an all-pairs join;
+    candidate volume is Σ(occupancy²) per band bucket, the LSH posture
+    (cap hot buckets upstream on real data, as in simhash_pairs).
+
+    Returns ``(a_doc, b_doc, hamming)`` with ``a_doc < b_doc``.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4 bands of 16 bits guarantee recall only for hamming <= 3")
+    sig = ahash_signatures(images)
+    bands = sig.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"), F.col(f"b{k}").alias("band_val")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("a_doc"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_doc"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .dropDuplicates(["a_doc", "b_doc"])  # a pair may collide in >1 band
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return cand.select(
+        "a_doc", "b_doc", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def sample_frames(
     multimodal: DataFrame,
     frame_size: int = 64,

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_common_spark.operators.multimodal import (
+    ahash_near_dup_pairs,
     attach_fake_image_payload,
     decode_pgm_features,
     encode_pgm,
@@ -125,3 +126,66 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("hist").alias("n_bins"),
     )
+
+
+@query(
+    "multimodal_ahash_near_dup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             [('0x' || substr(hx,
+                 2 * (((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8)) % 16)
+                 + 1, 2))::BIGINT
+              for i in range(0, 64)] AS s
+      FROM m
+    ),
+    bands AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN s[16*0 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b0,
+             list_sum([CASE WHEN s[16*1 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b1,
+             list_sum([CASE WHEN s[16*2 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b2,
+             list_sum([CASE WHEN s[16*3 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b3
+      FROM sig
+    )
+    SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual average-hash over the
+    REAL decode path: encode each document as a byte-exact PGM
+    (``encode_pgm``), parse the container and downsample the decoded
+    luminance to the public 8×8 aHash (``operators/multimodal.
+    _ahash_bands`` — nearest-neighbor samples, mean threshold), then
+    band-equality candidate generation + hamming verification
+    (pigeonhole over 4×16-bit bands is EXACT for hamming ≤ 3). The
+    multimodal twin of SimHash text dedup, sharing its 100 TB posture:
+    map-only Arrow signature pass, banded equi-join, candidate-only
+    verification, no all-pairs stage. The oracle replays sampling,
+    thresholding, packing, banding, and hamming entirely in SQL, so the
+    hash gates the decoder + signature kernel end-to-end."""
+    imgs = encode_pgm(table(spark, sf_dir, "documents"))
+    return ahash_near_dup_pairs(imgs, max_hamming=3)

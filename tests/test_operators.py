@@ -259,6 +259,43 @@ def test_pgm_encode_is_a_real_pgm_and_decode_recovers_content(spark):
         assert len(r["hist"]) == 16 and abs(sum(r["hist"]) - 1.0) < 1e-9
 
 
+def test_ahash_near_dup_detects_perturbed_image(spark):
+    """Controlled perceptual-hash check on hand-built PGM payloads:
+    image B differs from A in exactly one SAMPLED pixel (hamming 1 —
+    must pair, found via the 3 unchanged bands); image C is A inverted
+    (hamming 64 — no band collision, no pair)."""
+    from kafka_streams_common_spark.operators.multimodal import (
+        _ahash_bands,
+        ahash_near_dup_pairs,
+    )
+
+    w = h = 16
+
+    def pgm(pixels: bytes) -> bytes:
+        return f"P5\n{w} {h}\n255\n".encode() + pixels
+
+    # left half 0, right half 255 — every 8x8 sample far from the mean
+    a_px = bytes((0 if c < 8 else 255) for _ in range(h) for c in range(16))
+    # flip sampled pixel (row 0, col 0): sample grid hits (2r, 2c), so
+    # raster index 0 is sampled as bit 0
+    b_px = bytes([255]) + a_px[1:]
+    c_px = bytes(255 - v for v in a_px)
+
+    assert _ahash_bands(pgm(a_px)) != _ahash_bands(pgm(b_px))
+    df = spark.createDataFrame(
+        [(1, bytearray(pgm(a_px))), (2, bytearray(pgm(b_px))), (3, bytearray(pgm(c_px)))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["a_doc"], r["b_doc"]): r["hamming"]
+        for r in ahash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+    with pytest.raises(ValueError, match="hamming"):
+        ahash_near_dup_pairs(df, max_hamming=9)
+
+
 def test_netpbm_parser_p6_comments_and_errors():
     """The raw parser handles RGB P6, header comments, and rejects
     malformed containers — per the public Netpbm spec."""
