@@ -743,6 +743,25 @@ def main() -> None:
         }
     )
 
+    # perceptual-hash image near-dup (r11) — same adversarial shape as
+    # the text dedup probes: 8 exact copies per document ⇒ every aHash
+    # band bucket really collides and every candidate verifies at
+    # hamming 0 (C(8,2)=28 pairs per original). Quadratic-in-bucket
+    # growth would blow up here; banded growth tracks output size.
+    from kafka_streams_common_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        encode_pgm,
+    )
+
+    probes.update(
+        {
+            "ahash_image_near_dup": (
+                lambda: ahash_near_dup_pairs(encode_pgm(docs1)),
+                lambda: ahash_near_dup_pairs(encode_pgm(docs8)),
+            ),
+        }
+    )
+
     # incremental (two-sided) matchers — r9: a FIXED new batch against a
     # 1×/8× indexed corpus. The per-batch cost should grow with corpus
     # bucket occupancy (sub-linear for near-unique content), never with
