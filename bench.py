@@ -161,6 +161,7 @@ TRACKING_QUERIES = [
     # round-11 additions
     "multimodal_feature_extract",
     "multimodal_ahash_near_dup",
+    "multimodal_audio_features",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

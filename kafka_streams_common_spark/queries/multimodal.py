@@ -19,7 +19,9 @@ from kafka_streams_common_spark.operators.multimodal import (
     ahash_near_dup_pairs,
     attach_fake_image_payload,
     decode_pgm_features,
+    decode_wav_features,
     encode_pgm,
+    encode_wav,
     sample_frames,
 )
 from kafka_streams_common_spark.queries.registry import query, table
@@ -189,3 +191,62 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gates the decoder + signature kernel end-to-end."""
     imgs = encode_pgm(table(spark, sf_dir, "documents"))
     return ahash_near_dup_pairs(imgs, max_hamming=3)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 241 + 16
+                  AS INT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             [('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+              for i in range(1, n + 1)] AS smp
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           n * 1000.0 / 8000 AS duration_ms,
+           round(list_avg(smp), 6) AS mean_amp,
+           round(sqrt(list_avg([CAST(v * v AS DOUBLE) for v in smp])), 6)
+             AS rms,
+           list_max(smp) AS peak,
+           CAST(list_sum([CASE WHEN (smp[i] - 128.0) * (smp[i+1] - 128.0) < 0
+                               THEN 1 ELSE 0 END
+                          for i in range(1, n)]) AS BIGINT)
+             AS zero_crossings
+    FROM s
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-gated on DECODED CONTENT — the audio twin
+    of ``multimodal_feature_extract``: each document is encoded as a
+    byte-exact RIFF/WAVE file by JVM-side expressions (``encode_wav`` —
+    PCM 8 kHz 8-bit mono, md5-cycled samples; little-endian header
+    fields built with the hex-byte-swap trick), then the ``mapInPandas``
+    stage WALKS the RIFF chunks (``operators/multimodal._parse_wav``)
+    and computes clip features from the recovered PCM stream. The
+    oracle replays the sample arithmetic in SQL, so sample count
+    (recovered from the data chunk, not passed through), duration,
+    mean amplitude, RMS energy, peak, and midpoint zero-crossing count
+    all gate the decoder end-to-end. Python's stdlib ``wave`` module
+    opens the encoder's output byte-for-byte (pytest-pinned), so the
+    container is genuinely interchangeable, not a lookalike."""
+    clips = encode_wav(table(spark, sf_dir, "documents"))
+    feats = decode_wav_features(clips)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )

@@ -296,6 +296,87 @@ def test_ahash_near_dup_detects_perturbed_image(spark):
         ahash_near_dup_pairs(df, max_hamming=9)
 
 
+def test_wav_encode_is_a_real_wav_and_decode_recovers_content(spark):
+    """The JVM-side encoder must emit byte-exact RIFF/WAVE files that
+    Python's stdlib ``wave`` module opens, and the Spark decode stage
+    must recover clip stats identical to a pure-Python reference."""
+    import hashlib
+    import io
+    import math
+    import wave
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_wav_features,
+        encode_wav,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(40)
+    clips = encode_wav(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in clips.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, payload in payloads.items():
+        hx = hashlib.md5(texts[did].encode()).hexdigest()
+        n = int(hx[:15], 16) % 241 + 16
+        ref_samples = (bytes.fromhex(hx) * 17)[:n]
+        wf = wave.open(io.BytesIO(payload))  # the interchange check
+        assert (
+            wf.getnchannels(),
+            wf.getframerate(),
+            wf.getsampwidth(),
+            wf.getnframes(),
+        ) == (1, 8000, 1, n), did
+        assert wf.readframes(n) == ref_samples, did
+    got = {r["doc_id"]: r for r in decode_wav_features(clips).collect()}
+    for did, payload in payloads.items():
+        hx = hashlib.md5(texts[did].encode()).hexdigest()
+        n = int(hx[:15], 16) % 241 + 16
+        s = list((bytes.fromhex(hx) * 17)[:n])
+        r = got[did]
+        assert r["n_samples"] == n and r["sample_rate"] == 8000
+        assert r["duration_ms"] == n * 1000.0 / 8000
+        assert abs(r["mean_amp"] - sum(s) / n) < 1e-12
+        assert abs(r["rms"] - math.sqrt(sum(v * v for v in s) / n)) < 1e-9
+        assert r["peak"] == max(s)
+        want_zc = sum(
+            1 for i in range(n - 1) if (s[i] - 128.0) * (s[i + 1] - 128.0) < 0
+        )
+        assert r["zero_crossings"] == want_zc
+
+
+def test_wav_parser_16bit_padding_and_errors():
+    """The raw RIFF walker handles 16-bit signed PCM, odd-size chunk
+    padding, and rejects malformed containers."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_streams_common_spark.operators.multimodal import _parse_wav
+
+    def wav16(samples, extra_chunk=b""):
+        data = b"".join(struct.pack("<h", v) for v in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        body = (
+            extra_chunk
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # odd-sized unknown chunk first: the walker must skip its pad byte
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    channels, rate, bits, s = _parse_wav(wav16([-5, 0, 7, -32768], extra_chunk=odd))
+    assert (channels, rate, bits) == (1, 16000, 16)
+    assert s[:, 0].tolist() == [-5, 0, 7, -32768]
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        _parse_wav(b"RIFX" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_wav(wav16([1, 2, 3])[:-2])
+    bad_fmt = wav16([1]).replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 7, 1), 1)
+    with _pytest.raises(ValueError, match="audio format"):
+        _parse_wav(bad_fmt)
+
+
 def test_netpbm_parser_p6_comments_and_errors():
     """The raw parser handles RGB P6, header comments, and rejects
     malformed containers — per the public Netpbm spec."""
