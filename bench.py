@@ -162,6 +162,7 @@ TRACKING_QUERIES = [
     "multimodal_feature_extract",
     "multimodal_ahash_near_dup",
     "multimodal_audio_features",
+    "multimodal_video_scene_stats",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

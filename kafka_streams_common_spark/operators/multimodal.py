@@ -373,6 +373,141 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+def encode_y4m(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document as a genuine YUV4MPEG2 (Y4M) video clip —
+    the public raw-frame container (ASCII stream header ``YUV4MPEG2
+    W<w> H<h> F<fps> ... C<colourspace>\\n``, then per frame an ASCII
+    ``FRAME\\n`` marker + raw planes) — entirely JVM-side expressions.
+
+    Geometry: ``w/h = md5 % 8 + 1``; ``n_frames = md5(text||'|nf') % 6
+    + 2``; colourspace ``Cmono`` (one Y plane per frame); frame ``f``'s
+    raster is the md5 digest cycled continuously across the whole clip
+    (bytes ``[f·w·h, (f+1)·w·h)``). The per-frame interleave is an
+    ``F.aggregate`` fold over ``sequence(0, nf-1)`` with a binary
+    accumulator — no Python in the encode path.
+    """
+    text = F.col(text_col)
+    w = (F.pmod(md5_int64(text), F.lit(8)) + 1).cast("int")
+    h = (F.pmod(md5_int64(F.reverse(text)), F.lit(8)) + 1).cast("int")
+    nf = (
+        F.pmod(md5_int64(F.concat(text, F.lit("|nf"))), F.lit(6)) + 2
+    ).cast("int")
+    fsz = (w * h).cast("int")
+    # 28 × 16-byte digest = 448 bytes ≥ max clip size 7·8·8
+    raster = F.unhex(F.repeat(F.md5(text), 28))
+    header = F.encode(
+        F.format_string("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n", w, h), "utf-8"
+    )
+    frame_marker = F.encode(F.lit("FRAME\n"), "utf-8")
+    body = F.aggregate(
+        F.sequence(F.lit(0), nf - 1),
+        F.lit(b""),
+        lambda acc, f: F.concat(
+            acc, frame_marker, raster.substr(f * fsz + 1, fsz)
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.concat(header, body).alias("payload")
+    )
+
+
+def _parse_y4m(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Parse a YUV4MPEG2 stream per the public spec: ASCII header line
+    with space-separated tagged params (W/H/C...), then per frame an
+    ASCII ``FRAME`` line (optional params) + raw planes. ``Cmono``
+    (Y-only) and ``C420``-family (Y + quarter-size U,V; luma stats use
+    the Y plane) are supported. Returns ``(width, height, frames)``
+    with each frame the ``(h, w)`` Y plane.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 stream: {payload[:12]!r}")
+    width = height = None
+    colourspace = "C420"  # the spec's default when the C tag is absent
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            width = int(tok[1:])
+        elif tok.startswith(b"H"):
+            height = int(tok[1:])
+        elif tok.startswith(b"C"):
+            colourspace = tok.decode("ascii")
+    if not width or not height:
+        raise ValueError("missing W or H in stream header")
+    if colourspace == "Cmono":
+        frame_size = width * height
+    elif colourspace.startswith("C420"):
+        frame_size = width * height + 2 * ((width // 2) * (height // 2))
+    else:
+        raise ValueError(f"unsupported colourspace {colourspace}")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        raw = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(raw) != frame_size:
+            raise ValueError(f"truncated frame: {len(raw)} of {frame_size} bytes")
+        frames.append(
+            np.frombuffer(raw[: width * height], dtype=np.uint8).reshape(
+                height, width
+            )
+        )
+        pos = fnl + 1 + frame_size
+    return width, height, frames
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("min_luma", T.LongType(), True),
+        T.StructField("max_luma", T.LongType(), True),
+        T.StructField("diff_prev", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_y4m_frame_stats(video: DataFrame) -> DataFrame:
+    """Arrow-batched REAL video decode over ``(doc_id, payload)``: parse
+    the Y4M container, then per frame emit luma stats plus the
+    mean-luma delta vs the previous frame — the scene-change /
+    shot-boundary primitive of every video curation pipeline. One
+    output row per (clip, frame); temporal state (previous frame) lives
+    inside the batch kernel, never in a shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = _parse_y4m(bytes(p))
+                prev = None
+                for i, fr in enumerate(frames):
+                    m = float(fr.astype(np.float64).mean())
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": i,
+                            "width": w,
+                            "height": h,
+                            "mean_luma": m,
+                            "min_luma": int(fr.min()),
+                            "max_luma": int(fr.max()),
+                            "diff_prev": None if prev is None else abs(m - prev),
+                        }
+                    )
+                    prev = m
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA)
+
+
 def _ahash_bands(payload: bytes) -> list[int]:
     """Perceptual average-hash (aHash) of one image, as FOUR 16-bit band
     values (the packed 64-bit form would need sign games in BIGINT

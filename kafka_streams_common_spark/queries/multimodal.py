@@ -20,8 +20,10 @@ from kafka_streams_common_spark.operators.multimodal import (
     attach_fake_image_payload,
     decode_pgm_features,
     decode_wav_features,
+    decode_y4m_frame_stats,
     encode_pgm,
     encode_wav,
+    encode_y4m,
     sample_frames,
 )
 from kafka_streams_common_spark.queries.registry import query, table
@@ -249,4 +251,74 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
         "zero_crossings",
+    )
+
+
+@query(
+    "multimodal_video_scene_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS h,
+             CAST(('0x' || substr(md5(text || '|nf'), 1, 15))::BIGINT % 6 + 2
+                  AS INT) AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, hx, w, h, unnest(range(0, nf)) AS frame_idx FROM m
+    ),
+    s AS (
+      SELECT doc_id, frame_idx, w, h,
+             list_avg([('0x' || substr(hx,
+                          2*((frame_idx*w*h + j) % 16) + 1, 2))::INT
+                       for j in range(0, w*h)]) AS mean_luma,
+             list_min([('0x' || substr(hx,
+                          2*((frame_idx*w*h + j) % 16) + 1, 2))::BIGINT
+                       for j in range(0, w*h)]) AS min_luma,
+             list_max([('0x' || substr(hx,
+                          2*((frame_idx*w*h + j) % 16) + 1, 2))::BIGINT
+                       for j in range(0, w*h)]) AS max_luma
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           round(mean_luma, 6) AS mean_luma,
+           min_luma,
+           max_luma,
+           round(abs(mean_luma - lag(mean_luma) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx)), 6) AS diff_prev
+    FROM s
+    """,
+)
+def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, hash-gated on DECODED CONTENT — completing the
+    image/audio/VIDEO triad: each document is encoded as a genuine
+    YUV4MPEG2 clip by JVM-side expressions (``encode_y4m`` — ASCII
+    stream header, per-frame FRAME markers, md5-cycled Cmono rasters;
+    the frame interleave is an ``F.aggregate`` binary fold), then the
+    ``mapInPandas`` stage PARSES the container
+    (``operators/multimodal._parse_y4m``) and emits per-frame luma
+    stats plus the mean-luma delta vs the previous frame — the
+    scene-change primitive of video curation. The oracle replays frame
+    geometry, per-frame pixel arithmetic, and the temporal delta in
+    SQL, so frame segmentation (recovered by walking FRAME markers, not
+    passed through), per-frame stats, and frame ORDER all gate the
+    decoder end-to-end."""
+    clips = encode_y4m(table(spark, sf_dir, "documents"))
+    stats = decode_y4m_frame_stats(clips)
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "min_luma",
+        "max_luma",
+        F.round("diff_prev", 6).alias("diff_prev"),
     )

@@ -377,6 +377,86 @@ def test_wav_parser_16bit_padding_and_errors():
         _parse_wav(bad_fmt)
 
 
+def test_y4m_encode_is_a_real_stream_and_decode_recovers_frames(spark):
+    """The JVM-side Y4M encoder must emit byte-exact YUV4MPEG2 streams
+    (validated against a pure-Python builder from the public spec), and
+    the decode stage must recover frame segmentation + per-frame stats
+    identical to the reference."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_y4m_frame_stats,
+        encode_y4m,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(30)
+    clips = encode_y4m(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in clips.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def ref(text: str):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = int(hx[:15], 16) % 8 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 8 + 1
+        nf = int(hashlib.md5((text + "|nf").encode()).hexdigest()[:15], 16) % 6 + 2
+        raster = (bytes.fromhex(hx) * 28)[: nf * w * h]
+        payload = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+        frames = []
+        for f in range(nf):
+            fr = raster[f * w * h : (f + 1) * w * h]
+            payload += b"FRAME\n" + fr
+            frames.append(list(fr))
+        return payload, w, h, frames
+
+    for did, payload in payloads.items():
+        want, _, _, _ = ref(texts[did])
+        assert payload == want, did
+
+    got: dict = {}
+    for r in decode_y4m_frame_stats(clips).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    for did in payloads:
+        _, w, h, frames = ref(texts[did])
+        assert len(got[did]) == len(frames), did
+        prev = None
+        for i, fr in enumerate(frames):
+            r = got[did][i]
+            m = sum(fr) / len(fr)
+            assert (r["width"], r["height"]) == (w, h)
+            assert abs(r["mean_luma"] - m) < 1e-12
+            assert r["min_luma"] == min(fr) and r["max_luma"] == max(fr)
+            if prev is None:
+                assert r["diff_prev"] is None
+            else:
+                assert abs(r["diff_prev"] - abs(m - prev)) < 1e-12
+            prev = m
+
+
+def test_y4m_parser_c420_and_errors():
+    """The raw Y4M parser handles the C420 default (luma stats from the
+    Y plane), header-tag parsing, and rejects malformed streams."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kafka_streams_common_spark.operators.multimodal import _parse_y4m
+
+    y = bytes(range(4 * 2))
+    uv = b"\x80" * (2 * 1) * 2  # quarter-size U and V planes
+    p = b"YUV4MPEG2 W4 H2 F30:1\n" + b"FRAME\n" + y + uv + b"FRAME\n" + y + uv
+    w, h, frames = _parse_y4m(p)  # no C tag -> C420 default per spec
+    assert (w, h, len(frames)) == (4, 2, 2)
+    assert frames[0].tolist() == np.frombuffer(y, dtype=np.uint8).reshape(2, 4).tolist()
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        _parse_y4m(b"AVI \x00\x00")
+    with _pytest.raises(ValueError, match="FRAME"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\nXRAME\n" + b"\x00" * 4)
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + b"\x00" * 3)
+    with _pytest.raises(ValueError, match="colourspace"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + b"\x00" * 12)
+
+
 def test_netpbm_parser_p6_comments_and_errors():
     """The raw parser handles RGB P6, header comments, and rejects
     malformed containers — per the public Netpbm spec."""
