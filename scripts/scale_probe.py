@@ -762,6 +762,29 @@ def main() -> None:
         }
     )
 
+    # real-codec decode scans (r11): encode → container parse → feature
+    # extract, all map-only — the per-modality ingest shape. Expect
+    # ~linear (noop-timed so the Arrow decode projections are paid).
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_wav_features,
+        decode_y4m_frame_stats,
+        encode_wav,
+        encode_y4m,
+    )
+
+    noop_probes.update(
+        {
+            "wav_decode_features": (
+                lambda: decode_wav_features(encode_wav(docs1)),
+                lambda: decode_wav_features(encode_wav(docs8)),
+            ),
+            "y4m_decode_frame_stats": (
+                lambda: decode_y4m_frame_stats(encode_y4m(docs1)),
+                lambda: decode_y4m_frame_stats(encode_y4m(docs8)),
+            ),
+        }
+    )
+
     # incremental (two-sided) matchers — r9: a FIXED new batch against a
     # 1×/8× indexed corpus. The per-batch cost should grow with corpus
     # bucket occupancy (sub-linear for near-unique content), never with
