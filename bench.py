@@ -163,6 +163,7 @@ TRACKING_QUERIES = [
     "multimodal_ahash_near_dup",
     "multimodal_audio_features",
     "multimodal_video_scene_stats",
+    "multimodal_format_census",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the
@@ -175,6 +176,8 @@ STREAMING_TRACKING_QUERIES = [
     "streaming_temporal_asof_join",
     "streaming_ewma_value",
     "streaming_holt_trend",
+    # r11: the multimodal decode gate on the stream
+    "streaming_multimodal_ingest",
 ]
 
 

@@ -36,9 +36,10 @@ Rotation invariants (held every round since r1):
 ROUND-11 WINDOW (``_R11_WINDOW``): round 10 did NOT rotate (the r10
 driver re-ran the exact r9 window — a process defect the r10 verdict
 called out as its top item), so round 11 executes the rotation that was
-owed at r10. The head is ``multimodal_ahash_near_dup`` +
-``multimodal_audio_features`` + ``multimodal_video_scene_stats`` —
-registered in round 11 itself, never driver-checked (invariant #1).
+owed at r10. The head is the five round-11 registrations, never
+driver-checked (invariant #1): ``multimodal_ahash_near_dup``,
+``multimodal_audio_features``, ``multimodal_video_scene_stats``,
+``multimodal_format_census``, ``streaming_multimodal_ingest``.
 Then the 4
 ``_R10_OWED`` changed-code census consumers (the r8s3
 ``shingle_pair_census`` extraction touched their shared pair
@@ -52,15 +53,16 @@ implementation AND oracle changed in round 11 itself (invariant #2
 applied immediately) — ``multimodal_feature_extract`` (real PGM decode
 replacing the byte-histogram stub) and ``geo_radius_join_customers``
 (arithmetic 1e-6 quantizer replacing the BigDecimal round in the gate —
-the root-caused fix for its r9/r10 perf drift). The remaining 32 slots
+the root-caused fix for its r9/r10 perf drift). The remaining 30 slots
 drain the stale refresh queue promised in the README ledger,
 least-proven / stalest first: the [1,5] tier (``grouping_sets_orders``
 ``set_except`` ``set_intersect`` ``unpivot_customer_measures``), the
 [2,5] tier (six text/sampling/similarity rows), the [1,2,5] tier
 (eight rows), then ``llm_pack_sequences`` [3,4,5],
 ``streaming_stream_stream_join`` [2,3,4,5], the five r6-only rows, the
-[5,6] tier, and four of the seven [3,4,6] rows. Displaced to the r12
-queue head by the r11 insertions: ``tpch_q6_forecast_revenue``,
+[5,6] tier, and two of the seven [3,4,6] rows. Displaced to the r12
+queue head by the r11 insertions: ``text_hash_split``,
+``llm_corpus_shards``, ``tpch_q6_forecast_revenue``,
 ``tpch_q14_promo_revenue`` and ``agg_approx_distinct_users`` [3,4,6],
 ``j_full_outer_join`` and ``a1_multi_agg`` [*,6] — each with 3-4 green
 rounds on unchanged code. Every row demoted from the r9/r10 window
@@ -140,6 +142,8 @@ _R11_NEW = (
     "multimodal_ahash_near_dup",
     "multimodal_audio_features",
     "multimodal_video_scene_stats",
+    "multimodal_format_census",
+    "streaming_multimodal_ingest",
 )
 assert all(n in QUERIES for n in _R11_NEW)
 
@@ -186,14 +190,12 @@ _R11_REFRESH = (
     # [3,4,6]
     "dedup_lines",
     "sim_quantize_int8",
-    "text_hash_split",
-    "llm_corpus_shards",
-    # (tpch_q6_forecast_revenue, tpch_q14_promo_revenue and
-    # agg_approx_distinct_users [3,4,6] join j_full_outer_join and
-    # a1_multi_agg [*,6] at the r12 queue head — displaced by the two
-    # r11 changed-code re-exposures and the three r11 new
-    # registrations; each displaced row holds 3-4 green rounds on
-    # unchanged code)
+    # (text_hash_split, llm_corpus_shards, tpch_q6_forecast_revenue,
+    # tpch_q14_promo_revenue and agg_approx_distinct_users [3,4,6] join
+    # j_full_outer_join and a1_multi_agg [*,6] at the r12 queue head —
+    # displaced by the two r11 changed-code re-exposures and the five
+    # r11 new registrations; each displaced row holds 3-4 green rounds
+    # on unchanged code)
 )
 assert all(n in QUERIES for n in _R11_REFRESH)
 

@@ -322,3 +322,74 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_luma",
         F.round("diff_prev", 6).alias("diff_prev"),
     )
+
+
+@query(
+    "multimodal_format_census",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS pw,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS ph,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS yw,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS yh,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 241 + 16
+                  AS INT) AS wn,
+             CAST(('0x' || substr(md5(text || '|nf'), 1, 15))::BIGINT % 6 + 2
+                  AS INT) AS nf
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'pgm' WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
+             CASE doc_id % 3
+               WHEN 0 THEN 9 + length(pw::VARCHAR) + length(ph::VARCHAR)
+                           + pw * ph
+               WHEN 1 THEN 44 + wn
+               ELSE length('YUV4MPEG2 W' || yw || ' H' || yh
+                           || ' F25:1 Ip A1:1 Cmono') + 1
+                    + nf * (6 + yw * yh)
+             END AS n_bytes
+      FROM m
+    )
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+    FROM sized GROUP BY format
+    """,
+)
+def multimodal_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column governance: a mixed-format payload lake (one third
+    each PGM / WAV / Y4M, all REAL containers from the r11 encoders) is
+    classified purely by MAGIC BYTES — the dispatch a 100 TB blob
+    column needs before any decode is chosen — then counted and sized
+    per format. The oracle recomputes every container's exact byte size
+    from the encoding arithmetic (ASCII header lengths included), so
+    the census gates both the detector and the encoders'
+    byte-exactness. JVM-side end to end: magic-prefix comparison and
+    octet_length are built-ins; no Python runs at all."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = (
+        encode_pgm(docs.filter(F.col("doc_id") % 3 == 0))
+        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 3 == 1)))
+        .unionAll(encode_y4m(docs.filter(F.col("doc_id") % 3 == 2)))
+    )
+    fmt = (
+        F.when(F.expr("substring(payload, 1, 2)") == F.lit(b"P5"), "pgm")
+        .when(F.expr("substring(payload, 1, 4)") == F.lit(b"RIFF"), "wav")
+        .when(F.expr("substring(payload, 1, 9)") == F.lit(b"YUV4MPEG2"), "y4m")
+        .otherwise("unknown")
+    )
+    return (
+        mixed.select(fmt.alias("format"), F.octet_length("payload").alias("nb"))
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+        )
+    )

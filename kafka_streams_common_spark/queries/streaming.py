@@ -1358,3 +1358,61 @@ def streaming_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decided.filter(F.col("ts_us") < cut).select(
         "key", "ts_us", "event_id", "x", "ewma"
     )
+
+
+@query(
+    "streaming_multimodal_ingest",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, h,
+             list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                       for i in range(1, w*h + 1)]) AS mean_px
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           round(mean_px, 6) AS mean_px
+    FROM s
+    WHERE w * h >= 32 AND mean_px BETWEEN 100.0 AND 160.0
+    """,
+)
+def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal quality gating AT INGEST — the image twin of
+    ``streaming_quality_gate_ingest``: documents arrive as a STREAM,
+    are encoded to byte-exact PGM payloads, REAL-decoded inside the
+    micro-batch (``decode_pgm_features`` — ``mapInPandas`` is
+    streaming-safe for stateless projections), and gated on DECODED
+    pixel statistics (enough pixels, mean luminance in band) before
+    they would ever land in the corpus store. No state store, no
+    watermark, append mode — per-microbatch cost is exactly the batch
+    decode cost, and stream ≡ batch by construction (the oracle is the
+    batch definition of the same gate). Proves the r11 decode path runs
+    under Structured Streaming, not only in batch."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_pgm_features,
+        encode_pgm,
+    )
+
+    stream = _streaming_compiler(spark, sf_dir).stream_source("documents")
+    feats = decode_pgm_features(encode_pgm(stream))
+    gated = feats.filter(
+        (F.col("n_px") >= 32) & F.col("mean_px").between(100.0, 160.0)
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+    return run_stream_to_memory(gated, spark, output_mode="append")
