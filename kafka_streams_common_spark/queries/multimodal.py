@@ -1,13 +1,18 @@
-"""Multimodal-column queries: binary payload plumbing with typed metadata.
+"""Multimodal-column queries: binary payloads with typed metadata, on
+REAL public containers end to end (since round 11).
 
 The metadata and frame-sampling paths run on an opaque binary payload
-(utf-8 bytes) and oracle-check the plumbing geometry. The
-feature-extraction path is a REAL image pipeline since round 11: each
-document is encoded as a byte-exact Netpbm PGM (P5) file JVM-side, the
-``mapInPandas`` stage parses the container and computes pixel statistics
-from the decoded raster, and the oracle replays the encoding arithmetic
-in SQL — so the hash gates decoded content (dims recovered from the
-header, mean/min/max pixel values), not just plumbing invariants.
+(utf-8 bytes) and oracle-check the plumbing geometry. Everything else
+runs real codecs: documents are encoded JVM-side as byte-exact Netpbm
+PGM images, RIFF/WAVE PCM clips, and YUV4MPEG2 video streams
+(interchange pinned in pytest — stdlib readers open the payloads), then
+``mapInPandas`` stages PARSE the containers and compute features from
+decoded content, with every SQL oracle replaying the encoding
+arithmetic — so the hashes gate decoders, not pass-throughs. The tier
+covers: pixel stats (image), perceptual aHash near-dup (image pairs),
+clip stats (audio), per-frame scene-change stats (video), magic-byte
+format census (governance over a mixed lake), and the streaming ingest
+gate (decode inside Structured Streaming; see queries/streaming.py).
 """
 
 from __future__ import annotations
