@@ -1,0 +1,117 @@
+"""Property-based tests for the multimodal container parsers.
+
+Each strategy builds payloads from the PUBLIC spec (independent of the
+repo's encoders — so these pin the parsers against the format space,
+not just against our own output): random dims/samples/frame counts,
+optional comments / unknown chunks / padding, then asserts the parser
+recovers exactly the planted content. Complements the byte-exact
+encoder round-trips in test_operators.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_common_spark.operators.multimodal import (
+    _parse_netpbm,
+    _parse_wav,
+    _parse_y4m,
+)
+
+dims = st.integers(min_value=1, max_value=32)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    channels=st.sampled_from([1, 3]),
+    comment=st.booleans(),
+    data=st.data(),
+)
+def test_netpbm_parse_recovers_planted_raster(w, h, channels, comment, data):
+    n = w * h * channels
+    raster = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+    magic = b"P5" if channels == 1 else b"P6"
+    header = magic + b"\n"
+    if comment:
+        header += b"# a comment\n"
+    header += f"{w} {h}\n255\n".encode()
+    got_c, got_w, got_h, px = _parse_netpbm(header + raster)
+    assert (got_c, got_w, got_h) == (channels, w, h)
+    assert px.shape == (h, w, channels)
+    assert px.ravel().tolist() == list(raster)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    extra_first=st.booleans(),
+    data=st.data(),
+)
+def test_wav_parse_recovers_planted_samples(bits, rate, extra_first, data):
+    n = data.draw(st.integers(min_value=1, max_value=200))
+    if bits == 8:
+        samples = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        raw = bytes(samples)
+    else:
+        samples = data.draw(
+            st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)
+        )
+        raw = b"".join(struct.pack("<h", v) for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * bits // 8, bits // 8, bits)
+    chunks = b""
+    # an unknown odd-sized chunk exercises the word-alignment skip
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    if extra_first:
+        chunks += extra
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if not extra_first:
+        chunks += extra
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    channels, got_rate, got_bits, s = _parse_wav(payload)
+    assert (channels, got_rate, got_bits) == (1, rate, bits)
+    assert s[:, 0].tolist() == samples
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    nf=st.integers(min_value=1, max_value=6),
+    c420=st.booleans(),
+    frame_params=st.booleans(),
+    data=st.data(),
+)
+def test_y4m_parse_recovers_planted_frames(w, h, nf, c420, frame_params, data):
+    if c420:
+        # C420 plane sizes need even-ish dims to be meaningful, but the
+        # spec arithmetic (w//2 * h//2) is what the parser implements —
+        # exercise it for any dims
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+        header = f"YUV4MPEG2 W{w} H{h} F25:1 C420jpeg\n".encode()
+    else:
+        frame_size = w * h
+        header = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+    frames, payload = [], header
+    for _ in range(nf):
+        raw = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=frame_size, max_size=frame_size)
+            )
+        )
+        marker = b"FRAME Xsome=param\n" if frame_params else b"FRAME\n"
+        payload += marker + raw
+        frames.append(raw[: w * h])
+    got_w, got_h, got_frames = _parse_y4m(payload)
+    assert (got_w, got_h, len(got_frames)) == (w, h, nf)
+    for want, got in zip(frames, got_frames):
+        assert got.shape == (h, w)
+        assert got.ravel().tolist() == list(want)
+        assert got.dtype == np.uint8
