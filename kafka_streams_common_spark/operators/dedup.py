@@ -631,6 +631,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs ``(doc_a, doc_b, hamming)``, hamming ≤ max_hamming.
 
@@ -645,6 +646,24 @@ def simhash_pairs(
     token hash carries 60 bits; wider asserts in the kernel) keeps the
     zero-false-negative guarantee rather than silently bucketing on the
     low 32 bits.
+
+    ``max_bucket`` is the hot-bucket cap this operator shares with
+    ``minhash_lsh_pairs`` (same census → filter → semi-join shape at
+    ``minhash_lsh_pairs``'s cap site): drop (block, value) groups
+    holding more than that many documents before the self-join.
+    Candidate volume is Σ(occupancy²) per bucket, so a MODAL simhash
+    class — boilerplate pages whose token multisets coincide, certain
+    at corpus scale — otherwise lands m identical hashes in one bucket
+    and enumerates m² candidate rows that the hamming filter then keeps
+    (they ARE duplicates), which is exactly when the pair LIST stops
+    being the right output shape. Unlike minhash (where hot candidates
+    fail exact verify and the cap is output-neutral on realistic skew),
+    capping here CAN drop true pairs whose only equal block is the hot
+    one — the trade a curation pipeline makes deliberately: route modal
+    classes to exact dedup (they are exact duplicates of each other),
+    keep the near-dup join bounded. Default ``None`` keeps the
+    registered query bit-identical to its SQL oracle; the skew probe
+    (scripts/skew_probe.py) measures the capped/uncapped asymmetry.
     """
     n_blocks = max_hamming + 1
     assert bits % n_blocks == 0, (
@@ -670,6 +689,17 @@ def simhash_pairs(
     bucketed = sim.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
         "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
+    if max_bucket is not None:
+        # same shape as minhash_lsh_pairs' cap: one small census
+        # aggregation (map-side combined), then an AQE-decided join of
+        # bucket rows against surviving buckets
+        ok = (
+            bucketed.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("blk", "val")
+        )
+        bucketed = bucketed.join(ok, ["blk", "val"])
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

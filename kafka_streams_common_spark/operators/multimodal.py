@@ -256,15 +256,21 @@ def encode_wav(
     sample data: the 16-byte md5 digest cycled to ``n`` bytes. The
     output is a byte-exact WAV that Python's stdlib ``wave`` module (and
     any RIFF reader) opens — validated in pytest — so the DECODER must
-    walk real RIFF chunks to recover the sample stream.
+    walk real RIFF chunks to recover the sample stream. Odd-length data
+    chunks carry the RIFF word-alignment pad byte (chunk size stays the
+    UNPADDED ``n`` per spec; strict readers require the pad), so the
+    container byte length is ``44 + n + (n % 2)``.
     """
     text = F.col(text_col)
     n = (F.pmod(md5_int64(text), F.lit(241)) + F.lit(16)).cast("int")
     data = F.unhex(F.repeat(F.md5(text), 17)).substr(F.lit(1), n)
     rate = F.lit(WAV_SAMPLE_RATE)
+    # RIFF chunk sizes count UNPADDED bytes; the riff size counts the pad
+    # because the pad byte is part of the enclosing RIFF form's content
+    pad = F.pmod(n, F.lit(2))
     payload = F.concat(
         F.encode(F.lit("RIFF"), "utf-8"),
-        _le32(n + 36),  # riff chunk size
+        _le32(n + pad + 36),  # riff chunk size (pad included in the form)
         F.encode(F.lit("WAVE"), "utf-8"),
         F.encode(F.lit("fmt "), "utf-8"),
         _le32(F.lit(16)),  # fmt chunk size
@@ -277,6 +283,8 @@ def encode_wav(
         F.encode(F.lit("data"), "utf-8"),
         _le32(n),
         data,
+        # word-alignment pad for odd data chunks, per the RIFF spec
+        F.unhex(F.repeat(F.lit("00"), pad)),
     )
     return docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
 
@@ -355,6 +363,9 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
                 mono = s.mean(axis=1) if channels > 1 else s[:, 0].astype(np.float64)
                 centered = mono - (128.0 if bits == 8 else 0.0)
                 zc = int(np.sum(centered[:-1] * centered[1:] < 0))
+                # peak: 8-bit samples are unsigned (0..255) so max IS the
+                # peak level; signed 16-bit clips report max |sample| —
+                # a negative-dominant clip would otherwise under-report
                 rows.append(
                     {
                         "doc_id": did,
@@ -364,11 +375,14 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
                         "duration_ms": s.shape[0] * 1000.0 / rate,
                         "mean_amp": float(mono.mean()),
                         "rms": float(np.sqrt(np.mean(mono * mono))),
-                        "peak": int(s.max()),
+                        "peak": int(s.max() if bits == 8 else np.abs(s).max()),
                         "zero_crossings": zc,
                     }
                 )
-            yield pd.DataFrame(rows)
+            # explicit columns: an all-clips-empty batch must still carry
+            # the schema (pd.DataFrame([]) would be zero-column and fail
+            # the mapInPandas schema mapping)
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
     return audio.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
@@ -503,7 +517,12 @@ def decode_y4m_frame_stats(video: DataFrame) -> DataFrame:
                         }
                     )
                     prev = m
-            yield pd.DataFrame(rows)
+            # explicit columns: a zero-frame batch (possible for
+            # externally-supplied Y4M with no FRAME sections) must still
+            # carry the schema for the mapInPandas mapping
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_STATS_SCHEMA]
+            )
 
     return video.mapInPandas(batches, VIDEO_FRAME_STATS_SCHEMA)
 
@@ -560,14 +579,27 @@ def ahash_signatures(images: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, AHASH_SCHEMA)
 
 
-def ahash_near_dup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+def ahash_near_dup_pairs(
+    images: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash — the multimodal
     twin of SimHash dedup, with the same 100 TB shape: band-equality
     candidate generation (pigeonhole: hamming ≤ 3 over 64 bits ⇒ at
     least one of 4 16-bit bands equal — EXACT, no recall loss), then
     hamming verification on candidates only. Never an all-pairs join;
-    candidate volume is Σ(occupancy²) per band bucket, the LSH posture
-    (cap hot buckets upstream on real data, as in simhash_pairs).
+    candidate volume is Σ(occupancy²) per band bucket.
+
+    ``max_bucket`` caps hot buckets (census → filter → join, the
+    ``minhash_lsh_pairs``/``simhash_pairs`` pattern): an image corpus
+    at scale always carries a MODAL aHash class — constant-color
+    thumbnails and letterboxed frames hash to all-zeros/all-ones bands —
+    whose bucket enumerates m² candidates. Those candidates pass the
+    hamming verify (they ARE perceptual near-dups of each other), so
+    the cap trades the m² pair list for bounded work: route modal
+    classes to exact byte/hash dedup instead (their full 64-bit hashes
+    are identical, a plain groupBy). Default ``None`` keeps the
+    registered query bit-identical to its SQL oracle; the skew probe
+    (scripts/skew_probe.py) measures the asymmetry.
 
     Returns ``(a_doc, b_doc, hamming)`` with ``a_doc < b_doc``.
     """
@@ -591,6 +623,14 @@ def ahash_near_dup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band_idx", "band_val")
+        )
+        bands = bands.join(ok, ["band_idx", "band_val"])
     a = bands.select(
         F.col("doc_id").alias("a_doc"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],

@@ -355,7 +355,7 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE doc_id % 3
                WHEN 0 THEN 9 + length(pw::VARCHAR) + length(ph::VARCHAR)
                            + pw * ph
-               WHEN 1 THEN 44 + wn
+               WHEN 1 THEN 44 + wn + (wn % 2)
                ELSE length('YUV4MPEG2 W' || yw || ' H' || yh
                            || ' F25:1 Ip A1:1 Cmono') + 1
                     + nf * (6 + yw * yh)

@@ -84,6 +84,34 @@ def test_simhash_exact_dup_distance_zero(docs_df):
     assert pairs[(0, 1)] == 0
 
 
+def test_simhash_max_bucket_caps_modal_class(spark):
+    """The hot-bucket cap: a modal simhash class (m identical token
+    multisets — the boilerplate-page profile) lands m docs in every one
+    of its 4 block buckets, enumerating C(m,2) candidates. With
+    ``max_bucket`` below m the modal pairs vanish (routed to exact
+    dedup in a real pipeline) while near-dup pairs in cold buckets
+    survive untouched."""
+    modal = [(i, "the same boilerplate page text") for i in range(12)]
+    # near-dup pair in a cold bucket: one repeated rare token differs
+    cold = [
+        (100, "alpha beta gamma delta epsilon zeta " + "eta " * 2),
+        (101, "alpha beta gamma delta epsilon zeta " + "eta " * 3),
+    ]
+    docs = spark.createDataFrame(modal + cold, ["doc_id", "text"])
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, max_hamming=3, max_bucket=8).collect()
+    }
+    assert {(a, b) for a in range(12) for b in range(a + 1, 12)} <= uncapped
+    assert (100, 101) in uncapped
+    assert (100, 101) in capped  # cold-bucket pair survives the cap
+    assert not any(a < 12 and b < 12 for a, b in capped)  # modal class pruned
+
+
 def test_simhash_bits60_banding_matches_bruteforce(spark):
     """The pigeonhole band layout derives from ``bits``: at bits=60 (the
     widest width the 60-bit md5-prefix token hash can honestly fill —
@@ -295,6 +323,28 @@ def test_ahash_near_dup_detects_perturbed_image(spark):
     with pytest.raises(ValueError, match="hamming"):
         ahash_near_dup_pairs(df, max_hamming=9)
 
+    # hot-bucket cap: a modal image class (constant-color thumbnails —
+    # identical payloads, identical bands) floods its buckets with m
+    # docs; max_bucket below m prunes the m² modal pairs while the
+    # cold-bucket near-dup pair (1, 2) survives
+    flat = pgm(bytes([7]) * (w * h))
+    modal = [(100 + i, bytearray(flat)) for i in range(10)]
+    df2 = spark.createDataFrame(
+        [(1, bytearray(pgm(a_px))), (2, bytearray(pgm(b_px)))] + modal,
+        "doc_id long, payload binary",
+    )
+    uncapped = {
+        (r["a_doc"], r["b_doc"])
+        for r in ahash_near_dup_pairs(df2, max_hamming=3).collect()
+    }
+    capped = {
+        (r["a_doc"], r["b_doc"])
+        for r in ahash_near_dup_pairs(df2, max_hamming=3, max_bucket=6).collect()
+    }
+    assert {(a, b) for a in range(100, 110) for b in range(a + 1, 110)} <= uncapped
+    assert (1, 2) in capped
+    assert not any(a >= 100 for a, b in capped)
+
 
 def test_wav_encode_is_a_real_wav_and_decode_recovers_content(spark):
     """The JVM-side encoder must emit byte-exact RIFF/WAVE files that
@@ -326,6 +376,14 @@ def test_wav_encode_is_a_real_wav_and_decode_recovers_content(spark):
             wf.getnframes(),
         ) == (1, 8000, 1, n), did
         assert wf.readframes(n) == ref_samples, did
+        # RIFF word alignment: odd data chunks carry a zero pad byte,
+        # the data chunk size stays the unpadded n, and the RIFF form
+        # size counts the pad
+        assert len(payload) == 44 + n + n % 2, did
+        if n % 2:
+            assert payload[-1] == 0, did
+        assert int.from_bytes(payload[4:8], "little") == 36 + n + n % 2, did
+        assert int.from_bytes(payload[40:44], "little") == n, did
     got = {r["doc_id"]: r for r in decode_wav_features(clips).collect()}
     for did, payload in payloads.items():
         hx = hashlib.md5(texts[did].encode()).hexdigest()
