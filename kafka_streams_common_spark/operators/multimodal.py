@@ -153,19 +153,224 @@ def _parse_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return channels, width, height, px
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: big-endian length, type, data, CRC-32 of
+    type+data — the container's only framing primitive."""
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A valid zlib stream holding ``data`` in DEFLATE *stored* blocks,
+    built by hand so the byte LENGTH is deterministic arithmetic
+    (2 header + ⌈L/65535⌉·5 block headers + L + 4 adler) rather than an
+    artifact of a particular zlib build — what lets the format-census
+    oracle recompute PNG container sizes in SQL. ``zlib.decompress``
+    (and any inflate) accepts it; the compressed-DEFLATE encode path
+    uses ``zlib.compress`` instead and gates CONTENT, not size."""
+    import zlib
+
+    out = [b"\x78\x01"]  # CMF/FLG: 32K window, check bits valid, level-0 hint
+    pos = 0
+    while True:
+        block = data[pos : pos + 65535]
+        final = pos + 65535 >= len(data)
+        out.append(
+            (b"\x01" if final else b"\x00")
+            + len(block).to_bytes(2, "little")
+            + (len(block) ^ 0xFFFF).to_bytes(2, "little")
+            + block
+        )
+        pos += 65535
+        if final:
+            break
+    out.append((zlib.adler32(data) & 0xFFFFFFFF).to_bytes(4, "big"))
+    return b"".join(out)
+
+
+def _png_filter_scanline(
+    ftype: int, raw: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply PNG filter ``ftype`` (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth — the full spec set) to one raw scanline; ``prior`` is the
+    previous RAW scanline (zeros for the first). Exact uint8 modular
+    arithmetic per the PNG spec; filtering references RAW neighbors so
+    it vectorizes (unlike unfiltering, which needs the reconstructed
+    left byte)."""
+    raw16 = raw.astype(np.int64)
+    left = np.concatenate([np.zeros(bpp, np.int64), raw16[:-bpp]])
+    up = prior.astype(np.int64)
+    ul = np.concatenate([np.zeros(bpp, np.int64), up[:-bpp]])
+    if ftype == 0:
+        out = raw16
+    elif ftype == 1:
+        out = raw16 - left
+    elif ftype == 2:
+        out = raw16 - up
+    elif ftype == 3:
+        out = raw16 - (left + up) // 2
+    elif ftype == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        out = raw16 - pred
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_scanline(
+    ftype: int, filt: np.ndarray, prior: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Invert one scanline filter. Up is vectorized; Sub/Average/Paeth
+    reference the RECONSTRUCTED left byte, so they run as a sequential
+    in-place pass (scanlines are short; the loop is per-line, inside
+    the per-image Arrow batch body)."""
+    up = prior.astype(np.int64)
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return ((filt.astype(np.int64) + up) % 256).astype(np.uint8)
+    out = filt.astype(np.int64).copy()
+    ul = np.concatenate([np.zeros(bpp, np.int64), up[:-bpp]])
+    for i in range(out.size):
+        left = out[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            out[i] = (out[i] + left) % 256
+        elif ftype == 3:
+            out[i] = (out[i] + (left + up[i]) // 2) % 256
+        elif ftype == 4:
+            p = left + up[i] - ul[i]
+            pa, pb, pc = abs(p - left), abs(p - up[i]), abs(p - ul[i])
+            pred = left if pa <= pb and pa <= pc else (up[i] if pb <= pc else ul[i])
+            out[i] = (out[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
+def _encode_png_bytes(px: np.ndarray, level: int = 6, filter_seed: int = 0) -> bytes:
+    """Encode an ``(h, w, channels)`` uint8 array as a spec-compliant
+    PNG (8-bit, color type 0 grayscale / 2 RGB, no interlace, critical
+    chunks IHDR/IDAT/IEND). Scanline ``r`` uses filter type
+    ``(filter_seed + r) % 5`` so every filter in the spec is exercised
+    in round-trips; ``level=0`` writes hand-built stored blocks
+    (deterministic container size — see ``_zlib_stored``), any other
+    level uses real DEFLATE via ``zlib.compress``."""
+    import zlib
+
+    h, w, channels = px.shape
+    colortype = 0 if channels == 1 else 2
+    bpp = channels
+    lines = []
+    prior = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        raw = px[r].reshape(-1)
+        ftype = (filter_seed + r) % 5
+        lines.append(bytes([ftype]))
+        lines.append(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
+        prior = raw
+    filtered = b"".join(lines)
+    idat = _zlib_stored(filtered) if level == 0 else zlib.compress(filtered, level)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])  # depth, color, compression, filter, interlace
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a PNG per the public spec (critical chunks): signature,
+    chunk walk with CRC-32 verification, IHDR geometry, concatenated
+    IDAT zlib-inflate, scanline unfilter (all five filter types).
+    8-bit depth, color types 0 (gray) and 2 (RGB), non-interlaced.
+    Ancillary chunks are skipped (CRC-checked) per spec. Returns
+    ``(channels, width, height, pixels)`` shaped ``(h, w, channels)``
+    — the ``_parse_netpbm`` contract, so stats code is shared."""
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError(f"not a PNG payload: {payload[:8]!r}")
+    pos, ihdr, idat_parts, seen_end = 8, None, [], False
+    while pos + 12 <= len(payload) and not seen_end:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        crc = int.from_bytes(payload[pos + 8 + length : pos + 12 + length], "big")
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+        elif ctype == b"IEND":
+            seen_end = True
+        pos += 12 + length
+    if ihdr is None or not idat_parts or not seen_end:
+        raise ValueError("missing IHDR, IDAT, or IEND chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, colortype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or colortype not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={colortype} interlace="
+            f"{interlace}; 8-bit gray/RGB non-interlaced only)"
+        )
+    channels = 1 if colortype == 0 else 3
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat_parts))
+    if len(raw) != height * (stride + 1):
+        raise ValueError(f"inflated data {len(raw)} != {height} x ({stride}+1)")
+    px = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        prior = _png_unfilter_scanline(
+            line[0], np.frombuffer(line[1:], dtype=np.uint8), prior, channels
+        )
+        px[r] = prior
+    return channels, width, height, px.reshape(height, width, channels)
+
+
 def _decode_image(payload: bytes) -> dict:
-    """Decode one image payload → dims + pixel statistics + normalized
-    luminance histogram. Dispatches on magic number; PGM/PPM are parsed
-    natively (``_parse_netpbm``); other containers (JPEG/PNG) would add
-    a PIL branch here without touching callers.
+    """Decode one image payload → container format + dims + pixel
+    statistics + normalized luminance histogram. Dispatches on magic
+    number: PGM/PPM parse natively (``_parse_netpbm``); PNG — the
+    compressed-container branch, new in r12 — walks CRC-checked
+    chunks, zlib-inflates IDAT, and unfilters scanlines
+    (``_parse_png``). A JPEG/codec-library branch would slot in here
+    without touching callers.
     """
-    channels, width, height, px = _parse_netpbm(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        fmt = "png"
+        channels, width, height, px = _parse_png(payload)
+    else:
+        fmt = "pgm" if payload[1:2] == b"5" else "ppm"
+        channels, width, height, px = _parse_netpbm(payload)
     lum = px.mean(axis=2) if channels == 3 else px[:, :, 0]
     flat = px.astype(np.int64).ravel()
     hist = np.bincount(
         flat * N_HIST_BINS // 256, minlength=N_HIST_BINS
     ) / flat.size
     return {
+        "format": fmt,
         "channels": channels,
         "width": width,
         "height": height,
@@ -182,6 +387,7 @@ def _decode_image(payload: bytes) -> dict:
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("width", T.LongType(), True),
         T.StructField("height", T.LongType(), True),
@@ -194,13 +400,16 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_pgm_features(images: DataFrame) -> DataFrame:
+def decode_image_features(images: DataFrame) -> DataFrame:
     """Arrow-batched REAL image decode over ``(doc_id, payload)``:
     ``mapInPandas`` streams per-partition Arrow batches through
-    ``_decode_image`` — header parse + raster stats per image, no driver
-    collect, linear scaling with partition count. The production shape
-    for decode/feature-extract stages at 100 TB: partition by file/doc,
-    decode inside the batch, emit fixed-width features.
+    ``_decode_image`` — magic-number dispatch (PGM/PPM header parse, or
+    PNG chunk-walk + inflate + unfilter) + raster stats per image, no
+    driver collect, linear scaling with partition count. The production
+    shape for decode/feature-extract stages at 100 TB: partition by
+    file/doc, decode inside the batch, emit fixed-width features; a
+    MIXED-format lake needs no routing shuffle — dispatch is per-row
+    inside the batch.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,6 +418,7 @@ def decode_pgm_features(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
+                    "format": [s["format"] for s in stats],
                     "channels": [s["channels"] for s in stats],
                     "width": [s["width"] for s in stats],
                     "height": [s["height"] for s in stats],
@@ -221,6 +431,55 @@ def decode_pgm_features(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(decode_batches, PIXEL_STATS_SCHEMA)
+
+
+# the pre-r12 name (PGM was the only real container then); same decoder
+decode_pgm_features = decode_image_features
+
+
+def encode_png(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim_mod: int = 16,
+    level: int = 6,
+) -> DataFrame:
+    """Encode each document as a genuine PNG — REAL zlib DEFLATE (or
+    deterministic stored blocks at ``level=0``), scanline filters
+    cycling through all five spec types (seeded by ``doc_id``), 8-bit
+    grayscale. Geometry and raster use the SAME md5 arithmetic as
+    ``encode_pgm`` (``width = md5(text) % dim_mod + 1``, digest-cycled
+    pixels), so a SQL oracle replays the DECODED content without ever
+    replaying DEFLATE — compression is exactly the part the decoder
+    must undo. Unlike the other encoders this one cannot be JVM-side
+    expressions (no zlib in Catalyst), so it runs as an Arrow-batched
+    ``mapInPandas`` stage — map-only, the same 100 TB shape as the
+    decoders."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hx = hashlib.md5(text.encode()).hexdigest()
+                w = int(hx[:15], 16) % dim_mod + 1
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
+                raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
+                payloads.append(_encode_png_bytes(px, level=level, filter_seed=int(did)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def _le16(n) -> "F.Column":

@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 from kafka_streams_common_spark.operators.multimodal import (
     ahash_near_dup_pairs,
     attach_fake_image_payload,
+    decode_image_features,
     decode_pgm_features,
     decode_wav_features,
     decode_y4m_frame_stats,
     encode_pgm,
+    encode_png,
     encode_wav,
     encode_y4m,
     sample_frames,
@@ -134,6 +136,65 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hist_mass"
         ),
         F.size("hist").alias("n_bins"),
+    )
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'png' END AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                           for i in range(1, w*h + 1)]), 6) AS mean_px,
+           list_min([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, w*h + 1)]) AS min_px,
+           list_max([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, w*h + 1)]) AS max_px
+    FROM m
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-container decode over a mixed image lake — the
+    r12 branch the multimodal tier was missing: even documents are
+    encoded as byte-exact Netpbm PGMs (JVM-side, ``encode_pgm``), odd
+    documents as genuine PNGs with REAL zlib DEFLATE (level 6) and
+    scanline filters cycling through all five spec types per row
+    (``encode_png``); one ``decode_image_features`` stage then
+    dispatches per row on MAGIC BYTES, chunk-walks + CRC-checks +
+    inflates + unfilters the PNGs (``_parse_png``) and header-parses
+    the PGMs, with no routing shuffle. Both encoders derive dims and
+    raster from the same md5 arithmetic, so the oracle replays the
+    DECODED content in SQL without replaying DEFLATE — compression is
+    exactly what the decoder must undo, and a wrong unfilter (Paeth
+    predictor, Average floor), a skipped CRC, or a dispatch miss breaks
+    the hash. The recovered ``format`` column gates the dispatch
+    itself."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = encode_pgm(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
+        encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6)
+    )
+    feats = decode_image_features(mixed)
+    return feats.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "n_px",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
     )
 
 
@@ -350,15 +411,17 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sized AS (
       SELECT doc_id,
-             CASE doc_id % 3
-               WHEN 0 THEN 'pgm' WHEN 1 THEN 'wav' ELSE 'y4m' END AS format,
-             CASE doc_id % 3
+             CASE doc_id % 4
+               WHEN 0 THEN 'pgm' WHEN 1 THEN 'wav'
+               WHEN 2 THEN 'y4m' ELSE 'png' END AS format,
+             CASE doc_id % 4
                WHEN 0 THEN 9 + length(pw::VARCHAR) + length(ph::VARCHAR)
                            + pw * ph
                WHEN 1 THEN 44 + wn + (wn % 2)
-               ELSE length('YUV4MPEG2 W' || yw || ' H' || yh
+               WHEN 2 THEN length('YUV4MPEG2 W' || yw || ' H' || yh
                            || ' F25:1 Ip A1:1 Cmono') + 1
                     + nf * (6 + yw * yh)
+               ELSE 68 + ph * (pw + 1)
              END AS n_bytes
       FROM m
     )
@@ -369,25 +432,36 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column governance: a mixed-format payload lake (one third
-    each PGM / WAV / Y4M, all REAL containers from the r11 encoders) is
+    """Binary-column governance: a mixed-format payload lake (one
+    quarter each PGM / WAV / Y4M / PNG, all REAL containers) is
     classified purely by MAGIC BYTES — the dispatch a 100 TB blob
     column needs before any decode is chosen — then counted and sized
     per format. The oracle recomputes every container's exact byte size
-    from the encoding arithmetic (ASCII header lengths included), so
-    the census gates both the detector and the encoders'
-    byte-exactness. JVM-side end to end: magic-prefix comparison and
-    octet_length are built-ins; no Python runs at all."""
+    from the encoding arithmetic (ASCII header lengths, the RIFF pad
+    byte, and — for PNG — the stored-block zlib framing
+    ``68 + h·(w+1)`` = signature 8 + IHDR 25 + IDAT framing 12 + zlib
+    stored-stream 11 + filtered raster h·(w+1) + IEND 12; see
+    ``_zlib_stored``), so the census gates both the detector and the
+    encoders' byte-exactness. The PGM/WAV/Y4M legs are JVM-side
+    end-to-end; the PNG leg's encode is an Arrow-batched map (zlib),
+    with deterministic level-0 framing so its size stays
+    SQL-computable. The content behind PNG's real-DEFLATE path is
+    gated by ``multimodal_png_decode``."""
     docs = table(spark, sf_dir, "documents")
     mixed = (
-        encode_pgm(docs.filter(F.col("doc_id") % 3 == 0))
-        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 3 == 1)))
-        .unionAll(encode_y4m(docs.filter(F.col("doc_id") % 3 == 2)))
+        encode_pgm(docs.filter(F.col("doc_id") % 4 == 0))
+        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 4 == 1)))
+        .unionAll(encode_y4m(docs.filter(F.col("doc_id") % 4 == 2)))
+        .unionAll(encode_png(docs.filter(F.col("doc_id") % 4 == 3), level=0))
     )
     fmt = (
         F.when(F.expr("substring(payload, 1, 2)") == F.lit(b"P5"), "pgm")
         .when(F.expr("substring(payload, 1, 4)") == F.lit(b"RIFF"), "wav")
         .when(F.expr("substring(payload, 1, 9)") == F.lit(b"YUV4MPEG2"), "y4m")
+        .when(
+            F.expr("substring(payload, 1, 8)") == F.lit(b"\x89PNG\r\n\x1a\n"),
+            "png",
+        )
         .otherwise("unknown")
     )
     return (

@@ -115,3 +115,99 @@ def test_y4m_parse_recovers_planted_frames(w, h, nf, c420, frame_params, data):
         assert got.shape == (h, w)
         assert got.ravel().tolist() == list(want)
         assert got.dtype == np.uint8
+
+
+# --- PNG (r12: the compressed-container branch) -------------------------
+
+from kafka_streams_common_spark.operators.multimodal import (  # noqa: E402
+    _encode_png_bytes,
+    _parse_png,
+    _png_chunk,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    channels=st.sampled_from([1, 3]),
+    level=st.sampled_from([0, 1, 6, 9]),
+    filter_seed=st.integers(0, 4),
+    ancillary=st.booleans(),
+    split_idat=st.booleans(),
+    data=st.data(),
+)
+def test_png_roundtrip_recovers_planted_pixels(
+    w, h, channels, level, filter_seed, ancillary, split_idat, data
+):
+    """Random pixels → encode (every filter type via the cycling seed,
+    stored blocks AND real DEFLATE) → parse recovers the exact array.
+    Optional spec hazards: an ancillary chunk between IDAT and IEND
+    (must be CRC-checked then skipped) and IDAT split across two chunks
+    (inflate must concatenate)."""
+    n = w * h * channels
+    px = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+        dtype=np.uint8,
+    ).reshape(h, w, channels)
+    payload = _encode_png_bytes(px, level=level, filter_seed=filter_seed)
+    if split_idat:
+        # re-frame the single IDAT as two chunks at an arbitrary split
+        sig_ihdr = payload[: 8 + 25]
+        idat_len = int.from_bytes(payload[8 + 25 : 8 + 29], "big")
+        idat_data = payload[8 + 25 + 8 : 8 + 25 + 8 + idat_len]
+        iend = payload[8 + 25 + 12 + idat_len :]
+        cut = data.draw(st.integers(0, len(idat_data)))
+        payload = (
+            sig_ihdr
+            + _png_chunk(b"IDAT", idat_data[:cut])
+            + _png_chunk(b"IDAT", idat_data[cut:])
+            + iend
+        )
+    if ancillary:
+        iend_at = payload.rindex(b"IEND") - 4
+        payload = payload[:iend_at] + _png_chunk(b"tEXt", b"k\x00v") + payload[iend_at:]
+    got_c, got_w, got_h, got = _parse_png(payload)
+    assert (got_c, got_w, got_h) == (channels, w, h)
+    assert np.array_equal(got, px)
+
+
+def test_png_parser_rejects_malformed():
+    """Error paths pinned: bad signature, corrupted CRC, truncated
+    chunk, unsupported depth/colortype/interlace, inflated-size
+    mismatch, missing IEND."""
+    import pytest
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    good = _encode_png_bytes(px, level=6)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"\x89PNX" + good[4:])
+    # flip a bit inside the IDAT data -> CRC mismatch
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _parse_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        _parse_png(good[:-6])
+    # 16-bit depth advertised in IHDR (re-framed so the CRC is valid)
+    ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
+    ihdr[8] = 16
+    deep = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _parse_png(deep)
+    # interlaced
+    ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
+    ihdr[12] = 1
+    inter = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _parse_png(inter)
+    # geometry lie: IHDR claims an extra row -> inflated size mismatch
+    ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
+    ihdr[4:8] = (4).to_bytes(4, "big")
+    lie = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
+    with pytest.raises(ValueError, match="inflated data"):
+        _parse_png(lie)
+    # IEND missing
+    with pytest.raises(ValueError, match="missing"):
+        _parse_png(good[: good.rindex(b"IEND") - 4])

@@ -246,6 +246,38 @@ def test_multimodal_payload_roundtrip(spark):
     assert joined.count() == 0
 
 
+def test_png_mixed_lake_decode_dispatches_and_recovers_content(spark):
+    """Mixed PGM+PNG lake through ONE decode stage: magic-byte dispatch
+    per row, PNG legs inflated + unfiltered (real DEFLATE, filters
+    cycling by doc_id), and every recovered stat equal to the shared
+    md5 arithmetic both encoders derive from."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_image_features,
+        encode_pgm,
+        encode_png,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").limit(40)
+    mixed = encode_pgm(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
+        encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=9)
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r for r in decode_image_features(mixed).collect()}
+    assert set(got) == set(texts)
+    for did, text in texts.items():
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+        px = list((bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h])
+        r = got[did]
+        assert r["format"] == ("pgm" if did % 2 == 0 else "png"), did
+        assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h), did
+        assert (r["min_px"], r["max_px"]) == (min(px), max(px)), did
+        assert abs(r["mean_px"] - sum(px) / len(px)) < 1e-12, did
+
+
 def test_pgm_encode_is_a_real_pgm_and_decode_recovers_content(spark):
     """The JVM-side encoder must emit byte-exact P5 files a pure-Python
     Netpbm reference reader opens, and the Spark decode stage must
