@@ -820,7 +820,12 @@ AHASH_SCHEMA = T.StructType(
 
 def ahash_signatures(images: DataFrame) -> DataFrame:
     """Arrow-batched aHash over ``(doc_id, payload)`` — decodes each
-    image (REAL container parse) and emits the 4×16-bit band signature."""
+    image (REAL container parse) and emits the 4×16-bit band signature.
+    ``fan_out`` widens a narrow local scan so the decode kernel uses
+    every core (no-op on a many-split production table)."""
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    images = fan_out(images)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -862,9 +867,28 @@ def ahash_near_dup_pairs(
 
     Returns ``(a_doc, b_doc, hamming)`` with ``a_doc < b_doc``.
     """
+    return banded_hamming_pairs(ahash_signatures(images), max_hamming, max_bucket)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """The shared pigeonhole join behind every 64-bit perceptual-hash
+    near-dup operator (image aHash, audio envelope hash): input is a
+    ``(doc_id, b0..b3)`` signature table (4×16-bit bands); output is
+    ``(a_doc, b_doc, hamming)`` with ``a_doc < b_doc``, hamming ≤
+    ``max_hamming``. Band-equality candidates (exact for hamming ≤ 3 —
+    a pair differing in ≤3 bits cannot differ in all 4 bands), hamming
+    verify on candidates only; ``max_bucket`` prunes hot buckets
+    (census → filter → join; see ``ahash_near_dup_pairs`` for the
+    semantics trade)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4 bands of 16 bits guarantee recall only for hamming <= 3")
-    sig = ahash_signatures(images)
+    # materialize the Arrow decode+signature kernel ONCE: its map-only
+    # output feeds both sides of the band self-join and (when capping)
+    # the bucket census — without this the decode re-runs per consumer
+    # (the minhash/simhash signature-checkpoint rationale)
+    sig = sig.localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         "b0",
@@ -913,6 +937,70 @@ def ahash_near_dup_pairs(
     return cand.select(
         "a_doc", "b_doc", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def _audio_envelope_bands(payload: bytes) -> list[int]:
+    """Temporal-envelope hash of one audio clip, as four 16-bit band
+    values — the audio twin of ``_ahash_bands``: REAL-decode the
+    RIFF/WAVE container, downsample the mono amplitude curve to 64
+    points (nearest-neighbor: point j = sample ``(j·n)//64``),
+    threshold each point at the 64-point mean, pack bits in time order
+    (band k packs points 16k..16k+15, bit j of band = point 16k+j).
+    Robust to playback-speed/length perturbation the way aHash is to
+    resizing: the envelope SHAPE drives the bits. Exact integer/IEEE
+    arithmetic throughout (the 64-point sum is exact in float64), so
+    the hash is replayable in SQL."""
+    channels, _rate, _bits, s = _parse_wav(payload)
+    mono = s.mean(axis=1) if channels > 1 else s[:, 0].astype(np.float64)
+    n = mono.shape[0]
+    pts = mono[(np.arange(64) * n) // 64]
+    bits = pts >= pts.sum() / 64.0
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [int((bits[16 * k : 16 * k + 16] * weights).sum()) for k in range(4)]
+
+
+def audio_envelope_signatures(audio: DataFrame) -> DataFrame:
+    """Arrow-batched temporal-envelope hash over ``(doc_id, payload)``
+    WAV clips — decodes each container (RIFF chunk walk) and emits the
+    4×16-bit band signature (``AHASH_SCHEMA`` shape). ``fan_out``
+    widens a narrow local scan so the decode kernel uses every core
+    (no-op on a many-split production table)."""
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    audio = fan_out(audio)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bands = [_audio_envelope_bands(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                },
+                columns=["doc_id", "b0", "b1", "b2", "b3"],
+            )
+
+    return audio.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    audio: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """Audio near-duplicate pairs by temporal-envelope hash — dedup
+    across the third modality, completing the image/text/audio triad
+    on the SAME 100 TB discipline (``banded_hamming_pairs``): map-only
+    Arrow decode+signature pass, pigeonhole band join (exact for
+    hamming ≤ 3), hamming verify on candidates only, and the
+    ``max_bucket`` hot-bucket cap available from day one (silence-only
+    and constant-tone clips are audio's modal class — identical
+    envelopes, route them to exact dedup). Returns
+    ``(a_doc, b_doc, hamming)`` with ``a_doc < b_doc``."""
+    return banded_hamming_pairs(
+        audio_envelope_signatures(audio), max_hamming, max_bucket
+    )
 
 
 def sample_frames(

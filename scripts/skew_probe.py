@@ -151,7 +151,9 @@ def modal_probe() -> None:
     from kafka_streams_common_spark.operators.dedup import simhash_pairs
     from kafka_streams_common_spark.operators.multimodal import (
         ahash_near_dup_pairs,
+        audio_near_dup_pairs,
         encode_pgm,
+        encode_wav,
     )
 
     spark = get_spark("modal-skew-probe")
@@ -184,6 +186,10 @@ def modal_probe() -> None:
         (
             "ahash",
             lambda kw: ahash_near_dup_pairs(encode_pgm(planted), **kw),
+        ),
+        (
+            "audio",
+            lambda kw: audio_near_dup_pairs(encode_wav(planted), **kw),
         ),
     ):
         t_unc, rows_unc = timed(lambda: fn({}))

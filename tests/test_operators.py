@@ -378,6 +378,63 @@ def test_ahash_near_dup_detects_perturbed_image(spark):
     assert not any(a >= 100 for a, b in capped)
 
 
+def test_audio_near_dup_envelope_hash(spark):
+    """Controlled temporal-envelope check on hand-built WAV clips:
+    B = A with one SAMPLED point nudged across the mean (hamming 1 —
+    must pair via the 3 unchanged bands); C = A inverted (every bit
+    flips — no pair). Then the modal-class cap: m identical
+    silence-like clips flood their buckets; max_bucket below m prunes
+    the m² modal pairs while (A, B) survives."""
+    import struct
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        _audio_envelope_bands,
+        audio_near_dup_pairs,
+    )
+
+    def wav(samples: bytes) -> bytes:
+        n = len(samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + n + n % 2) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n) + samples + b"\x00" * (n % 2)
+        )
+
+    # 128 samples: first half 0, second half 255 -> every envelope
+    # point far from the mean; envelope point j samples index 2j
+    a_s = bytes([0] * 64 + [255] * 64)
+    b_s = bytes([255]) + a_s[1:]  # flips envelope point 0 only
+    c_s = bytes(255 - v for v in a_s)
+    assert _audio_envelope_bands(wav(a_s)) != _audio_envelope_bands(wav(b_s))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(a_s))), (2, bytearray(wav(b_s))), (3, bytearray(wav(c_s)))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["a_doc"], r["b_doc"]): r["hamming"]
+        for r in audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+    flat = wav(bytes([7]) * 100)  # constant tone: the audio modal class
+    modal = [(100 + i, bytearray(flat)) for i in range(10)]
+    df2 = spark.createDataFrame(
+        [(1, bytearray(wav(a_s))), (2, bytearray(wav(b_s)))] + modal,
+        "doc_id long, payload binary",
+    )
+    capped = {
+        (r["a_doc"], r["b_doc"])
+        for r in audio_near_dup_pairs(df2, max_hamming=3, max_bucket=6).collect()
+    }
+    uncapped = {
+        (r["a_doc"], r["b_doc"])
+        for r in audio_near_dup_pairs(df2, max_hamming=3).collect()
+    }
+    assert {(a, b) for a in range(100, 110) for b in range(a + 1, 110)} <= uncapped
+    assert (1, 2) in capped
+    assert not any(a >= 100 for a, b in capped)
+
+
 def test_wav_encode_is_a_real_wav_and_decode_recovers_content(spark):
     """The JVM-side encoder must emit byte-exact RIFF/WAVE files that
     Python's stdlib ``wave`` module opens, and the Spark decode stage
