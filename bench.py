@@ -164,6 +164,9 @@ TRACKING_QUERIES = [
     "multimodal_audio_features",
     "multimodal_video_scene_stats",
     "multimodal_format_census",
+    # r12: the compressed-PNG branch and the audio near-dup join
+    "multimodal_png_decode",
+    "multimodal_audio_near_dup",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -762,6 +762,46 @@ def main() -> None:
         }
     )
 
+    # audio temporal-envelope near-dup (r12) — the same adversarial
+    # duplication shape, through the WAV decode + 64-point envelope
+    # kernel and the shared banded join, with the hot-bucket cap at its
+    # registered-query setting.
+    from kafka_streams_common_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+    )
+
+    probes.update(
+        {
+            "audio_envelope_near_dup": (
+                lambda: audio_near_dup_pairs(encode_wav(docs1), max_bucket=100),
+                lambda: audio_near_dup_pairs(encode_wav(docs8), max_bucket=100),
+            ),
+        }
+    )
+
+    # PNG mixed-lake decode (r12): real DEFLATE encode → magic dispatch
+    # → inflate + unfilter, map-only end to end. Expect ~linear.
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_image_features,
+        encode_png,
+    )
+
+    def _mixed_image_lake(docs):
+        return decode_image_features(
+            encode_pgm(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
+                encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6)
+            )
+        )
+
+    noop_probes.update(
+        {
+            "png_mixed_lake_decode": (
+                lambda: _mixed_image_lake(docs1),
+                lambda: _mixed_image_lake(docs8),
+            ),
+        }
+    )
+
     # real-codec decode scans (r11): encode → container parse → feature
     # extract, all map-only — the per-modality ingest shape. Expect
     # ~linear (noop-timed so the Arrow decode projections are paid).
