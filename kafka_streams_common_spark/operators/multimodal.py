@@ -507,19 +507,34 @@ WAV_SAMPLE_RATE = 8000
 
 
 def encode_wav(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    codec: str = "pcm",
 ) -> DataFrame:
-    """Encode each document as a genuine RIFF/WAVE file (PCM, 1 channel,
-    8 kHz, 8-bit unsigned) — entirely JVM-side expressions, the audio
-    twin of ``encode_pgm``. Sample count ``n = md5(text) % 241 + 16``;
-    sample data: the 16-byte md5 digest cycled to ``n`` bytes. The
-    output is a byte-exact WAV that Python's stdlib ``wave`` module (and
-    any RIFF reader) opens — validated in pytest — so the DECODER must
-    walk real RIFF chunks to recover the sample stream. Odd-length data
-    chunks carry the RIFF word-alignment pad byte (chunk size stays the
-    UNPADDED ``n`` per spec; strict readers require the pad), so the
-    container byte length is ``44 + n + (n % 2)``.
+    """Encode each document as a genuine RIFF/WAVE file (1 channel,
+    8 kHz, 8-bit) — entirely JVM-side expressions, the audio twin of
+    ``encode_pgm``. Sample count ``n = md5(text) % 241 + 16``; sample
+    data: the 16-byte md5 digest cycled to ``n`` bytes. The output is a
+    byte-exact WAV that Python's stdlib ``wave`` module (and any RIFF
+    reader) opens — validated in pytest — so the DECODER must walk real
+    RIFF chunks to recover the sample stream. Odd-length data chunks
+    carry the RIFF word-alignment pad byte (chunk size stays the
+    UNPADDED ``n`` per spec; strict readers require the pad).
+
+    ``codec="pcm"`` (default) writes WAVE_FORMAT_PCM (tag 1, 16-byte fmt
+    chunk; container length ``44 + n + n%2``). ``codec="mulaw"`` — the
+    COMPANDED branch, new in r12 — writes WAVE_FORMAT_MULAW (tag 7):
+    the cycled digest bytes become G.711 μ-law CODES, and per the WAVE
+    spec for non-PCM formats the fmt chunk grows the ``cbSize=0``
+    extension field (18 bytes) and a ``fact`` chunk carries the sample
+    count (container length ``58 + n + n%2``). The decoder must read
+    the format tag and EXPAND each code to its 16-bit linear value —
+    decompression is the part the oracle cannot get by passing bytes
+    through.
     """
+    if codec not in ("pcm", "mulaw"):
+        raise ValueError(f"unsupported WAV codec {codec!r} (pcm or mulaw)")
     text = F.col(text_col)
     n = (F.pmod(md5_int64(text), F.lit(241)) + F.lit(16)).cast("int")
     data = F.unhex(F.repeat(F.md5(text), 17)).substr(F.lit(1), n)
@@ -527,18 +542,41 @@ def encode_wav(
     # RIFF chunk sizes count UNPADDED bytes; the riff size counts the pad
     # because the pad byte is part of the enclosing RIFF form's content
     pad = F.pmod(n, F.lit(2))
+    if codec == "pcm":
+        fmt_chunk = F.concat(
+            F.encode(F.lit("fmt "), "utf-8"),
+            _le32(F.lit(16)),  # fmt chunk size (no extension for PCM)
+            _le16(F.lit(1)),  # audio format: PCM
+            _le16(F.lit(1)),  # channels
+            _le32(rate),  # sample rate
+            _le32(rate),  # byte rate (rate * channels * bits/8)
+            _le16(F.lit(1)),  # block align
+            _le16(F.lit(8)),  # bits per sample
+        )
+        riff_size = n + pad + 36
+    else:
+        # non-PCM fmt chunks carry cbSize (=0) and SHOULD be followed by
+        # a fact chunk with the per-channel sample count, per the spec
+        fmt_chunk = F.concat(
+            F.encode(F.lit("fmt "), "utf-8"),
+            _le32(F.lit(18)),  # fmt chunk size incl. cbSize
+            _le16(F.lit(7)),  # audio format: WAVE_FORMAT_MULAW
+            _le16(F.lit(1)),  # channels
+            _le32(rate),  # sample rate
+            _le32(rate),  # byte rate (1 code byte per sample)
+            _le16(F.lit(1)),  # block align
+            _le16(F.lit(8)),  # bits per (coded) sample
+            _le16(F.lit(0)),  # cbSize: no extra format bytes
+            F.encode(F.lit("fact"), "utf-8"),
+            _le32(F.lit(4)),
+            _le32(n),  # number of sample frames
+        )
+        riff_size = n + pad + 50
     payload = F.concat(
         F.encode(F.lit("RIFF"), "utf-8"),
-        _le32(n + pad + 36),  # riff chunk size (pad included in the form)
+        _le32(riff_size),
         F.encode(F.lit("WAVE"), "utf-8"),
-        F.encode(F.lit("fmt "), "utf-8"),
-        _le32(F.lit(16)),  # fmt chunk size
-        _le16(F.lit(1)),  # audio format: PCM
-        _le16(F.lit(1)),  # channels
-        _le32(rate),  # sample rate
-        _le32(rate),  # byte rate (rate * channels * bits/8)
-        _le16(F.lit(1)),  # block align
-        _le16(F.lit(8)),  # bits per sample
+        fmt_chunk,
         F.encode(F.lit("data"), "utf-8"),
         _le32(n),
         data,
@@ -548,17 +586,33 @@ def encode_wav(
     return docs.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
 
 
-def _parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+def _mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """Expand G.711 μ-law codes (uint8) to 16-bit linear samples, per
+    the public CCITT recipe: complement, split sign/exponent/mantissa,
+    rebuild the biased magnitude ``t = ((mantissa·8) + 132) << exponent``
+    and subtract the bias (132 = 0x84). Pure integer arithmetic —
+    replayable in SQL — and pinned in pytest against the published
+    extremes (code 0x00 → -32124, 0x80 → +32124, 0xFF/0x7F → 0)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _parse_wav_full(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
     """Parse a RIFF/WAVE container per the public spec: RIFF magic +
     size + WAVE form type, then a chunk walk (id, LE32 size, body,
-    even-byte padding) collecting ``fmt `` and ``data``. PCM only
-    (format 1), 8-bit unsigned or 16-bit signed LE samples. Returns
-    ``(channels, sample_rate, bits, samples)`` with ``samples`` shaped
-    ``(n_frames, channels)`` as int64.
+    even-byte padding) collecting ``fmt ``, ``fact`` and ``data``.
+    Formats: 1 (PCM; 8-bit unsigned or 16-bit signed LE) and 7
+    (μ-law — the companded branch: 8-bit codes on the wire, EXPANDED
+    to 16-bit linear via ``_mulaw_expand``; a ``fact`` chunk, when
+    present, is validated against the recovered frame count). Returns
+    ``(fmt_tag, channels, sample_rate, wire_bits, samples)`` with
+    ``samples`` shaped ``(n_frames, channels)`` as int64 — LINEAR
+    values (μ-law already expanded).
     """
     if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
-    fmt = data = None
+    fmt = data = fact = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -570,6 +624,8 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
@@ -577,17 +633,34 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise ValueError(f"unsupported audio format {audio_format} (PCM only)")
-    if bits == 8:
-        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    elif bits == 16:
-        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if audio_format == 1:
+        if bits == 8:
+            samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        else:
+            raise ValueError(f"unsupported sample width {bits} bits")
+    elif audio_format == 7:
+        if bits != 8:
+            raise ValueError(f"μ-law codes are 8-bit, fmt claims {bits}")
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:
-        raise ValueError(f"unsupported sample width {bits} bits")
+        raise ValueError(f"unsupported audio format {audio_format} (PCM/μ-law only)")
     if channels < 1 or samples.size % channels:
         raise ValueError(f"data size {samples.size} not divisible by {channels} channels")
-    return channels, sample_rate, bits, samples.reshape(-1, channels)
+    frames = samples.reshape(-1, channels)
+    if fact is not None and len(fact) >= 4:
+        n_fact = int.from_bytes(fact[0:4], "little")
+        if n_fact != frames.shape[0]:
+            raise ValueError(f"fact chunk claims {n_fact} frames, data has {frames.shape[0]}")
+    return audio_format, channels, sample_rate, bits, frames
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """The pre-r12 4-tuple form of ``_parse_wav_full`` (format tag
+    dropped; μ-law samples arrive already expanded to linear)."""
+    _tag, channels, rate, bits, frames = _parse_wav_full(payload)
+    return channels, rate, bits, frames
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -618,13 +691,15 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                channels, rate, bits, s = _parse_wav(bytes(p))
+                tag, channels, rate, bits, s = _parse_wav_full(bytes(p))
                 mono = s.mean(axis=1) if channels > 1 else s[:, 0].astype(np.float64)
-                centered = mono - (128.0 if bits == 8 else 0.0)
+                unsigned8 = tag == 1 and bits == 8
+                centered = mono - (128.0 if unsigned8 else 0.0)
                 zc = int(np.sum(centered[:-1] * centered[1:] < 0))
-                # peak: 8-bit samples are unsigned (0..255) so max IS the
-                # peak level; signed 16-bit clips report max |sample| —
-                # a negative-dominant clip would otherwise under-report
+                # peak: PCM 8-bit samples are unsigned (0..255) so max IS
+                # the peak level; signed samples (PCM-16, expanded μ-law)
+                # report max |sample| — a negative-dominant clip would
+                # otherwise under-report
                 rows.append(
                     {
                         "doc_id": did,
@@ -634,7 +709,7 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
                         "duration_ms": s.shape[0] * 1000.0 / rate,
                         "mean_amp": float(mono.mean()),
                         "rms": float(np.sqrt(np.mean(mono * mono))),
-                        "peak": int(s.max() if bits == 8 else np.abs(s).max()),
+                        "peak": int(s.max() if unsigned8 else np.abs(s).max()),
                         "zero_crossings": zc,
                     }
                 )
@@ -644,6 +719,57 @@ def decode_wav_features(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
     return audio.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_CODEC_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("mean_lin", T.DoubleType(), True),
+        T.StructField("rms_lin", T.DoubleType(), True),
+        T.StructField("peak_lin", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio_codec_features(audio: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode over a MIXED-codec ``(doc_id,
+    payload)`` lake: per-row format-tag dispatch (WAVE_FORMAT_PCM vs
+    WAVE_FORMAT_MULAW — no routing shuffle), μ-law codes expanded to
+    16-bit linear inside the batch, per-clip stats over the LINEAR
+    stream. The recovered ``codec`` column gates the dispatch; the
+    linear stats gate the expansion arithmetic. Zero crossings count
+    sign changes around the stream midpoint (128 for unsigned PCM-8,
+    0 for signed linear)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                tag, channels, rate, bits, s = _parse_wav_full(bytes(p))
+                mono = s.mean(axis=1) if channels > 1 else s[:, 0].astype(np.float64)
+                unsigned8 = tag == 1 and bits == 8
+                centered = mono - (128.0 if unsigned8 else 0.0)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "codec": "pcm" if tag == 1 else "mulaw",
+                        "sample_rate": rate,
+                        "n_samples": s.shape[0],
+                        "mean_lin": float(mono.mean()),
+                        "rms_lin": float(np.sqrt(np.mean(mono * mono))),
+                        "peak_lin": int(s.max() if unsigned8 else np.abs(s).max()),
+                        "zero_crossings": int(np.sum(centered[:-1] * centered[1:] < 0)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_CODEC_FEATURES_SCHEMA]
+            )
+
+    return audio.mapInPandas(batches, AUDIO_CODEC_FEATURES_SCHEMA)
 
 
 def encode_y4m(

@@ -24,6 +24,7 @@ from kafka_streams_common_spark.operators.multimodal import (
     ahash_near_dup_pairs,
     attach_fake_image_payload,
     audio_near_dup_pairs,
+    decode_audio_codec_features,
     decode_image_features,
     decode_pgm_features,
     decode_wav_features,
@@ -317,6 +318,83 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"),
         "peak",
+        "zero_crossings",
+    )
+
+
+@query(
+    "multimodal_mulaw_audio_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 241 + 16
+                  AS INT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             [('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+              for i in range(1, n + 1)] AS smp
+      FROM m
+    ),
+    l AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 2 = 0 THEN smp
+                  ELSE [CASE WHEN (255 - c) >= 128
+                             THEN 132 - (((255 - c) % 16) * 8 + 132)
+                                  * (1::BIGINT << (((255 - c) // 16) % 8))
+                             ELSE (((255 - c) % 16) * 8 + 132)
+                                  * (1::BIGINT << (((255 - c) // 16) % 8)) - 132
+                        END for c in smp]
+             END AS lin,
+             CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 0 END AS mid
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'mulaw' END AS codec,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round(list_avg(lin), 6) AS mean_lin,
+           round(sqrt(list_avg([CAST(v * v AS DOUBLE) for v in lin])), 6)
+             AS rms_lin,
+           CASE WHEN doc_id % 2 = 0 THEN list_max(lin)
+                ELSE list_max([abs(v) for v in lin]) END AS peak_lin,
+           CAST(list_sum([CASE WHEN (lin[i] - mid) * (lin[i+1] - mid) < 0
+                               THEN 1 ELSE 0 END
+                          for i in range(1, n)]) AS BIGINT) AS zero_crossings
+    FROM l
+    """,
+)
+def multimodal_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPANDED-audio decode over a mixed-codec WAV lake — the audio
+    twin of ``multimodal_png_decode``'s compressed branch: even
+    documents are WAVE_FORMAT_PCM clips, odd documents WAVE_FORMAT_MULAW
+    (G.711 μ-law, format tag 7 — 18-byte fmt chunk with ``cbSize`` and
+    a ``fact`` chunk per the WAVE spec for non-PCM formats; both
+    encoders are JVM-side expressions, ``encode_wav``). One
+    ``decode_audio_codec_features`` stage dispatches per row on the
+    RECOVERED format tag (no routing shuffle), expands each μ-law code
+    to its 16-bit linear value (``_mulaw_expand`` — the published CCITT
+    complement/segment/mantissa arithmetic, pinned in pytest against
+    the G.711 extremes ±32124), and emits per-clip stats over the
+    LINEAR stream. The oracle replays the companding expansion in SQL
+    (sign/exponent/mantissa rebuild per code byte), so the ``codec``
+    column gates the dispatch and mean/RMS/|peak|/zero-crossings gate
+    the expansion end-to-end — a wrong bias, shift, or sign convention
+    breaks the hash."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = encode_wav(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
+        encode_wav(docs.filter(F.col("doc_id") % 2 == 1), codec="mulaw")
+    )
+    feats = decode_audio_codec_features(mixed)
+    return feats.select(
+        "doc_id",
+        "codec",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_lin", 6).alias("mean_lin"),
+        F.round("rms_lin", 6).alias("rms_lin"),
+        "peak_lin",
         "zero_crossings",
     )
 

@@ -519,9 +519,82 @@ def test_wav_parser_16bit_padding_and_errors():
         _parse_wav(b"RIFX" + b"\x00" * 20)
     with _pytest.raises(ValueError, match="truncated"):
         _parse_wav(wav16([1, 2, 3])[:-2])
-    bad_fmt = wav16([1]).replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 7, 1), 1)
+    # format 2 (ADPCM) is not implemented; format 7 with 16-bit fmt
+    # claims is malformed (μ-law codes are 8-bit on the wire)
+    bad_fmt = wav16([1]).replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 2, 1), 1)
     with _pytest.raises(ValueError, match="audio format"):
         _parse_wav(bad_fmt)
+    mulaw16 = wav16([1]).replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 7, 1), 1)
+    with _pytest.raises(ValueError, match="8-bit"):
+        _parse_wav(mulaw16)
+
+
+def test_mulaw_expansion_matches_published_g711_values():
+    """``_mulaw_expand`` reproduces the published G.711 decode table:
+    the extremes (code 0x00 -> -32124, 0x80 -> +32124), both zeros
+    (0xFF and the 'negative zero' 0x7F), and the segment structure
+    (each exponent doubles the step size)."""
+    import numpy as np
+
+    from kafka_streams_common_spark.operators.multimodal import _mulaw_expand
+
+    codes = np.arange(256, dtype=np.uint8)
+    lin = _mulaw_expand(codes)
+    assert lin[0x00] == -32124 and lin[0x80] == 32124
+    assert lin[0xFF] == 0 and lin[0x7F] == 0
+    # published first-segment positive values: codes 0xFF down to 0xF0
+    # decode to 0, 8, 16, ... 120 (step 8 in segment 0)
+    assert [int(lin[0xFF - k]) for k in range(16)] == [8 * k for k in range(16)]
+    # sign symmetry: code c and c^0x80 decode to negatives of each other
+    assert (lin[codes] == -lin[codes ^ 0x80]).all()
+    # monotone decreasing over each sign half as the code descends
+    assert (np.diff(lin[0x80:]) < 0).all() and (np.diff(lin[:0x80]) > 0).all()
+
+
+def test_mulaw_wav_container_and_fact_chunk(spark):
+    """``encode_wav(codec='mulaw')`` emits a spec-shaped non-PCM WAVE
+    container: format tag 7, 18-byte fmt chunk with cbSize=0, a fact
+    chunk carrying the frame count, 58+n+n%2 total bytes; the parser
+    recovers EXPANDED linear samples and validates fact against data."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        _mulaw_expand,
+        _parse_wav_full,
+        encode_wav,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta beta"), (3, "gamma!")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: bytes(r["payload"])
+            for r in encode_wav(docs, codec="mulaw").collect()}
+    texts = {1: "alpha", 2: "beta beta", 3: "gamma!"}
+    import numpy as np
+
+    for did, payload in rows.items():
+        hx = hashlib.md5(texts[did].encode()).hexdigest()
+        n = int(hx[:15], 16) % 241 + 16
+        assert len(payload) == 58 + n + (n % 2)
+        # fixed canonical layout: fmt at 12, fact at 38, data at 50
+        assert payload[12:16] == b"fmt "
+        assert struct.unpack("<I", payload[16:20])[0] == 18
+        assert struct.unpack("<H", payload[20:22])[0] == 7  # WAVE_FORMAT_MULAW
+        assert struct.unpack("<H", payload[36:38])[0] == 0  # cbSize
+        assert payload[38:42] == b"fact"
+        assert struct.unpack("<I", payload[46:50])[0] == n
+        tag, channels, rate, bits, s = _parse_wav_full(payload)
+        assert (tag, channels, rate, bits) == (7, 1, 8000, 8)
+        codes = np.frombuffer((bytes.fromhex(hx) * 17)[:n], dtype=np.uint8)
+        assert s[:, 0].tolist() == _mulaw_expand(codes).tolist()
+    # a fact chunk that contradicts the data chunk is rejected
+    bad = bytearray(rows[1])
+    bad[46:50] = struct.pack("<I", 999)
+    with _pytest.raises(ValueError, match="fact"):
+        _parse_wav_full(bytes(bad))
 
 
 def test_y4m_encode_is_a_real_stream_and_decode_recovers_frames(spark):
