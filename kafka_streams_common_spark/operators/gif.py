@@ -1,0 +1,337 @@
+"""GIF87a codec — the second REAL compressed-image branch (after PNG).
+
+Original implementation of the public GIF87a specification (CompuServe,
+1987; the LZW variant is the GIF flavor: variable-width codes packed
+LSB-first, CLEAR/EOI control codes, 12-bit table cap): header + logical
+screen descriptor + global color table + image descriptor + LZW-coded
+index stream in ≤255-byte sub-blocks + trailer. Scope mirrors the PNG
+branch (``operators/multimodal._parse_png``): 8-bit indexed pixels over
+a grayscale identity palette, non-interlaced, single image frame.
+
+Two encode framings, exactly like PNG's ``level=0`` vs ``level=6``:
+
+- ``uncompressed=True`` — the classic "uncompressed GIF" technique: a
+  CLEAR code before every pixel code keeps the dictionary empty and the
+  code width pinned at 9 bits, so the container's byte length is pure
+  arithmetic (``794 + d + ceil(d/255)`` with ``d = (18n+16)//8`` for
+  ``n`` pixels) and a SQL oracle can recompute it — the format-census
+  leg.
+- ``uncompressed=False`` — REAL greedy LZW with dictionary growth,
+  variable code widths (9→12 bits) and table-full CLEAR resets; the
+  md5-cycled rasters repeat with period 16, so phrases genuinely grow
+  and the stream genuinely compresses — the content-decode leg.
+
+The decoder handles both (they are the same spec), plus GIF89a headers
+and extension blocks, and is exercised by: a hand-built known-bytes GIF
+(bit-level unpacking pinned independently of the encoder), hypothesis
+round-trips over the filter/dim space, and a >4096-entry stream that
+forces the table-full CLEAR reset (tests/test_gif.py).
+
+Reference parity note: the reference engine (kafka-streams-common) has
+no binary-decode surface at all — this tier is part of the mandated
+training-data-pipeline extension, not a port.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+_MCS = 8  # minimum LZW code size for 8-bit indexed pixels
+_CLEAR = 1 << _MCS  # 256
+_EOI = _CLEAR + 1  # 257
+_FIRST = _EOI + 1  # 258
+_MAX_CODE = 4096  # 12-bit table cap per the spec
+
+
+class _BitPacker:
+    """LSB-first variable-width code packer (the GIF bit order: the
+    first code occupies the low bits of the first byte)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_compress(data: bytes, uncompressed: bool = False) -> bytes:
+    """GIF-flavor LZW over 8-bit symbols → packed code bytes.
+
+    Greedy longest-match with the GIF sync rules: the code WIDTH bumps
+    after the encoder defines entry ``(1 << width) - 1`` — i.e. when
+    ``next_code == (1 << width) + 1`` — because the decoder defines each
+    entry one code later than the encoder; at 4096 entries a CLEAR is
+    emitted and the dictionary resets. ``uncompressed=True`` emits a
+    CLEAR before every pixel so no entry is ever defined and the width
+    stays ``_MCS + 1`` (deterministic output length: ``2n+1`` 9-bit
+    codes for ``n`` symbols)."""
+    pk = _BitPacker()
+    if not data:
+        pk.put(_CLEAR, _MCS + 1)
+        pk.put(_EOI, _MCS + 1)
+        return pk.finish()
+    if uncompressed:
+        pk.put(_CLEAR, _MCS + 1)
+        for i, sym in enumerate(data):
+            if i:
+                pk.put(_CLEAR, _MCS + 1)
+            pk.put(sym, _MCS + 1)
+        pk.put(_EOI, _MCS + 1)
+        return pk.finish()
+    table: dict[bytes, int] = {}
+    next_code = _FIRST
+    width = _MCS + 1
+    pk.put(_CLEAR, width)
+    w = data[0:1]
+    for i in range(1, len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w = w + c
+            continue
+        pk.put(table[w] if len(w) > 1 else w[0], width)
+        if next_code < _MAX_CODE:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            pk.put(_CLEAR, width)
+            table.clear()
+            next_code = _FIRST
+            width = _MCS + 1
+        w = c
+    pk.put(table[w] if len(w) > 1 else w[0], width)
+    pk.put(_EOI, width)
+    return pk.finish()
+
+
+def _lzw_decompress(codebytes: bytes, expected: int | None = None) -> bytes:
+    """Inverse of ``_lzw_compress`` per the spec: LSB-first unpacking,
+    CLEAR resets, the KwKwK case (``code == next_code``), width bump
+    when the table reaches ``1 << width`` entries, no growth past 4096.
+    ``expected`` (the pixel count from the image descriptor) lets the
+    stream stop cleanly even if EOI is missing."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = _MCS + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(codebytes):
+                if expected is not None and len(out) >= expected:
+                    return bytes(out)
+                raise ValueError("LZW stream ended without EOI")
+            acc |= codebytes[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == _CLEAR:
+            table = table[:_FIRST]
+            width = _MCS + 1
+            prev = None
+            continue
+        if code == _EOI:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[0:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range (table={len(table)})")
+        out += entry
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(prev + entry[0:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def _subblocks(data: bytes) -> bytes:
+    """Split a byte stream into GIF data sub-blocks (length-prefixed,
+    ≤255 bytes each) with the zero-length terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    return bytes(out)
+
+
+_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def _encode_gif_bytes(px: np.ndarray, uncompressed: bool = False) -> bytes:
+    """Encode an ``(h, w, 1)`` uint8 array as a spec-compliant GIF87a:
+    header, logical screen descriptor (global color table flag set,
+    8-bit color resolution, 256-entry table), grayscale identity
+    palette, image descriptor at (0,0), LZW-coded index stream in
+    sub-blocks, trailer."""
+    h, w, channels = px.shape
+    if channels != 1:
+        raise ValueError("GIF branch encodes 8-bit grayscale (1 channel) only")
+    lsd = (
+        w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0x00, 0x00])  # GCT present, 8-bit res, 256 entries
+    )
+    desc = (
+        b"\x2c"
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"  # no local color table, not interlaced
+    )
+    codes = _lzw_compress(px.reshape(-1).tobytes(), uncompressed=uncompressed)
+    return (
+        b"GIF87a"
+        + lsd
+        + _GRAY_PALETTE
+        + desc
+        + bytes([_MCS])
+        + _subblocks(codes)
+        + b"\x3b"
+    )
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a GIF87a/89a container per the public spec: header,
+    logical screen descriptor, global color table, block walk (image
+    descriptors, 0x21 extensions skipped by sub-block framing, 0x3B
+    trailer), LZW-decode of the first image's index stream, palette
+    lookup. Returns ``(channels, width, height, pixels)`` shaped
+    ``(h, w, channels)`` — the ``_parse_netpbm`` contract. A grayscale
+    identity palette yields 1 channel; any other palette yields the
+    mapped RGB (3 channels). Interlaced images and local color tables
+    are out of scope (rejected), like interlaced PNGs."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError(f"not a GIF payload: {payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        gct_len = 3 * (2 << (flags & 0x07))
+        palette = np.frombuffer(payload[pos : pos + gct_len], dtype=np.uint8)
+        if palette.size != gct_len:
+            raise ValueError("truncated global color table")
+        palette = palette.reshape(-1, 3)
+        pos += gct_len
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        if iflags & 0x80:
+            raise ValueError("local color tables not supported")
+        if iflags & 0x40:
+            raise ValueError("interlaced GIFs not supported")
+        pos += 10
+        mcs = payload[pos]
+        if mcs != _MCS:
+            raise ValueError(f"unsupported LZW min code size {mcs} (8-bit only)")
+        pos += 1
+        parts = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated image data sub-block")
+            parts += chunk
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("missing sub-block terminator")
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decompress(bytes(parts), expected=w * h), dtype=np.uint8
+        )
+        if idx.size != w * h:
+            raise ValueError(f"decoded {idx.size} pixels, descriptor says {w * h}")
+        if palette is None:
+            raise ValueError("no global color table (indexed pixels need one)")
+        rgb = palette[idx]  # (n, 3)
+        if (rgb[:, 0] == rgb[:, 1]).all() and (rgb[:, 1] == rgb[:, 2]).all():
+            return 1, w, h, rgb[:, 0].reshape(h, w, 1)
+        return 3, w, h, rgb.reshape(h, w, 3)
+    raise ValueError("no image descriptor before trailer")
+
+
+def encode_gif(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim_mod: int = 16,
+    uncompressed: bool = False,
+) -> DataFrame:
+    """Encode each document as a genuine GIF87a — REAL variable-width
+    LZW (or the deterministic-size CLEAR-per-pixel framing when
+    ``uncompressed=True``), 8-bit grayscale over the identity palette.
+    Geometry and raster use the SAME md5 arithmetic as ``encode_pgm`` /
+    ``encode_png`` (``width = md5(text) % dim_mod + 1``, digest-cycled
+    pixels), so a SQL oracle replays the DECODED content without
+    replaying LZW — and because the raster repeats with period 16, the
+    dictionary builds real multi-byte phrases (genuine compression,
+    not a degenerate stream). Arrow-batched ``mapInPandas``, map-only,
+    same 100 TB shape as ``encode_png``."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                hx = hashlib.md5(text.encode()).hexdigest()
+                w = int(hx[:15], 16) % dim_mod + 1
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
+                raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
+                payloads.append(_encode_gif_bytes(px, uncompressed=uncompressed))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)

@@ -352,15 +352,21 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 def _decode_image(payload: bytes) -> dict:
     """Decode one image payload → container format + dims + pixel
     statistics + normalized luminance histogram. Dispatches on magic
-    number: PGM/PPM parse natively (``_parse_netpbm``); PNG — the
-    compressed-container branch, new in r12 — walks CRC-checked
-    chunks, zlib-inflates IDAT, and unfilters scanlines
-    (``_parse_png``). A JPEG/codec-library branch would slot in here
-    without touching callers.
+    number: PGM/PPM parse natively (``_parse_netpbm``); PNG — the first
+    compressed-container branch (r12) — walks CRC-checked chunks,
+    zlib-inflates IDAT, and unfilters scanlines (``_parse_png``); GIF —
+    the second (r12) — LZW-decodes the index stream and maps the
+    palette (``operators/gif._parse_gif``). A JPEG/codec-library branch
+    would slot in here without touching callers.
     """
     if payload[:8] == PNG_SIGNATURE:
         fmt = "png"
         channels, width, height, px = _parse_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from kafka_streams_common_spark.operators.gif import _parse_gif
+
+        fmt = "gif"
+        channels, width, height, px = _parse_gif(payload)
     else:
         fmt = "pgm" if payload[1:2] == b"5" else "ppm"
         channels, width, height, px = _parse_netpbm(payload)
@@ -1126,6 +1132,74 @@ def audio_near_dup_pairs(
     ``(a_doc, b_doc, hamming)`` with ``a_doc < b_doc``."""
     return banded_hamming_pairs(
         audio_envelope_signatures(audio), max_hamming, max_bucket
+    )
+
+
+def _video_envelope_bands(payload: bytes) -> list[int]:
+    """Spatio-temporal envelope hash of one video clip, as four 16-bit
+    band values — the video member of the perceptual-hash family
+    (``_ahash_bands`` for images, ``_audio_envelope_bands`` for audio):
+    REAL-decode the YUV4MPEG2 container (stream header + FRAME walk),
+    concatenate the decoded luma planes in frame order into one stream
+    of ``n = nf·w·h`` values, downsample to 64 points
+    (nearest-neighbor: point j = value ``(j·n)//64``), threshold each
+    point at the 64-point mean, pack bits in stream order (band k packs
+    points 16k..16k+15). The stream order makes the hash sensitive to
+    frame ORDER (a shuffled clip hashes differently) while staying
+    robust to frame-rate/resolution perturbation the way aHash is to
+    resizing. The 64-point mean divides by a power of two, so the
+    threshold is exact IEEE arithmetic — replayable in SQL."""
+    width, height, frames = _parse_y4m(payload)
+    stream = np.concatenate([f.reshape(-1) for f in frames]).astype(np.float64)
+    n = stream.shape[0]
+    pts = stream[(np.arange(64) * n) // 64]
+    bits = pts >= pts.sum() / 64.0
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [int((bits[16 * k : 16 * k + 16] * weights).sum()) for k in range(4)]
+
+
+def video_envelope_signatures(video: DataFrame) -> DataFrame:
+    """Arrow-batched spatio-temporal envelope hash over ``(doc_id,
+    payload)`` Y4M clips — decodes each container (header + FRAME walk)
+    and emits the 4×16-bit band signature (``AHASH_SCHEMA`` shape).
+    ``fan_out`` widens a narrow local scan so the decode kernel uses
+    every core (no-op on a many-split production table)."""
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    video = fan_out(video)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bands = [_video_envelope_bands(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                },
+                columns=["doc_id", "b0", "b1", "b2", "b3"],
+            )
+
+    return video.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    video: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """Video near-duplicate pairs by spatio-temporal envelope hash —
+    the near-dup family now covers text (MinHash/SimHash), images
+    (aHash), audio (temporal envelope) AND video, all on the SAME
+    100 TB discipline (``banded_hamming_pairs``): map-only Arrow
+    decode+signature pass, pigeonhole band join (exact for hamming
+    ≤ 3), hamming verify on candidates only, and the ``max_bucket``
+    hot-bucket cap available from day one (still frames / black clips
+    are video's modal class — constant luma streams hash identically;
+    route them to exact dedup). Returns ``(a_doc, b_doc, hamming)``
+    with ``a_doc < b_doc``."""
+    return banded_hamming_pairs(
+        video_envelope_signatures(video), max_hamming, max_bucket
     )
 
 

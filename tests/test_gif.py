@@ -1,0 +1,152 @@
+"""GIF87a codec tests: hand-computed known bytes (bit-level pin
+independent of the encoder), LZW round-trips incl. the KwKwK case,
+width bumps and the 4096-entry CLEAR reset, container framing, the
+deterministic-size uncompressed framing, and the Spark-side dispatch."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from kafka_streams_common_spark.operators.gif import (
+    _encode_gif_bytes,
+    _lzw_compress,
+    _lzw_decompress,
+    _parse_gif,
+    encode_gif,
+)
+
+
+def test_known_bytes_uncompressed_2x1():
+    """A 2×1 image with pixels [0, 255] in the CLEAR-per-pixel framing
+    has a fully hand-computable code stream — 9-bit codes 256, 0, 256,
+    255, 257 packed LSB-first are exactly 00 01 00 FC 17 10 — pinning
+    the bit packer and the container layout against the spec by hand,
+    independent of the decoder."""
+    px = np.array([[[0], [255]]], dtype=np.uint8)  # h=1, w=2
+    payload = _encode_gif_bytes(px, uncompressed=True)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    expected = (
+        b"GIF87a"
+        + b"\x02\x00\x01\x00\xf7\x00\x00"  # LSD: w=2 h=1, GCT 256, bg 0
+        + palette
+        + b"\x2c\x00\x00\x00\x00\x02\x00\x01\x00\x00"  # image descriptor
+        + b"\x08"  # LZW min code size
+        + b"\x06" + bytes([0x00, 0x01, 0x00, 0xFC, 0x17, 0x10]) + b"\x00"
+        + b"\x3b"
+    )
+    assert payload == expected
+    channels, w, h, got = _parse_gif(payload)
+    assert (channels, w, h) == (1, 2, 1)
+    assert got.reshape(-1).tolist() == [0, 255]
+
+
+def test_lzw_roundtrip_kwkwk_and_repeats():
+    """Runs like 'aaaaaa' force the decoder's code == next_code branch
+    (the KwKwK case); cyclic md5-like rasters build long phrases."""
+    for data in (b"aaaaaa", b"abababab", b"a", b"", bytes(range(256)) * 3,
+                 (hashlib.md5(b"x").digest() * 17)[:200]):
+        assert _lzw_decompress(_lzw_compress(data)) == data
+
+
+def test_lzw_width_bumps_and_table_full_reset():
+    """Random data with enough novel phrases crosses the 9→10→11→12 bit
+    width bumps and the 4096-entry table cap (encoder emits CLEAR and
+    resets; decoder must follow). Seeded — deterministic."""
+    rng = np.random.RandomState(12345)
+    data = rng.randint(0, 256, size=12000, dtype=np.int64).astype(np.uint8).tobytes()
+    assert _lzw_decompress(_lzw_compress(data)) == data
+    # and the compressed form is genuinely shorter on repetitive input
+    rep = (hashlib.md5(b"rep").digest() * 64)[:1024]
+    assert len(_lzw_compress(rep)) < len(rep)
+
+
+def test_uncompressed_size_formula():
+    """The CLEAR-per-pixel framing has arithmetic size: the format
+    census oracle recomputes ``794 + d + ceil(d/255)`` with
+    ``d = (18n+16)//8`` in SQL, so the encoder must hit it exactly."""
+    for w, h in [(1, 1), (3, 5), (16, 16), (2, 7)]:
+        px = (np.arange(w * h, dtype=np.int64) % 256).astype(np.uint8).reshape(h, w, 1)
+        n = w * h
+        d = (18 * n + 16) // 8
+        want = 794 + d + (d + 254) // 255
+        assert len(_encode_gif_bytes(px, uncompressed=True)) == want
+
+
+def test_gif_roundtrip_both_framings():
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        w = int(rng.randint(1, 17))
+        h = int(rng.randint(1, 17))
+        px = rng.randint(0, 256, size=(h, w, 1)).astype(np.uint8)
+        for unc in (False, True):
+            channels, gw, gh, got = _parse_gif(_encode_gif_bytes(px, uncompressed=unc))
+            assert (channels, gw, gh) == (1, w, h)
+            assert (got == px).all()
+
+
+def test_gif89a_header_and_extension_blocks_are_skipped():
+    """GIF89a payloads with extension blocks (e.g. comments) before the
+    image descriptor must parse: extensions are label + sub-blocks."""
+    px = np.array([[[7], [9], [11]]], dtype=np.uint8)
+    payload = _encode_gif_bytes(px)
+    # splice a comment extension right before the image descriptor
+    desc_at = payload.index(b"\x2c", 13 + 768)
+    ext = b"\x21\xfe" + b"\x05hello" + b"\x00"
+    spliced = b"GIF89a" + payload[6:desc_at] + ext + payload[desc_at:]
+    channels, w, h, got = _parse_gif(spliced)
+    assert (channels, w, h) == (1, 3, 1)
+    assert got.reshape(-1).tolist() == [7, 9, 11]
+
+
+def test_gif_rejects_malformed():
+    px = np.array([[[1]]], dtype=np.uint8)
+    good = _encode_gif_bytes(px)
+    with pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"JIF87a" + good[6:])
+    with pytest.raises(ValueError, match="truncated image data"):
+        _parse_gif(good[:-4])
+    # interlace flag set in the image descriptor
+    desc_at = good.index(b"\x2c", 13 + 768)
+    bad = bytearray(good)
+    bad[desc_at + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _parse_gif(bytes(bad))
+
+
+def test_nongray_palette_maps_to_rgb():
+    """A non-identity palette must come back as mapped RGB — palette
+    lookup is part of the spec, not a pass-through."""
+    px = np.array([[[0], [1]]], dtype=np.uint8)
+    payload = bytearray(_encode_gif_bytes(px))
+    # palette entry 1 → (10, 20, 30)
+    payload[13 + 3 : 13 + 6] = bytes([10, 20, 30])
+    channels, w, h, got = _parse_gif(bytes(payload))
+    assert channels == 3 and (w, h) == (2, 1)
+    assert got[0, 0].tolist() == [0, 0, 0]
+    assert got[0, 1].tolist() == [10, 20, 30]
+
+
+def test_encode_gif_spark_and_dispatch(spark):
+    """``encode_gif`` emits md5-derived rasters that the shared image
+    dispatch (``decode_image_features``) recognizes and decodes."""
+    from kafka_streams_common_spark.operators.multimodal import decode_image_features
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta beta"), (3, "gamma!")], ["doc_id", "text"]
+    )
+    texts = {1: "alpha", 2: "beta beta", 3: "gamma!"}
+    rows = {r["doc_id"]: r.asDict() for r in
+            decode_image_features(encode_gif(docs)).collect()}
+    for did, text in texts.items():
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+        raster = (bytes.fromhex(hx) * 17)[: w * h]
+        r = rows[did]
+        assert r["format"] == "gif"
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["min_px"] == min(raster) and r["max_px"] == max(raster)
+        assert abs(r["mean_px"] - sum(raster) / len(raster)) < 1e-12

@@ -435,6 +435,60 @@ def test_audio_near_dup_envelope_hash(spark):
     assert not any(a >= 100 for a, b in capped)
 
 
+def test_video_near_dup_envelope_hash_and_frame_order(spark):
+    """Controlled spatio-temporal envelope check on hand-built Y4M
+    clips: B = A with one SAMPLED luma nudged across the mean (hamming
+    1 — pairs via the 3 unchanged bands); C = A inverted (no pair);
+    D = A with the FRAMES SWAPPED — the stream order must drive the
+    bits, so D's signature is A's inversion (no pair). Then the modal
+    cap: m identical still clips flood their buckets; max_bucket below
+    m prunes the m² modal pairs while (A, B) survives."""
+    from kafka_streams_common_spark.operators.multimodal import (
+        _video_envelope_bands,
+        video_near_dup_pairs,
+    )
+
+    def y4m(*frames: bytes, w: int = 8, h: int = 8) -> bytes:
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+        return head + b"".join(b"FRAME\n" + f for f in frames)
+
+    f0, f1 = bytes([0] * 64), bytes([255] * 64)
+    a = y4m(f0, f1)  # 128-value stream: envelope point j samples 2j
+    b = y4m(bytes([255]) + f0[1:], f1)  # flips envelope point 0 only
+    c = y4m(f1, f0)  # frames swapped == stream inverted
+    assert _video_envelope_bands(a) != _video_envelope_bands(b)
+    assert _video_envelope_bands(c) == [
+        v ^ 0xFFFF for v in _video_envelope_bands(a)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["a_doc"], r["b_doc"]): r["hamming"]
+        for r in video_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+    still = y4m(bytes([7]) * 64, bytes([7]) * 64)  # video's modal class
+    modal = [(100 + i, bytearray(still)) for i in range(10)]
+    df2 = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b))] + modal,
+        "doc_id long, payload binary",
+    )
+    capped = {
+        (r["a_doc"], r["b_doc"])
+        for r in video_near_dup_pairs(df2, max_hamming=3, max_bucket=6).collect()
+    }
+    uncapped = {
+        (r["a_doc"], r["b_doc"])
+        for r in video_near_dup_pairs(df2, max_hamming=3).collect()
+    }
+    assert {(x, y) for x in range(100, 110) for y in range(x + 1, 110)} <= uncapped
+    assert (1, 2) in capped
+    assert not any(x >= 100 for x, y in capped)
+
+
 def test_wav_encode_is_a_real_wav_and_decode_recovers_content(spark):
     """The JVM-side encoder must emit byte-exact RIFF/WAVE files that
     Python's stdlib ``wave`` module opens, and the Spark decode stage
