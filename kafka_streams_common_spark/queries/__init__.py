@@ -33,12 +33,18 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-12 WINDOW (``_R12_WINDOW``): head = the two round-12
+ROUND-12 WINDOW (``_R12_WINDOW``): head = the five round-12
 registrations, never driver-checked (invariant #1) —
 ``multimodal_png_decode`` (the compressed-container branch: mixed
-PGM+PNG lake, inflate+unfilter gated on decoded content) and
+PGM+PNG lake, inflate+unfilter gated on decoded content),
 ``multimodal_audio_near_dup`` (temporal-envelope hash near-dup with
-the ``max_bucket`` hot-bucket cap LIVE and replayed in the oracle).
+the ``max_bucket`` hot-bucket cap LIVE and replayed in the oracle),
+and the round's second wave: ``multimodal_mulaw_audio_decode``
+(G.711 μ-law companded WAV — format-tag dispatch + the published
+expansion arithmetic replayed in SQL), ``multimodal_gif_decode``
+(GIF87a with REAL variable-width LZW — the second compressed-image
+branch), and ``multimodal_video_near_dup`` (spatio-temporal envelope
+hash, cap LIVE — the near-dup family's fourth modality).
 Then the seven rows whose implementation or oracle changed in round
 12 itself (invariant #2): ``dedup_simhash`` and
 ``multimodal_ahash_near_dup`` (both gained the minhash-style
@@ -49,26 +55,28 @@ signature checkpoint, and ``fan_out``), ``multimodal_audio_features``
 schema-carrying empty batches), ``multimodal_feature_extract`` (the
 decode stage now emits the recovered ``format`` column),
 ``multimodal_video_scene_stats`` (schema-carrying empty batches),
-``multimodal_format_census`` (4-format lake incl. PNG; pad-byte and
-PNG size legs in the oracle), and ``streaming_multimodal_ingest``
-(the shared ``_decode_image`` dispatch changed under it). The
-remaining 41 slots drain the COMPUTED refresh queue promised in the
-README r11 ledger (key: last-green round asc, green-count asc,
-registration order) IN ORDER: the seven displaced r11 heads
-(``text_hash_split`` ``llm_corpus_shards``
-``tpch_q6_forecast_revenue`` ``tpch_q14_promo_revenue``
-``agg_approx_distinct_users`` ``j_full_outer_join``
-``a1_multi_agg``), then the rest of the r6-last tier — four-green
-(17 rows), five-green (7), six-green (``dedup_minhash_lsh``) — which
-DRAINS every r6-stale row (the oldest external green moves from r6
-to r7 this round), then the first nine of the r7-last single-green
-tier (``streaming_mix_ingest`` ``streaming_stream_stream_left_join``
+``multimodal_format_census`` (now a 5-format lake incl. PNG and GIF;
+pad-byte, PNG stored-block and GIF CLEAR-per-pixel size legs in the
+oracle), and ``streaming_multimodal_ingest`` (the shared
+``_decode_image`` dispatch changed under it). The remaining 38 slots
+drain the COMPUTED refresh queue promised in the README r11 ledger
+(key: last-green round asc, green-count asc, registration order) IN
+ORDER: the seven displaced r11 heads (``text_hash_split``
+``llm_corpus_shards`` ``tpch_q6_forecast_revenue``
+``tpch_q14_promo_revenue`` ``agg_approx_distinct_users``
+``j_full_outer_join`` ``a1_multi_agg``), then the rest of the
+r6-last tier — four-green (17 rows), five-green (7), six-green
+(``dedup_minhash_lsh``) — which DRAINS every r6-stale row (the
+oldest external green moves from r6 to r7 this round), then the
+first six of the r7-last single-green tier (``streaming_mix_ingest``
+``streaming_stream_stream_left_join``
 ``streaming_latest_per_key_state`` ``streaming_session_state_machine``
-``dedup_contamination_report`` ``sim_ivf_pq_rerank``
-``text_perplexity_filter`` ``tpch_q11_important_stock``
-``events_funnel_stage_counts``). The r13 queue = the remaining 35
-rows of the computed order (r7-last: 11 single-green, then the
-two/three/four-green r7 tiers), recorded in the README ledger.
+``dedup_contamination_report`` ``sim_ivf_pq_rerank``). The r13 queue
+= the remaining 38 rows of the computed order (r7-last: 14
+single-green, headed by the three rows the second-wave registrations
+displaced — ``text_perplexity_filter`` ``tpch_q11_important_stock``
+``events_funnel_stage_counts`` — then the two/three/four-green r7
+tiers), recorded in the README ledger.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -90,10 +98,16 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # rotation invariants and this round's derivation).
 
 # _R12_NEW — round-12 registrations with NO driver row ever (rotation
-# invariant #1: never-checked rows outrank everything).
+# invariant #1: never-checked rows outrank everything). The first two
+# landed at the round-12 open; the last three are the round's second
+# wave (μ-law companded audio, GIF87a LZW decode, video near-dup) and
+# displace the last three refresh slots to the r13 queue head.
 _R12_NEW = (
     "multimodal_png_decode",
     "multimodal_audio_near_dup",
+    "multimodal_mulaw_audio_decode",
+    "multimodal_gif_decode",
+    "multimodal_video_near_dup",
 )
 assert all(n in QUERIES for n in _R12_NEW)
 
@@ -115,11 +129,14 @@ _R12_CHANGED = (
 )
 assert all(n in QUERIES for n in _R12_CHANGED)
 
-# _R12_REFRESH — 41 slots of the COMPUTED stale-refresh queue promised
+# _R12_REFRESH — 38 slots of the COMPUTED stale-refresh queue promised
 # in the README r11 ledger (last-green round asc, green-count asc,
 # registration order), verbatim prefix: drains the ENTIRE r6-last tier
-# (32 rows — the oldest external green moves to r7) plus the first 9 of
-# the r7-last single-green tier.
+# (32 rows — the oldest external green moves to r7) plus the first 6 of
+# the r7-last single-green tier (the next three — text_perplexity_filter,
+# tpch_q11_important_stock, events_funnel_stage_counts — were displaced
+# to the r13 queue head by the three second-wave r12 registrations,
+# per invariant #1).
 _R12_REFRESH = (
     # r6-last, three-green (the displaced r11 queue head)
     "text_hash_split",
@@ -157,16 +174,13 @@ _R12_REFRESH = (
     "range_join_events_within_30min",
     # r6-last, six-green
     "dedup_minhash_lsh",
-    # r7-last, single-green (first 9; the remaining 11 head the r13 queue)
+    # r7-last, single-green (first 6; the remaining 14 head the r13 queue)
     "streaming_mix_ingest",
     "streaming_stream_stream_left_join",
     "streaming_latest_per_key_state",
     "streaming_session_state_machine",
     "dedup_contamination_report",
     "sim_ivf_pq_rerank",
-    "text_perplexity_filter",
-    "tpch_q11_important_stock",
-    "events_funnel_stage_counts",
 )
 assert all(n in QUERIES for n in _R12_REFRESH)
 

@@ -9,10 +9,15 @@ PGM images, RIFF/WAVE PCM clips, and YUV4MPEG2 video streams
 ``mapInPandas`` stages PARSE the containers and compute features from
 decoded content, with every SQL oracle replaying the encoding
 arithmetic — so the hashes gate decoders, not pass-throughs. The tier
-covers: pixel stats (image), perceptual aHash near-dup (image pairs),
-clip stats (audio), per-frame scene-change stats (video), magic-byte
-format census (governance over a mixed lake), and the streaming ingest
-gate (decode inside Structured Streaming; see queries/streaming.py).
+covers: pixel stats (image), perceptual near-dup JOINS across all three
+binary modalities (aHash images, temporal-envelope audio,
+spatio-temporal-envelope video — all through ``banded_hamming_pairs``),
+clip stats (audio), per-frame scene-change stats (video), COMPRESSED
+containers (PNG zlib-DEFLATE, GIF87a LZW, G.711 μ-law companded WAV —
+each with the decompression arithmetic or decoded content replayed in
+SQL), magic-byte format census (governance over a 5-format mixed lake),
+and the streaming ingest gate (decode inside Structured Streaming; see
+queries/streaming.py).
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_common_spark.operators.gif import encode_gif
 from kafka_streams_common_spark.operators.multimodal import (
     ahash_near_dup_pairs,
     attach_fake_image_payload,
@@ -34,6 +40,7 @@ from kafka_streams_common_spark.operators.multimodal import (
     encode_wav,
     encode_y4m,
     sample_frames,
+    video_near_dup_pairs,
 )
 from kafka_streams_common_spark.queries.registry import query, table
 
@@ -186,6 +193,65 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     mixed = encode_pgm(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
         encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6)
+    )
+    feats = decode_image_features(mixed)
+    return feats.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "n_px",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                           for i in range(1, w*h + 1)]), 6) AS mean_px,
+           list_min([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, w*h + 1)]) AS min_px,
+           list_max([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, w*h + 1)]) AS max_px
+    FROM m
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode over an all-compressed image lake — the second
+    compressed-container branch (GIF87a, ``operators/gif``): even
+    documents are genuine PNGs (zlib DEFLATE level 6, all five scanline
+    filters), odd documents genuine GIFs with REAL variable-width LZW
+    (greedy dictionary growth — the md5-cycled raster repeats with
+    period 16, so phrases genuinely build and the stream genuinely
+    compresses); one ``decode_image_features`` stage dispatches per row
+    on magic bytes and undoes DEFLATE+filters or LZW+palette with no
+    routing shuffle. Both encoders derive dims and raster from the same
+    md5 arithmetic, so the oracle replays the DECODED content in SQL
+    without replaying either compressor — a wrong code-width bump, a
+    mis-handled KwKwK case, a palette mis-map, or a dispatch miss
+    breaks the hash. The LZW bit-packing itself is additionally pinned
+    byte-for-byte against hand-computed spec codes in
+    tests/test_gif.py."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = encode_png(docs.filter(F.col("doc_id") % 2 == 0), level=6).unionAll(
+        encode_gif(docs.filter(F.col("doc_id") % 2 == 1))
     )
     feats = decode_image_features(mixed)
     return feats.select(
@@ -543,6 +609,87 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_near_dup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS h,
+             CAST(('0x' || substr(md5(text || '|nf'), 1, 15))::BIGINT % 6 + 2
+                  AS INT) AS nf
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             [('0x' || substr(hx, 2 * (((j * (nf * w * h)) // 64) % 16) + 1,
+                              2))::BIGINT
+              for j in range(0, 64)] AS s
+      FROM m
+    ),
+    bands AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN s[16*0 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b0,
+             list_sum([CASE WHEN s[16*1 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b1,
+             list_sum([CASE WHEN s[16*2 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b2,
+             list_sum([CASE WHEN s[16*3 + j + 1] >= list_avg(s)
+                            THEN (1::BIGINT << j) ELSE 0 END
+                       for j in range(0, 16)]) AS b3
+      FROM sig
+    ),
+    longb AS (
+      SELECT doc_id, b0, b1, b2, b3, k AS band_idx,
+             CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                    WHEN 2 THEN b2 ELSE b3 END AS band_val
+      FROM bands, (SELECT unnest(range(0, 4)) AS k)
+    ),
+    ok AS (
+      SELECT band_idx, band_val FROM longb
+      GROUP BY band_idx, band_val HAVING count(*) <= 100
+    )
+    SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS BIGINT) AS hamming
+    FROM longb a
+    JOIN longb b USING (band_idx, band_val)
+    JOIN ok USING (band_idx, band_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by SPATIO-TEMPORAL envelope hash over
+    the real decode path — the near-dup family's fourth modality (r12),
+    exercising the Y4M codec as input to a JOIN operator: documents are
+    encoded as genuine YUV4MPEG2 clips (``encode_y4m``), the Arrow
+    signature pass walks the FRAME markers, concatenates the decoded
+    luma planes in frame order and downsamples the ``nf·w·h``-value
+    stream to the 64-point envelope hash (``_video_envelope_bands`` —
+    nearest-neighbor resample, exact power-of-two mean threshold,
+    4×16-bit bands), then the shared pigeonhole join
+    (``banded_hamming_pairs``) generates band-equality candidates and
+    verifies hamming ≤ 3. The ``max_bucket`` hot-bucket cap is LIVE
+    (=100) and replayed in the oracle (bucket census → HAVING ≤ 100 →
+    join) — still/black clips are video's modal hash class at corpus
+    scale. The oracle replays decode geometry, stream order (frame
+    segmentation feeds the resample INDEX arithmetic — a frame-order
+    bug flips bits), thresholding, banding, the cap, and hamming
+    entirely in SQL."""
+    clips = encode_y4m(table(spark, sf_dir, "documents"))
+    return video_near_dup_pairs(clips, max_hamming=3, max_bucket=100)
+
+
+@query(
     "multimodal_format_census",
     oracle="""
     WITH m AS (
@@ -563,17 +710,19 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sized AS (
       SELECT doc_id,
-             CASE doc_id % 4
+             CASE doc_id % 5
                WHEN 0 THEN 'pgm' WHEN 1 THEN 'wav'
-               WHEN 2 THEN 'y4m' ELSE 'png' END AS format,
-             CASE doc_id % 4
+               WHEN 2 THEN 'y4m' WHEN 3 THEN 'png' ELSE 'gif' END AS format,
+             CASE doc_id % 5
                WHEN 0 THEN 9 + length(pw::VARCHAR) + length(ph::VARCHAR)
                            + pw * ph
                WHEN 1 THEN 44 + wn + (wn % 2)
                WHEN 2 THEN length('YUV4MPEG2 W' || yw || ' H' || yh
                            || ' F25:1 Ip A1:1 Cmono') + 1
                     + nf * (6 + yw * yh)
-               ELSE 68 + ph * (pw + 1)
+               WHEN 3 THEN 68 + ph * (pw + 1)
+               ELSE 794 + (18 * pw * ph + 16) // 8
+                    + ((18 * pw * ph + 16) // 8 + 254) // 255
              END AS n_bytes
       FROM m
     )
@@ -585,26 +734,32 @@ def multimodal_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column governance: a mixed-format payload lake (one
-    quarter each PGM / WAV / Y4M / PNG, all REAL containers) is
+    fifth each PGM / WAV / Y4M / PNG / GIF, all REAL containers) is
     classified purely by MAGIC BYTES — the dispatch a 100 TB blob
     column needs before any decode is chosen — then counted and sized
     per format. The oracle recomputes every container's exact byte size
     from the encoding arithmetic (ASCII header lengths, the RIFF pad
-    byte, and — for PNG — the stored-block zlib framing
-    ``68 + h·(w+1)`` = signature 8 + IHDR 25 + IDAT framing 12 + zlib
-    stored-stream 11 + filtered raster h·(w+1) + IEND 12; see
-    ``_zlib_stored``), so the census gates both the detector and the
+    byte; for PNG the stored-block zlib framing ``68 + h·(w+1)`` =
+    signature 8 + IHDR 25 + IDAT framing 12 + zlib stored-stream 11 +
+    filtered raster h·(w+1) + IEND 12, see ``_zlib_stored``; for GIF
+    the CLEAR-per-pixel LZW framing ``794 + d + ceil(d/255)`` with
+    ``d = (18n+16)//8`` 9-bit-code bytes = header 6 + LSD 7 + palette
+    768 + descriptor 10 + mcs 1 + sub-block overhead + trailer 1, see
+    ``operators/gif``), so the census gates both the detector and the
     encoders' byte-exactness. The PGM/WAV/Y4M legs are JVM-side
-    end-to-end; the PNG leg's encode is an Arrow-batched map (zlib),
-    with deterministic level-0 framing so its size stays
-    SQL-computable. The content behind PNG's real-DEFLATE path is
-    gated by ``multimodal_png_decode``."""
+    end-to-end; the PNG/GIF legs' encodes are Arrow-batched maps with
+    deterministic framings so their sizes stay SQL-computable. The
+    content behind the real-DEFLATE / real-LZW paths is gated by
+    ``multimodal_png_decode`` / ``multimodal_gif_decode``."""
     docs = table(spark, sf_dir, "documents")
     mixed = (
-        encode_pgm(docs.filter(F.col("doc_id") % 4 == 0))
-        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 4 == 1)))
-        .unionAll(encode_y4m(docs.filter(F.col("doc_id") % 4 == 2)))
-        .unionAll(encode_png(docs.filter(F.col("doc_id") % 4 == 3), level=0))
+        encode_pgm(docs.filter(F.col("doc_id") % 5 == 0))
+        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 5 == 1)))
+        .unionAll(encode_y4m(docs.filter(F.col("doc_id") % 5 == 2)))
+        .unionAll(encode_png(docs.filter(F.col("doc_id") % 5 == 3), level=0))
+        .unionAll(
+            encode_gif(docs.filter(F.col("doc_id") % 5 == 4), uncompressed=True)
+        )
     )
     fmt = (
         F.when(F.expr("substring(payload, 1, 2)") == F.lit(b"P5"), "pgm")
@@ -613,6 +768,11 @@ def multimodal_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.expr("substring(payload, 1, 8)") == F.lit(b"\x89PNG\r\n\x1a\n"),
             "png",
+        )
+        .when(
+            (F.expr("substring(payload, 1, 6)") == F.lit(b"GIF87a"))
+            | (F.expr("substring(payload, 1, 6)") == F.lit(b"GIF89a")),
+            "gif",
         )
         .otherwise("unknown")
     )
