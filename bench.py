@@ -167,6 +167,10 @@ TRACKING_QUERIES = [
     # r12: the compressed-PNG branch and the audio near-dup join
     "multimodal_png_decode",
     "multimodal_audio_near_dup",
+    # r12 second wave: μ-law companded audio, GIF LZW, video near-dup
+    "multimodal_mulaw_audio_decode",
+    "multimodal_gif_decode",
+    "multimodal_video_near_dup",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -779,6 +779,23 @@ def main() -> None:
         }
     )
 
+    # video spatio-temporal envelope near-dup (r12 second wave) — the
+    # fourth modality through the same shared banded join, cap at its
+    # registered-query setting.
+    from kafka_streams_common_spark.operators.multimodal import (
+        encode_y4m,
+        video_near_dup_pairs,
+    )
+
+    probes.update(
+        {
+            "video_envelope_near_dup": (
+                lambda: video_near_dup_pairs(encode_y4m(docs1), max_bucket=100),
+                lambda: video_near_dup_pairs(encode_y4m(docs8), max_bucket=100),
+            ),
+        }
+    )
+
     # PNG mixed-lake decode (r12): real DEFLATE encode → magic dispatch
     # → inflate + unfilter, map-only end to end. Expect ~linear.
     from kafka_streams_common_spark.operators.multimodal import (
@@ -798,6 +815,43 @@ def main() -> None:
             "png_mixed_lake_decode": (
                 lambda: _mixed_image_lake(docs1),
                 lambda: _mixed_image_lake(docs8),
+            ),
+        }
+    )
+
+    # GIF mixed-lake decode (r12 second wave): real variable-width LZW
+    # encode → magic dispatch → LZW decode + palette map, map-only.
+    from kafka_streams_common_spark.operators.gif import encode_gif
+
+    def _compressed_image_lake(docs):
+        return decode_image_features(
+            encode_png(docs.filter(F.col("doc_id") % 2 == 0), level=6).unionAll(
+                encode_gif(docs.filter(F.col("doc_id") % 2 == 1))
+            )
+        )
+
+    # μ-law mixed-codec decode (r12 second wave): format-tag dispatch +
+    # companding expansion inside the Arrow batch, map-only.
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_audio_codec_features,
+    )
+
+    def _mixed_codec_lake(docs):
+        return decode_audio_codec_features(
+            encode_wav(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
+                encode_wav(docs.filter(F.col("doc_id") % 2 == 1), codec="mulaw")
+            )
+        )
+
+    noop_probes.update(
+        {
+            "gif_compressed_lake_decode": (
+                lambda: _compressed_image_lake(docs1),
+                lambda: _compressed_image_lake(docs8),
+            ),
+            "mulaw_mixed_codec_decode": (
+                lambda: _mixed_codec_lake(docs1),
+                lambda: _mixed_codec_lake(docs8),
             ),
         }
     )

@@ -154,6 +154,8 @@ def modal_probe() -> None:
         audio_near_dup_pairs,
         encode_pgm,
         encode_wav,
+        encode_y4m,
+        video_near_dup_pairs,
     )
 
     spark = get_spark("modal-skew-probe")
@@ -190,6 +192,10 @@ def modal_probe() -> None:
         (
             "audio",
             lambda kw: audio_near_dup_pairs(encode_wav(planted), **kw),
+        ),
+        (
+            "video",
+            lambda kw: video_near_dup_pairs(encode_y4m(planted), **kw),
         ),
     ):
         t_unc, rows_unc = timed(lambda: fn({}))
