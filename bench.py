@@ -167,10 +167,12 @@ TRACKING_QUERIES = [
     # r12: the compressed-PNG branch and the audio near-dup join
     "multimodal_png_decode",
     "multimodal_audio_near_dup",
-    # r12 second wave: μ-law companded audio, GIF LZW, video near-dup
+    # r12 second wave: μ-law companded audio, GIF LZW, video near-dup,
+    # baseline JPEG
     "multimodal_mulaw_audio_decode",
     "multimodal_gif_decode",
     "multimodal_video_near_dup",
+    "multimodal_jpeg_recon",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -367,6 +367,11 @@ def _decode_image(payload: bytes) -> dict:
 
         fmt = "gif"
         channels, width, height, px = _parse_gif(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from kafka_streams_common_spark.operators.jpeg import _parse_jpeg
+
+        fmt = "jpeg"
+        channels, width, height, px = _parse_jpeg(payload)
     else:
         fmt = "pgm" if payload[1:2] == b"5" else "ppm"
         channels, width, height, px = _parse_netpbm(payload)

@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_common_spark.operators.gif import encode_gif
+from kafka_streams_common_spark.operators.jpeg import (
+    decode_jpeg_recon_report,
+    encode_jpeg,
+)
 from kafka_streams_common_spark.operators.multimodal import (
     ahash_near_dup_pairs,
     attach_fake_image_payload,
@@ -264,6 +268,45 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_px",
         "max_px",
     )
+
+
+@query(
+    "multimodal_jpeg_recon",
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                AS BIGINT) AS width,
+           CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                AS BIGINT) AS height,
+           CAST((('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1)
+              * (('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1)
+                AS BIGINT) AS n_px,
+           TRUE AS max_err_le_32,
+           TRUE AS mean_err_le_12
+    FROM documents
+    """,
+)
+def multimodal_jpeg_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE JPEG decode — the third compressed-image branch and the
+    first LOSSY one (``operators/jpeg.py``: 8×8 DCT, quantization,
+    zigzag, DC-diff + run-length AC, canonical Huffman with byte
+    stuffing; the decoder parses DQT/DHT FROM THE FILE). Each document
+    is encoded as a genuine SOF0 grayscale JPEG of its md5-derived
+    raster, then the Arrow stage decodes the container and reports the
+    reconstruction against the known source. Lossy output cannot be
+    hash-replayed in SQL, so — like the sketch rows (``agg_approx_*``)
+    — the gated columns are the SQL-replayable invariants: dims and
+    pixel count RECOVERED FROM THE SOF0 PARSE (not passed through)
+    must equal the md5 arithmetic, and the deterministic error bounds
+    (max |err| ≤ 32, mean ≤ 12; measured corpus worst 18 / 7.25 — md5
+    rasters are white noise, the hardest DCT content) must hold, while
+    a broken dequant/IDCT/Huffman path lands at mean ≈50+. The codec
+    internals are pinned in tests/test_jpeg.py (DCT orthonormality,
+    hand-computed entropy bytes for the constant block, file-table
+    dequantization, stuffing, marker rejection)."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg_recon_report(encode_jpeg(docs))
 
 
 @query(
