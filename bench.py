@@ -187,6 +187,8 @@ STREAMING_TRACKING_QUERIES = [
     "streaming_holt_trend",
     # r11: the multimodal decode gate on the stream
     "streaming_multimodal_ingest",
+    # r12 wave 2: compressed decode inside micro-batches
+    "streaming_compressed_ingest",
 ]
 
 

@@ -448,6 +448,53 @@ def decode_image_features(images: DataFrame) -> DataFrame:
 decode_pgm_features = decode_image_features
 
 
+def encode_compressed_image_mixed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim_mod: int = 16,
+    level: int = 6,
+) -> DataFrame:
+    """Even doc_ids → genuine PNG (zlib DEFLATE), odd → genuine GIF87a
+    (real variable-width LZW), in ONE Arrow pass — the single-scan
+    spelling of the all-compressed mixed lake. Unlike the union-of-two-
+    encoders spelling this needs no self-union of the source, so it is
+    STREAMING-SAFE (one stateless ``mapInPandas`` over the stream).
+    Same md5 geometry/raster arithmetic as every image encoder."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.gif import _encode_gif_bytes
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hx = hashlib.md5(text.encode()).hexdigest()
+                w = int(hx[:15], 16) % dim_mod + 1
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
+                raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
+                if int(did) % 2 == 0:
+                    payloads.append(
+                        _encode_png_bytes(px, level=level, filter_seed=int(did))
+                    )
+                else:
+                    payloads.append(_encode_gif_bytes(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def encode_png(
     docs: DataFrame,
     text_col: str = "text",

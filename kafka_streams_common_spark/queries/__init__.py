@@ -33,7 +33,7 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-12 WINDOW (``_R12_WINDOW``): head = the six round-12
+ROUND-12 WINDOW (``_R12_WINDOW``): head = the seven round-12
 registrations, never driver-checked (invariant #1) —
 ``multimodal_png_decode`` (the compressed-container branch: mixed
 PGM+PNG lake, inflate+unfilter gated on decoded content),
@@ -47,7 +47,10 @@ branch), ``multimodal_video_near_dup`` (spatio-temporal envelope
 hash, cap LIVE — the near-dup family's fourth modality), and
 ``multimodal_jpeg_recon`` (baseline SOF0 JPEG — DCT + Huffman, the
 first LOSSY branch; SQL-replayable dims + deterministic
-reconstruction-error bounds, the sketch-row invariant-gate pattern).
+reconstruction-error bounds, the sketch-row invariant-gate pattern),
+and ``streaming_compressed_ingest`` (the compressed branches proven
+under Structured Streaming: per-row PNG/GIF encode, in-micro-batch
+decompress, quality gate — stream ≡ batch oracle).
 Then the seven rows whose implementation or oracle changed in round
 12 itself (invariant #2): ``dedup_simhash`` and
 ``multimodal_ahash_near_dup`` (both gained the minhash-style
@@ -61,7 +64,7 @@ decode stage now emits the recovered ``format`` column),
 ``multimodal_format_census`` (now a 5-format lake incl. PNG and GIF;
 pad-byte, PNG stored-block and GIF CLEAR-per-pixel size legs in the
 oracle), and ``streaming_multimodal_ingest`` (the shared
-``_decode_image`` dispatch changed under it). The remaining 38 slots
+``_decode_image`` dispatch changed under it). The remaining 36 slots
 drain the COMPUTED refresh queue promised in the README r11 ledger
 (key: last-green round asc, green-count asc, registration order) IN
 ORDER: the seven displaced r11 heads (``text_hash_split``
@@ -71,15 +74,16 @@ ORDER: the seven displaced r11 heads (``text_hash_split``
 r6-last tier — four-green (17 rows), five-green (7), six-green
 (``dedup_minhash_lsh``) — which DRAINS every r6-stale row (the
 oldest external green moves from r6 to r7 this round), then the
-first five of the r7-last single-green tier (``streaming_mix_ingest``
+first four of the r7-last single-green tier (``streaming_mix_ingest``
 ``streaming_stream_stream_left_join``
-``streaming_latest_per_key_state`` ``streaming_session_state_machine``
-``dedup_contamination_report``). The r13 queue = the remaining 39
-rows of the computed order (r7-last: 15 single-green, headed by the
-four rows the second-wave registrations displaced —
-``sim_ivf_pq_rerank`` ``text_perplexity_filter``
-``tpch_q11_important_stock`` ``events_funnel_stage_counts`` — then
-the two/three/four-green r7 tiers), recorded in the README ledger.
+``streaming_latest_per_key_state``
+``streaming_session_state_machine``). The r13 queue = the remaining
+40 rows of the computed order (r7-last: 16 single-green, headed by
+the five rows the second-wave registrations displaced —
+``dedup_contamination_report`` ``sim_ivf_pq_rerank``
+``text_perplexity_filter`` ``tpch_q11_important_stock``
+``events_funnel_stage_counts`` — then the two/three/four-green r7
+tiers), recorded in the README ledger.
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -104,7 +108,8 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # invariant #1: never-checked rows outrank everything). The first two
 # landed at the round-12 open; the rest are the round's second wave
 # (μ-law companded audio, GIF87a LZW decode, video near-dup, baseline
-# JPEG) and displace the last four refresh slots to the r13 queue head.
+# JPEG, compressed-decode streaming ingest) and displace the last five
+# refresh slots to the r13 queue head.
 _R12_NEW = (
     "multimodal_png_decode",
     "multimodal_audio_near_dup",
@@ -112,6 +117,7 @@ _R12_NEW = (
     "multimodal_gif_decode",
     "multimodal_video_near_dup",
     "multimodal_jpeg_recon",
+    "streaming_compressed_ingest",
 )
 assert all(n in QUERIES for n in _R12_NEW)
 
@@ -133,14 +139,14 @@ _R12_CHANGED = (
 )
 assert all(n in QUERIES for n in _R12_CHANGED)
 
-# _R12_REFRESH — 37 slots of the COMPUTED stale-refresh queue promised
+# _R12_REFRESH — 36 slots of the COMPUTED stale-refresh queue promised
 # in the README r11 ledger (last-green round asc, green-count asc,
 # registration order), verbatim prefix: drains the ENTIRE r6-last tier
-# (32 rows — the oldest external green moves to r7) plus the first 5 of
-# the r7-last single-green tier (the next four — sim_ivf_pq_rerank,
-# text_perplexity_filter, tpch_q11_important_stock,
+# (32 rows — the oldest external green moves to r7) plus the first 4 of
+# the r7-last single-green tier (the next five — dedup_contamination_report,
+# sim_ivf_pq_rerank, text_perplexity_filter, tpch_q11_important_stock,
 # events_funnel_stage_counts — were displaced to the r13 queue head by
-# the four second-wave r12 registrations, per invariant #1).
+# the five second-wave r12 registrations, per invariant #1).
 _R12_REFRESH = (
     # r6-last, three-green (the displaced r11 queue head)
     "text_hash_split",
@@ -178,12 +184,11 @@ _R12_REFRESH = (
     "range_join_events_within_30min",
     # r6-last, six-green
     "dedup_minhash_lsh",
-    # r7-last, single-green (first 5; the remaining 15 head the r13 queue)
+    # r7-last, single-green (first 4; the remaining 16 head the r13 queue)
     "streaming_mix_ingest",
     "streaming_stream_stream_left_join",
     "streaming_latest_per_key_state",
     "streaming_session_state_machine",
-    "dedup_contamination_report",
 )
 assert all(n in QUERIES for n in _R12_REFRESH)
 

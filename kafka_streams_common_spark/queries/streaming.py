@@ -1416,3 +1416,64 @@ def streaming_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_px", 6).alias("mean_px"),
     )
     return run_stream_to_memory(gated, spark, output_mode="append")
+
+
+@query(
+    "streaming_compressed_ingest",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, h,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+             list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                       for i in range(1, w*h + 1)]) AS mean_px
+      FROM m
+    )
+    SELECT doc_id,
+           format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           round(mean_px, 6) AS mean_px
+    FROM s
+    WHERE w * h >= 32 AND mean_px BETWEEN 100.0 AND 160.0
+    """,
+)
+def streaming_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container decode AT INGEST — the r12-wave-2 twin of
+    ``streaming_multimodal_ingest``: the stream is encoded per row into
+    an all-compressed mixed lake (even → PNG real DEFLATE, odd → GIF87a
+    real LZW; ``encode_compressed_image_mixed`` is ONE stateless
+    ``mapInPandas`` pass, so no streaming self-union), then the shared
+    magic-byte dispatch DECOMPRESSES each payload inside the
+    micro-batch (inflate+unfilter / LZW+palette) and gates on decoded
+    pixel statistics, emitting the recovered ``format``. Proves the
+    compressed branches run under Structured Streaming with stream ≡
+    batch semantics (the oracle is the batch definition of the same
+    gate — the same md5 replay that gates ``multimodal_gif_decode``)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_image_features,
+        encode_compressed_image_mixed,
+    )
+
+    stream = _streaming_compiler(spark, sf_dir).stream_source("documents")
+    feats = decode_image_features(encode_compressed_image_mixed(stream))
+    gated = feats.filter(
+        (F.col("n_px") >= 32) & F.col("mean_px").between(100.0, 160.0)
+    ).select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+    return run_stream_to_memory(gated, spark, output_mode="append")
