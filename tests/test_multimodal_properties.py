@@ -211,3 +211,98 @@ def test_png_parser_rejects_malformed():
     # IEND missing
     with pytest.raises(ValueError, match="missing"):
         _parse_png(good[: good.rindex(b"IEND") - 4])
+
+
+# --- GIF (r12 wave 2: the LZW compressed branch) -------------------------
+
+from kafka_streams_common_spark.operators.gif import (  # noqa: E402
+    _encode_gif_bytes,
+    _lzw_compress,
+    _lzw_decompress,
+    _parse_gif,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    uncompressed=st.booleans(),
+    gif89a=st.booleans(),
+    extension=st.booleans(),
+    data=st.data(),
+)
+def test_gif_roundtrip_recovers_planted_pixels(
+    w, h, uncompressed, gif89a, extension, data
+):
+    """Random pixels → encode (real variable-width LZW AND the
+    CLEAR-per-pixel framing) → parse recovers the exact array. Spec
+    hazards: GIF89a header; an extension block (label + sub-blocks)
+    spliced before the image descriptor, which the parser must skip
+    by its own framing."""
+    n = w * h
+    px = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+        dtype=np.uint8,
+    ).reshape(h, w, 1)
+    payload = _encode_gif_bytes(px, uncompressed=uncompressed)
+    if gif89a:
+        payload = b"GIF89a" + payload[6:]
+    if extension:
+        desc_at = payload.index(b"\x2c", 13 + 768)
+        body = bytes(data.draw(st.lists(st.integers(0, 255), min_size=0, max_size=40)))
+        ext = b"\x21\xfe"
+        for i in range(0, len(body), 20):
+            block = body[i : i + 20]
+            if block:
+                ext += bytes([len(block)]) + block
+        ext += b"\x00"
+        payload = payload[:desc_at] + ext + payload[desc_at:]
+    got_c, got_w, got_h, got = _parse_gif(payload)
+    assert (got_c, got_w, got_h) == (1, w, h)
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_gif_lzw_roundtrip_arbitrary_streams(data):
+    """LZW over arbitrary byte streams (not just rasters): repeats,
+    long runs, and high-entropy segments all round-trip; the KwKwK
+    decoder branch and width bumps get hit by construction on runs."""
+    parts = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(1, 400)),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    raw = b"".join(bytes([v]) * k for v, k in parts)
+    assert _lzw_decompress(_lzw_compress(raw)) == raw
+    assert _lzw_decompress(_lzw_compress(raw, uncompressed=True)) == raw
+
+
+# --- JPEG (r12 wave 2: the lossy DCT branch) ------------------------------
+
+from kafka_streams_common_spark.operators.jpeg import (  # noqa: E402
+    _encode_jpeg_bytes,
+    _parse_jpeg,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=dims, h=dims, data=st.data())
+def test_jpeg_roundtrip_dims_exact_and_error_bounded(w, h, data):
+    """Random pixels → encode → decode: dims recovered EXACTLY from
+    SOF0 (incl. non-multiple-of-8 crops), reconstruction inside the
+    registered gate bounds (max 32 / mean 12), and smooth content
+    (constant rows) reconstructs tighter than noise."""
+    n = w * h
+    px = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+        dtype=np.uint8,
+    ).reshape(h, w, 1)
+    got_c, got_w, got_h, got = _parse_jpeg(_encode_jpeg_bytes(px))
+    assert (got_c, got_w, got_h) == (1, w, h)
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 32
+    assert err.mean() <= 12.0
