@@ -856,6 +856,23 @@ def main() -> None:
         }
     )
 
+    # JPEG encode + decode + reconstruction report (r12 second wave):
+    # DCT/Huffman both ways per row, map-only. The heaviest per-row
+    # kernel in the multimodal tier — expect ~linear.
+    from kafka_streams_common_spark.operators.jpeg import (
+        decode_jpeg_recon_report,
+        encode_jpeg,
+    )
+
+    noop_probes.update(
+        {
+            "jpeg_recon_report": (
+                lambda: decode_jpeg_recon_report(encode_jpeg(docs1)),
+                lambda: decode_jpeg_recon_report(encode_jpeg(docs8)),
+            ),
+        }
+    )
+
     # real-codec decode scans (r11): encode → container parse → feature
     # extract, all map-only — the per-modality ingest shape. Expect
     # ~linear (noop-timed so the Arrow decode projections are paid).
