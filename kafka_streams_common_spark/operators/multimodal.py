@@ -1110,17 +1110,23 @@ def banded_hamming_pairs(
         "band_idx",
         "band_val",
     )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("a_doc") < F.col("b_doc"))
-        .dropDuplicates(["a_doc", "b_doc"])  # a pair may collide in >1 band
-    )
     hamming = sum(
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
     )
-    return cand.select(
-        "a_doc", "b_doc", hamming.cast("bigint").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    # hamming-verify BEFORE the pair dedup: the verify is a map-side
+    # expression on the join output either way, but filtering first
+    # means the dropDuplicates exchange carries only VERIFIED pairs —
+    # on ambient (near-uniform) corpora band collisions outnumber true
+    # near-dups by orders of magnitude, so this is the smaller shuffle.
+    # Safe because hamming depends only on the full signatures, not on
+    # which band produced the collision (same value on every duplicate).
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .select("a_doc", "b_doc", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_doc", "b_doc"])  # a pair may collide in >1 band
+    )
 
 
 def _audio_envelope_bands(payload: bytes) -> list[int]:
