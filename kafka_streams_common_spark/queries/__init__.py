@@ -126,8 +126,9 @@ assert all(n in QUERIES for n in _R12_NEW)
 # dedup_simhash / multimodal_ahash_near_dup: max_bucket cap threaded
 # (default None — oracle-identical) + aHash refactor; the multimodal
 # rows: RIFF pad byte, 16-bit |peak|, format column, empty-batch
-# schemas, the 4-format census lake, and the shared _decode_image
-# dispatch under the streaming ingest gate.
+# schemas, the census lake (4-format at the round open, 5-format after
+# the GIF wave), and the shared _decode_image dispatch under the
+# streaming ingest gate.
 _R12_CHANGED = (
     "dedup_simhash",
     "multimodal_ahash_near_dup",
