@@ -256,6 +256,13 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
         if pos + 10 > len(payload):
             raise ValueError("truncated image descriptor")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        if left or top:
+            # explicit-rejection posture, same as interlace / local palettes:
+            # a conforming foreign GIF offset within the logical screen would
+            # otherwise decode silently as if anchored at (0, 0)
+            raise ValueError(f"offset image descriptors not supported ({left},{top})")
         w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
         h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
         iflags = payload[pos + 9]

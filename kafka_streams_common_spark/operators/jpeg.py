@@ -103,6 +103,39 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 _DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
 
+# ---------------------------------------------------------------------------
+# color (YCbCr) additions — round 13. The chroma side gets its OWN
+# deterministic tables, genuinely different from the luma ones, so a
+# decoder that mixes up per-component DQT/DHT selectors fails loudly:
+# quantization ramp 8+u+v at DQT slot 1; flat canonical Huffman with all
+# 12 DC sizes at 5 bits and all 162 AC symbols at 9 bits at DHT slot 1
+# (same hand-computability rationale as the luma 4/8-bit tables).
+_QTABLE_C = (8 + np.add.outer(np.arange(8), np.arange(8))).astype(np.int64)
+_DC_BITS_C = [0, 0, 0, 0, 12] + [0] * 11
+_AC_BITS_C = [0] * 8 + [162] + [0] * 7
+_DC_CODES_C = _canonical_codes(_DC_BITS_C, _DC_VALS)
+_AC_CODES_C = _canonical_codes(_AC_BITS_C, _AC_VALS)
+
+# JFIF / ITU-R BT.601 full-range color conversion (the public JPEG
+# interchange convention).
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
 
 def _bit_size(v: int) -> int:
     """JPEG amplitude size category: number of bits in |v|."""
@@ -139,6 +172,64 @@ class _BitWriterMSB:
         return bytes(self.out)
 
 
+def _encode_block(
+    bw: "_BitWriterMSB",
+    block: np.ndarray,
+    qtable: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """DCT + quantize + entropy-code one 8×8 sample block (level-shifted
+    here); returns the new DC predictor. Shared by the grayscale and
+    color encoders — the grayscale entropy bytes are pinned byte-for-byte
+    in tests, so this is the exact original arithmetic."""
+    coef = _C @ (block - 128.0) @ _C.T
+    q = np.rint(coef / qtable).astype(np.int64)
+    zz = q[_ZZ_ROWS, _ZZ_COLS]
+    # DC: difference, size category, amplitude bits (one's complement
+    # representation for negatives, per the spec)
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    size = _bit_size(diff)
+    code, length = dc_codes[size]
+    bw.put(code, length)
+    if size:
+        bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    # AC: run-length coded
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            bw.put(zc, zl)
+            run -= 16
+        size = _bit_size(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.put(code, length)
+        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        bw.put(ec, el)
+    return new_dc
+
+
+def _pad_replicate(a: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D float plane to (th, tw)."""
+    ah, aw = a.shape
+    out = np.empty((th, tw), dtype=np.float64)
+    out[:ah, :aw] = a
+    if th > ah:
+        out[ah:, :aw] = a[ah - 1 : ah, :]
+    if tw > aw:
+        out[:, aw:] = out[:, aw - 1 : aw]
+    return out
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     """One marker segment: FF xx + 2-byte big-endian length (incl. the
     length field itself) + body."""
@@ -168,40 +259,14 @@ def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
     prev_dc = 0
     for br in range(0, bh, 8):
         for bc in range(0, bw, 8):
-            block = padded[br : br + 8, bc : bc + 8] - 128.0
-            coef = _C @ block @ _C.T
-            q = np.rint(coef / _QTABLE).astype(np.int64)
-            zz = q[_ZZ_ROWS, _ZZ_COLS]
-            # DC: difference, size category, amplitude bits (one's
-            # complement representation for negatives, per the spec)
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size = _bit_size(diff)
-            code, length = _DC_CODES[size]
-            bw_writer.put(code, length)
-            if size:
-                amp = diff if diff >= 0 else diff + (1 << size) - 1
-                bw_writer.put(amp, size)
-            # AC: run-length coded
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    zc, zl = _AC_CODES[0xF0]  # ZRL
-                    bw_writer.put(zc, zl)
-                    run -= 16
-                size = _bit_size(v)
-                code, length = _AC_CODES[(run << 4) | size]
-                bw_writer.put(code, length)
-                amp = v if v >= 0 else v + (1 << size) - 1
-                bw_writer.put(amp, size)
-                run = 0
-            if run:
-                ec, el = _AC_CODES[0x00]  # EOB
-                bw_writer.put(ec, el)
+            prev_dc = _encode_block(
+                bw_writer,
+                padded[br : br + 8, bc : bc + 8],
+                _QTABLE,
+                _DC_CODES,
+                _AC_CODES,
+                prev_dc,
+            )
 
     dqt = _seg(0xDB, bytes([0x00]) + bytes(int(_QTABLE[r, c]) for r, c in _ZIGZAG))
     sof0 = _seg(
@@ -226,6 +291,96 @@ def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
     )
 
 
+_SUBSAMPLE_FACTORS = {
+    # (h, v) per component in SOF order Y, Cb, Cr
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _encode_jpeg_color_bytes(px: np.ndarray, subsample: str = "420") -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as a baseline YCbCr JPEG
+    with the requested chroma subsampling (4:4:4, 4:2:2 or 4:2:0):
+    BT.601 color conversion, box-average chroma downsampling, and one
+    interleaved scan of MCUs (each MCU carries the component's h×v
+    blocks in raster order, per the spec's interleaving rules). Luma
+    uses quant slot 0 / Huffman slot 0 (the grayscale tables); chroma
+    uses slot 1 tables that are GENUINELY different (8+u+v ramp, 5/9-bit
+    flat canonical codes), so per-component selector plumbing is
+    load-bearing on both sides."""
+    h, w, channels = px.shape
+    if channels != 3:
+        raise ValueError("color JPEG branch encodes RGB (3 channels) only")
+    samp = _SUBSAMPLE_FACTORS.get(subsample)
+    if samp is None:
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    planes = []
+    for (hi, vi), plane in zip(samp, _rgb_to_ycbcr(px)):
+        if (hi, vi) != (hmax, vmax):
+            # component dims per the spec: ceil(w·hi/hmax) × ceil(h·vi/vmax);
+            # box-average downsample over an edge-replicated grid
+            fy, fx = vmax // vi, hmax // hi
+            src = _pad_replicate(plane, -(-h // fy) * fy, -(-w // fx) * fx)
+            down = src.reshape(src.shape[0] // fy, fy, src.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+            plane = down
+        planes.append(_pad_replicate(plane, mcuy * vi * 8, mcux * hi * 8))
+
+    qts = (_QTABLE, _QTABLE_C, _QTABLE_C)
+    dcs = (_DC_CODES, _DC_CODES_C, _DC_CODES_C)
+    acs = (_AC_CODES, _AC_CODES_C, _AC_CODES_C)
+    bw_writer = _BitWriterMSB()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0, c0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        prev[ci] = _encode_block(
+                            bw_writer,
+                            planes[ci][r0 : r0 + 8, c0 : c0 + 8],
+                            qts[ci],
+                            dcs[ci],
+                            acs[ci],
+                            prev[ci],
+                        )
+
+    dqt = _seg(
+        0xDB,
+        bytes([0x00])
+        + bytes(int(_QTABLE[r, c]) for r, c in _ZIGZAG)
+        + bytes([0x01])
+        + bytes(int(_QTABLE_C[r, c]) for r, c in _ZIGZAG),
+    )
+    sof0 = _seg(
+        0xC0,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3])
+        + bytes([1, (samp[0][0] << 4) | samp[0][1], 0])  # Y: Tq 0
+        + bytes([2, (samp[1][0] << 4) | samp[1][1], 1])  # Cb: Tq 1
+        + bytes([3, (samp[2][0] << 4) | samp[2][1], 1]),  # Cr: Tq 1
+    )
+    dht = (
+        _seg(0xC4, _dht_body(0x00, _DC_BITS, _DC_VALS))
+        + _seg(0xC4, _dht_body(0x10, _AC_BITS, _AC_VALS))
+        + _seg(0xC4, _dht_body(0x01, _DC_BITS_C, _DC_VALS))
+        + _seg(0xC4, _dht_body(0x11, _AC_BITS_C, _AC_VALS))
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof0 + dht + sos + bw_writer.finish() + b"\xff\xd9"
+    )
+
+
 class _BitReaderMSB:
     """MSB-first bit reader over entropy-coded data with byte
     unstuffing (0xFF 0x00 → 0xFF); stops at any other marker."""
@@ -242,6 +397,8 @@ class _BitReaderMSB:
         byte = self.data[self.pos]
         if byte == 0xFF:
             nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt is None:
+                raise ValueError("entropy stream truncated at a dangling 0xFF")
             if nxt != 0x00:
                 raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
             self.pos += 2
@@ -296,20 +453,58 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _decode_block(
+    rd: _BitReaderMSB,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    q: np.ndarray,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize + IDCT one 8×8 block; returns the
+    level-shifted sample block and the updated DC predictor."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(rd, dc_tab)
+    prev_dc += _extend(rd.bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(rd, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"invalid AC symbol 0x{sym:02x}")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(rd.bits(size), size)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz
+    return _C.T @ (coef * q) @ _C + 128.0, prev_dc
+
+
 def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline grayscale JPEG per the public spec: marker
-    walk (APPn/COM skipped), DQT/DHT parsed FROM THE FILE, SOF0
-    geometry, SOS, then Huffman + dequant + IDCT block reconstruction
-    with byte unstuffing. Progressive (SOF2), multi-component scans,
-    and restart intervals are out of scope (rejected). Returns
-    ``(channels, width, height, pixels)`` shaped ``(h, w, 1)`` — the
-    ``_parse_netpbm`` contract."""
+    """Decode a baseline JPEG per the public spec: marker walk
+    (APPn/COM skipped), DQT/DHT parsed FROM THE FILE, SOF0 geometry
+    with per-component sampling factors, one interleaved SOS scan, then
+    Huffman + dequant + IDCT MCU reconstruction with byte unstuffing.
+    Grayscale (1 component) and YCbCr (3 components, sampling factors
+    1-2 in each axis — 4:4:4 / 4:2:2 / 4:2:0) are in scope; chroma is
+    upsampled by sample replication and converted to RGB per BT.601.
+    Progressive (SOF2), non-interleaved multi-scan files, and restart
+    intervals are out of scope (rejected). Returns
+    ``(channels, width, height, pixels)`` shaped ``(h, w, channels)`` —
+    the ``_parse_netpbm`` contract."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG payload: {payload[:2]!r}")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
-    qsel = 0
+    comps: list[tuple[int, int, int, int]] | None = None  # (cid, h, v, tq)
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -343,59 +538,82 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xC0:  # SOF0 baseline
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
-            if body[0] != 8 or body[5] != 1:
-                raise ValueError("8-bit single-component (grayscale) JPEG only")
-            if body[7] != 0x11:
-                raise ValueError("subsampled components not supported")
-            qsel = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if body[0] != 8:
+                raise ValueError("8-bit sample precision only")
+            nf = body[5]
+            if nf not in (1, 3):
+                raise ValueError("1 (grayscale) or 3 (YCbCr) components only")
+            comps = []
+            for i in range(nf):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling factors {hi}x{vi} not supported")
+                comps.append((cid, hi, vi, body[8 + 3 * i]))
+            if nf == 1 and (comps[0][1], comps[0][2]) != (1, 1):
+                raise ValueError("subsampled single component not supported")
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,  # incl. arithmetic differential
+        ):
             raise ValueError(f"non-baseline SOF 0xFF{marker:02x} not supported")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            raise ValueError("arithmetic-coded JPEG (DAC) not supported")
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS — entropy data follows
-            if width is None or height is None:
+            if width is None or height is None or comps is None:
                 raise ValueError("SOS before SOF0")
-            ncomp = body[0]
-            if ncomp != 1:
-                raise ValueError("multi-component scans not supported")
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
-            dc_tab = htables.get(0x00 | dc_sel)
-            ac_tab = htables.get(0x10 | ac_sel)
-            q = qtables.get(qsel)
-            if dc_tab is None or ac_tab is None or q is None:
-                raise ValueError("scan references missing DHT/DQT tables")
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans not supported")
+            sel: dict[int, tuple[int, int]] = {}
+            for i in range(ns):
+                sel[body[1 + 2 * i]] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+            planes: list[np.ndarray] = []
+            per: list[tuple] = []
+            for cid, hi, vi, tq in comps:
+                if cid not in sel:
+                    raise ValueError(f"scan missing component {cid}")
+                dc_sel, ac_sel = sel[cid]
+                dc_tab = htables.get(0x00 | dc_sel)
+                ac_tab = htables.get(0x10 | ac_sel)
+                q = qtables.get(tq)
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ValueError("scan references missing DHT/DQT tables")
+                planes.append(np.empty((mcuy * vi * 8, mcux * hi * 8)))
+                per.append((hi, vi, dc_tab, ac_tab, q))
             rd = _BitReaderMSB(payload, pos + 2 + length)
-            bh, bw = -(-height // 8), -(-width // 8)
-            out = np.empty((bh * 8, bw * 8), dtype=np.float64)
-            prev_dc = 0
-            for br in range(bh):
-                for bc in range(bw):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _read_symbol(rd, dc_tab)
-                    prev_dc += _extend(rd.bits(size), size)
-                    zz[0] = prev_dc
-                    k = 1
-                    while k < 64:
-                        sym = _read_symbol(rd, ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError(f"invalid AC symbol 0x{sym:02x}")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(rd.bits(size), size)
-                        k += 1
-                    coef = np.zeros((8, 8), dtype=np.float64)
-                    coef[_ZZ_ROWS, _ZZ_COLS] = zz
-                    block = _C.T @ (coef * q) @ _C + 128.0
-                    out[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = block
-            px = np.clip(np.rint(out[:height, :width]), 0, 255).astype(np.uint8)
-            return 1, width, height, px.reshape(height, width, 1)
+            prev = [0] * len(comps)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hi, vi, dc_tab, ac_tab, q) in enumerate(per):
+                        for by in range(vi):
+                            for bx in range(hi):
+                                block, prev[ci] = _decode_block(
+                                    rd, dc_tab, ac_tab, q, prev[ci]
+                                )
+                                r0 = (my * vi + by) * 8
+                                c0 = (mx * hi + bx) * 8
+                                planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+            if len(comps) == 1:
+                px = np.clip(
+                    np.rint(planes[0][:height, :width]), 0, 255
+                ).astype(np.uint8)
+                return 1, width, height, px.reshape(height, width, 1)
+            # chroma upsampling by sample replication, then BT.601 to RGB
+            full = []
+            for (_, hi, vi, _), plane in zip(comps, planes):
+                up = np.repeat(
+                    np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+                )
+                full.append(up[:height, :width])
+            rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
+            return 3, width, height, rgb
         # APPn / COM / anything else: skipped by the length field
         pos += 2 + length
     raise ValueError("no SOS scan before EOI")
@@ -503,3 +721,162 @@ def decode_jpeg_recon_report(
             yield pd.DataFrame(rows, columns=[f.name for f in JPEG_RECON_SCHEMA])
 
     return images.mapInPandas(batches, JPEG_RECON_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# color Spark surface (round 13)
+
+
+def _md5_color_image(text: str, dim_mod: int = 32) -> np.ndarray:
+    """Deterministic ``(h, w, 3)`` RGB source raster from a document:
+    md5-derived dims (``% dim_mod + 1`` — 32 here, so multi-MCU images
+    occur in every mode), a white-noise LUMA plane (digest-cycled,
+    range 48..207 — the hardest DCT content), and CONSTANT-PER-16×16-TILE
+    chroma in 104..151 derived from digest bytes. The ranges keep the
+    YCbCr values inside the RGB cube (no conversion clipping), and the
+    16-aligned constant chroma tiles make 4:2:0/4:2:2 box-averaging
+    EXACT — so the registered query's reconstruction gate stays as tight
+    as the grayscale one (measured corpus worst: max 16 / mean 4.0 in
+    all three modes) while a swapped Cb/Cr, wrong upsample, or
+    mixed-up per-component table selector shifts whole channels and
+    lands far outside it. Noise-chroma subsampling loss is pinned
+    separately in tests/test_jpeg.py with its own measured bounds."""
+    import hashlib
+
+    hx = hashlib.md5(text.encode()).hexdigest()
+    d = bytes.fromhex(hx)
+    w = int(hx[:15], 16) % dim_mod + 1
+    h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
+    n = w * h
+    raster = (d * ((n + 15) // 16))[:n]
+    y = (48.0 + (np.frombuffer(raster, np.uint8).astype(np.float64) % 160)).reshape(
+        h, w
+    )
+    ty, tx = -(-h // 16), -(-w // 16)
+    cb_t = np.array(
+        [[104.0 + d[(r * 7 + c * 3) % 16] % 48 for c in range(tx)] for r in range(ty)]
+    )
+    cr_t = np.array(
+        [
+            [104.0 + d[(r * 5 + c * 11 + 1) % 16] % 48 for c in range(tx)]
+            for r in range(ty)
+        ]
+    )
+    cb = np.repeat(np.repeat(cb_t, 16, axis=0), 16, axis=1)[:h, :w]
+    cr = np.repeat(np.repeat(cr_t, 16, axis=0), 16, axis=1)[:h, :w]
+    return _ycbcr_to_rgb(y, cb, cr)
+
+
+def _sof_sampling(payload: bytes) -> str:
+    """Header-only marker walk to the SOF0 segment; returns the chroma
+    subsampling as '444' / '422' / '420' (or 'gray' for 1 component) —
+    RECOVERED from the file, not passed through."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker == 0xC0:
+            body = payload[pos + 4 : pos + 2 + length]
+            nf = body[5]
+            if nf == 1:
+                return "gray"
+            factors = tuple(
+                (body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F) for i in range(nf)
+            )
+            for name, samp in _SUBSAMPLE_FACTORS.items():
+                if factors == samp:
+                    return name
+            return "other"
+        pos += 2 + length
+    raise ValueError("no SOF0 segment")
+
+
+def encode_jpeg_color(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim_mod: int = 32,
+) -> DataFrame:
+    """Encode each document as a baseline YCbCr COLOR JPEG of its
+    md5-derived RGB raster (``_md5_color_image``): even ``doc_id`` →
+    4:4:4, odd → 4:2:0, so one lake carries both subsampling modes and
+    the decoder's SOF-driven dispatch is load-bearing. Keeps ``text``
+    alongside the payload so the recon stage recomputes the source
+    per row without a join. Arrow-batched ``mapInPandas``, map-only."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                px = _md5_color_image(text, dim_mod)
+                mode = "444" if int(did) % 2 == 0 else "420"
+                payloads.append(_encode_jpeg_color_bytes(px, mode))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": payloads,
+                    "text": pdf[text_col].values,
+                },
+                columns=["doc_id", "payload", "text"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+JPEG_COLOR_RECON_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("subsample", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("max_err_le_32", T.BooleanType(), True),
+        T.StructField("mean_err_le_8", T.BooleanType(), True),
+    ]
+)
+
+
+def decode_jpeg_color_recon_report(images: DataFrame, dim_mod: int = 32) -> DataFrame:
+    """Arrow-batched COLOR JPEG decode + reconstruction report: parses
+    the container (interleaved MCUs, per-component DQT/DHT selectors,
+    chroma upsampling, BT.601 to RGB), recomputes the md5-derived RGB
+    source from ``text``, and emits the recovered dims, the recovered
+    SOF sampling mode, and deterministic RGB error-bound booleans
+    (max |err| ≤ 32, mean ≤ 8 — measured corpus worst 16 / 4.0, so ~2×
+    headroom; a chroma-path break lands at mean ≈20+). Dims, pixel
+    count, and subsampling mode come from the SOF0 parse, NOT passed
+    through."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p, text in zip(pdf["doc_id"], pdf["payload"], pdf["text"]):
+                payload = bytes(p)
+                channels, w, h, px = _parse_jpeg(payload)
+                if channels != 3:
+                    raise ValueError(f"expected a color JPEG, got {channels} channel")
+                src = _md5_color_image(text, dim_mod)
+                err = np.abs(px.astype(np.int64) - src.astype(np.int64))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "format": "jpeg",
+                        "subsample": _sof_sampling(payload),
+                        "width": w,
+                        "height": h,
+                        "n_px": w * h,
+                        "max_err_le_32": bool(err.max() <= 32),
+                        "mean_err_le_8": bool(err.mean() <= 8.0),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in JPEG_COLOR_RECON_SCHEMA])
+
+    return images.mapInPandas(batches, JPEG_COLOR_RECON_SCHEMA)

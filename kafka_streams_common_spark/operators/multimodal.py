@@ -349,6 +349,29 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return channels, width, height, px.reshape(height, width, channels)
 
 
+def _parse_image(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """Magic-number image-container dispatch shared by every image
+    consumer (``_decode_image`` stats, cross-modal signatures): returns
+    ``(format, channels, width, height, pixels)``. PGM/PPM parse
+    natively (``_parse_netpbm``); PNG walks CRC-checked chunks,
+    zlib-inflates IDAT, and unfilters scanlines (``_parse_png``); GIF
+    LZW-decodes the index stream and maps the palette
+    (``operators/gif._parse_gif``); JPEG runs the baseline DCT+Huffman
+    decoder (``operators/jpeg._parse_jpeg``)."""
+    if payload[:8] == PNG_SIGNATURE:
+        return ("png", *_parse_png(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from kafka_streams_common_spark.operators.gif import _parse_gif
+
+        return ("gif", *_parse_gif(payload))
+    if payload[:2] == b"\xff\xd8":
+        from kafka_streams_common_spark.operators.jpeg import _parse_jpeg
+
+        return ("jpeg", *_parse_jpeg(payload))
+    fmt = "pgm" if payload[1:2] == b"5" else "ppm"
+    return (fmt, *_parse_netpbm(payload))
+
+
 def _decode_image(payload: bytes) -> dict:
     """Decode one image payload → container format + dims + pixel
     statistics + normalized luminance histogram. Dispatches on magic
@@ -359,22 +382,7 @@ def _decode_image(payload: bytes) -> dict:
     palette (``operators/gif._parse_gif``). A JPEG/codec-library branch
     would slot in here without touching callers.
     """
-    if payload[:8] == PNG_SIGNATURE:
-        fmt = "png"
-        channels, width, height, px = _parse_png(payload)
-    elif payload[:6] in (b"GIF87a", b"GIF89a"):
-        from kafka_streams_common_spark.operators.gif import _parse_gif
-
-        fmt = "gif"
-        channels, width, height, px = _parse_gif(payload)
-    elif payload[:2] == b"\xff\xd8":
-        from kafka_streams_common_spark.operators.jpeg import _parse_jpeg
-
-        fmt = "jpeg"
-        channels, width, height, px = _parse_jpeg(payload)
-    else:
-        fmt = "pgm" if payload[1:2] == b"5" else "ppm"
-        channels, width, height, px = _parse_netpbm(payload)
+    fmt, channels, width, height, px = _parse_image(payload)
     lum = px.mean(axis=2) if channels == 3 else px[:, :, 0]
     flat = px.astype(np.int64).ravel()
     hist = np.bincount(
@@ -982,6 +990,15 @@ def _ahash_bands(payload: bytes) -> list[int]:
     SQL. Band k packs bits 16k..16k+15 (bit j of band = sample 16k+j).
     """
     channels, width, height, px = _parse_netpbm(payload)
+    return _ahash_bands_px(channels, width, height, px)
+
+
+def _ahash_bands_px(
+    channels: int, width: int, height: int, px: np.ndarray
+) -> list[int]:
+    """The aHash core over DECODED pixels — container-agnostic, so any
+    lossless image parse (PGM/PPM, PNG, GIF) feeds the same signature
+    arithmetic and the same SQL replay."""
     lum = px.astype(np.int64).mean(axis=2) if channels == 3 else px[:, :, 0].astype(np.int64)
     rows = (np.arange(8) * height) // 8
     cols = (np.arange(8) * width) // 8
@@ -1055,7 +1072,10 @@ def ahash_near_dup_pairs(
 
 
 def banded_hamming_pairs(
-    sig: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+    sig: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The shared pigeonhole join behind every 64-bit perceptual-hash
     near-dup operator (image aHash, audio envelope hash): input is a
@@ -1065,9 +1085,17 @@ def banded_hamming_pairs(
     a pair differing in ≤3 bits cannot differ in all 4 bands), hamming
     verify on candidates only; ``max_bucket`` prunes hot buckets
     (census → filter → join; see ``ahash_near_dup_pairs`` for the
-    semantics trade)."""
+    semantics trade).
+
+    ``group_cols`` (r13) scopes the self-join: extra signature columns
+    (e.g. ``modality``) become part of the band bucket key, the census
+    key, and the output, so ONE shuffle serves a partitioned family of
+    near-dup joins — candidates never cross groups, and the plan is the
+    same banded exchange it would be for a single group. Default ``()``
+    keeps the established single-group behavior bit-identical."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4 bands of 16 bits guarantee recall only for hamming <= 3")
+    gcols = list(group_cols)
     # materialize the Arrow decode+signature kernel ONCE: its map-only
     # output feeds both sides of the band self-join and (when capping)
     # the bucket census — without this the decode re-runs per consumer
@@ -1075,6 +1103,7 @@ def banded_hamming_pairs(
     sig = sig.localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
+        *gcols,
         "b0",
         "b1",
         "b2",
@@ -1089,26 +1118,27 @@ def banded_hamming_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_idx", "band.band_val")
+    ).select(
+        "doc_id", *gcols, "b0", "b1", "b2", "b3", "band.band_idx", "band.band_val"
+    )
+    keys = [*gcols, "band_idx", "band_val"]
     if max_bucket is not None:
         ok = (
-            bands.groupBy("band_idx", "band_val")
+            bands.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__bsz"))
             .filter(F.col("__bsz") <= max_bucket)
-            .select("band_idx", "band_val")
+            .select(*keys)
         )
-        bands = bands.join(ok, ["band_idx", "band_val"])
+        bands = bands.join(ok, keys)
     a = bands.select(
         F.col("doc_id").alias("a_doc"),
         *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
-        "band_idx",
-        "band_val",
+        *keys,
     )
     b = bands.select(
         F.col("doc_id").alias("b_doc"),
         *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
-        "band_idx",
-        "band_val",
+        *keys,
     )
     hamming = sum(
         F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
@@ -1121,11 +1151,11 @@ def banded_hamming_pairs(
     # Safe because hamming depends only on the full signatures, not on
     # which band produced the collision (same value on every duplicate).
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, keys)
         .filter(F.col("a_doc") < F.col("b_doc"))
-        .select("a_doc", "b_doc", hamming.cast("bigint").alias("hamming"))
+        .select(*gcols, "a_doc", "b_doc", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["a_doc", "b_doc"])  # a pair may collide in >1 band
+        .dropDuplicates([*gcols, "a_doc", "b_doc"])  # a pair may collide in >1 band
     )
 
 
@@ -1258,6 +1288,92 @@ def video_near_dup_pairs(
     with ``a_doc < b_doc``."""
     return banded_hamming_pairs(
         video_envelope_signatures(video), max_hamming, max_bucket
+    )
+
+
+CROSS_MODAL_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("b0", T.LongType(), True),
+        T.StructField("b1", T.LongType(), True),
+        T.StructField("b2", T.LongType(), True),
+        T.StructField("b3", T.LongType(), True),
+    ]
+)
+
+
+def cross_modal_signatures(lake: DataFrame) -> DataFrame:
+    """ONE Arrow decode pass over a MIXED binary lake — the production
+    data-curation shape: dispatch each row on its container MAGIC BYTES
+    (Netpbm/PNG/GIF image via ``_parse_image`` / RIFF-WAVE audio /
+    YUV4MPEG2 video), run the modality's perceptual-hash kernel
+    (``_ahash_bands_px`` / ``_audio_envelope_bands`` /
+    ``_video_envelope_bands``), and emit ``(doc_id, modality,
+    b0..b3)``. Map-only, no routing shuffle — the per-row dispatch is
+    the same pattern as ``_decode_image``, and all three LOSSLESS image
+    containers feed one aHash. The recovered ``modality`` column gates
+    the dispatch itself in the registered query's oracle."""
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    lake = fan_out(lake)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                if payload[:4] == b"RIFF":
+                    modality, bands = "audio", _audio_envelope_bands(payload)
+                elif payload[:9] == b"YUV4MPEG2":
+                    modality, bands = "video", _video_envelope_bands(payload)
+                elif (
+                    payload[:2] in (b"P5", b"P6")
+                    or payload[:8] == PNG_SIGNATURE
+                    or payload[:6] in (b"GIF87a", b"GIF89a")
+                ):
+                    # every LOSSLESS image container recovers the same
+                    # md5-derived raster, so one aHash serves all three
+                    _fmt, channels, w, h, px = _parse_image(payload)
+                    modality, bands = "image", _ahash_bands_px(channels, w, h, px)
+                else:
+                    raise ValueError(f"unknown container magic {payload[:9]!r}")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "modality": modality,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CROSS_MODAL_SIG_SCHEMA]
+            )
+
+    return lake.mapInPandas(batches, CROSS_MODAL_SIG_SCHEMA)
+
+
+def cross_modal_near_dup_pairs(
+    lake: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """Unified near-duplicate report over a mixed image/audio/video lake
+    — the composition a data-curation user actually runs: one decode +
+    signature scan (``cross_modal_signatures``, localCheckpoint'd once
+    inside the join), then ONE banded pigeonhole self-join scoped by
+    ``modality`` via ``banded_hamming_pairs(group_cols=("modality",))``
+    — strictly fewer shuffles than three separate per-modality joins,
+    with identical semantics (candidates never cross modalities because
+    the modality is part of the bucket key). ``max_bucket`` caps hot
+    buckets per (modality, band) — each modality's modal class (flat
+    thumbnails, silence, still clips) is pruned independently. Returns
+    ``(modality, a_doc, b_doc, hamming)`` with ``a_doc < b_doc``."""
+    return banded_hamming_pairs(
+        cross_modal_signatures(lake),
+        max_hamming,
+        max_bucket,
+        group_cols=("modality",),
     )
 
 

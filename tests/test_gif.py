@@ -114,6 +114,14 @@ def test_gif_rejects_malformed():
     bad[desc_at + 9] |= 0x40
     with pytest.raises(ValueError, match="interlaced"):
         _parse_gif(bytes(bad))
+    # nonzero left/top offsets in the image descriptor are rejected
+    # explicitly (same posture as interlace/local-palette), not decoded
+    # silently as if anchored at (0, 0)
+    for off_byte in (desc_at + 1, desc_at + 3):  # left lo, top lo
+        bad = bytearray(good)
+        bad[off_byte] = 2
+        with pytest.raises(ValueError, match="offset image"):
+            _parse_gif(bytes(bad))
 
 
 def test_nongray_palette_maps_to_rgb():

@@ -120,9 +120,24 @@ def test_rejects_malformed_and_unsupported():
     sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="non-baseline"):
         _parse_jpeg(sof2)
+    # arithmetic-differential SOFs (13-15) get the same clear message,
+    # and DAC marks the file arithmetic-coded
+    for m in (0xCD, 0xCE, 0xCF):
+        with pytest.raises(ValueError, match="non-baseline"):
+            _parse_jpeg(good.replace(b"\xff\xc0", bytes([0xFF, m]), 1))
+    with pytest.raises(ValueError, match="arithmetic"):
+        # splice a DAC segment right after SOI
+        _parse_jpeg(good[:2] + b"\xff\xcc\x00\x04\x00\x00" + good[2:])
     # truncated entropy stream
     with pytest.raises(ValueError):
         _parse_jpeg(good[:-4])
+    # a dangling 0xFF as the last entropy byte must raise ValueError
+    # (truncation), not TypeError from formatting None
+    sos_at = good.index(b"\xff\xda")
+    sos_len = int.from_bytes(good[sos_at + 2 : sos_at + 4], "big")
+    dangling = good[: sos_at + 2 + sos_len] + b"\xff"
+    with pytest.raises(ValueError, match="dangling 0xFF|ran out"):
+        _parse_jpeg(dangling)
 
 
 def test_jpeg_dispatch_in_decode_image():
@@ -153,3 +168,163 @@ def test_encode_jpeg_spark_and_recon_report(spark):
         assert r["n_px"] == px.shape[0] * px.shape[1]
         assert r["max_err_le_32"] is True
         assert r["mean_err_le_12"] is True
+
+
+# ---------------------------------------------------------------------------
+# color (YCbCr) branch — round 13
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from kafka_streams_common_spark.operators.jpeg import (  # noqa: E402
+    _encode_jpeg_color_bytes,
+    _md5_color_image,
+    _rgb_to_ycbcr,
+    _sof_sampling,
+    _ycbcr_to_rgb,
+    decode_jpeg_color_recon_report,
+    encode_jpeg_color,
+)
+
+
+def test_color_conversion_is_bt601_and_near_invertible():
+    """The conversion pair must match the published BT.601 constants at
+    the primaries and round-trip within ±1 everywhere inside the cube."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    y, cb, cr = _rgb_to_ycbcr(px)
+    # primaries (full-range JFIF): red -> Y 76.245, Cb 85.945, Cr 255
+    r = np.zeros((1, 1, 3), dtype=np.uint8)
+    r[..., 0] = 255
+    yr, cbr, crr = _rgb_to_ycbcr(r)
+    assert abs(yr[0, 0] - 0.299 * 255) < 1e-9
+    assert abs(crr[0, 0] - 255.5) < 1.0
+    back = _ycbcr_to_rgb(y, cb, cr)
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    mode=st.sampled_from(["444", "422", "420"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_color_roundtrip_hypothesis_md5_style_sources(w, h, mode, seed):
+    """Subsampling × dim sweep on query-style sources (noise luma,
+    tile-constant chroma): dims recover exactly, the SOF sampling mode
+    recovers exactly, and reconstruction stays within the registered
+    gate (max 32 / mean 8; measured corpus worst 16 / 4.0)."""
+    rng = np.random.RandomState(seed)
+    y = 48.0 + rng.randint(0, 160, size=(h, w)).astype(np.float64)
+    ty, tx = -(-h // 16), -(-w // 16)
+    cb = np.repeat(np.repeat(
+        104.0 + rng.randint(0, 48, size=(ty, tx)).astype(np.float64), 16, 0), 16, 1
+    )[:h, :w]
+    cr = np.repeat(np.repeat(
+        104.0 + rng.randint(0, 48, size=(ty, tx)).astype(np.float64), 16, 0), 16, 1
+    )[:h, :w]
+    px = _ycbcr_to_rgb(y, cb, cr)
+    pay = _encode_jpeg_color_bytes(px, mode)
+    assert _sof_sampling(pay) == mode
+    c, gw, gh, got = _parse_jpeg(pay)
+    assert (c, gw, gh) == (3, w, h)
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 32 and err.mean() <= 8.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    mode=st.sampled_from(["444", "422", "420"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_color_roundtrip_hypothesis_noise_chroma(w, h, mode, seed):
+    """Full-noise RGB (worst case for chroma subsampling): 4:4:4 stays
+    tight; 4:2:2/4:2:0 pay the physics of averaging white-noise chroma —
+    measured worst max 187/238, mean 41/47 — so the bounds here are the
+    measured envelope +~30%, documenting the loss honestly rather than
+    gating it tightly."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    pay = _encode_jpeg_color_bytes(px, mode)
+    c, gw, gh, got = _parse_jpeg(pay)
+    assert (c, gw, gh) == (3, w, h)
+    err = np.abs(got.astype(int) - px.astype(int))
+    if mode == "444":
+        assert err.max() <= 48 and err.mean() <= 10.0
+    else:
+        assert err.max() <= 255
+        # a mean envelope only means something with enough pixels to
+        # average — at 1×2 the mean IS the max
+        if w * h >= 64:
+            assert err.mean() <= 64.0
+
+
+def test_color_decoder_uses_per_component_tables_from_the_file():
+    """Patching the CHROMA quant table's DC entry (DQT slot 1) must move
+    the decoded chroma — if the decoder dequantized chroma through the
+    luma table (slot 0) the patch would be a no-op and the image would
+    decode unchanged."""
+    px = np.empty((8, 8, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = 120, 90, 200  # constant bluish color
+    pay = bytearray(_encode_jpeg_color_bytes(px, "444"))
+    dqt_at = pay.index(b"\xff\xdb")
+    # DQT body: [0x00] + 64 luma + [0x01] + 64 chroma; chroma Q[0,0] = 8
+    assert pay[dqt_at + 5 + 65] == 8
+    _, _, _, before = _parse_jpeg(bytes(pay))
+    pay[dqt_at + 5 + 65] = 16  # double chroma DC step
+    _, _, _, after = _parse_jpeg(bytes(pay))
+    assert (before != after).any()
+    # luma-only patch sanity: the two decodes differ in the blue channel
+    assert (before[..., 2].astype(int) - after[..., 2].astype(int)).any()
+
+
+def test_color_rejects_unsupported_shapes():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        _encode_jpeg_color_bytes(px, "411")
+    with pytest.raises(ValueError, match="3 channels"):
+        _encode_jpeg_color_bytes(np.zeros((4, 4, 1), dtype=np.uint8))
+    good = _encode_jpeg_color_bytes(px, "420")
+    # sampling factor 3 is out of scope and must be rejected loudly
+    sof_at = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x33  # Y component h=3, v=3
+    with pytest.raises(ValueError, match="sampling factors"):
+        _parse_jpeg(bytes(bad))
+
+
+def test_mcu_interleave_and_dc_prediction_across_mcus():
+    """A 33×33 image forces a 3×3 MCU grid at 4:2:0 (and ragged edge
+    padding); per-component DC predictors must thread across MCUs."""
+    px = _md5_color_image("x" * 40, dim_mod=32)
+    big = np.tile(px, (3, 3, 1))[:33, :33, :]
+    for mode in ("444", "422", "420"):
+        c, w, h, got = _parse_jpeg(_encode_jpeg_color_bytes(big, mode))
+        assert (c, w, h) == (3, 33, 33)
+        err = np.abs(got.astype(int) - big.astype(int))
+        # tiling breaks the 16-alignment of the chroma tiles, so allow
+        # the measured subsampled-edge envelope rather than the query gate
+        assert err.mean() <= (8.0 if mode == "444" else 24.0)
+
+
+def test_encode_jpeg_color_spark_and_recon_report(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta beta"), (3, "gamma!"), (4, "delta? epsilon")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            decode_jpeg_color_recon_report(encode_jpeg_color(docs)).collect()}
+    assert len(rows) == 4
+    texts = {1: "alpha", 2: "beta beta", 3: "gamma!", 4: "delta? epsilon"}
+    for did, text in texts.items():
+        src = _md5_color_image(text)
+        r = rows[did]
+        assert r["format"] == "jpeg"
+        assert r["subsample"] == ("444" if did % 2 == 0 else "420")
+        assert (r["width"], r["height"]) == (src.shape[1], src.shape[0])
+        assert r["n_px"] == src.shape[0] * src.shape[1]
+        assert r["max_err_le_32"] is True
+        assert r["mean_err_le_8"] is True

@@ -1656,3 +1656,76 @@ def test_mmr_single_candidate_group_survives(spark):
     )
     rows = mmr_diversified_topk(df, q, k=3, shortlist=5).collect()
     assert [(r["step"], r["vec_id"]) for r in rows] == [(1, 1)]
+
+
+def test_cross_modal_near_dup_composition(spark):
+    """The r13 composition: one mixed five-format lake, one decode+
+    signature scan, one modality-scoped band join. The same text in
+    PGM, PNG, and GIF containers decodes to the SAME md5 raster, so the
+    three image docs must pair pairwise at hamming 0 (cross-container
+    agreement is the decoder gate); the WAV and Y4M docs ride along and
+    must not pair with anything."""
+    from kafka_streams_common_spark.operators.gif import encode_gif
+    from kafka_streams_common_spark.operators.multimodal import (
+        banded_hamming_pairs,
+        cross_modal_near_dup_pairs,
+        encode_pgm,
+        encode_png,
+        encode_wav,
+        encode_y4m,
+    )
+
+    def one(did, enc, **kw):
+        df = spark.createDataFrame([(did, "alpha")], ["doc_id", "text"])
+        return enc(df, **kw).select("doc_id", "payload")
+
+    lake = (
+        one(1, encode_pgm)
+        .unionAll(one(2, encode_png, level=6))
+        .unionAll(one(3, encode_gif))
+        .unionAll(one(4, encode_wav))
+        .unionAll(one(5, encode_y4m))
+    )
+    pairs = {
+        (r["modality"], r["a_doc"], r["b_doc"]): r["hamming"]
+        for r in cross_modal_near_dup_pairs(lake, max_hamming=3).collect()
+    }
+    assert pairs == {
+        ("image", 1, 2): 0,
+        ("image", 1, 3): 0,
+        ("image", 2, 3): 0,
+    }
+
+    # group scoping is load-bearing: identical band signatures in
+    # DIFFERENT groups must never pair
+    sig = spark.createDataFrame(
+        [
+            (1, "audio", 5, 6, 7, 8),
+            (2, "video", 5, 6, 7, 8),
+            (3, "audio", 5, 6, 7, 8),
+        ],
+        "doc_id long, modality string, b0 long, b1 long, b2 long, b3 long",
+    )
+    got = {
+        (r["modality"], r["a_doc"], r["b_doc"])
+        for r in banded_hamming_pairs(
+            sig, max_hamming=3, group_cols=("modality",)
+        ).collect()
+    }
+    assert got == {("audio", 1, 3)}
+
+    # the per-group hot-bucket cap prunes a modal class in ONE group
+    # without touching the identical band values in the other
+    modal = [(100 + i, "audio", 9, 9, 9, 9) for i in range(6)]
+    cold = [(200, "video", 9, 9, 9, 9), (201, "video", 9, 9, 9, 9)]
+    sig2 = spark.createDataFrame(
+        modal + cold,
+        "doc_id long, modality string, b0 long, b1 long, b2 long, b3 long",
+    )
+    capped = {
+        (r["modality"], r["a_doc"], r["b_doc"])
+        for r in banded_hamming_pairs(
+            sig2, max_hamming=3, max_bucket=4, group_cols=("modality",)
+        ).collect()
+    }
+    assert capped == {("video", 200, 201)}
