@@ -326,6 +326,127 @@ def ivf_cosine_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed k-NN GRAPH construction — every corpus vector gets its
+    approximate ``k`` nearest neighbors as an edge list ``(vec_id,
+    neighbor_id, score)``: the input to SemDeDup-style semantic-dedup
+    clustering and corpus-scale label diagnostics (the documented 100 TB
+    swap named in ``sim_knn_label_accuracy``).
+
+    Scale shape (IVF-blocked candidate join, never all-pairs):
+
+    - ``centroids`` (``(c_id, c_emb)``, e.g. :func:`train_ivf_centroids`)
+      default to the ``n_centroids`` lowest-id corpus vectors
+      (TakeOrderedAndProject — the seeded form the SQL oracle replays).
+      Either way they are COLLECTED once — bounded by ``n_centroids``,
+      the same constant-size-driver-state rule as centroid training —
+      and inlined as a literal array, which makes home-cell assignment
+      AND probe selection pure per-row projections: zero exchanges
+      before the single cell-keyed candidate join (the
+      ``ivf_cosine_topk`` broadcast-join formulation costs one extra
+      groupBy exchange for the same assignment).
+    - Each vector probes its ``n_probe`` nearest cells; candidates =
+      vectors whose HOME cell is probed, so scored pairs ≈
+      ``n_probe/C · |corpus|²`` instead of ``|corpus|²``.
+    - The assignment scan is ``localCheckpoint``'d once and feeds both
+      join sides (the banded-join signature-checkpoint rationale).
+    - ``max_cell`` caps hot HOME cells (census → filter → join — the
+      ``banded_hamming_pairs`` pattern): a modal embedding class
+      (near-identical vectors) floods its cell with m members and the
+      join enumerates ``n_probe·m²`` candidates; the cap prunes those
+      CANDIDATES (capped-cell vectors still probe outward and keep
+      their own edges into cold cells) and routes the modal class to
+      exact dedup, the established trade.
+    - Per-vector top-k is one window over candidates (rank within
+      ``q_id``), the standard TakeOrdered-per-key.
+
+    Approximate: recall < 1 when a true neighbor's home cell is not
+    probed (pinned vs brute force in pytest). Deterministic end to end:
+    seeding, assignment, probing, and ranking are total orders with
+    explicit tie-breaks, so a SQL oracle replays the identical graph.
+    PRECONDITION: ``id_col`` unique per row (as in ``ivf_cosine_topk``).
+    """
+    if centroids is None:
+        centroids = (
+            corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+            .orderBy(F.asc("c_id"))
+            .limit(n_centroids)
+        )
+    cent_rows = centroids.select(
+        "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+    ).collect()
+    if not cent_rows:
+        raise ValueError("empty centroid set")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["c_id"])).alias("c"),
+                F.array(*[F.lit(float(x)) for x in r["c_emb"]]).alias("e"),
+            )
+            for r in cent_rows
+        ]
+    )
+    corpus = fan_out(corpus)
+    # per-row cell scores, best-first with the (score desc, c_id asc)
+    # tie-break the oracle spells: sort desc on (s, -c_id)
+    scored_cells = F.sort_array(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine_similarity(F.col(vec_col), c["e"]).alias("s"),
+                (-c["c"]).alias("nc"),
+                c["c"].alias("c"),
+            ),
+        ),
+        asc=False,
+    )
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        to_double_array(F.col(vec_col)).alias("__v"),
+        F.slice(scored_cells, 1, n_probe).alias("__probes"),
+    ).localCheckpoint(eager=True)
+    home = base.select(
+        "__id", "__v", F.element_at("__probes", 1)["c"].alias("cell")
+    )
+    if max_cell is not None:
+        ok = (
+            home.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") <= max_cell)
+            .select("cell")
+        )
+        home = home.join(ok, "cell")
+    probes = base.select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.explode(F.transform("__probes", lambda p: p["c"])).alias("cell"),
+    )
+    scored = (
+        probes.join(home, "cell")
+        .filter(F.col("__qid") != F.col("__id"))
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__id").alias("neighbor_id"),
+            cosine_similarity(F.col("__qv"), F.col("__v")).alias("score"),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "neighbor_id", "score")
+    )
+
+
 def _hyperplanes(num_bits: int, dim: int) -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes seeded by md5 — same
     signature on every run/engine, which is what lets the banded result be

@@ -928,6 +928,88 @@ def main() -> None:
         }
     )
 
+    # color JPEG encode + decode + recon report (r13): interleaved-MCU
+    # YCbCr both ways per row (444 and 420 mixed), map-only — the
+    # heaviest per-row kernel now (3 components). Expect ~linear.
+    from kafka_streams_common_spark.operators.jpeg import (
+        decode_jpeg_color_recon_report,
+        encode_jpeg_color,
+    )
+
+    noop_probes.update(
+        {
+            "jpeg_color_recon_report": (
+                lambda: decode_jpeg_color_recon_report(encode_jpeg_color(docs1)),
+                lambda: decode_jpeg_color_recon_report(encode_jpeg_color(docs8)),
+            ),
+        }
+    )
+
+    # cross-modal dedup composition (r13): one 5-format lake, one decode
+    # scan, one modality-scoped band join — the adversarial duplication
+    # shape floods every modality's buckets simultaneously; the cap at
+    # the registered-query setting bounds the modal blowup per
+    # (modality, band) independently.
+    from kafka_streams_common_spark.operators.multimodal import (
+        cross_modal_near_dup_pairs,
+    )
+
+    def _five_format_lake(docs):
+        return (
+            encode_pgm(docs.filter(F.col("doc_id") % 5 == 0))
+            .select("doc_id", "payload")
+            .unionAll(
+                encode_png(docs.filter(F.col("doc_id") % 5 == 1), level=6).select(
+                    "doc_id", "payload"
+                )
+            )
+            .unionAll(
+                encode_gif(docs.filter(F.col("doc_id") % 5 == 2)).select(
+                    "doc_id", "payload"
+                )
+            )
+            .unionAll(
+                encode_wav(docs.filter(F.col("doc_id") % 5 == 3)).select(
+                    "doc_id", "payload"
+                )
+            )
+            .unionAll(
+                encode_y4m(docs.filter(F.col("doc_id") % 5 == 4)).select(
+                    "doc_id", "payload"
+                )
+            )
+        )
+
+    probes.update(
+        {
+            "cross_modal_near_dup": (
+                lambda: cross_modal_near_dup_pairs(
+                    _five_format_lake(docs1), max_bucket=100
+                ),
+                lambda: cross_modal_near_dup_pairs(
+                    _five_format_lake(docs8), max_bucket=100
+                ),
+            ),
+        }
+    )
+
+    # kNN graph (r13): candidate volume = n_probe · |corpus| · cell_size,
+    # so the 100 TB posture holds cell SIZE constant by growing the cell
+    # COUNT with the corpus (64 cells at 1× → 512 at 8×, ~78 vectors per
+    # cell either way) — the probe pins that the per-vector work, and so
+    # total time, stays ~linear under that discipline. The centroid
+    # collect is bounded by n_centroids at both scales.
+    from kafka_streams_common_spark.operators.similarity import knn_graph
+
+    probes.update(
+        {
+            "knn_graph": (
+                lambda: knn_graph(emb1, k=8, n_centroids=64, n_probe=2),
+                lambda: knn_graph(emb8, k=8, n_centroids=512, n_probe=2),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

@@ -1729,3 +1729,71 @@ def test_cross_modal_near_dup_composition(spark):
         ).collect()
     }
     assert capped == {("video", 200, 201)}
+
+
+def test_knn_graph_recall_vs_brute_and_cell_cap(spark):
+    """knn_graph edge list: every vector gets <= k neighbors; recall vs
+    the exact per-vector top-k is meaningful at a fraction of the work
+    (2/16 cells probed on near-uniform embeddings — the worst case);
+    with trained centroids recall must not collapse. The max_cell cap
+    prunes a planted modal class's intra-cell candidates while cold
+    vectors keep their edges."""
+    from kafka_streams_common_spark.operators.similarity import (
+        knn_graph,
+        train_ivf_centroids,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    queries = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_cosine_topk(emb, queries, k=8).collect()
+    }
+    got = knn_graph(emb, k=8, n_centroids=16, n_probe=2).collect()
+    g = {(r["vec_id"], r["neighbor_id"]) for r in got}
+    per_vec = {}
+    for r in got:
+        per_vec[r["vec_id"]] = per_vec.get(r["vec_id"], 0) + 1
+    assert max(per_vec.values()) <= 8
+    assert len(per_vec) == emb.count()  # every vector gets edges
+    recall = len(exact & g) / len(exact)
+    assert recall >= 0.2, f"knn_graph recall {recall:.2f} suspiciously low"
+
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    trained = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph(emb, k=8, n_centroids=16, n_probe=2, centroids=cent).collect()
+    }
+    recall_t = len(exact & trained) / len(exact)
+    assert recall_t >= recall - 0.1, (
+        f"trained centroids degraded graph recall: {recall_t:.2f} < {recall:.2f}"
+    )
+
+    # modal-class cap: plant m identical vectors (one hot cell); with
+    # max_cell < m their intra-cell edges vanish (the HOME side is
+    # pruned), while the cold pair in the other cell keeps both edges.
+    # Seeds are the two lowest ids, so id 0 (cold axis) and id 1 (modal
+    # axis) become the two cell centroids and the classes separate.
+    import math
+
+    dim = 8
+    cold_a = [1.0] + [0.0] * (dim - 1)
+    cold_b = [math.cos(0.05), math.sin(0.05)] + [0.0] * (dim - 2)
+    modal_v = [0.0] * (dim - 1) + [1.0]
+    rows = [(0, cold_a), (1, modal_v), (2, cold_b)] + [
+        (10 + i, list(modal_v)) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph(df, k=4, n_centroids=2, n_probe=1, max_cell=8).collect()
+    }
+    uncapped = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in knn_graph(df, k=4, n_centroids=2, n_probe=1).collect()
+    }
+    assert capped <= uncapped
+    assert capped == {(0, 2), (2, 0)}  # the cold pair survives, both ways
+    assert any(a >= 10 and b >= 10 for a, b in uncapped)  # modal edges existed
