@@ -173,6 +173,12 @@ TRACKING_QUERIES = [
     "multimodal_gif_decode",
     "multimodal_video_near_dup",
     "multimodal_jpeg_recon",
+    # r13: color JPEG, the cross-modal dedup composition, the kNN graph
+    # and its SemDeDup consumer
+    "multimodal_jpeg_color_recon",
+    "multimodal_cross_modal_dedup",
+    "sim_knn_graph",
+    "sim_semantic_dedup",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -447,6 +447,59 @@ def knn_graph(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.35,
+    k: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication over an embedding corpus —
+    the composition the k-NN graph exists for: build the approximate
+    k-NN edge list (:func:`knn_graph`), keep edges with cosine ≥
+    ``tau``, collapse them into clusters with the alternating min-label
+    propagation (:func:`operators.cluster.connected_components` —
+    singletons keep their own id), and mark each cluster's canonical
+    (min-id) member as the survivor. Returns
+    ``(vec_id, cluster_id, keep)`` — the keep list a curation pipeline
+    semi-joins against the document store (bodies never enter the
+    clustering shuffles, the ``dedup_apply_canonical_corpus``
+    discipline).
+
+    Scale shape: inherits the k-NN graph's IVF blocking (candidates ≈
+    n_probe/C · |corpus|², cell-count grown with the corpus), the
+    ``max_cell`` hot-cell cap, and CC's O(log n)-round label
+    propagation with per-round localCheckpoints. The threshold prunes
+    the edge list BEFORE the first CC exchange, so cluster work scales
+    with near-duplicate mass, not graph size."""
+    edges = (
+        knn_graph(
+            corpus,
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            centroids=centroids,
+            max_cell=max_cell,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .filter(F.col("score") >= tau)
+        .select(F.col(id_col).alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
+    )
+    from kafka_streams_common_spark.operators.cluster import connected_components
+
+    cc = connected_components(corpus.select(id_col), edges, node_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def _hyperplanes(num_bits: int, dim: int) -> list[list[float]]:
     """Deterministic Rademacher (±1) hyperplanes seeded by md5 — same
     signature on every run/engine, which is what lets the banded result be

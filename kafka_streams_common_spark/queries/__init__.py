@@ -33,15 +33,18 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-13 WINDOW (``_R13_WINDOW``): head = the three round-13
+ROUND-13 WINDOW (``_R13_WINDOW``): head = the four round-13
 registrations, never driver-checked (invariant #1) —
 ``multimodal_jpeg_color_recon`` (baseline YCbCr color JPEG, 4:4:4 and
 4:2:0 in one lake, per-component DQT/DHT selectors, subsampling mode
 RECOVERED from the SOF0 parse), ``multimodal_cross_modal_dedup`` (the
 production composition: one 5-format lake, one magic-dispatch decode
 scan, ONE modality-scoped banded join with the cap replayed per
-modality in SQL), and ``sim_knn_graph`` (IVF-blocked k-NN edge list
-over every corpus vector, cell census cap live). Then the seven rows
+modality in SQL), ``sim_knn_graph`` (IVF-blocked k-NN edge list
+over every corpus vector, cell census cap live), and
+``sim_semantic_dedup`` (the SemDeDup composition: graph → threshold →
+connected components → canonical keep list, the full graph replay +
+recursive-CTE closure as its oracle). Then the seven rows
 whose implementation changed in round 13 itself (invariant #2): the
 ``operators/jpeg.py`` refactor (shared block encode/decode helpers,
 multi-component ``_parse_jpeg``, new marker rejections) re-exposes
@@ -54,15 +57,16 @@ offset-descriptor rejection — ``multimodal_png_decode``,
 ``multimodal_ahash_near_dup``, ``multimodal_audio_near_dup``, and
 ``multimodal_video_near_dup`` (all default-parameter-identical —
 oracles unchanged — but changed code gets re-exposed, not argued
-about). The remaining 40 slots take the COMPUTED refresh queue
+about). The remaining 39 slots take the COMPUTED refresh queue
 VERBATIM (key: last-green round asc, green-count asc, registration
-order) — exactly the 40 r7-stale rows promised in the README r12
-ledger, which DRAINS the entire r7 tier (the oldest external green
-moves from r7 to r8 this round): the 16 single-green rows (headed by
-the five displaced by the r12 second wave), the 8 two-green rows, the
-5 three-green rows, and the 11 four-green rows (the r12 ledger's
-predicted 6/10 split for the last two tiers recounts to 5/11 against
-the CORRECTNESS files; same 40 names, same key order).
+order) — the first 39 of the 40 r7-stale rows promised in the README
+r12 ledger (the 40th, ``date_interval_arithmetic``, is displaced to
+the r14 queue head by the fourth registration), which drains the r7
+tier to ONE remaining row: the 16 single-green rows (headed by the
+five displaced by the r12 second wave), the 8 two-green rows, the 5
+three-green rows, and the first 10 of the 11 four-green rows (the r12
+ledger's predicted 6/10 split for the last two tiers recounts to 5/11
+against the CORRECTNESS files; same names, same key order).
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -89,6 +93,7 @@ _R13_NEW = (
     "multimodal_jpeg_color_recon",
     "multimodal_cross_modal_dedup",
     "sim_knn_graph",
+    "sim_semantic_dedup",
 )
 assert all(n in QUERIES for n in _R13_NEW)
 
@@ -159,7 +164,9 @@ _R13_REFRESH = (
     "rollup_orders_by_status_priority",
     "scalar_function_showcase",
     "pivot_event_value_by_type",
-    "date_interval_arithmetic",
+    # date_interval_arithmetic — the queue's 40th row — is displaced to
+    # the r14 queue head by the fourth r13 registration
+    # (sim_semantic_dedup), per invariant #1
 )
 assert all(n in QUERIES for n in _R13_REFRESH)
 

@@ -18,6 +18,7 @@ from kafka_streams_common_spark.operators.similarity import (
     hyperplane_lsh_near_dup_pairs,
     ivf_cosine_topk,
     knn_graph,
+    semantic_dedup,
 )
 from kafka_streams_common_spark.queries.registry import query, table
 
@@ -298,6 +299,78 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return knn_graph(
         emb, k=8, n_centroids=16, n_probe=2, max_cell=100
+    )
+
+
+@query(
+    "sim_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      ORDER BY vec_id LIMIT 16
+    ),
+    cells AS (
+      SELECT e.vec_id AS id, e.embedding AS v, c.c_id AS cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+             ) AS rn
+      FROM embeddings e, cent c
+    ),
+    assigned AS (SELECT id, v, cell FROM cells WHERE rn = 1),
+    ok AS (
+      SELECT cell FROM assigned GROUP BY cell HAVING count(*) <= 100
+    ),
+    probes AS (SELECT id AS q_id, v AS q_emb, cell FROM cells WHERE rn <= 2),
+    scored AS (
+      SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+             {_cos_sql('a.v', 'p.q_emb')} AS score
+      FROM assigned a
+      JOIN ok USING (cell)
+      JOIN probes p USING (cell)
+      WHERE p.q_id != a.id
+    ),
+    graph AS (
+      SELECT vec_id, neighbor_id, score FROM (
+        SELECT vec_id, neighbor_id, score,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, neighbor_id
+               ) AS rn
+        FROM scored
+      ) WHERE rn <= 8
+    ),
+    edges AS (SELECT vec_id AS a, neighbor_id AS b FROM graph
+              WHERE score >= 0.35),
+    bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    cc(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    )
+    SELECT node AS vec_id,
+           min(label) AS cluster_id,
+           (node = min(label)) AS keep
+    FROM cc GROUP BY node
+    """,
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup — the k-NN graph consumed by the
+    composition it exists for: approximate kNN edges (16 cells, 2
+    probes, cell cap 100), threshold at cosine ≥ 0.35, alternating
+    min-label connected components, canonical (min-id) survivor per
+    cluster → ``(vec_id, cluster_id, keep)``. The fixture embeddings
+    carry NO true semantic duplicates (measured max pairwise cosine
+    0.513 at sf0.01), so the threshold sits inside the ambient
+    similarity mass to exercise real multi-member clusters externally
+    (201 directed edges at sf0.01); planted-near-duplicate keep-list
+    semantics are pinned in pytest, where the survivors of a planted
+    clone family are checked exactly. Oracle = the full graph replay
+    (assignment, probing, cell census, top-k) + recursive-CTE
+    transitive closure — both CC engine and graph are hash-gated
+    end-to-end."""
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, tau=0.35, k=8, n_centroids=16, n_probe=2, max_cell=100
     )
 
 

@@ -1797,3 +1797,46 @@ def test_knn_graph_recall_vs_brute_and_cell_cap(spark):
     assert capped <= uncapped
     assert capped == {(0, 2), (2, 0)}  # the cold pair survives, both ways
     assert any(a >= 10 and b >= 10 for a, b in uncapped)  # modal edges existed
+
+
+def test_semantic_dedup_planted_clone_family(spark):
+    """SemDeDup keep-list semantics on PLANTED near-duplicates (the
+    fixture corpus has none — measured max pairwise cosine 0.513): a
+    family of 6 tiny-perturbation clones of one direction must collapse
+    into ONE cluster whose min-id member is the sole survivor, while
+    distinct directions survive as singletons. Transitivity rides the
+    CC step: the chain is connected through the graph even if the two
+    extreme clones' edge misses the top-k."""
+    import math
+
+    from kafka_streams_common_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+
+    def unit(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = math.cos(eps)
+        v[(axis + 1) % dim] = math.sin(eps)
+        return v
+
+    # low ids = DISTINCT directions, so the seeded centroids (the 4
+    # lowest ids) span the space instead of all landing on the clone
+    # direction
+    singles = [(j, unit(j)) for j in range(1, 5)]
+    clones = [(100 + i, unit(0, eps=0.002 * i)) for i in range(6)]
+    df = spark.createDataFrame(
+        singles + clones, "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"])
+           for r in semantic_dedup(df, tau=0.9, k=4, n_centroids=4,
+                                   n_probe=2).collect()}
+    assert len(out) == 10
+    # the clone family collapses to cluster 100; only 100 survives
+    for vid in range(100, 106):
+        assert out[vid] == (100, vid == 100), (vid, out[vid])
+    # distinct directions are singletons and all survive
+    for vid in (1, 2, 3, 4):
+        assert out[vid] == (vid, True)
+    # survivors semi-joined = the deduplicated corpus
+    keep = {v for v, (_, k) in out.items() if k}
+    assert keep == {1, 2, 3, 4, 100}
