@@ -4,8 +4,12 @@ Original implementation of the public baseline JPEG process (ITU-T
 T.81 / ISO 10918-1): 8×8 block DCT, uniform quantization, zigzag,
 DC-difference + run-length AC symbols, canonical Huffman entropy
 coding with byte stuffing, and the SOI/DQT/SOF0/DHT/SOS/EOI marker
-structure. Scope: 8-bit GRAYSCALE (one component, no chroma
-subsampling), sequential baseline (SOF0), no restart intervals.
+structure. Scope: sequential baseline (SOF0), 8-bit grayscale AND
+(since r13) 3-component YCbCr color with 4:4:4 / 4:2:2 / 4:2:0 chroma
+subsampling, interleaved MCUs, per-component DQT/DHT selectors, and
+DRI restart intervals with RSTn markers. Progressive (SOF2),
+arithmetic coding, and non-interleaved multi-scan files are rejected
+with clear messages.
 
 Design notes (honest about what is and is not pinned):
 
@@ -162,13 +166,27 @@ class _BitWriterMSB:
             self.nbits -= 8
             self.acc &= (1 << self.nbits) - 1
 
-    def finish(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current byte with 1-bits (the spec's fill bits) —
+        used before emitting a restart marker, which must be
+        byte-aligned."""
         if self.nbits:
             pad = 8 - self.nbits
             byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+    def marker(self, m: int) -> None:
+        """Emit a bare marker (e.g. RSTn) into the stream — markers are
+        written directly, never byte-stuffed."""
+        self.align()
+        self.out += bytes([0xFF, m])
+
+    def finish(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -240,11 +258,15 @@ def _dht_body(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
 
-def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
+def _encode_jpeg_bytes(px: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode an ``(h, w, 1)`` uint8 array as a baseline grayscale JPEG
     (SOI, DQT, SOF0, DHT×2, SOS, entropy-coded data, EOI). Blocks are
     edge-replicated to 8×8 multiples; the decoder crops back via the
-    SOF0 dims."""
+    SOF0 dims. ``restart_interval`` > 0 emits a DRI segment and a
+    byte-aligned RSTn marker (n cycling 0-7) after every that many MCUs
+    (= blocks for grayscale), resetting the DC predictor — the spec's
+    error-resilience mechanism, present in virtually every camera
+    JPEG."""
     h, w, channels = px.shape
     if channels != 1:
         raise ValueError("JPEG branch encodes 8-bit grayscale (1 channel) only")
@@ -257,8 +279,13 @@ def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
 
     bw_writer = _BitWriterMSB()
     prev_dc = 0
+    n_mcu = (bh // 8) * (bw // 8)
+    mcu_i = 0
     for br in range(0, bh, 8):
         for bc in range(0, bw, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_writer.marker(0xD0 + ((mcu_i // restart_interval - 1) % 8))
+                prev_dc = 0
             prev_dc = _encode_block(
                 bw_writer,
                 padded[br : br + 8, bc : bc + 8],
@@ -267,6 +294,8 @@ def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
                 _AC_CODES,
                 prev_dc,
             )
+            mcu_i += 1
+    assert mcu_i == n_mcu
 
     dqt = _seg(0xDB, bytes([0x00]) + bytes(int(_QTABLE[r, c]) for r, c in _ZIGZAG))
     sof0 = _seg(
@@ -278,6 +307,9 @@ def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
     )
     dht_dc = _seg(0xC4, _dht_body(0x00, _DC_BITS, _DC_VALS))
     dht_ac = _seg(0xC4, _dht_body(0x10, _AC_BITS, _AC_VALS))
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    )
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xff\xd8"  # SOI
@@ -285,6 +317,7 @@ def _encode_jpeg_bytes(px: np.ndarray) -> bytes:
         + sof0
         + dht_dc
         + dht_ac
+        + dri
         + sos
         + bw_writer.finish()
         + b"\xff\xd9"  # EOI
@@ -299,7 +332,9 @@ _SUBSAMPLE_FACTORS = {
 }
 
 
-def _encode_jpeg_color_bytes(px: np.ndarray, subsample: str = "420") -> bytes:
+def _encode_jpeg_color_bytes(
+    px: np.ndarray, subsample: str = "420", restart_interval: int = 0
+) -> bytes:
     """Encode an ``(h, w, 3)`` uint8 RGB array as a baseline YCbCr JPEG
     with the requested chroma subsampling (4:4:4, 4:2:2 or 4:2:0):
     BT.601 color conversion, box-average chroma downsampling, and one
@@ -337,8 +372,13 @@ def _encode_jpeg_color_bytes(px: np.ndarray, subsample: str = "420") -> bytes:
     acs = (_AC_CODES, _AC_CODES_C, _AC_CODES_C)
     bw_writer = _BitWriterMSB()
     prev = [0, 0, 0]
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_writer.marker(0xD0 + ((mcu_i // restart_interval - 1) % 8))
+                prev = [0, 0, 0]
+            mcu_i += 1
             for ci, (hi, vi) in enumerate(samp):
                 for by in range(vi):
                     for bx in range(hi):
@@ -375,9 +415,12 @@ def _encode_jpeg_color_bytes(px: np.ndarray, subsample: str = "420") -> bytes:
         + _seg(0xC4, _dht_body(0x01, _DC_BITS_C, _DC_VALS))
         + _seg(0xC4, _dht_body(0x11, _AC_BITS_C, _AC_VALS))
     )
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof0 + dht + sos + bw_writer.finish() + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof0 + dht + dri + sos + bw_writer.finish() + b"\xff\xd9"
     )
 
 
@@ -418,6 +461,20 @@ class _BitReaderMSB:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, expect_n: int) -> None:
+        """Consume a byte-aligned RSTn marker: discard the current
+        byte's remaining fill bits, then require ``FF D(expect_n)`` at
+        the stream position."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("entropy stream truncated at a restart marker")
+        got = self.data[self.pos : self.pos + 2]
+        want = bytes([0xFF, 0xD0 + expect_n])
+        if got != want:
+            raise ValueError(f"expected restart marker {want.hex()}, got {got.hex()}")
+        self.pos += 2
 
 
 def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -495,8 +552,10 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     Grayscale (1 component) and YCbCr (3 components, sampling factors
     1-2 in each axis — 4:4:4 / 4:2:2 / 4:2:0) are in scope; chroma is
     upsampled by sample replication and converted to RGB per BT.601.
-    Progressive (SOF2), non-interleaved multi-scan files, and restart
-    intervals are out of scope (rejected). Returns
+    DRI restart intervals are honored (byte-align + RSTn ordinal check
+    + DC-predictor reset every interval). Progressive (SOF2) and
+    non-interleaved multi-scan files are out of scope (rejected).
+    Returns
     ``(channels, width, height, pixels)`` shaped ``(h, w, channels)`` —
     the ``_parse_netpbm`` contract."""
     if payload[:2] != b"\xff\xd8":
@@ -505,6 +564,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     htables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
     comps: list[tuple[int, int, int, int]] | None = None  # (cid, h, v, tq)
+    restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -560,8 +620,8 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"non-baseline SOF 0xFF{marker:02x} not supported")
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             raise ValueError("arithmetic-coded JPEG (DAC) not supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if width is None or height is None or comps is None:
                 raise ValueError("SOS before SOF0")
@@ -589,8 +649,19 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 per.append((hi, vi, dc_tab, ac_tab, q))
             rd = _BitReaderMSB(payload, pos + 2 + length)
             prev = [0] * len(comps)
+            mcu_i = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu_i
+                        and mcu_i % restart_interval == 0
+                    ):
+                        # byte-align, consume RSTn (n cycles 0-7), reset
+                        # every component's DC predictor — per the spec
+                        rd.restart((mcu_i // restart_interval - 1) % 8)
+                        prev = [0] * len(comps)
+                    mcu_i += 1
                     for ci, (hi, vi, dc_tab, ac_tab, q) in enumerate(per):
                         for by in range(vi):
                             for bx in range(hi):
@@ -796,6 +867,7 @@ def encode_jpeg_color(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim_mod: int = 32,
+    restart_interval: int = 0,
 ) -> DataFrame:
     """Encode each document as a baseline YCbCr COLOR JPEG of its
     md5-derived RGB raster (``_md5_color_image``): even ``doc_id`` →
@@ -817,7 +889,9 @@ def encode_jpeg_color(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 px = _md5_color_image(text, dim_mod)
                 mode = "444" if int(did) % 2 == 0 else "420"
-                payloads.append(_encode_jpeg_color_bytes(px, mode))
+                payloads.append(
+                    _encode_jpeg_color_bytes(px, mode, restart_interval)
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -345,9 +345,16 @@ def multimodal_jpeg_color_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsampling exact and keeps the reconstruction gate as tight as the
     grayscale row (max ≤ 32 / mean ≤ 8; measured corpus worst 16 / 4.0)
     — noise-chroma subsampling loss is pinned separately in
-    tests/test_jpeg.py. dims/n_px are recovered from the SOF0 parse."""
+    tests/test_jpeg.py. dims/n_px are recovered from the SOF0 parse.
+    Every payload carries a DRI restart interval (2 MCUs), so the
+    external gate also runs the RSTn path — byte-align, ordinal check,
+    DC-predictor reset — on every multi-MCU image (restart markers
+    change the bitstream, not the decoded raster, so the oracle is
+    unchanged; bitstream-level DRI semantics are pinned in pytest)."""
     docs = table(spark, sf_dir, "documents")
-    return decode_jpeg_color_recon_report(encode_jpeg_color(docs))
+    return decode_jpeg_color_recon_report(
+        encode_jpeg_color(docs, restart_interval=2)
+    )
 
 
 @query(

@@ -328,3 +328,40 @@ def test_encode_jpeg_color_spark_and_recon_report(spark):
         assert r["n_px"] == src.shape[0] * src.shape[1]
         assert r["max_err_le_32"] is True
         assert r["mean_err_le_8"] is True
+
+
+def test_restart_intervals_roundtrip_and_semantics():
+    """DRI/RSTn (r13): restarts change the BITSTREAM, never the decoded
+    raster — for any interval the decode must equal the no-restart
+    decode; RSTn ordinals cycle 0-7 and a wrong ordinal is rejected;
+    the DC predictor genuinely resets (pinned by construction: without
+    the reset, the post-marker block would decode shifted)."""
+    rng = np.random.RandomState(11)
+    for trial in range(10):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        px = rng.randint(0, 256, size=(h, w, 1)).astype(np.uint8)
+        base = _parse_jpeg(_encode_jpeg_bytes(px))[3]
+        for ri in (1, 2, 5):
+            pay = _encode_jpeg_bytes(px, restart_interval=ri)
+            c, gw, gh, got = _parse_jpeg(pay)
+            assert (c, gw, gh) == (1, w, h)
+            assert (got == base).all()
+    # color path, both subsampling modes
+    src = _md5_color_image("restart me")
+    for mode in ("444", "420"):
+        base = _parse_jpeg(_encode_jpeg_color_bytes(src, mode))[3]
+        pay = _encode_jpeg_color_bytes(src, mode, restart_interval=2)
+        assert (_parse_jpeg(pay)[3] == base).all()
+    # ordinal cycling past 8 restarts + wrong-ordinal rejection
+    big = rng.randint(0, 256, size=(80, 80, 1)).astype(np.uint8)
+    pay = _encode_jpeg_bytes(big, restart_interval=1)  # 100 MCUs, 99 RSTn
+    assert pay.count(b"\xff\xd7") >= 12  # the cycle reaches RST7 repeatedly
+    _parse_jpeg(pay)
+    bad = bytearray(pay)
+    bad[bad.index(b"\xff\xd0") + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker"):
+        _parse_jpeg(bytes(bad))
+    # truncation AT a restart marker is a clear error, not a crash
+    cut = pay[: pay.index(b"\xff\xd0") + 1]
+    with pytest.raises(ValueError):
+        _parse_jpeg(cut)
