@@ -594,13 +594,16 @@ def encode_wav(
     the cycled digest bytes become G.711 μ-law CODES, and per the WAVE
     spec for non-PCM formats the fmt chunk grows the ``cbSize=0``
     extension field (18 bytes) and a ``fact`` chunk carries the sample
-    count (container length ``58 + n + n%2``). The decoder must read
-    the format tag and EXPAND each code to its 16-bit linear value —
-    decompression is the part the oracle cannot get by passing bytes
-    through.
+    count (container length ``58 + n + n%2``). ``codec="alaw"`` (r13)
+    writes WAVE_FORMAT_ALAW (tag 6) with the same 18-byte fmt + fact
+    layout — G.711's other half, with its own expansion arithmetic
+    (XOR 0x55, segment/mantissa rebuild, MSB-positive sign). The
+    decoder must read the format tag and EXPAND each code to its
+    16-bit linear value — decompression is the part the oracle cannot
+    get by passing bytes through.
     """
-    if codec not in ("pcm", "mulaw"):
-        raise ValueError(f"unsupported WAV codec {codec!r} (pcm or mulaw)")
+    if codec not in ("pcm", "mulaw", "alaw"):
+        raise ValueError(f"unsupported WAV codec {codec!r} (pcm, mulaw or alaw)")
     text = F.col(text_col)
     n = (F.pmod(md5_int64(text), F.lit(241)) + F.lit(16)).cast("int")
     data = F.unhex(F.repeat(F.md5(text), 17)).substr(F.lit(1), n)
@@ -626,7 +629,7 @@ def encode_wav(
         fmt_chunk = F.concat(
             F.encode(F.lit("fmt "), "utf-8"),
             _le32(F.lit(18)),  # fmt chunk size incl. cbSize
-            _le16(F.lit(7)),  # audio format: WAVE_FORMAT_MULAW
+            _le16(F.lit(7 if codec == "mulaw" else 6)),  # MULAW / ALAW tag
             _le16(F.lit(1)),  # channels
             _le32(rate),  # sample rate
             _le32(rate),  # byte rate (1 code byte per sample)
@@ -662,6 +665,27 @@ def _mulaw_expand(codes: np.ndarray) -> np.ndarray:
     u = (~codes.astype(np.int64)) & 0xFF
     t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
     return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """Expand G.711 A-law codes (uint8) to 16-bit linear samples, per
+    the public CCITT recipe: XOR 0x55 (the even-bit inversion applied
+    on the wire), split sign/segment/mantissa, rebuild the magnitude —
+    segment 0: ``(mantissa<<4) + 8``; segment s ≥ 1:
+    ``((mantissa<<4) + 0x108) << (s-1)`` — with the MSB meaning
+    POSITIVE (opposite of μ-law's complemented convention). Pure
+    integer arithmetic — replayable in SQL — and pinned in pytest
+    against the published extremes (code 0xAA → +32256, 0x2A →
+    -32256, 0xD5 → +8, 0x55 → -8; A-law has no true zero)."""
+    a = codes.astype(np.int64) ^ 0x55
+    mant = a & 0x0F
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t)
 
 
 def _parse_wav_full(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
@@ -710,8 +734,14 @@ def _parse_wav_full(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
         if bits != 8:
             raise ValueError(f"μ-law codes are 8-bit, fmt claims {bits}")
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 6:
+        if bits != 8:
+            raise ValueError(f"A-law codes are 8-bit, fmt claims {bits}")
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:
-        raise ValueError(f"unsupported audio format {audio_format} (PCM/μ-law only)")
+        raise ValueError(
+            f"unsupported audio format {audio_format} (PCM/μ-law/A-law only)"
+        )
     if channels < 1 or samples.size % channels:
         raise ValueError(f"data size {samples.size} not divisible by {channels} channels")
     frames = samples.reshape(-1, channels)
@@ -803,10 +833,10 @@ AUDIO_CODEC_FEATURES_SCHEMA = T.StructType(
 
 def decode_audio_codec_features(audio: DataFrame) -> DataFrame:
     """Arrow-batched audio decode over a MIXED-codec ``(doc_id,
-    payload)`` lake: per-row format-tag dispatch (WAVE_FORMAT_PCM vs
-    WAVE_FORMAT_MULAW — no routing shuffle), μ-law codes expanded to
-    16-bit linear inside the batch, per-clip stats over the LINEAR
-    stream. The recovered ``codec`` column gates the dispatch; the
+    payload)`` lake: per-row format-tag dispatch (WAVE_FORMAT_PCM /
+    WAVE_FORMAT_ALAW / WAVE_FORMAT_MULAW — no routing shuffle),
+    companded codes expanded to 16-bit linear inside the batch,
+    per-clip stats over the LINEAR stream. The recovered ``codec`` column gates the dispatch; the
     linear stats gate the expansion arithmetic. Zero crossings count
     sign changes around the stream midpoint (128 for unsigned PCM-8,
     0 for signed linear)."""
@@ -822,7 +852,7 @@ def decode_audio_codec_features(audio: DataFrame) -> DataFrame:
                 rows.append(
                     {
                         "doc_id": did,
-                        "codec": "pcm" if tag == 1 else "mulaw",
+                        "codec": {1: "pcm", 6: "alaw", 7: "mulaw"}[tag],
                         "sample_rate": rate,
                         "n_samples": s.shape[0],
                         "mean_lin": float(mono.mean()),

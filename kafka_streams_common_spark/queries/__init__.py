@@ -94,6 +94,7 @@ _R13_NEW = (
     "multimodal_cross_modal_dedup",
     "sim_knn_graph",
     "sim_semantic_dedup",
+    "multimodal_g711_mixed_decode",
 )
 assert all(n in QUERIES for n in _R13_NEW)
 
@@ -163,10 +164,10 @@ _R13_REFRESH = (
     "set_union_distinct",
     "rollup_orders_by_status_priority",
     "scalar_function_showcase",
-    "pivot_event_value_by_type",
-    # date_interval_arithmetic — the queue's 40th row — is displaced to
-    # the r14 queue head by the fourth r13 registration
-    # (sim_semantic_dedup), per invariant #1
+    # pivot_event_value_by_type and date_interval_arithmetic — the
+    # queue's 39th/40th rows — are displaced to the r14 queue head by
+    # the fourth and fifth r13 registrations (sim_semantic_dedup,
+    # multimodal_g711_mixed_decode), per invariant #1
 )
 assert all(n in QUERIES for n in _R13_REFRESH)
 

@@ -557,6 +557,99 @@ def multimodal_mulaw_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_g711_mixed_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 241 + 16
+                  AS INT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             [('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+              for i in range(1, n + 1)] AS smp
+      FROM m
+    ),
+    l AS (
+      SELECT doc_id, n,
+             CASE
+               WHEN doc_id % 3 = 0 THEN smp
+               WHEN doc_id % 3 = 1 THEN
+                 [CASE WHEN (255 - c) >= 128
+                       THEN 132 - (((255 - c) % 16) * 8 + 132)
+                            * (1::BIGINT << (((255 - c) // 16) % 8))
+                       ELSE (((255 - c) % 16) * 8 + 132)
+                            * (1::BIGINT << (((255 - c) // 16) % 8)) - 132
+                  END for c in smp]
+               ELSE
+                 [CASE WHEN xor(c, 85) >= 128
+                       THEN CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                                 THEN (xor(c, 85) % 16) * 16 + 8
+                                 ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                      * (1::BIGINT
+                                         << ((xor(c, 85) // 16) % 8 - 1))
+                            END
+                       ELSE -(CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                                   THEN (xor(c, 85) % 16) * 16 + 8
+                                   ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                        * (1::BIGINT
+                                           << ((xor(c, 85) // 16) % 8 - 1))
+                              END)
+                  END for c in smp]
+             END AS lin,
+             CASE WHEN doc_id % 3 = 0 THEN 128 ELSE 0 END AS mid
+      FROM s
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'pcm' WHEN 1 THEN 'mulaw'
+                ELSE 'alaw' END AS codec,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round(list_avg(lin), 6) AS mean_lin,
+           round(sqrt(list_avg([CAST(v * v AS DOUBLE) for v in lin])), 6)
+             AS rms_lin,
+           CASE WHEN doc_id % 3 = 0 THEN list_max(lin)
+                ELSE list_max([abs(v) for v in lin]) END AS peak_lin,
+           CAST(list_sum([CASE WHEN (lin[i] - mid) * (lin[i+1] - mid) < 0
+                               THEN 1 ELSE 0 END
+                          for i in range(1, n)]) AS BIGINT) AS zero_crossings
+    FROM l
+    """,
+)
+def multimodal_g711_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL G.711 pair over one mixed-codec WAV lake (r13):
+    doc_id % 3 routes each document to WAVE_FORMAT_PCM, WAVE_FORMAT_MULAW
+    (tag 7), or WAVE_FORMAT_ALAW (tag 6 — G.711's other half, new this
+    round: XOR-0x55 wire inversion, segment/mantissa rebuild with the
+    seg-0 special case, MSB-positive sign, pinned in pytest against the
+    published ±32256/±8 extremes). One ``decode_audio_codec_features``
+    stage dispatches per row on the RECOVERED format tag (no routing
+    shuffle) and emits stats over the LINEAR stream. The oracle replays
+    BOTH companding expansions in SQL, so the ``codec`` column gates
+    the three-way dispatch and mean/RMS/|peak|/zero-crossings gate each
+    expansion end-to-end — μ-law and A-law disagree on every nonzero
+    code, so a swapped branch breaks the hash immediately."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = (
+        encode_wav(docs.filter(F.col("doc_id") % 3 == 0))
+        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 3 == 1), codec="mulaw"))
+        .unionAll(encode_wav(docs.filter(F.col("doc_id") % 3 == 2), codec="alaw"))
+    )
+    feats = decode_audio_codec_features(mixed)
+    return feats.select(
+        "doc_id",
+        "codec",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_lin", 6).alias("mean_lin"),
+        F.round("rms_lin", 6).alias("rms_lin"),
+        "peak_lin",
+        "zero_crossings",
+    )
+
+
+@query(
     "multimodal_audio_near_dup",
     oracle="""
     WITH m AS (

@@ -1840,3 +1840,59 @@ def test_semantic_dedup_planted_clone_family(spark):
     # survivors semi-joined = the deduplicated corpus
     keep = {v for v, (_, k) in out.items() if k}
     assert keep == {1, 2, 3, 4, 100}
+
+
+def test_alaw_expansion_extremes_and_stdlib_equivalence(spark):
+    """G.711 A-law (r13): the expansion must hit the published extremes
+    (0xAA → +32256, 0x2A → -32256, 0xD5 → +8, 0x55 → -8 — no true
+    zero), and — import-gated, audioop exists through 3.12 — agree with
+    the CPython stdlib decoder on ALL 256 codes, as must μ-law. Then
+    the Spark side: a three-codec lake dispatches on the recovered
+    format tag and the A-law branch round-trips content."""
+    import numpy as np
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        _alaw_expand,
+        _mulaw_expand,
+        decode_audio_codec_features,
+        encode_wav,
+    )
+
+    ext = _alaw_expand(np.array([0xAA, 0x2A, 0xD5, 0x55], dtype=np.uint8))
+    assert ext.tolist() == [32256, -32256, 8, -8]
+
+    try:
+        import audioop  # removed in Python 3.13
+
+        codes = bytes(range(256))
+        ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+        assert (_alaw_expand(np.frombuffer(codes, np.uint8)) == ref_a).all()
+        ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+        assert (_mulaw_expand(np.frombuffer(codes, np.uint8)) == ref_u).all()
+    except ImportError:
+        pass
+
+    docs = spark.createDataFrame(
+        [(0, "pcm doc"), (1, "mu doc"), (2, "a doc")], ["doc_id", "text"]
+    )
+    mixed = (
+        encode_wav(docs.filter("doc_id = 0"))
+        .unionAll(encode_wav(docs.filter("doc_id = 1"), codec="mulaw"))
+        .unionAll(encode_wav(docs.filter("doc_id = 2"), codec="alaw"))
+    )
+    rows = {r["doc_id"]: r.asDict() for r in
+            decode_audio_codec_features(mixed).collect()}
+    assert rows[0]["codec"] == "pcm"
+    assert rows[1]["codec"] == "mulaw"
+    assert rows[2]["codec"] == "alaw"
+    # A-law linear values are signed with |peak| <= 32256 and never 0
+    import hashlib
+
+    hx = hashlib.md5(b"a doc").hexdigest()
+    n = int(hx[:15], 16) % 241 + 16
+    lin = _alaw_expand(
+        np.frombuffer((bytes.fromhex(hx) * 17)[:n], dtype=np.uint8)
+    )
+    assert rows[2]["n_samples"] == n
+    assert rows[2]["peak_lin"] == int(np.abs(lin).max()) <= 32256
+    assert abs(rows[2]["mean_lin"] - float(lin.mean())) < 1e-9
