@@ -179,6 +179,8 @@ TRACKING_QUERIES = [
     "multimodal_cross_modal_dedup",
     "sim_knn_graph",
     "sim_semantic_dedup",
+    "multimodal_g711_mixed_decode",
+    "multimodal_gif_anim_scene_stats",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

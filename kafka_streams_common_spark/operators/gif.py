@@ -300,6 +300,161 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     raise ValueError("no image descriptor before trailer")
 
 
+def _encode_gif_anim_bytes(
+    frames: list[np.ndarray], delays_cs: list[int], loop: int = 0
+) -> bytes:
+    """Encode a list of same-size ``(h, w, 1)`` uint8 frames as an
+    ANIMATED GIF89a (r13): header, logical screen descriptor, grayscale
+    identity palette, the NETSCAPE2.0 looping application extension,
+    then per frame a Graphic Control Extension (disposal 1 = do not
+    dispose, no transparency, delay in centiseconds) + full-frame image
+    descriptor at (0,0) + its own REAL LZW code stream, and the
+    trailer. Full-frame replace only — the same scope posture as the
+    still branch (no offsets/partial frames/interlace/local tables)."""
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    h, w, channels = frames[0].shape
+    if channels != 1:
+        raise ValueError("GIF branch encodes 8-bit grayscale (1 channel) only")
+    if len(delays_cs) != len(frames):
+        raise ValueError("one delay per frame")
+    lsd = (
+        w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0x00, 0x00])
+    )
+    netscape = (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + int(loop).to_bytes(2, "little")
+        + b"\x00"
+    )
+    body = bytearray()
+    for px, delay in zip(frames, delays_cs):
+        if px.shape != (h, w, 1):
+            raise ValueError("all frames must share the logical screen size")
+        gce = (
+            b"\x21\xf9\x04\x04"  # disposal 1, no transparent color
+            + int(delay).to_bytes(2, "little")
+            + b"\x00\x00"
+        )
+        desc = (
+            b"\x2c"
+            + (0).to_bytes(2, "little")
+            + (0).to_bytes(2, "little")
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\x00"
+        )
+        codes = _lzw_compress(px.reshape(-1).tobytes())
+        body += gce + desc + bytes([_MCS]) + _subblocks(codes)
+    return b"GIF89a" + lsd + _GRAY_PALETTE + netscape + bytes(body) + b"\x3b"
+
+
+def _parse_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[np.ndarray]]:
+    """Parse an animated (or single-frame) GIF into ALL of its frames:
+    same container walk as ``_parse_gif`` but collecting every image
+    descriptor, with the Graphic Control Extension's delay field
+    (centiseconds) attached to the frame it precedes (0 when absent,
+    per the spec's default). Scope: full-frame replace over the
+    grayscale identity palette (the animated twin of the still
+    branch's posture) — offsets, partial frames, interlace, local
+    tables, and non-gray palettes are rejected. Other extensions
+    (NETSCAPE looping, comments) are skipped by sub-block framing.
+    Returns ``(width, height, delays_cs, frames)`` with each frame the
+    ``(h, w)`` luma plane."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError(f"not a GIF payload: {payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        gct_len = 3 * (2 << (flags & 0x07))
+        palette = np.frombuffer(payload[pos : pos + gct_len], dtype=np.uint8)
+        if palette.size != gct_len:
+            raise ValueError("truncated global color table")
+        palette = palette.reshape(-1, 3)
+        pos += gct_len
+    if palette is None:
+        raise ValueError("no global color table (indexed pixels need one)")
+    if not (
+        (palette[:, 0] == palette[:, 1]).all()
+        and (palette[:, 1] == palette[:, 2]).all()
+    ):
+        raise ValueError("animated branch supports grayscale palettes only")
+    lut = palette[:, 0]
+    delays: list[int] = []
+    frames: list[np.ndarray] = []
+    pending_delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else None
+            body = bytearray()
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                body += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if len(body) < 4:
+                    raise ValueError("truncated graphic control extension")
+                pending_delay = int.from_bytes(body[1:3], "little")
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        if left or top:
+            raise ValueError(f"offset image descriptors not supported ({left},{top})")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        if (w, h) != (sw, sh):
+            raise ValueError("partial frames not supported (full-frame replace only)")
+        iflags = payload[pos + 9]
+        if iflags & 0x80:
+            raise ValueError("local color tables not supported")
+        if iflags & 0x40:
+            raise ValueError("interlaced GIFs not supported")
+        pos += 10
+        mcs = payload[pos]
+        if mcs != _MCS:
+            raise ValueError(f"unsupported LZW min code size {mcs} (8-bit only)")
+        pos += 1
+        parts = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated image data sub-block")
+            parts += chunk
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("missing sub-block terminator")
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decompress(bytes(parts), expected=w * h), dtype=np.uint8
+        )
+        if idx.size != w * h:
+            raise ValueError(f"decoded {idx.size} pixels, descriptor says {w * h}")
+        frames.append(lut[idx].reshape(h, w))
+        delays.append(pending_delay)
+        pending_delay = 0  # a GCE governs only the next image, per spec
+    if not frames:
+        raise ValueError("no image descriptor before trailer")
+    return sw, sh, delays, frames
+
+
 def encode_gif(
     docs: DataFrame,
     text_col: str = "text",
@@ -342,3 +497,103 @@ def encode_gif(
             )
 
     return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def encode_gif_anim(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document as an ANIMATED GIF89a clip with the SAME
+    geometry arithmetic as ``encode_y4m`` (``w/h = md5 % 8 + 1``,
+    ``n_frames = md5(text||'|nf') % 6 + 2``, frame ``f``'s raster =
+    digest bytes cycled continuously across the clip), plus a per-frame
+    GCE delay ``digest_byte[f % 16] % 50 + 2`` centiseconds — all
+    md5-derived, so a SQL oracle replays frame content, frame ORDER,
+    and the delays without replaying LZW. Arrow-batched
+    ``mapInPandas``, map-only."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                hx = hashlib.md5(text.encode()).hexdigest()
+                d = bytes.fromhex(hx)
+                w = int(hx[:15], 16) % 8 + 1
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 8 + 1
+                nf = int(hashlib.md5((text + "|nf").encode()).hexdigest()[:15], 16) % 6 + 2
+                raster = (d * 28)[: nf * w * h]
+                frames = [
+                    np.frombuffer(
+                        raster[f * w * h : (f + 1) * w * h], dtype=np.uint8
+                    ).reshape(h, w, 1)
+                    for f in range(nf)
+                ]
+                delays = [d[f % 16] % 50 + 2 for f in range(nf)]
+                payloads.append(_encode_gif_anim_bytes(frames, delays))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+GIF_ANIM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("delay_cs", T.LongType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("min_luma", T.LongType(), True),
+        T.StructField("max_luma", T.LongType(), True),
+        T.StructField("diff_prev", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_gif_anim_frame_stats(gifs: DataFrame) -> DataFrame:
+    """Arrow-batched animated-GIF decode over ``(doc_id, payload)``:
+    walk the container (header, palette, NETSCAPE/GCE extensions,
+    per-frame image blocks), LZW-decode EVERY frame, and emit per-frame
+    luma stats + the GCE delay + the mean-luma delta vs the previous
+    frame — the GIF twin of ``decode_y4m_frame_stats`` (scene-change
+    primitive). Frame segmentation and ORDER are recovered from the
+    container walk, never passed through; a zero-frame batch still
+    carries the schema."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, delays, frames = _parse_gif_frames(bytes(p))
+                prev = None
+                for fi, (fr, delay) in enumerate(zip(frames, delays)):
+                    m = float(fr.astype(np.float64).mean())
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "delay_cs": delay,
+                            "mean_luma": m,
+                            "min_luma": int(fr.min()),
+                            "max_luma": int(fr.max()),
+                            "diff_prev": None if prev is None else abs(m - prev),
+                        }
+                    )
+                    prev = m
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_ANIM_STATS_SCHEMA]
+            )
+
+    return gifs.mapInPandas(batches, GIF_ANIM_STATS_SCHEMA)

@@ -41,10 +41,14 @@ RECOVERED from the SOF0 parse), ``multimodal_cross_modal_dedup`` (the
 production composition: one 5-format lake, one magic-dispatch decode
 scan, ONE modality-scoped banded join with the cap replayed per
 modality in SQL), ``sim_knn_graph`` (IVF-blocked k-NN edge list
-over every corpus vector, cell census cap live), and
-``sim_semantic_dedup`` (the SemDeDup composition: graph → threshold →
-connected components → canonical keep list, the full graph replay +
-recursive-CTE closure as its oracle). Then the seven rows
+over every corpus vector, cell census cap live), ``sim_semantic_dedup``
+(the SemDeDup composition: graph → threshold → connected components →
+canonical keep list, the full graph replay + recursive-CTE closure as
+its oracle), ``multimodal_g711_mixed_decode`` (the full G.711 pair —
+PCM + μ-law + the new A-law branch over one three-codec lake, both
+expansions replayed in SQL), and ``multimodal_gif_anim_scene_stats``
+(ANIMATED GIF89a: per-frame GCE delays + independent LZW streams,
+frame content/order/delays replayed in SQL). Then the seven rows
 whose implementation changed in round 13 itself (invariant #2): the
 ``operators/jpeg.py`` refactor (shared block encode/decode helpers,
 multi-component ``_parse_jpeg``, new marker rejections) re-exposes
@@ -57,16 +61,18 @@ offset-descriptor rejection — ``multimodal_png_decode``,
 ``multimodal_ahash_near_dup``, ``multimodal_audio_near_dup``, and
 ``multimodal_video_near_dup`` (all default-parameter-identical —
 oracles unchanged — but changed code gets re-exposed, not argued
-about). The remaining 39 slots take the COMPUTED refresh queue
+about). The remaining 37 slots take the COMPUTED refresh queue
 VERBATIM (key: last-green round asc, green-count asc, registration
-order) — the first 39 of the 40 r7-stale rows promised in the README
-r12 ledger (the 40th, ``date_interval_arithmetic``, is displaced to
-the r14 queue head by the fourth registration), which drains the r7
-tier to ONE remaining row: the 16 single-green rows (headed by the
-five displaced by the r12 second wave), the 8 two-green rows, the 5
-three-green rows, and the first 10 of the 11 four-green rows (the r12
-ledger's predicted 6/10 split for the last two tiers recounts to 5/11
-against the CORRECTNESS files; same names, same key order).
+order) — the first 37 of the 40 r7-stale rows promised in the README
+r12 ledger (the last three, ``scalar_function_showcase``
+``pivot_event_value_by_type`` ``date_interval_arithmetic``, are
+displaced to the r14 queue head by the fourth-sixth registrations),
+which drains the r7 tier to THREE remaining rows: the 16 single-green
+rows (headed by the five displaced by the r12 second wave), the 8
+two-green rows, the 5 three-green rows, and the first 8 of the 11
+four-green rows (the r12 ledger's predicted 6/10 split for the last
+two tiers recounts to 5/11 against the CORRECTNESS files; same names,
+same key order).
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -95,6 +101,7 @@ _R13_NEW = (
     "sim_knn_graph",
     "sim_semantic_dedup",
     "multimodal_g711_mixed_decode",
+    "multimodal_gif_anim_scene_stats",
 )
 assert all(n in QUERIES for n in _R13_NEW)
 
@@ -163,11 +170,11 @@ _R13_REFRESH = (
     "anti_join_customers_without_orders",
     "set_union_distinct",
     "rollup_orders_by_status_priority",
-    "scalar_function_showcase",
-    # pivot_event_value_by_type and date_interval_arithmetic — the
-    # queue's 39th/40th rows — are displaced to the r14 queue head by
-    # the fourth and fifth r13 registrations (sim_semantic_dedup,
-    # multimodal_g711_mixed_decode), per invariant #1
+    # scalar_function_showcase, pivot_event_value_by_type, and
+    # date_interval_arithmetic — the queue's 38th-40th rows — are
+    # displaced to the r14 queue head by the fourth-sixth r13
+    # registrations (sim_semantic_dedup, multimodal_g711_mixed_decode,
+    # multimodal_gif_anim_scene_stats), per invariant #1
 )
 assert all(n in QUERIES for n in _R13_REFRESH)
 

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_streams_common_spark.operators.gif import encode_gif
+from kafka_streams_common_spark.operators.gif import (
+    decode_gif_anim_frame_stats,
+    encode_gif,
+    encode_gif_anim,
+)
 from kafka_streams_common_spark.operators.jpeg import (
     decode_jpeg_color_recon_report,
     decode_jpeg_recon_report,
@@ -871,6 +875,83 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely in SQL."""
     clips = encode_y4m(table(spark, sf_dir, "documents"))
     return video_near_dup_pairs(clips, max_hamming=3, max_bucket=100)
+
+
+@query(
+    "multimodal_gif_anim_scene_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 8 + 1
+                  AS INT) AS h,
+             CAST(('0x' || substr(md5(text || '|nf'), 1, 15))::BIGINT % 6 + 2
+                  AS INT) AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, hx, w, h, unnest(range(0, nf)) AS frame_idx FROM m
+    ),
+    s AS (
+      SELECT doc_id, frame_idx, w, h,
+             CAST(('0x' || substr(hx, 2*(frame_idx % 16) + 1, 2))::INT % 50 + 2
+                  AS BIGINT) AS delay_cs,
+             list_avg([('0x' || substr(hx,
+                          2*((frame_idx*w*h + j) % 16) + 1, 2))::INT
+                       for j in range(0, w*h)]) AS mean_luma,
+             list_min([('0x' || substr(hx,
+                          2*((frame_idx*w*h + j) % 16) + 1, 2))::BIGINT
+                       for j in range(0, w*h)]) AS min_luma,
+             list_max([('0x' || substr(hx,
+                          2*((frame_idx*w*h + j) % 16) + 1, 2))::BIGINT
+                       for j in range(0, w*h)]) AS max_luma
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           delay_cs,
+           round(mean_luma, 6) AS mean_luma,
+           min_luma,
+           max_luma,
+           round(abs(mean_luma - lag(mean_luma) OVER (
+             PARTITION BY doc_id ORDER BY frame_idx)), 6) AS diff_prev
+    FROM s
+    """,
+)
+def multimodal_gif_anim_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF89a decode (r13) — the compressed-video analog of
+    ``multimodal_video_scene_stats``, closing the still-frame scope cut
+    on the GIF branch: each document is encoded as a genuine multi-frame
+    GIF89a (``operators/gif.encode_gif_anim`` — per frame a Graphic
+    Control Extension with an md5-derived delay, a full-frame image
+    descriptor, and its OWN real LZW code stream; NETSCAPE2.0 looping
+    extension present and skipped by framing), using the SAME geometry
+    arithmetic as the Y4M clips. The Arrow stage walks the container,
+    LZW-decodes EVERY frame, and emits per-frame luma stats + the GCE
+    delay + the scene-change delta. The oracle replays frame geometry,
+    the delay arithmetic, per-frame pixel content, and frame ORDER in
+    SQL — so frame segmentation (recovered by walking image blocks),
+    the GCE parse, and each frame's LZW decode all gate the hash; a
+    skipped frame, swapped order, or delay-attachment bug (a GCE
+    governs only the NEXT image) breaks it."""
+    docs = table(spark, sf_dir, "documents")
+    clips = encode_gif_anim(docs)
+    stats = decode_gif_anim_frame_stats(clips)
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "delay_cs",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "min_luma",
+        "max_luma",
+        F.round("diff_prev", 6).alias("diff_prev"),
+    )
 
 
 @query(

@@ -158,3 +158,94 @@ def test_encode_gif_spark_and_dispatch(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["min_px"] == min(raster) and r["max_px"] == max(raster)
         assert abs(r["mean_px"] - sum(raster) / len(raster)) < 1e-12
+
+
+def test_gif_anim_roundtrip_order_delays_and_scope():
+    """Animated GIF89a (r13): every frame round-trips through its own
+    LZW stream in order; GCE delays attach to the frame they precede
+    and DEFAULT to 0 when a frame has no GCE (a GCE governs only the
+    next image, per spec); partial frames and non-gray palettes are
+    rejected; the NETSCAPE looping extension is skipped by framing."""
+    from kafka_streams_common_spark.operators.gif import (
+        _encode_gif_anim_bytes,
+        _parse_gif_frames,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, size=(5, 7, 1)).astype(np.uint8) for _ in range(4)]
+    delays = [2, 50, 7, 13]
+    pay = _encode_gif_anim_bytes(frames, delays, loop=3)
+    w, h, got_delays, got = _parse_gif_frames(pay)
+    assert (w, h) == (7, 5)
+    assert got_delays == delays
+    assert len(got) == 4
+    for want, have in zip(frames, got):
+        assert (have == want[:, :, 0]).all()
+
+    # a frame WITHOUT a GCE gets delay 0: splice out the second GCE
+    # (8 bytes: 21 F9 04 <flags> <d0> <d1> <tci> 00)
+    gce2_at = pay.index(b"\x21\xf9\x04", pay.index(b"\x21\xf9\x04") + 1)
+    no_gce = pay[:gce2_at] + pay[gce2_at + 8 :]
+    _, _, d2, f2 = _parse_gif_frames(no_gce)
+    assert d2 == [2, 0, 7, 13] and len(f2) == 4
+
+    # the still parser reads the FIRST frame of an animation
+    from kafka_streams_common_spark.operators.gif import _parse_gif
+
+    c, pw, ph, first = _parse_gif(pay)
+    assert (c, pw, ph) == (1, 7, 5)
+    assert (first[:, :, 0] == frames[0][:, :, 0]).all()
+
+    # partial frames rejected (full-frame replace scope)
+    small = _encode_gif_anim_bytes(
+        [np.zeros((5, 7, 1), dtype=np.uint8)], [1]
+    )
+    desc_at = small.index(b"\x2c", 13 + 768)
+    bad = bytearray(small)
+    bad[desc_at + 5] = 3  # frame width 3 != screen width 7
+    with pytest.raises(ValueError, match="partial frames"):
+        _parse_gif_frames(bytes(bad))
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        _encode_gif_anim_bytes([], [])
+
+
+def test_gif_anim_spark_stats_match_reference(spark):
+    """The Spark decode stage recovers frame order, delays, and stats
+    identical to a pure-Python replay of the md5 arithmetic."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.gif import (
+        decode_gif_anim_frame_stats,
+        encode_gif_anim,
+    )
+
+    docs = spark.createDataFrame([(1, "alpha"), (2, "omega!")], ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["delay_cs"], r["mean_luma"], r["diff_prev"])
+        for r in decode_gif_anim_frame_stats(encode_gif_anim(docs)).collect()
+    )
+    want = []
+    for did, text in ((1, "alpha"), (2, "omega!")):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        d = bytes.fromhex(hx)
+        w = int(hx[:15], 16) % 8 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 8 + 1
+        nf = int(hashlib.md5((text + "|nf").encode()).hexdigest()[:15], 16) % 6 + 2
+        raster = (d * 28)[: nf * w * h]
+        prev = None
+        for f in range(nf):
+            fr = np.frombuffer(raster[f * w * h : (f + 1) * w * h], np.uint8)
+            m = float(fr.astype(np.float64).mean())
+            want.append(
+                (did, f, d[f % 16] % 50 + 2, m, None if prev is None else abs(m - prev))
+            )
+            prev = m
+    assert len(rows) == len(want)
+    for got, exp in zip(rows, sorted(want)):
+        assert got[0:3] == exp[0:3]
+        assert abs(got[3] - exp[3]) < 1e-9
+        if exp[4] is None:
+            assert got[4] is None
+        else:
+            assert abs(got[4] - exp[4]) < 1e-9
