@@ -181,6 +181,7 @@ TRACKING_QUERIES = [
     "sim_semantic_dedup",
     "multimodal_g711_mixed_decode",
     "multimodal_gif_anim_scene_stats",
+    "multimodal_png_palette_decode",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -258,18 +258,42 @@ def _png_unfilter_scanline(
     return out.astype(np.uint8)
 
 
-def _encode_png_bytes(px: np.ndarray, level: int = 6, filter_seed: int = 0) -> bytes:
+# deterministic NON-identity grayscale palette for the indexed branch:
+# entry i maps to luma (7·i + 13) mod 256 — an affine permutation of
+# 0..255 (gcd(7,256)=1), so palette lookup is LOAD-BEARING (a decoder
+# passing indexes through as pixels breaks the content hash) while the
+# mapped value stays one SQL expression
+_AFFINE_GRAY_PALETTE = bytes(
+    v for i in range(256) for v in ((7 * i + 13) % 256,) * 3
+)
+
+
+def _encode_png_bytes(
+    px: np.ndarray,
+    level: int = 6,
+    filter_seed: int = 0,
+    palette: bytes | None = None,
+) -> bytes:
     """Encode an ``(h, w, channels)`` uint8 array as a spec-compliant
-    PNG (8-bit, color type 0 grayscale / 2 RGB, no interlace, critical
-    chunks IHDR/IDAT/IEND). Scanline ``r`` uses filter type
-    ``(filter_seed + r) % 5`` so every filter in the spec is exercised
-    in round-trips; ``level=0`` writes hand-built stored blocks
-    (deterministic container size — see ``_zlib_stored``), any other
-    level uses real DEFLATE via ``zlib.compress``."""
+    PNG (8-bit, color type 0 grayscale / 2 RGB / 3 indexed, no
+    interlace, critical chunks IHDR/[PLTE]/IDAT/IEND). Scanline ``r``
+    uses filter type ``(filter_seed + r) % 5`` so every filter in the
+    spec is exercised in round-trips; ``level=0`` writes hand-built
+    stored blocks (deterministic container size — see
+    ``_zlib_stored``), any other level uses real DEFLATE via
+    ``zlib.compress``. With ``palette`` (RGB triples), ``px`` carries
+    PALETTE INDEXES (1 channel) and a PLTE chunk is written."""
     import zlib
 
     h, w, channels = px.shape
-    colortype = 0 if channels == 1 else 2
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("indexed PNG takes a 1-channel index array")
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError("PLTE must hold 1-256 RGB triples")
+        colortype = 3
+    else:
+        colortype = 0 if channels == 1 else 2
     bpp = channels
     lines = []
     prior = np.zeros(w * bpp, dtype=np.uint8)
@@ -286,9 +310,11 @@ def _encode_png_bytes(px: np.ndarray, level: int = 6, filter_seed: int = 0) -> b
         + h.to_bytes(4, "big")
         + bytes([8, colortype, 0, 0, 0])  # depth, color, compression, filter, interlace
     )
+    plte = _png_chunk(b"PLTE", palette) if palette is not None else b""
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
@@ -298,15 +324,19 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse a PNG per the public spec (critical chunks): signature,
     chunk walk with CRC-32 verification, IHDR geometry, concatenated
     IDAT zlib-inflate, scanline unfilter (all five filter types).
-    8-bit depth, color types 0 (gray) and 2 (RGB), non-interlaced.
-    Ancillary chunks are skipped (CRC-checked) per spec. Returns
-    ``(channels, width, height, pixels)`` shaped ``(h, w, channels)``
-    — the ``_parse_netpbm`` contract, so stats code is shared."""
+    8-bit depth, color types 0 (gray), 2 (RGB) and 3 (indexed with a
+    PLTE palette — r13), non-interlaced. Ancillary chunks are skipped
+    (CRC-checked) per spec. Returns ``(channels, width, height,
+    pixels)`` shaped ``(h, w, channels)`` — the ``_parse_netpbm``
+    contract, so stats code is shared; indexed images come back as
+    mapped luma (grayscale palette, 1 channel) or mapped RGB, the GIF
+    convention."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError(f"not a PNG payload: {payload[:8]!r}")
     pos, ihdr, idat_parts, seen_end = 8, None, [], False
+    plte = None
     while pos + 12 <= len(payload) and not seen_end:
         length = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -318,6 +348,8 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"CRC mismatch in chunk {ctype!r}")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat_parts.append(data)
         elif ctype == b"IEND":
@@ -328,12 +360,12 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, colortype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or colortype not in (0, 2) or interlace != 0:
+    if depth != 8 or colortype not in (0, 2, 3) or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth} color={colortype} interlace="
-            f"{interlace}; 8-bit gray/RGB non-interlaced only)"
+            f"{interlace}; 8-bit gray/RGB/indexed non-interlaced only)"
         )
-    channels = 1 if colortype == 0 else 3
+    channels = 1 if colortype in (0, 3) else 3
     stride = width * channels
     raw = zlib.decompress(b"".join(idat_parts))
     if len(raw) != height * (stride + 1):
@@ -346,6 +378,17 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             line[0], np.frombuffer(line[1:], dtype=np.uint8), prior, channels
         )
         px[r] = prior
+    if colortype == 3:
+        if plte is None or not plte or len(plte) % 3:
+            raise ValueError("indexed PNG requires a PLTE chunk of RGB triples")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(-1)
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+        if (rgb[:, 0] == rgb[:, 1]).all() and (rgb[:, 1] == rgb[:, 2]).all():
+            return 1, width, height, rgb[:, 0].reshape(height, width, 1)
+        return 3, width, height, rgb.reshape(height, width, 3)
     return channels, width, height, px.reshape(height, width, channels)
 
 
@@ -509,6 +552,7 @@ def encode_png(
     id_col: str = "doc_id",
     dim_mod: int = 16,
     level: int = 6,
+    indexed: bool = False,
 ) -> DataFrame:
     """Encode each document as a genuine PNG — REAL zlib DEFLATE (or
     deterministic stored blocks at ``level=0``), scanline filters
@@ -520,7 +564,14 @@ def encode_png(
     must undo. Unlike the other encoders this one cannot be JVM-side
     expressions (no zlib in Catalyst), so it runs as an Arrow-batched
     ``mapInPandas`` stage — map-only, the same 100 TB shape as the
-    decoders."""
+    decoders.
+
+    ``indexed=True`` (r13) writes COLOR TYPE 3: the digest bytes become
+    palette INDEXES and a PLTE chunk carries the affine grayscale
+    palette ``i → (7i+13) mod 256`` (``_AFFINE_GRAY_PALETTE``) — a
+    non-identity permutation, so the decoder's palette lookup is
+    load-bearing (pass-through indexes break the content hash) while
+    the mapped luma stays one SQL expression."""
     import hashlib
 
     out_schema = T.StructType(
@@ -539,7 +590,14 @@ def encode_png(
                 h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
                 raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
                 px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
-                payloads.append(_encode_png_bytes(px, level=level, filter_seed=int(did)))
+                payloads.append(
+                    _encode_png_bytes(
+                        px,
+                        level=level,
+                        filter_seed=int(did),
+                        palette=_AFFINE_GRAY_PALETTE if indexed else None,
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].values, "payload": payloads},
                 columns=["doc_id", "payload"],

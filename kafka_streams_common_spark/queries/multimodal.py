@@ -219,6 +219,71 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_palette_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             CASE WHEN doc_id % 2 = 0
+                  THEN [('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                        for i in range(1, w*h + 1)]
+                  ELSE [(('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT * 7
+                         + 13) % 256
+                        for i in range(1, w*h + 1)]
+             END AS v
+      FROM m
+    )
+    SELECT doc_id,
+           'png' AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(list_avg(v), 6) AS mean_px,
+           list_min([CAST(x AS BIGINT) for x in v]) AS min_px,
+           list_max([CAST(x AS BIGINT) for x in v]) AS max_px
+    FROM px
+    """,
+)
+def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED-color PNG decode (r13) — color type 3 with a PLTE
+    palette, the most common real-world PNG form after truecolor:
+    even documents are the established color-type-0 grayscale PNGs,
+    odd documents are COLOR TYPE 3 — the digest bytes become palette
+    INDEXES and the PLTE chunk carries the affine NON-identity
+    grayscale palette ``i → (7i+13) mod 256`` (a permutation of
+    0..255). One ``decode_image_features`` stage decodes both; the
+    oracle replays the palette arithmetic in SQL (odd docs' pixel
+    stats are over ``(byte·7+13) mod 256``), so a decoder that passes
+    indexes through as pixels, maps through the wrong entry size, or
+    skips the PLTE chunk breaks the hash — the lookup is load-bearing,
+    not decorative. The same DEFLATE + five-filter scanline machinery
+    runs underneath (indexes filter as 1-byte pixels, per spec)."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = encode_png(docs.filter(F.col("doc_id") % 2 == 0), level=6).unionAll(
+        encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6, indexed=True)
+    )
+    feats = decode_image_features(mixed)
+    return feats.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "n_px",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
+@query(
     "multimodal_gif_decode",
     oracle="""
     WITH m AS (

@@ -306,3 +306,70 @@ def test_jpeg_roundtrip_dims_exact_and_error_bounded(w, h, data):
     err = np.abs(got.astype(int) - px.astype(int))
     assert err.max() <= 32
     assert err.mean() <= 12.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    level=st.sampled_from([0, 6]),
+    filter_seed=st.integers(0, 4),
+    data=st.data(),
+)
+def test_png_indexed_palette_roundtrip(w, h, level, filter_seed, data):
+    """Color type 3 (r13): random INDEXES encode with the affine
+    non-identity gray palette and must come back as the MAPPED luma
+    (7i+13 mod 256) — a decoder passing indexes through fails; a
+    non-gray palette comes back as mapped RGB."""
+    from kafka_streams_common_spark.operators.multimodal import (
+        _AFFINE_GRAY_PALETTE,
+    )
+
+    n = w * h
+    idx = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+        dtype=np.uint8,
+    ).reshape(h, w, 1)
+    payload = _encode_png_bytes(
+        idx, level=level, filter_seed=filter_seed, palette=_AFFINE_GRAY_PALETTE
+    )
+    c, gw, gh, got = _parse_png(payload)
+    assert (c, gw, gh) == (1, w, h)
+    assert np.array_equal(got[:, :, 0], (idx[:, :, 0].astype(int) * 7 + 13) % 256)
+
+    # non-gray palette: entry i -> (i, 0, 255-i) must map to RGB
+    pal = bytes(v for i in range(256) for v in (i, 0, 255 - i))
+    c, _, _, rgb = _parse_png(
+        _encode_png_bytes(idx, level=level, filter_seed=filter_seed, palette=pal)
+    )
+    assert c == 3
+    assert np.array_equal(rgb[:, :, 0], idx[:, :, 0])
+    assert np.array_equal(rgb[:, :, 2], 255 - idx[:, :, 0].astype(int))
+
+
+def test_png_indexed_rejects_bad_palettes():
+    import pytest
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        _AFFINE_GRAY_PALETTE,
+        _png_chunk,
+    )
+
+    idx = np.array([[[0], [200]]], dtype=np.uint8)
+    good = _encode_png_bytes(idx, palette=_AFFINE_GRAY_PALETTE)
+    with pytest.raises(ValueError, match="1-256 RGB triples"):
+        _encode_png_bytes(idx, palette=b"\x01\x02")  # not a multiple of 3
+    with pytest.raises(ValueError, match="1-channel index"):
+        _encode_png_bytes(np.zeros((1, 1, 3), dtype=np.uint8),
+                          palette=_AFFINE_GRAY_PALETTE)
+    # strip the PLTE chunk -> indexed image without a palette
+    plte_at = good.index(b"PLTE") - 4
+    plte_len = int.from_bytes(good[plte_at : plte_at + 4], "big")
+    no_plte = good[:plte_at] + good[plte_at + 12 + plte_len :]
+    with pytest.raises(ValueError, match="requires a PLTE"):
+        _parse_png(no_plte)
+    # a too-short palette makes index 200 out of range
+    short = good[:plte_at] + _png_chunk(b"PLTE", b"\x00\x00\x00" * 10) \
+        + good[plte_at + 12 + plte_len :]
+    with pytest.raises(ValueError, match="index out of range"):
+        _parse_png(short)
