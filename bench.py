@@ -182,6 +182,7 @@ TRACKING_QUERIES = [
     "multimodal_g711_mixed_decode",
     "multimodal_gif_anim_scene_stats",
     "multimodal_png_palette_decode",
+    "multimodal_jpeg_progressive_recon",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -4,12 +4,14 @@ Original implementation of the public baseline JPEG process (ITU-T
 T.81 / ISO 10918-1): 8×8 block DCT, uniform quantization, zigzag,
 DC-difference + run-length AC symbols, canonical Huffman entropy
 coding with byte stuffing, and the SOI/DQT/SOF0/DHT/SOS/EOI marker
-structure. Scope: sequential baseline (SOF0), 8-bit grayscale AND
-(since r13) 3-component YCbCr color with 4:4:4 / 4:2:2 / 4:2:0 chroma
-subsampling, interleaved MCUs, per-component DQT/DHT selectors, and
-DRI restart intervals with RSTn markers. Progressive (SOF2),
-arithmetic coding, and non-interleaved multi-scan files are rejected
-with clear messages.
+structure. Scope: sequential baseline (SOF0) AND (since r13)
+PROGRESSIVE (SOF2) with full spectral selection + successive
+approximation; 8-bit grayscale and 3-component YCbCr color with
+4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, interleaved MCUs,
+per-component DQT/DHT selectors, and DRI restart intervals with RSTn
+markers (baseline scans). Arithmetic coding, hierarchical/extended
+SOFs, and non-interleaved SOF0 multi-scan files are rejected with
+clear messages.
 
 Design notes (honest about what is and is not pinned):
 
@@ -81,11 +83,16 @@ _ZZ_COLS = np.array([c for _, c in _ZIGZAG])
 # number of codes of length i+1.
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
 _DC_VALS = list(range(12))
-_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
-# EOB first (code 0), then ZRL, then (run, size) in run-major order
-_AC_VALS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
-]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8
+# EOB first (code 0), then ZRL, then (run, size) in run-major order,
+# then — appended LAST so every pre-existing code assignment (and so
+# every baseline bitstream) is unchanged — the progressive EOBn
+# symbols (n<<4, n=1..14; EOB0 is the existing 0x00)
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    + [n << 4 for n in range(1, 15)]
+)
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -116,7 +123,7 @@ _AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
 # (same hand-computability rationale as the luma 4/8-bit tables).
 _QTABLE_C = (8 + np.add.outer(np.arange(8), np.arange(8))).astype(np.int64)
 _DC_BITS_C = [0, 0, 0, 0, 12] + [0] * 11
-_AC_BITS_C = [0] * 8 + [162] + [0] * 7
+_AC_BITS_C = [0] * 8 + [176] + [0] * 7
 _DC_CODES_C = _canonical_codes(_DC_BITS_C, _DC_VALS)
 _AC_CODES_C = _canonical_codes(_AC_BITS_C, _AC_VALS)
 
@@ -424,6 +431,308 @@ def _encode_jpeg_color_bytes(
     )
 
 
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — round 13. Emits a genuine progression:
+# DC first at Al=1 (interleaved), spectrally-split AC first scans at
+# Al=1 (per component, bands 1-5 and 6-63), then the successive-
+# approximation refinements (DC raw-bit scan at Ah=1, AC refine scans
+# with EOBn runs and correction bits). The decoded coefficients must
+# EXACTLY equal the baseline quantization of the same source, which is
+# the equality gate the tests and the registered query ride on.
+
+
+def _pt_ac(c: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO (the
+    spec's AC convention; DC uses the arithmetic shift instead)."""
+    return c >> al if c >= 0 else -((-c) >> al)
+
+
+def _enc_ac_first(
+    bw: _BitWriterMSB,
+    zblocks: np.ndarray,
+    nbx: int,
+    nby: int,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Encode one AC 'first' scan band (Ah=0) over a component's block
+    grid: run-length coding within the band, EOBn runs across blocks."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw.put(code, ln)
+            if n:
+                bw.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = zblocks[by, bx]
+            vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                size = _bit_size(v)
+                code, ln = ac_codes[(r << 4) | size]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+                r = 0
+            if nz[-1] < len(vals) - 1:
+                eobrun = 1
+    flush()
+
+
+def _enc_ac_refine(
+    bw: _BitWriterMSB,
+    zblocks: np.ndarray,
+    nbx: int,
+    nby: int,
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Encode one AC refinement scan (Ah=Al+1) per the spec's G.1.2.3
+    semantics: newly-nonzero coefficients as (zero-HISTORY run, ±1)
+    symbols; one correction bit per already-nonzero coefficient passed,
+    BUFFERED and flushed after the next emitted symbol (coefficient,
+    ZRL, or EOBn); trailing positions fold into the EOB run."""
+    eobrun = 0
+    run_bits: list[int] = []  # correction bits owned by the EOB run (BE)
+    blk_bits: list[int] = []  # the current block's pending bits (BR)
+
+    def put_sym(
+        sym: int, extra: tuple[int, int] | None, tail: list[int]
+    ) -> None:
+        code, ln = ac_codes[sym]
+        bw.put(code, ln)
+        if extra is not None:
+            bw.put(*extra)
+        for b in tail:
+            bw.put(b, 1)
+        tail.clear()
+
+    def flush() -> None:
+        # EOBn carries ONLY the bits accumulated through the end of the
+        # last covered block — the current block's bits ride after its
+        # own symbols (the spec's association rule; a shared buffer
+        # desyncs the decoder by the new block's early correction bits)
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            put_sym(n << 4, (eobrun - (1 << n), n) if n else None, run_bits)
+            eobrun = 0
+
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = zblocks[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush()
+                    put_sym(0xF0, None, blk_bits)
+                    r -= 16
+                if t > 1:
+                    blk_bits.append(t & 1)
+                    continue
+                flush()
+                put_sym((r << 4) | 1, (signs[i], 1), blk_bits)
+                r = 0
+            if r > 0 or blk_bits:
+                eobrun += 1
+                run_bits.extend(blk_bits)
+                blk_bits.clear()
+                if eobrun == 32767:
+                    flush()
+    flush()
+
+
+def _encode_jpeg_progressive_bytes(px: np.ndarray, subsample: str = "444") -> bytes:
+    """Encode an ``(h, w, 1)`` grayscale or ``(h, w, 3)`` RGB array as
+    a PROGRESSIVE (SOF2) JPEG with both spectral selection AND
+    successive approximation: DC first (interleaved, Al=1) → AC first
+    per component in two bands (1-5, 6-63; Al=1) → DC refinement (raw
+    bits, Ah=1) → AC refinements (same bands; EOBn + correction bits).
+    Quantization is per-block-identical to the baseline encoders, so a
+    correct progressive decode reconstructs EXACTLY the coefficients a
+    baseline encode of the same source carries."""
+    h, w, channels = px.shape
+    if channels == 1:
+        samp: tuple = ((1, 1),)
+        planes = [
+            _pad_replicate(
+                px[:, :, 0].astype(np.float64), -(-h // 8) * 8, -(-w // 8) * 8
+            )
+        ]
+        qts = (_QTABLE,)
+        dc_codes = (_DC_CODES,)
+        ac_codes = (_AC_CODES,)
+        tsel = (0x00,)
+        comp_ids = (1,)
+        sof_comps = bytes([1]) + bytes([1, 0x11, 0])
+        dqt = _seg(0xDB, bytes([0x00]) + bytes(int(_QTABLE[r, c]) for r, c in _ZIGZAG))
+        dht = _seg(0xC4, _dht_body(0x00, _DC_BITS, _DC_VALS)) + _seg(
+            0xC4, _dht_body(0x10, _AC_BITS, _AC_VALS)
+        )
+    elif channels == 3:
+        fac = _SUBSAMPLE_FACTORS.get(subsample)
+        if fac is None:
+            raise ValueError(f"unsupported subsampling {subsample!r}")
+        samp = fac
+        hmax0 = max(s[0] for s in samp)
+        vmax0 = max(s[1] for s in samp)
+        mcux0, mcuy0 = -(-w // (8 * hmax0)), -(-h // (8 * vmax0))
+        planes = []
+        for (hi, vi), plane in zip(samp, _rgb_to_ycbcr(px)):
+            if (hi, vi) != (hmax0, vmax0):
+                fy, fx = vmax0 // vi, hmax0 // hi
+                src = _pad_replicate(plane, -(-h // fy) * fy, -(-w // fx) * fx)
+                plane = src.reshape(
+                    src.shape[0] // fy, fy, src.shape[1] // fx, fx
+                ).mean(axis=(1, 3))
+            planes.append(_pad_replicate(plane, mcuy0 * vi * 8, mcux0 * hi * 8))
+        qts = (_QTABLE, _QTABLE_C, _QTABLE_C)
+        dc_codes = (_DC_CODES, _DC_CODES_C, _DC_CODES_C)
+        ac_codes = (_AC_CODES, _AC_CODES_C, _AC_CODES_C)
+        tsel = (0x00, 0x11, 0x11)
+        comp_ids = (1, 2, 3)
+        sof_comps = (
+            bytes([3])
+            + bytes([1, (samp[0][0] << 4) | samp[0][1], 0])
+            + bytes([2, (samp[1][0] << 4) | samp[1][1], 1])
+            + bytes([3, (samp[2][0] << 4) | samp[2][1], 1])
+        )
+        dqt = _seg(
+            0xDB,
+            bytes([0x00])
+            + bytes(int(_QTABLE[r, c]) for r, c in _ZIGZAG)
+            + bytes([0x01])
+            + bytes(int(_QTABLE_C[r, c]) for r, c in _ZIGZAG),
+        )
+        dht = (
+            _seg(0xC4, _dht_body(0x00, _DC_BITS, _DC_VALS))
+            + _seg(0xC4, _dht_body(0x10, _AC_BITS, _AC_VALS))
+            + _seg(0xC4, _dht_body(0x01, _DC_BITS_C, _DC_VALS))
+            + _seg(0xC4, _dht_body(0x11, _AC_BITS_C, _AC_VALS))
+        )
+    else:
+        raise ValueError("progressive branch encodes 1 or 3 channels")
+    nc = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # quantized zigzag blocks on the MCU grid — per-block arithmetic
+    # IDENTICAL to the baseline encoders (the equality gate depends on
+    # it; batched matmul could differ by an ulp at a rounding boundary)
+    Z = []
+    for (hi, vi), plane, q in zip(samp, planes, qts):
+        nby, nbx = mcuy * vi, mcux * hi
+        z = np.empty((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+                coef = _C @ (block - 128.0) @ _C.T
+                z[by, bx] = np.rint(coef / q).astype(np.int64)[_ZZ_ROWS, _ZZ_COLS]
+        Z.append(z)
+
+    def sos(comp_list: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_list)])
+        for ci in comp_list:
+            body += bytes([comp_ids[ci], tsel[ci]])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    AL = 1
+    out = bytearray(
+        b"\xff\xd8"
+        + dqt
+        + _seg(
+            0xC2,
+            bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + sof_comps,
+        )
+        + dht
+    )
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic-shift point transform)
+    bw = _BitWriterMSB()
+    prev = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(Z[ci][my * vi + by, mx * hi + bx, 0]) >> AL
+                        diff = v - prev[ci]
+                        prev[ci] = v
+                        size = _bit_size(diff)
+                        code, ln = dc_codes[ci][size]
+                        bw.put(code, ln)
+                        if size:
+                            bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    out += sos(list(range(nc)), 0, 0, 0, AL) + bw.finish()
+
+    bands = ((1, 5), (6, 63))
+    # AC first scans: per component, per band, Al=1
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        nbx, nby = _comp_block_grid(w, h, hi, vi, hmax, vmax)
+        for b0, b1 in bands:
+            bw = _BitWriterMSB()
+            _enc_ac_first(bw, Z[ci], nbx, nby, b0, b1, AL, ac_codes[ci])
+            out += sos([ci], b0, b1, 0, AL) + bw.finish()
+
+    # DC refinement: interleaved raw bits, Ah=1, Al=0
+    bw = _BitWriterMSB()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        bw.put(int(Z[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+    out += sos(list(range(nc)), 0, 0, 1, 0) + bw.finish()
+
+    # AC refinement scans: per component, per band, Ah=1, Al=0
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        nbx, nby = _comp_block_grid(w, h, hi, vi, hmax, vmax)
+        for b0, b1 in bands:
+            bw = _BitWriterMSB()
+            _enc_ac_refine(bw, Z[ci], nbx, nby, b0, b1, 0, ac_codes[ci])
+            out += sos([ci], b0, b1, 1, 0) + bw.finish()
+
+    return bytes(out + b"\xff\xd9")
+
+
 class _BitReaderMSB:
     """MSB-first bit reader over entropy-coded data with byte
     unstuffing (0xFF 0x00 → 0xFF); stops at any other marker."""
@@ -510,16 +819,17 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def _decode_block(
+def _decode_block_coefs(
     rd: _BitReaderMSB,
     dc_tab: dict[tuple[int, int], int],
     ac_tab: dict[tuple[int, int], int],
-    q: np.ndarray,
+    zz: np.ndarray,
     prev_dc: int,
-) -> tuple[np.ndarray, int]:
-    """Huffman-decode + dequantize + IDCT one 8×8 block; returns the
-    level-shifted sample block and the updated DC predictor."""
-    zz = np.zeros(64, dtype=np.int64)
+) -> int:
+    """Huffman-decode one SEQUENTIAL 8×8 block into the zigzag
+    coefficient vector ``zz``; returns the updated DC predictor.
+    (Dequantization and the IDCT happen batched at end-of-image — same
+    arithmetic order, pairwise matmuls.)"""
     size = _read_symbol(rd, dc_tab)
     prev_dc += _extend(rd.bits(size), size)
     zz[0] = prev_dc
@@ -539,38 +849,124 @@ def _decode_block(
             raise ValueError("AC run past block end")
         zz[k] = _extend(rd.bits(size), size)
         k += 1
-    coef = np.zeros((8, 8), dtype=np.float64)
-    coef[_ZZ_ROWS, _ZZ_COLS] = zz
-    return _C.T @ (coef * q) @ _C + 128.0, prev_dc
+    return prev_dc
+
+
+def _decode_ac_first(
+    rd: _BitReaderMSB,
+    ac_tab: dict[tuple[int, int], int],
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC 'first' scan (Ah=0) for one block: run-length +
+    EOBn band decode per the spec's G.1.2.2; returns the remaining
+    EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(rd, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) + (rd.bits(r) if r else 0) - 1  # EOBn
+        k += r
+        if k > se:
+            raise ValueError("AC run past the spectral band end")
+        zz[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(
+    rd: _BitReaderMSB,
+    ac_tab: dict[tuple[int, int], int],
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement scan (Ah=Al+1) for one block per the
+    spec's G.1.2.3: newly-nonzero coefficients arrive as ±1·2^Al with
+    zero-HISTORY run lengths; every already-nonzero coefficient passed
+    on the way contributes one correction bit; blocks inside an EOB
+    run still carry correction bits for the band's nonzero history."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(rd, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement amplitude must be ±1")
+                newval = p1 if rd.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if rd.bit() and (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0 and rd.bit() and (abs(int(zz[k])) & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline JPEG per the public spec: marker walk
-    (APPn/COM skipped), DQT/DHT parsed FROM THE FILE, SOF0 geometry
-    with per-component sampling factors, one interleaved SOS scan, then
-    Huffman + dequant + IDCT MCU reconstruction with byte unstuffing.
-    Grayscale (1 component) and YCbCr (3 components, sampling factors
-    1-2 in each axis — 4:4:4 / 4:2:2 / 4:2:0) are in scope; chroma is
+    """Decode a baseline (SOF0) or PROGRESSIVE (SOF2, r13) JPEG per the
+    public spec: marker walk (APPn/COM skipped), DQT/DHT parsed FROM
+    THE FILE, per-component sampling factors, then one interleaved
+    sequential scan (baseline) or ANY conforming progression of scans
+    (progressive: interleaved or single-component, spectral selection
+    Ss..Se, successive approximation Ah/Al for DC and AC — EOBn runs,
+    ±1 refinements, correction bits). Coefficients accumulate across
+    scans; dequantization + the IDCT run once at EOI. Grayscale and
+    YCbCr (sampling factors 1-2 each axis) are in scope; chroma is
     upsampled by sample replication and converted to RGB per BT.601.
-    DRI restart intervals are honored (byte-align + RSTn ordinal check
-    + DC-predictor reset every interval). Progressive (SOF2) and
-    non-interleaved multi-scan files are out of scope (rejected).
-    Returns
-    ``(channels, width, height, pixels)`` shaped ``(h, w, channels)`` —
-    the ``_parse_netpbm`` contract."""
+    DRI restart intervals are honored in baseline scans (byte-align +
+    RSTn ordinal check + predictor reset); restarts inside progressive
+    scans are out of scope (rejected), as are non-interleaved SOF0
+    multi-scan files. Returns ``(channels, width, height, pixels)``
+    shaped ``(h, w, channels)`` — the ``_parse_netpbm`` contract."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG payload: {payload[:2]!r}")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
     comps: list[tuple[int, int, int, int]] | None = None  # (cid, h, v, tq)
+    progressive = False
     restart_interval = 0
+    coefs: list[np.ndarray] = []  # per comp: (nby, nbx, 64) int64, MCU grid
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI without a scan
+        if marker == 0xD9:  # EOI
             break
         length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + length]
@@ -595,7 +991,8 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = list(b[17 : 17 + n])
                 htables[tc_th] = _huff_lookup(bits, vals)
                 b = b[17 + n :]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             if body[0] != 8:
@@ -613,8 +1010,15 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 comps.append((cid, hi, vi, body[8 + 3 * i]))
             if nf == 1 and (comps[0][1], comps[0][2]) != (1, 1):
                 raise ValueError("subsampled single component not supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                for _, hi, vi, _ in comps
+            ]
         elif marker in (
-            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,  # incl. arithmetic differential
         ):
             raise ValueError(f"non-baseline SOF 0xFF{marker:02x} not supported")
@@ -624,70 +1028,172 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if width is None or height is None or comps is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("non-interleaved scans not supported")
             sel: dict[int, tuple[int, int]] = {}
+            scan_cids: list[int] = []
             for i in range(ns):
-                sel[body[1 + 2 * i]] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
-            planes: list[np.ndarray] = []
-            per: list[tuple] = []
-            for cid, hi, vi, tq in comps:
-                if cid not in sel:
-                    raise ValueError(f"scan missing component {cid}")
-                dc_sel, ac_sel = sel[cid]
-                dc_tab = htables.get(0x00 | dc_sel)
-                ac_tab = htables.get(0x10 | ac_sel)
-                q = qtables.get(tq)
-                if dc_tab is None or ac_tab is None or q is None:
-                    raise ValueError("scan references missing DHT/DQT tables")
-                planes.append(np.empty((mcuy * vi * 8, mcux * hi * 8)))
-                per.append((hi, vi, dc_tab, ac_tab, q))
-            rd = _BitReaderMSB(payload, pos + 2 + length)
-            prev = [0] * len(comps)
-            mcu_i = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if (
-                        restart_interval
-                        and mcu_i
-                        and mcu_i % restart_interval == 0
-                    ):
-                        # byte-align, consume RSTn (n cycles 0-7), reset
-                        # every component's DC predictor — per the spec
-                        rd.restart((mcu_i // restart_interval - 1) % 8)
-                        prev = [0] * len(comps)
-                    mcu_i += 1
-                    for ci, (hi, vi, dc_tab, ac_tab, q) in enumerate(per):
-                        for by in range(vi):
-                            for bx in range(hi):
-                                block, prev[ci] = _decode_block(
-                                    rd, dc_tab, ac_tab, q, prev[ci]
-                                )
-                                r0 = (my * vi + by) * 8
-                                c0 = (mx * hi + bx) * 8
-                                planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
-            if len(comps) == 1:
-                px = np.clip(
-                    np.rint(planes[0][:height, :width]), 0, 255
-                ).astype(np.uint8)
-                return 1, width, height, px.reshape(height, width, 1)
-            # chroma upsampling by sample replication, then BT.601 to RGB
-            full = []
-            for (_, hi, vi, _), plane in zip(comps, planes):
-                up = np.repeat(
-                    np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+                scan_cids.append(body[1 + 2 * i])
+                sel[body[1 + 2 * i]] = (
+                    body[2 + 2 * i] >> 4,
+                    body[2 + 2 * i] & 0x0F,
                 )
-                full.append(up[:height, :width])
-            rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
-            return 3, width, height, rgb
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            rd = _BitReaderMSB(payload, pos + 2 + length)
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError("non-interleaved scans not supported")
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("baseline scans must cover Ss=0..Se=63")
+                per = []
+                for cid, hi, vi, tq in comps:
+                    dc_sel, ac_sel = sel[cid]
+                    dc_tab = htables.get(0x00 | dc_sel)
+                    ac_tab = htables.get(0x10 | ac_sel)
+                    if dc_tab is None or ac_tab is None or tq not in qtables:
+                        raise ValueError("scan references missing DHT/DQT tables")
+                    per.append((hi, vi, dc_tab, ac_tab))
+                prev = [0] * len(comps)
+                mcu_i = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_i
+                            and mcu_i % restart_interval == 0
+                        ):
+                            # byte-align, consume RSTn (n cycles 0-7), reset
+                            # every component's DC predictor — per the spec
+                            rd.restart((mcu_i // restart_interval - 1) % 8)
+                            prev = [0] * len(comps)
+                        mcu_i += 1
+                        for ci, (hi, vi, dc_tab, ac_tab) in enumerate(per):
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    prev[ci] = _decode_block_coefs(
+                                        rd,
+                                        dc_tab,
+                                        ac_tab,
+                                        coefs[ci][my * vi + by, mx * hi + bx],
+                                        prev[ci],
+                                    )
+            else:
+                if restart_interval:
+                    raise ValueError(
+                        "restart intervals in progressive scans not supported"
+                    )
+                if ah and ah != al + 1:
+                    raise ValueError("successive approximation must refine by 1 bit")
+                if ss == 0:  # DC scan (interleaved or single-component)
+                    if se != 0:
+                        raise ValueError("DC scans must have Se=0")
+                    order = [cid_index[c] for c in scan_cids]
+                    prev = {ci: 0 for ci in order}
+                    if ns > 1:  # interleaved: MCU order
+                        for my in range(mcuy):
+                            for mx in range(mcux):
+                                for ci in order:
+                                    _, hi, vi, _ = comps[ci]
+                                    dc_sel, _ = sel[comps[ci][0]]
+                                    for by in range(vi):
+                                        for bx in range(hi):
+                                            zz = coefs[ci][
+                                                my * vi + by, mx * hi + bx
+                                            ]
+                                            if ah == 0:
+                                                dc_tab = htables.get(0x00 | dc_sel)
+                                                if dc_tab is None:
+                                                    raise ValueError(
+                                                        "missing DC table"
+                                                    )
+                                                size = _read_symbol(rd, dc_tab)
+                                                prev[ci] += _extend(
+                                                    rd.bits(size), size
+                                                )
+                                                zz[0] = prev[ci] << al
+                                            else:  # refinement: one raw bit
+                                                zz[0] |= rd.bit() << al
+                    else:
+                        ci = order[0]
+                        _, hi, vi, _ = comps[ci]
+                        dc_sel, _ = sel[comps[ci][0]]
+                        nbx, nby = _comp_block_grid(
+                            width, height, hi, vi, hmax, vmax
+                        )
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                zz = coefs[ci][by, bx]
+                                if ah == 0:
+                                    dc_tab = htables.get(0x00 | dc_sel)
+                                    if dc_tab is None:
+                                        raise ValueError("missing DC table")
+                                    size = _read_symbol(rd, dc_tab)
+                                    prev[ci] += _extend(rd.bits(size), size)
+                                    zz[0] = prev[ci] << al
+                                else:
+                                    zz[0] |= rd.bit() << al
+                else:  # AC scan: single component only, per the spec
+                    if ns != 1:
+                        raise ValueError("progressive AC scans carry one component")
+                    if not 1 <= ss <= se <= 63:
+                        raise ValueError("bad spectral band")
+                    ci = cid_index[scan_cids[0]]
+                    _, hi, vi, _ = comps[ci]
+                    _, ac_sel = sel[comps[ci][0]]
+                    ac_tab = htables.get(0x10 | ac_sel)
+                    if ac_tab is None:
+                        raise ValueError("missing AC table")
+                    nbx, nby = _comp_block_grid(width, height, hi, vi, hmax, vmax)
+                    eobrun = 0
+                    dec = _decode_ac_refine if ah else _decode_ac_first
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            eobrun = dec(
+                                rd, ac_tab, coefs[ci][by, bx], ss, se, al, eobrun
+                            )
+            saw_scan = True
+            pos = rd.pos
+            continue
         # APPn / COM / anything else: skipped by the length field
         pos += 2 + length
-    raise ValueError("no SOS scan before EOI")
+    if not saw_scan or comps is None:
+        raise ValueError("no SOS scan before EOI")
+    # dequantize + IDCT, batched per component (pairwise matmuls — the
+    # same arithmetic order as the per-block form)
+    planes = []
+    for (cid, hi, vi, tq), z in zip(comps, coefs):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("missing quantization table")
+        mat = np.zeros((z.shape[0], z.shape[1], 8, 8), dtype=np.float64)
+        mat[:, :, _ZZ_ROWS, _ZZ_COLS] = z
+        mat *= q
+        blocks = np.matmul(np.matmul(_C.T, mat), _C) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(z.shape[0] * 8, z.shape[1] * 8)
+        planes.append(plane)
+    if len(comps) == 1:
+        px = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)
+        return 1, width, height, px.reshape(height, width, 1)
+    full = []
+    for (_, hi, vi, _), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(up[:height, :width])
+    rgb = _ycbcr_to_rgb(full[0], full[1], full[2])
+    return 3, width, height, rgb
+
+
+def _comp_block_grid(
+    width: int, height: int, hi: int, vi: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Block grid of a NON-INTERLEAVED scan per the spec: derived from
+    the component's own dims (ceil(w·hi/hmax) × ceil(h·vi/vmax), then
+    ceil/8) — smaller than the MCU-padded grid when the image width or
+    height is not an MCU multiple."""
+    cw = -(-width * hi // hmax)
+    ch = -(-height * vi // vmax)
+    return -(-cw // 8), -(-ch // 8)
 
 
 # ---------------------------------------------------------------------------
@@ -838,28 +1344,35 @@ def _md5_color_image(text: str, dim_mod: int = 32) -> np.ndarray:
     return _ycbcr_to_rgb(y, cb, cr)
 
 
-def _sof_sampling(payload: bytes) -> str:
-    """Header-only marker walk to the SOF0 segment; returns the chroma
-    subsampling as '444' / '422' / '420' (or 'gray' for 1 component) —
+def _sof_info(payload: bytes) -> tuple[str, str]:
+    """Header-only marker walk to the SOF segment; returns
+    ``(mode, subsample)`` with mode 'baseline' (SOF0) or 'progressive'
+    (SOF2) and subsampling '444' / '422' / '420' / 'gray' — both
     RECOVERED from the file, not passed through."""
     pos = 2
     while pos + 4 <= len(payload):
         marker = payload[pos + 1]
         length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
+            mode = "baseline" if marker == 0xC0 else "progressive"
             body = payload[pos + 4 : pos + 2 + length]
             nf = body[5]
             if nf == 1:
-                return "gray"
+                return mode, "gray"
             factors = tuple(
                 (body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F) for i in range(nf)
             )
             for name, samp in _SUBSAMPLE_FACTORS.items():
                 if factors == samp:
-                    return name
-            return "other"
+                    return mode, name
+            return mode, "other"
         pos += 2 + length
-    raise ValueError("no SOF0 segment")
+    raise ValueError("no SOF segment")
+
+
+def _sof_sampling(payload: bytes) -> str:
+    """The subsample leg of :func:`_sof_info`."""
+    return _sof_info(payload)[1]
 
 
 def encode_jpeg_color(
@@ -954,3 +1467,67 @@ def decode_jpeg_color_recon_report(images: DataFrame, dim_mod: int = 32) -> Data
             yield pd.DataFrame(rows, columns=[f.name for f in JPEG_COLOR_RECON_SCHEMA])
 
     return images.mapInPandas(batches, JPEG_COLOR_RECON_SCHEMA)
+
+
+JPEG_PROGRESSIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("subsample", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("matches_baseline", T.BooleanType(), True),
+        T.StructField("max_err_le_32", T.BooleanType(), True),
+        T.StructField("mean_err_le_8", T.BooleanType(), True),
+    ]
+)
+
+
+def jpeg_progressive_report(docs: DataFrame, dim_mod: int = 32) -> DataFrame:
+    """Arrow-batched PROGRESSIVE JPEG gate over ``(doc_id, text)``: per
+    row, build the md5-derived RGB source, encode it BOTH ways — a
+    progressive (SOF2) file with spectral selection + successive
+    approximation (even docs 4:4:4, odd 4:2:0) and the established
+    baseline (SOF0) file with the same tables — decode both through the
+    one multi-scan decoder, and emit: the SOF-RECOVERED mode and
+    subsampling, the recovered dims, ``matches_baseline`` = the two
+    decodes are ARRAY-EXACT (a correct progression reconstructs exactly
+    the coefficients the baseline carries — any EOBn/refinement/
+    correction-bit defect breaks it), and the source error bounds.
+    Map-only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                src = _md5_color_image(text, dim_mod)
+                ss = "444" if int(did) % 2 == 0 else "420"
+                prog = _encode_jpeg_progressive_bytes(src, ss)
+                base = _encode_jpeg_color_bytes(src, ss)
+                mode, got_ss = _sof_info(prog)
+                c, w, h, px = _parse_jpeg(prog)
+                _, _, _, px_base = _parse_jpeg(base)
+                err = np.abs(px.astype(np.int64) - src.astype(np.int64))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "format": "jpeg",
+                        "mode": mode,
+                        "subsample": got_ss,
+                        "width": w,
+                        "height": h,
+                        "n_px": w * h,
+                        "matches_baseline": bool(np.array_equal(px, px_base)),
+                        "max_err_le_32": bool(err.max() <= 32),
+                        "mean_err_le_8": bool(err.mean() <= 8.0),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_PROGRESSIVE_SCHEMA]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, JPEG_PROGRESSIVE_SCHEMA
+    )

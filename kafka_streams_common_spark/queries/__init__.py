@@ -33,7 +33,7 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-13 WINDOW (``_R13_WINDOW``): head = the seven round-13
+ROUND-13 WINDOW (``_R13_WINDOW``): head = the eight round-13
 registrations, never driver-checked (invariant #1) —
 ``multimodal_jpeg_color_recon`` (baseline YCbCr color JPEG, 4:4:4 and
 4:2:0 in one lake, per-component DQT/DHT selectors, subsampling mode
@@ -51,7 +51,10 @@ expansions replayed in SQL), and ``multimodal_gif_anim_scene_stats``
 frame content/order/delays replayed in SQL), and
 ``multimodal_png_palette_decode`` (color-type-3 indexed PNG — PLTE
 with the affine non-identity gray palette, the lookup replayed in
-SQL). Then the seven rows
+SQL), and ``multimodal_jpeg_progressive_recon`` (PROGRESSIVE SOF2:
+spectral selection + successive approximation, gated ARRAY-EXACT
+against the baseline decode of the same source plus SOF-recovered
+mode/subsample). Then the seven rows
 whose implementation changed in round 13 itself (invariant #2): the
 ``operators/jpeg.py`` refactor (shared block encode/decode helpers,
 multi-component ``_parse_jpeg``, new marker rejections) re-exposes
@@ -64,18 +67,19 @@ offset-descriptor rejection — ``multimodal_png_decode``,
 ``multimodal_ahash_near_dup``, ``multimodal_audio_near_dup``, and
 ``multimodal_video_near_dup`` (all default-parameter-identical —
 oracles unchanged — but changed code gets re-exposed, not argued
-about). The remaining 36 slots take the COMPUTED refresh queue
+about). The remaining 35 slots take the COMPUTED refresh queue
 VERBATIM (key: last-green round asc, green-count asc, registration
-order) — the first 36 of the 40 r7-stale rows promised in the README
-r12 ledger (the last four, ``rollup_orders_by_status_priority``
-``scalar_function_showcase`` ``pivot_event_value_by_type``
-``date_interval_arithmetic``, are displaced to the r14 queue head by
-the fourth-seventh registrations), which drains the r7 tier to FOUR
-remaining rows: the 16 single-green rows (headed by the five displaced
-by the r12 second wave), the 8 two-green rows, the 5 three-green rows,
-and the first 7 of the 11 four-green rows (the r12 ledger's predicted
-6/10 split for the last two tiers recounts to 5/11 against the
-CORRECTNESS files; same names, same key order).
+order) — the first 35 of the 40 r7-stale rows promised in the README
+r12 ledger (the last five, ``set_union_distinct``
+``rollup_orders_by_status_priority`` ``scalar_function_showcase``
+``pivot_event_value_by_type`` ``date_interval_arithmetic``, are
+displaced to the r14 queue head by the fourth-eighth registrations),
+which drains the r7 tier to FIVE remaining rows: the 16 single-green
+rows (headed by the five displaced by the r12 second wave), the 8
+two-green rows, the 5 three-green rows, and the first 6 of the 11
+four-green rows (the r12 ledger's predicted 6/10 split for the last
+two tiers recounts to 5/11 against the CORRECTNESS files; same names,
+same key order).
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -106,6 +110,7 @@ _R13_NEW = (
     "multimodal_g711_mixed_decode",
     "multimodal_gif_anim_scene_stats",
     "multimodal_png_palette_decode",
+    "multimodal_jpeg_progressive_recon",
 )
 assert all(n in QUERIES for n in _R13_NEW)
 
@@ -172,13 +177,13 @@ _R13_REFRESH = (
     "text_fingerprints",
     "text_unigram_logprob",
     "anti_join_customers_without_orders",
-    "set_union_distinct",
-    # rollup_orders_by_status_priority, scalar_function_showcase,
-    # pivot_event_value_by_type, and date_interval_arithmetic — the
-    # queue's 37th-40th rows — are displaced to the r14 queue head by
-    # the fourth-seventh r13 registrations (sim_semantic_dedup,
-    # multimodal_g711_mixed_decode, multimodal_gif_anim_scene_stats,
-    # multimodal_png_palette_decode), per invariant #1
+    # set_union_distinct, rollup_orders_by_status_priority,
+    # scalar_function_showcase, pivot_event_value_by_type, and
+    # date_interval_arithmetic — the queue's 36th-40th rows — are
+    # displaced to the r14 queue head by the fourth-eighth r13
+    # registrations (sim_semantic_dedup, multimodal_g711_mixed_decode,
+    # multimodal_gif_anim_scene_stats, multimodal_png_palette_decode,
+    # multimodal_jpeg_progressive_recon), per invariant #1
 )
 assert all(n in QUERIES for n in _R13_REFRESH)
 

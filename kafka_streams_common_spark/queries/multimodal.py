@@ -35,6 +35,7 @@ from kafka_streams_common_spark.operators.jpeg import (
     decode_jpeg_recon_report,
     encode_jpeg,
     encode_jpeg_color,
+    jpeg_progressive_report,
 )
 from kafka_streams_common_spark.operators.multimodal import (
     ahash_near_dup_pairs,
@@ -424,6 +425,49 @@ def multimodal_jpeg_color_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_color_recon_report(
         encode_jpeg_color(docs, restart_interval=2)
     )
+
+
+@query(
+    "multimodal_jpeg_progressive_recon",
+    oracle="""
+    SELECT doc_id,
+           'jpeg' AS format,
+           'progressive' AS mode,
+           CASE WHEN doc_id % 2 = 0 THEN '444' ELSE '420' END AS subsample,
+           CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 32 + 1
+                AS BIGINT) AS width,
+           CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 32 + 1
+                AS BIGINT) AS height,
+           CAST((('0x' || substr(md5(text), 1, 15))::BIGINT % 32 + 1)
+              * (('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 32 + 1)
+                AS BIGINT) AS n_px,
+           TRUE AS matches_baseline,
+           TRUE AS max_err_le_32,
+           TRUE AS mean_err_le_8
+    FROM documents
+    """,
+)
+def multimodal_jpeg_progressive_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2, r13) — the last major real-world JPEG
+    mode: full spectral selection AND successive approximation. Each
+    document's md5-derived RGB source is encoded as a genuine
+    progression (DC first at Al=1 interleaved → per-component AC first
+    scans in two spectral bands → DC refinement raw bits → AC
+    refinement scans with EOBn runs, ±1 coefficients, and correction
+    bits; even docs 4:4:4, odd 4:2:0), decoded through the multi-scan
+    coefficient-accumulating decoder, and gated three ways: the
+    SOF-RECOVERED ``mode``/``subsample`` columns gate the SOF2 parse
+    and dispatch; ``matches_baseline`` asserts the progressive decode
+    is ARRAY-EXACT against the baseline (SOF0) decode of the same
+    source — a correct progression reconstructs exactly the
+    coefficients baseline carries, so any EOBn, band, refinement, or
+    correction-bit defect on either side breaks it (the strongest gate
+    a lossy multi-scan format admits); and the source error bounds
+    carry the established recon envelope. Bit-level internals are
+    additionally pinned in tests/test_jpeg.py across content classes
+    (noise, flat, gradient — long EOB runs and ZRLs)."""
+    docs = table(spark, sf_dir, "documents")
+    return jpeg_progressive_report(docs)
 
 
 @query(

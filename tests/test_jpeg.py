@@ -117,9 +117,16 @@ def test_rejects_malformed_and_unsupported():
         _parse_jpeg(b"\x89PNG" + good)
     with pytest.raises(ValueError):
         _parse_jpeg(good[:40])
+    # SOF2 is SUPPORTED since r13 — but relabeling a baseline file's
+    # SOF0 as SOF2 makes its full-band scan an ill-formed progressive
+    # DC scan, which must be rejected with the progressive shape error
     sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         _parse_jpeg(sof2)
+    # extended sequential (SOF1) stays out of scope
+    sof1 = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        _parse_jpeg(sof1)
     # arithmetic-differential SOFs (13-15) get the same clear message,
     # and DAC marks the file arithmetic-coded
     for m in (0xCD, 0xCE, 0xCF):
@@ -365,3 +372,94 @@ def test_restart_intervals_roundtrip_and_semantics():
     cut = pay[: pay.index(b"\xff\xd0") + 1]
     with pytest.raises(ValueError):
         _parse_jpeg(cut)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) branch — round 13
+
+from kafka_streams_common_spark.operators.jpeg import (  # noqa: E402
+    _encode_jpeg_progressive_bytes,
+    _sof_info,
+    jpeg_progressive_report,
+)
+
+
+def test_progressive_equals_baseline_decode_gray_and_color():
+    """The core invariant: a correct progression (spectral selection +
+    successive approximation) reconstructs EXACTLY the coefficients the
+    baseline encode of the same source carries, so the decodes are
+    array-equal — across content classes that exercise long EOB runs,
+    ZRLs, dense bands, and every subsampling mode."""
+    rng = np.random.RandomState(6)
+    for trial in range(12):
+        w, h = int(rng.randint(1, 44)), int(rng.randint(1, 44))
+        gray = rng.randint(0, 256, size=(h, w, 1)).astype(np.uint8)
+        base = _parse_jpeg(_encode_jpeg_bytes(gray))[3]
+        pay = _encode_jpeg_progressive_bytes(gray)
+        assert _sof_info(pay) == ("progressive", "gray")
+        assert (_parse_jpeg(pay)[3] == base).all()
+    from kafka_streams_common_spark.operators.jpeg import (
+        _encode_jpeg_color_bytes,
+        _md5_color_image,
+    )
+
+    cases = [_md5_color_image(f"p{t}") for t in range(4)]
+    cases.append(np.full((33, 33, 3), 77, np.uint8))  # flat: one long EOB run
+    grad = np.tile(np.arange(40, dtype=np.uint8), (40, 1))
+    cases.append(grad[:, :, None].repeat(3, axis=2))  # gradient: sparse bands
+    cases.append(rng.randint(0, 256, size=(37, 29, 3)).astype(np.uint8))
+    for px in cases:
+        for ss in ("444", "422", "420"):
+            base = _parse_jpeg(_encode_jpeg_color_bytes(px, ss))[3]
+            pay = _encode_jpeg_progressive_bytes(px, ss)
+            assert _sof_info(pay) == ("progressive", ss)
+            assert (_parse_jpeg(pay)[3] == base).all(), (px.shape, ss)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    mode=st.sampled_from(["gray", "444", "422", "420"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_progressive_equals_baseline_hypothesis(w, h, mode, seed):
+    from kafka_streams_common_spark.operators.jpeg import _encode_jpeg_color_bytes
+
+    rng = np.random.RandomState(seed)
+    if mode == "gray":
+        px = rng.randint(0, 256, size=(h, w, 1)).astype(np.uint8)
+        base = _parse_jpeg(_encode_jpeg_bytes(px))[3]
+        got = _parse_jpeg(_encode_jpeg_progressive_bytes(px))[3]
+    else:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        base = _parse_jpeg(_encode_jpeg_color_bytes(px, mode))[3]
+        got = _parse_jpeg(_encode_jpeg_progressive_bytes(px, mode))[3]
+    assert (got == base).all()
+
+
+def test_progressive_scan_shape_rejections():
+    px = np.full((4, 4, 1), 50, dtype=np.uint8)
+    pay = _encode_jpeg_progressive_bytes(px)
+    # DRI inside a progressive file: spliced after the SOF2 segment
+    sof_at = pay.index(b"\xff\xc2")
+    sof_len = int.from_bytes(pay[sof_at + 2 : sof_at + 4], "big")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(ValueError, match="progressive scans"):
+        _parse_jpeg(pay[: sof_at + 2 + sof_len] + dri + pay[sof_at + 2 + sof_len :])
+    with pytest.raises(ValueError, match="1 or 3 channels"):
+        _encode_jpeg_progressive_bytes(np.zeros((2, 2, 2), dtype=np.uint8))
+
+
+def test_jpeg_progressive_report_spark(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta beta"), (2, "gamma!"), (3, "delta? epsilon")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in jpeg_progressive_report(docs).collect()}
+    assert len(rows) == 4
+    for did, r in rows.items():
+        assert r["mode"] == "progressive"
+        assert r["subsample"] == ("444" if did % 2 == 0 else "420")
+        assert r["matches_baseline"] is True
+        assert r["max_err_le_32"] is True and r["mean_err_le_8"] is True
