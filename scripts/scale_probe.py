@@ -1010,6 +1010,73 @@ def main() -> None:
         }
     )
 
+    # SemDeDup composition (r13): graph -> threshold -> connected
+    # components -> keep list. Same cell-count-grows-with-corpus
+    # discipline as the knn_graph probe; the 8x corpus is ALL
+    # duplicates (8 copies per vector), the adversarial shape for the
+    # clustering step — every copy family collapses into one cluster.
+    from kafka_streams_common_spark.operators.similarity import semantic_dedup
+
+    probes.update(
+        {
+            "semantic_dedup": (
+                lambda: semantic_dedup(emb1, tau=0.35, k=8, n_centroids=64,
+                                       n_probe=2),
+                lambda: semantic_dedup(emb8, tau=0.35, k=8, n_centroids=512,
+                                       n_probe=2),
+            ),
+        }
+    )
+
+    # r13 codec-breadth decode scans, all map-only — expect ~linear:
+    # the full G.711 pair (three-codec dispatch + both expansions),
+    # animated GIF (multi-frame LZW + GCE walk), indexed PNG (PLTE
+    # lookup), and progressive JPEG (the heaviest: progressive AND
+    # baseline encode + two full decodes per row for the equality gate)
+    from kafka_streams_common_spark.operators.gif import (
+        decode_gif_anim_frame_stats,
+        encode_gif_anim,
+    )
+    from kafka_streams_common_spark.operators.jpeg import jpeg_progressive_report
+
+    def _g711_lake(docs):
+        return decode_audio_codec_features(
+            encode_wav(docs.filter(F.col("doc_id") % 3 == 0))
+            .unionAll(encode_wav(docs.filter(F.col("doc_id") % 3 == 1),
+                                 codec="mulaw"))
+            .unionAll(encode_wav(docs.filter(F.col("doc_id") % 3 == 2),
+                                 codec="alaw"))
+        )
+
+    def _palette_lake(docs):
+        return decode_image_features(
+            encode_png(docs.filter(F.col("doc_id") % 2 == 0), level=6).unionAll(
+                encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6,
+                           indexed=True)
+            )
+        )
+
+    noop_probes.update(
+        {
+            "g711_mixed_codec_decode": (
+                lambda: _g711_lake(docs1),
+                lambda: _g711_lake(docs8),
+            ),
+            "gif_anim_frame_stats": (
+                lambda: decode_gif_anim_frame_stats(encode_gif_anim(docs1)),
+                lambda: decode_gif_anim_frame_stats(encode_gif_anim(docs8)),
+            ),
+            "png_palette_decode": (
+                lambda: _palette_lake(docs1),
+                lambda: _palette_lake(docs8),
+            ),
+            "jpeg_progressive_report": (
+                lambda: jpeg_progressive_report(docs1),
+                lambda: jpeg_progressive_report(docs8),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {
