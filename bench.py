@@ -183,6 +183,7 @@ TRACKING_QUERIES = [
     "multimodal_gif_anim_scene_stats",
     "multimodal_png_palette_decode",
     "multimodal_jpeg_progressive_recon",
+    "multimodal_color_image_decode",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

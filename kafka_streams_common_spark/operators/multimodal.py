@@ -116,6 +116,27 @@ def encode_pgm(
     )
 
 
+def encode_ppm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim_mod: int = 16
+) -> DataFrame:
+    """The TRUECOLOR twin of ``encode_pgm`` (r13): a genuine binary
+    Netpbm PPM (P6) — same JVM-side expressions, same md5 geometry,
+    raster = the digest cycled to ``3·width·height`` bytes (RGB
+    triples in raster order). The decoder must recover 3 channels from
+    the P6 magic and de-interleave them."""
+    text = F.col(text_col)
+    w = (F.pmod(md5_int64(text), F.lit(dim_mod)) + 1).cast("int")
+    h = (F.pmod(md5_int64(F.reverse(text)), F.lit(dim_mod)) + 1).cast("int")
+    raster = F.unhex(
+        F.repeat(F.md5(text), (3 * dim_mod * dim_mod + 15) // 16)
+    ).substr(F.lit(1), (3 * w * h).cast("int"))
+    header = F.encode(F.format_string("P6\n%d %d\n255\n", w, h), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(header, raster).alias("payload"),
+    )
+
+
 def _parse_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse a binary Netpbm image (PGM ``P5`` grayscale / PPM ``P6``
     RGB) per the public spec: magic, then ASCII width/height/maxval
@@ -553,6 +574,7 @@ def encode_png(
     dim_mod: int = 16,
     level: int = 6,
     indexed: bool = False,
+    channels: int = 1,
 ) -> DataFrame:
     """Encode each document as a genuine PNG — REAL zlib DEFLATE (or
     deterministic stored blocks at ``level=0``), scanline filters
@@ -571,8 +593,17 @@ def encode_png(
     palette ``i → (7i+13) mod 256`` (``_AFFINE_GRAY_PALETTE``) — a
     non-identity permutation, so the decoder's palette lookup is
     load-bearing (pass-through indexes break the content hash) while
-    the mapped luma stays one SQL expression."""
+    the mapped luma stays one SQL expression.
+
+    ``channels=3`` (r13) writes TRUECOLOR (color type 2): the digest
+    bytes cycle to ``3·w·h`` RGB values — the PNG twin of
+    ``encode_ppm`` (mutually exclusive with ``indexed``)."""
     import hashlib
+
+    if indexed and channels != 1:
+        raise ValueError("indexed and channels=3 are mutually exclusive")
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
 
     out_schema = T.StructType(
         [
@@ -588,8 +619,9 @@ def encode_png(
                 hx = hashlib.md5(text.encode()).hexdigest()
                 w = int(hx[:15], 16) % dim_mod + 1
                 h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
-                raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
-                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
+                n = channels * w * h
+                raster = (bytes.fromhex(hx) * ((n + 15) // 16))[:n]
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
                 payloads.append(
                     _encode_png_bytes(
                         px,

@@ -33,7 +33,7 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-13 WINDOW (``_R13_WINDOW``): head = the eight round-13
+ROUND-13 WINDOW (``_R13_WINDOW``): head = the nine round-13
 registrations, never driver-checked (invariant #1) —
 ``multimodal_jpeg_color_recon`` (baseline YCbCr color JPEG, 4:4:4 and
 4:2:0 in one lake, per-component DQT/DHT selectors, subsampling mode
@@ -54,7 +54,9 @@ with the affine non-identity gray palette, the lookup replayed in
 SQL), and ``multimodal_jpeg_progressive_recon`` (PROGRESSIVE SOF2:
 spectral selection + successive approximation, gated ARRAY-EXACT
 against the baseline decode of the same source plus SOF-recovered
-mode/subsample). Then the seven rows
+mode/subsample), and ``multimodal_color_image_decode`` (the truecolor
+path: P6 PPM + color-type-2 PNG, the 3·w·h RGB stream replayed in
+SQL). Then the seven rows
 whose implementation changed in round 13 itself (invariant #2): the
 ``operators/jpeg.py`` refactor (shared block encode/decode helpers,
 multi-component ``_parse_jpeg``, new marker rejections) re-exposes
@@ -67,19 +69,19 @@ offset-descriptor rejection — ``multimodal_png_decode``,
 ``multimodal_ahash_near_dup``, ``multimodal_audio_near_dup``, and
 ``multimodal_video_near_dup`` (all default-parameter-identical —
 oracles unchanged — but changed code gets re-exposed, not argued
-about). The remaining 35 slots take the COMPUTED refresh queue
+about). The remaining 34 slots take the COMPUTED refresh queue
 VERBATIM (key: last-green round asc, green-count asc, registration
-order) — the first 35 of the 40 r7-stale rows promised in the README
-r12 ledger (the last five, ``set_union_distinct``
-``rollup_orders_by_status_priority`` ``scalar_function_showcase``
-``pivot_event_value_by_type`` ``date_interval_arithmetic``, are
-displaced to the r14 queue head by the fourth-eighth registrations),
-which drains the r7 tier to FIVE remaining rows: the 16 single-green
-rows (headed by the five displaced by the r12 second wave), the 8
-two-green rows, the 5 three-green rows, and the first 6 of the 11
-four-green rows (the r12 ledger's predicted 6/10 split for the last
-two tiers recounts to 5/11 against the CORRECTNESS files; same names,
-same key order).
+order) — the first 34 of the 40 r7-stale rows promised in the README
+r12 ledger (the last six, ``anti_join_customers_without_orders``
+``set_union_distinct`` ``rollup_orders_by_status_priority``
+``scalar_function_showcase`` ``pivot_event_value_by_type``
+``date_interval_arithmetic``, are displaced to the r14 queue head by
+the fourth-ninth registrations), which drains the r7 tier to SIX
+remaining rows: the 16 single-green rows (headed by the five displaced
+by the r12 second wave), the 8 two-green rows, the 5 three-green rows,
+and the first 5 of the 11 four-green rows (the r12 ledger's predicted
+6/10 split for the last two tiers recounts to 5/11 against the
+CORRECTNESS files; same names, same key order).
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -111,6 +113,7 @@ _R13_NEW = (
     "multimodal_gif_anim_scene_stats",
     "multimodal_png_palette_decode",
     "multimodal_jpeg_progressive_recon",
+    "multimodal_color_image_decode",
 )
 assert all(n in QUERIES for n in _R13_NEW)
 
@@ -176,14 +179,14 @@ _R13_REFRESH = (
     "text_lang_id",
     "text_fingerprints",
     "text_unigram_logprob",
-    "anti_join_customers_without_orders",
-    # set_union_distinct, rollup_orders_by_status_priority,
-    # scalar_function_showcase, pivot_event_value_by_type, and
-    # date_interval_arithmetic — the queue's 36th-40th rows — are
-    # displaced to the r14 queue head by the fourth-eighth r13
-    # registrations (sim_semantic_dedup, multimodal_g711_mixed_decode,
-    # multimodal_gif_anim_scene_stats, multimodal_png_palette_decode,
-    # multimodal_jpeg_progressive_recon), per invariant #1
+    # anti_join_customers_without_orders, set_union_distinct,
+    # rollup_orders_by_status_priority, scalar_function_showcase,
+    # pivot_event_value_by_type, and date_interval_arithmetic — the
+    # queue's 35th-40th rows — are displaced to the r14 queue head by
+    # the fourth-ninth r13 registrations (sim_semantic_dedup,
+    # multimodal_g711_mixed_decode, multimodal_gif_anim_scene_stats,
+    # multimodal_png_palette_decode, multimodal_jpeg_progressive_recon,
+    # multimodal_color_image_decode), per invariant #1
 )
 assert all(n in QUERIES for n in _R13_REFRESH)
 

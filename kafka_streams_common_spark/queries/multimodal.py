@@ -49,6 +49,7 @@ from kafka_streams_common_spark.operators.multimodal import (
     decode_y4m_frame_stats,
     encode_pgm,
     encode_png,
+    encode_ppm,
     encode_wav,
     encode_y4m,
     sample_frames,
@@ -275,6 +276,63 @@ def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     return feats.select(
         "doc_id",
         "format",
+        "width",
+        "height",
+        "n_px",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
+@query(
+    "multimodal_color_image_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS format,
+           CAST(3 AS INT) AS channels,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                           for i in range(1, 3*w*h + 1)]), 6) AS mean_px,
+           list_min([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, 3*w*h + 1)]) AS min_px,
+           list_max([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, 3*w*h + 1)]) AS max_px
+    FROM m
+    """,
+)
+def multimodal_color_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUECOLOR image decode (r13) — the 3-channel path externally
+    gated for the first time: even documents are binary Netpbm P6 PPMs
+    (JVM-side ``encode_ppm`` — RGB raster = digest cycled to 3·w·h
+    bytes), odd documents truecolor PNGs (color type 2 — the same RGB
+    raster through DEFLATE and the five scanline filters at bpp=3,
+    where the Sub/Average/Paeth predictors reference the byte three
+    positions back). One ``decode_image_features`` stage dispatches and
+    decodes both; the oracle replays the 3·w·h RGB byte stream in SQL,
+    so the recovered ``channels`` column gates the 3-channel header
+    parse / IHDR color type, and mean/min/max over ALL channel values
+    gate the de-interleave and the bpp=3 unfilter end-to-end."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = encode_ppm(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
+        encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6, channels=3)
+    )
+    feats = decode_image_features(mixed)
+    return feats.select(
+        "doc_id",
+        "format",
+        "channels",
         "width",
         "height",
         "n_px",

@@ -1896,3 +1896,49 @@ def test_alaw_expansion_extremes_and_stdlib_equivalence(spark):
     assert rows[2]["n_samples"] == n
     assert rows[2]["peak_lin"] == int(np.abs(lin).max()) <= 32256
     assert abs(rows[2]["mean_lin"] - float(lin.mean())) < 1e-9
+
+
+def test_color_image_lake_decodes_rgb_content(spark):
+    """encode_ppm emits byte-exact P6 files (validated against a
+    pure-Python builder) and the truecolor PNG leg (color type 2)
+    recovers the identical RGB raster through DEFLATE + bpp=3 filters;
+    decode_image_features reports channels=3 and stats over ALL 3wh
+    channel values for both containers."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_image_features,
+        encode_png,
+        encode_ppm,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta beta"), (2, "gamma!"), (3, "delta? epsilon")],
+        ["doc_id", "text"],
+    )
+    texts = {0: "alpha", 1: "beta beta", 2: "gamma!", 3: "delta? epsilon"}
+
+    # byte-exactness of the JVM-side P6 encoder
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in encode_ppm(docs).collect()}
+    for did, text in texts.items():
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+        raster = (bytes.fromhex(hx) * ((3 * w * h + 15) // 16))[: 3 * w * h]
+        assert payloads[did] == f"P6\n{w} {h}\n255\n".encode() + raster
+
+    mixed = encode_ppm(docs.filter("doc_id % 2 = 0")).unionAll(
+        encode_png(docs.filter("doc_id % 2 = 1"), level=6, channels=3)
+    )
+    rows = {r["doc_id"]: r.asDict() for r in decode_image_features(mixed).collect()}
+    for did, text in texts.items():
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+        raster = (bytes.fromhex(hx) * ((3 * w * h + 15) // 16))[: 3 * w * h]
+        r = rows[did]
+        assert r["format"] == ("ppm" if did % 2 == 0 else "png")
+        assert r["channels"] == 3
+        assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
+        assert r["min_px"] == min(raster) and r["max_px"] == max(raster)
+        assert abs(r["mean_px"] - sum(raster) / len(raster)) < 1e-9
