@@ -289,11 +289,34 @@ _AFFINE_GRAY_PALETTE = bytes(
 )
 
 
+# Adam7 interlace pass geometry per the PNG spec: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield ``(x0, y0, dx, dy, pw, ph)`` for each NON-EMPTY Adam7
+    pass — empty passes contribute no bytes at all, per spec."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def _encode_png_bytes(
     px: np.ndarray,
     level: int = 6,
     filter_seed: int = 0,
     palette: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an ``(h, w, channels)`` uint8 array as a spec-compliant
     PNG (8-bit, color type 0 grayscale / 2 RGB / 3 indexed, no
@@ -303,7 +326,11 @@ def _encode_png_bytes(
     stored blocks (deterministic container size — see
     ``_zlib_stored``), any other level uses real DEFLATE via
     ``zlib.compress``. With ``palette`` (RGB triples), ``px`` carries
-    PALETTE INDEXES (1 channel) and a PLTE chunk is written."""
+    PALETTE INDEXES (1 channel) and a PLTE chunk is written. With
+    ``interlace`` (r13), the raster is split into the SEVEN Adam7
+    passes — each pass an independent sub-image with its own filtered
+    scanlines and its own zero prior; empty passes contribute no bytes
+    at all, per spec."""
     import zlib
 
     h, w, channels = px.shape
@@ -317,19 +344,29 @@ def _encode_png_bytes(
         colortype = 0 if channels == 1 else 2
     bpp = channels
     lines = []
-    prior = np.zeros(w * bpp, dtype=np.uint8)
-    for r in range(h):
-        raw = px[r].reshape(-1)
-        ftype = (filter_seed + r) % 5
-        lines.append(bytes([ftype]))
-        lines.append(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
-        prior = raw
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            prior = np.zeros(pw * bpp, dtype=np.uint8)
+            for r in range(ph):
+                raw = px[y0 + r * dy, x0::dx][:pw].reshape(-1)
+                ftype = (filter_seed + r) % 5
+                lines.append(bytes([ftype]))
+                lines.append(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
+                prior = raw
+    else:
+        prior = np.zeros(w * bpp, dtype=np.uint8)
+        for r in range(h):
+            raw = px[r].reshape(-1)
+            ftype = (filter_seed + r) % 5
+            lines.append(bytes([ftype]))
+            lines.append(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
+            prior = raw
     filtered = b"".join(lines)
     idat = _zlib_stored(filtered) if level == 0 else zlib.compress(filtered, level)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, colortype, 0, 0, 0])  # depth, color, compression, filter, interlace
+        + bytes([8, colortype, 0, 0, int(interlace)])
     )
     plte = _png_chunk(b"PLTE", palette) if palette is not None else b""
     return (
@@ -346,12 +383,13 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     chunk walk with CRC-32 verification, IHDR geometry, concatenated
     IDAT zlib-inflate, scanline unfilter (all five filter types).
     8-bit depth, color types 0 (gray), 2 (RGB) and 3 (indexed with a
-    PLTE palette — r13), non-interlaced. Ancillary chunks are skipped
-    (CRC-checked) per spec. Returns ``(channels, width, height,
-    pixels)`` shaped ``(h, w, channels)`` — the ``_parse_netpbm``
-    contract, so stats code is shared; indexed images come back as
-    mapped luma (grayscale palette, 1 channel) or mapped RGB, the GIF
-    convention."""
+    PLTE palette — r13), sequential AND Adam7-interlaced (r13: seven
+    per-pass filtered sub-images, exact-size-checked, de-interlace
+    scatter). Ancillary chunks are skipped (CRC-checked) per spec.
+    Returns ``(channels, width, height, pixels)`` shaped
+    ``(h, w, channels)`` — the ``_parse_netpbm`` contract, so stats
+    code is shared; indexed images come back as mapped luma (grayscale
+    palette, 1 channel) or mapped RGB, the GIF convention."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -381,24 +419,50 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, colortype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or colortype not in (0, 2, 3) or interlace != 0:
+    if depth != 8 or colortype not in (0, 2, 3) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={colortype} interlace="
-            f"{interlace}; 8-bit gray/RGB/indexed non-interlaced only)"
+            f"{interlace}; 8-bit gray/RGB/indexed, interlace 0/1 only)"
         )
     channels = 1 if colortype in (0, 3) else 3
     stride = width * channels
     raw = zlib.decompress(b"".join(idat_parts))
-    if len(raw) != height * (stride + 1):
-        raise ValueError(f"inflated data {len(raw)} != {height} x ({stride}+1)")
-    px = np.empty((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for r in range(height):
-        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
-        prior = _png_unfilter_scanline(
-            line[0], np.frombuffer(line[1:], dtype=np.uint8), prior, channels
+    if interlace:  # Adam7 (r13): seven independent filtered sub-images
+        expect = sum(
+            ph * (pw * channels + 1)
+            for _, _, _, _, pw, ph in _adam7_passes(width, height)
         )
-        px[r] = prior
+        if len(raw) != expect:
+            raise ValueError(f"inflated data {len(raw)} != Adam7 size {expect}")
+        full = np.empty((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            pstride = pw * channels
+            prior = np.zeros(pstride, dtype=np.uint8)
+            for r in range(ph):
+                line = raw[pos : pos + pstride + 1]
+                pos += pstride + 1
+                prior = _png_unfilter_scanline(
+                    line[0],
+                    np.frombuffer(line[1:], dtype=np.uint8),
+                    prior,
+                    channels,
+                )
+                full[y0 + r * dy, x0 : x0 + (pw - 1) * dx + 1 : dx] = prior.reshape(
+                    pw, channels
+                )
+        px = full.reshape(height, stride)
+    else:
+        if len(raw) != height * (stride + 1):
+            raise ValueError(f"inflated data {len(raw)} != {height} x ({stride}+1)")
+        px = np.empty((height, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.uint8)
+        for r in range(height):
+            line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+            prior = _png_unfilter_scanline(
+                line[0], np.frombuffer(line[1:], dtype=np.uint8), prior, channels
+            )
+            px[r] = prior
     if colortype == 3:
         if plte is None or not plte or len(plte) % 3:
             raise ValueError("indexed PNG requires a PLTE chunk of RGB triples")
@@ -575,6 +639,7 @@ def encode_png(
     level: int = 6,
     indexed: bool = False,
     channels: int = 1,
+    interlaced: bool = False,
 ) -> DataFrame:
     """Encode each document as a genuine PNG — REAL zlib DEFLATE (or
     deterministic stored blocks at ``level=0``), scanline filters
@@ -597,7 +662,11 @@ def encode_png(
 
     ``channels=3`` (r13) writes TRUECOLOR (color type 2): the digest
     bytes cycle to ``3·w·h`` RGB values — the PNG twin of
-    ``encode_ppm`` (mutually exclusive with ``indexed``)."""
+    ``encode_ppm`` (mutually exclusive with ``indexed``).
+    ``interlaced=True`` (r13) writes the Adam7 SEVEN-pass layout — the
+    same pixels, split into per-pass filtered sub-images, so the
+    content oracle is unchanged while the decoder must run the full
+    de-interlace scatter."""
     import hashlib
 
     if indexed and channels != 1:
@@ -628,6 +697,7 @@ def encode_png(
                         level=level,
                         filter_seed=int(did),
                         palette=_AFFINE_GRAY_PALETTE if indexed else None,
+                        interlace=interlaced,
                     )
                 )
             yield pd.DataFrame(

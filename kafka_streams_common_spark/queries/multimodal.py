@@ -319,14 +319,31 @@ def multimodal_color_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     bytes), odd documents truecolor PNGs (color type 2 — the same RGB
     raster through DEFLATE and the five scanline filters at bpp=3,
     where the Sub/Average/Paeth predictors reference the byte three
-    positions back). One ``decode_image_features`` stage dispatches and
-    decodes both; the oracle replays the 3·w·h RGB byte stream in SQL,
-    so the recovered ``channels`` column gates the 3-channel header
-    parse / IHDR color type, and mean/min/max over ALL channel values
-    gate the de-interleave and the bpp=3 unfilter end-to-end."""
+    positions back). Half the PNG docs (doc_id % 4 == 3) are
+    additionally ADAM7-INTERLACED — the same pixels split into the
+    spec's seven per-pass filtered sub-images, so the oracle is
+    unchanged while the decoder must run the full de-interlace scatter
+    (a wrong pass geometry or scatter stride lands pixels in the wrong
+    cells and breaks the hash). One ``decode_image_features`` stage
+    dispatches and decodes all three container variants; the oracle
+    replays the 3·w·h RGB byte stream in SQL, so the recovered
+    ``channels`` column gates the 3-channel header parse / IHDR color
+    type, and mean/min/max over ALL channel values gate the
+    de-interleave and the bpp=3 unfilter end-to-end."""
     docs = table(spark, sf_dir, "documents")
-    mixed = encode_ppm(docs.filter(F.col("doc_id") % 2 == 0)).unionAll(
-        encode_png(docs.filter(F.col("doc_id") % 2 == 1), level=6, channels=3)
+    mixed = (
+        encode_ppm(docs.filter(F.col("doc_id") % 2 == 0))
+        .unionAll(
+            encode_png(docs.filter(F.col("doc_id") % 4 == 1), level=6, channels=3)
+        )
+        .unionAll(
+            encode_png(
+                docs.filter(F.col("doc_id") % 4 == 3),
+                level=6,
+                channels=3,
+                interlaced=True,
+            )
+        )
     )
     feats = decode_image_features(mixed)
     return feats.select(

@@ -196,12 +196,19 @@ def test_png_parser_rejects_malformed():
     deep = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
     with pytest.raises(ValueError, match="unsupported PNG"):
         _parse_png(deep)
-    # interlaced
+    # Adam7 is SUPPORTED since r13 — but relabeling a SEQUENTIAL stream
+    # as interlaced must fail the exact Adam7 size check, not decode
     ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
     ihdr[12] = 1
     inter = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
-    with pytest.raises(ValueError, match="unsupported PNG"):
+    with pytest.raises(ValueError, match="Adam7 size"):
         _parse_png(inter)
+    # an out-of-spec interlace method stays rejected
+    ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
+    ihdr[12] = 2
+    bad2 = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _parse_png(bad2)
     # geometry lie: IHDR claims an extra row -> inflated size mismatch
     ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
     ihdr[4:8] = (4).to_bytes(4, "big")
@@ -373,3 +380,66 @@ def test_png_indexed_rejects_bad_palettes():
         + good[plte_at + 12 + plte_len :]
     with pytest.raises(ValueError, match="index out of range"):
         _parse_png(short)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=dims,
+    h=dims,
+    channels=st.sampled_from([1, 3]),
+    level=st.sampled_from([0, 6]),
+    filter_seed=st.integers(0, 4),
+    indexed=st.booleans(),
+    data=st.data(),
+)
+def test_png_adam7_interlaced_roundtrip(
+    w, h, channels, level, filter_seed, indexed, data
+):
+    """Adam7 (r13): the seven-pass layout must round-trip exactly over
+    the dim × channel × level × filter space, including the indexed
+    (palette) form — pass geometry, per-pass filter priors, empty-pass
+    omission, and the de-interlace scatter are all load-bearing."""
+    from kafka_streams_common_spark.operators.multimodal import (
+        _AFFINE_GRAY_PALETTE,
+    )
+
+    if indexed and channels == 3:
+        channels = 1
+    n = w * h * channels
+    px = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)),
+        dtype=np.uint8,
+    ).reshape(h, w, channels)
+    pay = _encode_png_bytes(
+        px,
+        level=level,
+        filter_seed=filter_seed,
+        palette=_AFFINE_GRAY_PALETTE if indexed else None,
+        interlace=True,
+    )
+    assert pay[8 + 8 + 12] == 1  # IHDR interlace byte
+    c, gw, gh, got = _parse_png(pay)
+    assert (gw, gh) == (w, h)
+    if indexed:
+        assert c == 1
+        assert np.array_equal(got[:, :, 0], (px[:, :, 0].astype(int) * 7 + 13) % 256)
+    else:
+        assert c == channels
+        assert np.array_equal(got, px)
+    # a corrupted Adam7 stream (one pass scanline short) is rejected
+    # via the exact-size check — pin the message once per run
+    if w >= 2 and h >= 2 and level == 0 and not indexed:
+        import pytest
+        import zlib
+
+        from kafka_streams_common_spark.operators.multimodal import _png_chunk
+
+        idat_at = pay.index(b"IDAT") - 4
+        idat_len = int.from_bytes(pay[idat_at : idat_at + 4], "big")
+        raw = zlib.decompress(pay[idat_at + 8 : idat_at + 8 + idat_len])
+        bad = zlib.compress(raw[:-1])
+        repacked = (
+            pay[:idat_at] + _png_chunk(b"IDAT", bad) + pay[idat_at + 12 + idat_len :]
+        )
+        with pytest.raises(ValueError, match="Adam7 size"):
+            _parse_png(repacked)
