@@ -184,12 +184,29 @@ def _subblocks(data: bytes) -> bytes:
 _GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
 
-def _encode_gif_bytes(px: np.ndarray, uncompressed: bool = False) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """The GIF four-pass row interlacement per the spec: rows 0,8,16…,
+    then 4,12…, then 2,6,10…, then the odd rows — the order rows are
+    STORED in the stream."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _encode_gif_bytes(
+    px: np.ndarray, uncompressed: bool = False, interlaced: bool = False
+) -> bytes:
     """Encode an ``(h, w, 1)`` uint8 array as a spec-compliant GIF87a:
     header, logical screen descriptor (global color table flag set,
     8-bit color resolution, 256-entry table), grayscale identity
     palette, image descriptor at (0,0), LZW-coded index stream in
-    sub-blocks, trailer."""
+    sub-blocks, trailer. ``interlaced`` (r13) stores the rows in the
+    spec's four-pass order with the descriptor's interlace flag set —
+    same pixels, so content oracles are unchanged while the decoder
+    must run the row de-interlace."""
     h, w, channels = px.shape
     if channels != 1:
         raise ValueError("GIF branch encodes 8-bit grayscale (1 channel) only")
@@ -204,9 +221,12 @@ def _encode_gif_bytes(px: np.ndarray, uncompressed: bool = False) -> bytes:
         + (0).to_bytes(2, "little")
         + w.to_bytes(2, "little")
         + h.to_bytes(2, "little")
-        + b"\x00"  # no local color table, not interlaced
+        + (b"\x40" if interlaced else b"\x00")  # no local table; interlace flag
     )
-    codes = _lzw_compress(px.reshape(-1).tobytes(), uncompressed=uncompressed)
+    raster = px[:, :, 0]
+    if interlaced:
+        raster = raster[_gif_interlace_order(h)]
+    codes = _lzw_compress(raster.reshape(-1).tobytes(), uncompressed=uncompressed)
     return (
         b"GIF87a"
         + lsd
@@ -268,8 +288,7 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         iflags = payload[pos + 9]
         if iflags & 0x80:
             raise ValueError("local color tables not supported")
-        if iflags & 0x40:
-            raise ValueError("interlaced GIFs not supported")
+        interlaced = bool(iflags & 0x40)
         pos += 10
         mcs = payload[pos]
         if mcs != _MCS:
@@ -291,6 +310,11 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         )
         if idx.size != w * h:
             raise ValueError(f"decoded {idx.size} pixels, descriptor says {w * h}")
+        if interlaced:  # rows arrive in the four-pass order (r13)
+            stored = idx.reshape(h, w)
+            img = np.empty_like(stored)
+            img[_gif_interlace_order(h)] = stored
+            idx = img.reshape(-1)
         if palette is None:
             raise ValueError("no global color table (indexed pixels need one)")
         rgb = palette[idx]  # (n, 3)
@@ -424,8 +448,7 @@ def _parse_gif_frames(
         iflags = payload[pos + 9]
         if iflags & 0x80:
             raise ValueError("local color tables not supported")
-        if iflags & 0x40:
-            raise ValueError("interlaced GIFs not supported")
+        interlaced = bool(iflags & 0x40)
         pos += 10
         mcs = payload[pos]
         if mcs != _MCS:
@@ -447,7 +470,12 @@ def _parse_gif_frames(
         )
         if idx.size != w * h:
             raise ValueError(f"decoded {idx.size} pixels, descriptor says {w * h}")
-        frames.append(lut[idx].reshape(h, w))
+        frame = lut[idx].reshape(h, w)
+        if interlaced:  # per-frame row de-interlace (r13)
+            img = np.empty_like(frame)
+            img[_gif_interlace_order(h)] = frame
+            frame = img
+        frames.append(frame)
         delays.append(pending_delay)
         pending_delay = 0  # a GCE governs only the next image, per spec
     if not frames:
@@ -461,6 +489,7 @@ def encode_gif(
     id_col: str = "doc_id",
     dim_mod: int = 16,
     uncompressed: bool = False,
+    interlaced: bool = False,
 ) -> DataFrame:
     """Encode each document as a genuine GIF87a — REAL variable-width
     LZW (or the deterministic-size CLEAR-per-pixel framing when
@@ -490,7 +519,11 @@ def encode_gif(
                 h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
                 raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
                 px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
-                payloads.append(_encode_gif_bytes(px, uncompressed=uncompressed))
+                payloads.append(
+                    _encode_gif_bytes(
+                        px, uncompressed=uncompressed, interlaced=interlaced
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].values, "payload": payloads},
                 columns=["doc_id", "payload"],

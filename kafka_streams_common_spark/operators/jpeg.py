@@ -7,7 +7,7 @@ coding with byte stuffing, and the SOI/DQT/SOF0/DHT/SOS/EOI marker
 structure. Scope: sequential baseline (SOF0) AND (since r13)
 PROGRESSIVE (SOF2) with full spectral selection + successive
 approximation; 8-bit grayscale and 3-component YCbCr color with
-4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, interleaved MCUs,
+4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 chroma subsampling, interleaved MCUs,
 per-component DQT/DHT selectors, and DRI restart intervals with RSTn
 markers (baseline scans). Arithmetic coding, hierarchical/extended
 SOFs, and non-interleaved SOF0 multi-scan files are rejected with
@@ -335,6 +335,7 @@ _SUBSAMPLE_FACTORS = {
     # (h, v) per component in SOF order Y, Cb, Cr
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),  # vertical-only subsampling (r13)
     "420": ((2, 2), (1, 1), (1, 1)),
 }
 
@@ -343,7 +344,7 @@ def _encode_jpeg_color_bytes(
     px: np.ndarray, subsample: str = "420", restart_interval: int = 0
 ) -> bytes:
     """Encode an ``(h, w, 3)`` uint8 RGB array as a baseline YCbCr JPEG
-    with the requested chroma subsampling (4:4:4, 4:2:2 or 4:2:0):
+    with the requested chroma subsampling (4:4:4, 4:2:2, 4:4:0 or 4:2:0):
     BT.601 color conversion, box-average chroma downsampling, and one
     interleaved scan of MCUs (each MCU carries the component's h×v
     blocks in raster order, per the spec's interleaving rules). Luma

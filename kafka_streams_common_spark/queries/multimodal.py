@@ -402,8 +402,16 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-for-byte against hand-computed spec codes in
     tests/test_gif.py."""
     docs = table(spark, sf_dir, "documents")
-    mixed = encode_png(docs.filter(F.col("doc_id") % 2 == 0), level=6).unionAll(
-        encode_gif(docs.filter(F.col("doc_id") % 2 == 1))
+    mixed = (
+        encode_png(docs.filter(F.col("doc_id") % 2 == 0), level=6)
+        .unionAll(encode_gif(docs.filter(F.col("doc_id") % 4 == 1)))
+        .unionAll(
+            # half the GIFs are ROW-INTERLACED (r13): same pixels in the
+            # spec's four-pass storage order — the oracle is unchanged
+            # while the decoder must run the row de-interlace (a wrong
+            # pass order permutes rows and breaks the content hash)
+            encode_gif(docs.filter(F.col("doc_id") % 4 == 3), interlaced=True)
+        )
     )
     feats = decode_image_features(mixed)
     return feats.select(

@@ -108,12 +108,7 @@ def test_gif_rejects_malformed():
         _parse_gif(b"JIF87a" + good[6:])
     with pytest.raises(ValueError, match="truncated image data"):
         _parse_gif(good[:-4])
-    # interlace flag set in the image descriptor
     desc_at = good.index(b"\x2c", 13 + 768)
-    bad = bytearray(good)
-    bad[desc_at + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        _parse_gif(bytes(bad))
     # nonzero left/top offsets in the image descriptor are rejected
     # explicitly (same posture as interlace/local-palette), not decoded
     # silently as if anchored at (0, 0)
@@ -249,3 +244,42 @@ def test_gif_anim_spark_stats_match_reference(spark):
             assert got[4] is None
         else:
             assert abs(got[4] - exp[4]) < 1e-9
+
+
+def test_gif_row_interlacing_roundtrip_and_is_load_bearing():
+    """Row interlacing (r13): the four-pass storage order must
+    round-trip to the original raster for every height class (the pass
+    boundaries shift with h); the de-interlace is load-bearing — a
+    sequential stream with a LYING interlace flag decodes to permuted
+    rows, not the original. Animated frames de-interlace too."""
+    from kafka_streams_common_spark.operators.gif import (
+        _encode_gif_anim_bytes,
+        _gif_interlace_order,
+        _parse_gif_frames,
+    )
+
+    rng = np.random.RandomState(4)
+    for h in (1, 2, 3, 4, 5, 7, 8, 9, 16, 23):
+        order = _gif_interlace_order(h)
+        assert sorted(order) == list(range(h))  # a permutation of all rows
+        px = rng.randint(0, 256, size=(h, 6, 1)).astype(np.uint8)
+        c, w, gh, got = _parse_gif(_encode_gif_bytes(px, interlaced=True))
+        assert (c, w, gh) == (1, 6, h)
+        assert (got == px).all()
+    # lying flag on a sequential stream permutes rows (h > 1)
+    px = rng.randint(0, 256, size=(8, 4, 1)).astype(np.uint8)
+    seq = bytearray(_encode_gif_bytes(px))
+    seq[seq.index(b"\x2c", 13 + 768) + 9] |= 0x40
+    got = _parse_gif(bytes(seq))[3]
+    assert not (got == px).all()
+    assert sorted(got.reshape(-1).tolist()) == sorted(px.reshape(-1).tolist())
+    # interlaced frame inside an animation: splice the flag + reorder
+    f0 = rng.randint(0, 256, size=(8, 4, 1)).astype(np.uint8)
+    pay = _encode_gif_anim_bytes([f0], [3])
+    # rebuild with the stored rows in pass order and the flag set
+    stored = f0[_gif_interlace_order(8), :, :]
+    inter = bytearray(_encode_gif_anim_bytes([stored], [3]))
+    # first image descriptor sits after LSD + palette + NETSCAPE + GCE
+    inter[inter.index(b"\x2c", 13 + 768) + 9] |= 0x40
+    _, _, delays, frames = _parse_gif_frames(bytes(inter))
+    assert delays == [3] and (frames[0] == f0[:, :, 0]).all()

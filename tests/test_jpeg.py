@@ -214,7 +214,7 @@ def test_color_conversion_is_bt601_and_near_invertible():
 @given(
     w=st.integers(min_value=1, max_value=40),
     h=st.integers(min_value=1, max_value=40),
-    mode=st.sampled_from(["444", "422", "420"]),
+    mode=st.sampled_from(["444", "422", "440", "420"]),
     seed=st.integers(min_value=0, max_value=10_000),
 )
 def test_color_roundtrip_hypothesis_md5_style_sources(w, h, mode, seed):
@@ -420,7 +420,7 @@ def test_progressive_equals_baseline_decode_gray_and_color():
 @given(
     w=st.integers(min_value=1, max_value=40),
     h=st.integers(min_value=1, max_value=40),
-    mode=st.sampled_from(["gray", "444", "422", "420"]),
+    mode=st.sampled_from(["gray", "444", "422", "440", "420"]),
     seed=st.integers(min_value=0, max_value=10_000),
 )
 def test_progressive_equals_baseline_hypothesis(w, h, mode, seed):
