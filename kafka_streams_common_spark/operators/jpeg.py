@@ -1092,24 +1092,30 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         raise ValueError("DC scans must have Se=0")
                     order = [cid_index[c] for c in scan_cids]
                     prev = {ci: 0 for ci in order}
+                    # resolve each component's DC table ONCE, before the
+                    # MCU loops (fail fast on a missing table, no per-block
+                    # dict lookup — the baseline path's discipline)
+                    dc_tabs: dict[int, dict] = {}
+                    if ah == 0:
+                        for ci in order:
+                            dc_tab = htables.get(0x00 | sel[comps[ci][0]][0])
+                            if dc_tab is None:
+                                raise ValueError("missing DC table")
+                            dc_tabs[ci] = dc_tab
                     if ns > 1:  # interleaved: MCU order
                         for my in range(mcuy):
                             for mx in range(mcux):
                                 for ci in order:
                                     _, hi, vi, _ = comps[ci]
-                                    dc_sel, _ = sel[comps[ci][0]]
                                     for by in range(vi):
                                         for bx in range(hi):
                                             zz = coefs[ci][
                                                 my * vi + by, mx * hi + bx
                                             ]
                                             if ah == 0:
-                                                dc_tab = htables.get(0x00 | dc_sel)
-                                                if dc_tab is None:
-                                                    raise ValueError(
-                                                        "missing DC table"
-                                                    )
-                                                size = _read_symbol(rd, dc_tab)
+                                                size = _read_symbol(
+                                                    rd, dc_tabs[ci]
+                                                )
                                                 prev[ci] += _extend(
                                                     rd.bits(size), size
                                                 )
@@ -1119,7 +1125,6 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     else:
                         ci = order[0]
                         _, hi, vi, _ = comps[ci]
-                        dc_sel, _ = sel[comps[ci][0]]
                         nbx, nby = _comp_block_grid(
                             width, height, hi, vi, hmax, vmax
                         )
@@ -1127,10 +1132,7 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                             for bx in range(nbx):
                                 zz = coefs[ci][by, bx]
                                 if ah == 0:
-                                    dc_tab = htables.get(0x00 | dc_sel)
-                                    if dc_tab is None:
-                                        raise ValueError("missing DC table")
-                                    size = _read_symbol(rd, dc_tab)
+                                    size = _read_symbol(rd, dc_tabs[ci])
                                     prev[ci] += _extend(rd.bits(size), size)
                                     zz[0] = prev[ci] << al
                                 else:
@@ -1348,8 +1350,10 @@ def _md5_color_image(text: str, dim_mod: int = 32) -> np.ndarray:
 def _sof_info(payload: bytes) -> tuple[str, str]:
     """Header-only marker walk to the SOF segment; returns
     ``(mode, subsample)`` with mode 'baseline' (SOF0) or 'progressive'
-    (SOF2) and subsampling '444' / '422' / '420' / 'gray' — both
-    RECOVERED from the file, not passed through."""
+    (SOF2) and subsampling '444' / '422' / '440' / '420' / 'gray' (the
+    ``_SUBSAMPLE_FACTORS`` names) or 'other' for any factor combination
+    outside that set — both RECOVERED from the file, not passed
+    through."""
     pos = 2
     while pos + 4 <= len(payload):
         marker = payload[pos + 1]

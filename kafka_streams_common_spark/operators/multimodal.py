@@ -317,38 +317,63 @@ def _encode_png_bytes(
     filter_seed: int = 0,
     palette: bytes | None = None,
     interlace: bool = False,
+    alpha: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Encode an ``(h, w, channels)`` uint8 array as a spec-compliant
-    PNG (8-bit, color type 0 grayscale / 2 RGB / 3 indexed, no
-    interlace, critical chunks IHDR/[PLTE]/IDAT/IEND). Scanline ``r``
-    uses filter type ``(filter_seed + r) % 5`` so every filter in the
-    spec is exercised in round-trips; ``level=0`` writes hand-built
-    stored blocks (deterministic container size — see
+    """Encode an ``(h, w, channels)`` array as a spec-compliant PNG
+    (color type 0 grayscale / 2 RGB / 3 indexed / 4 gray+alpha /
+    6 RGBA, depth 8 or 16, critical chunks IHDR/[PLTE]/IDAT/IEND).
+    Scanline ``r`` uses filter type ``(filter_seed + r) % 5`` so every
+    filter in the spec is exercised in round-trips; ``level=0`` writes
+    hand-built stored blocks (deterministic container size — see
     ``_zlib_stored``), any other level uses real DEFLATE via
     ``zlib.compress``. With ``palette`` (RGB triples), ``px`` carries
     PALETTE INDEXES (1 channel) and a PLTE chunk is written. With
     ``interlace`` (r13), the raster is split into the SEVEN Adam7
     passes — each pass an independent sub-image with its own filtered
     scanlines and its own zero prior; empty passes contribute no bytes
-    at all, per spec."""
+    at all, per spec. With ``alpha`` (r14), the last channel of ``px``
+    is the alpha plane (2 channels → type 4, 4 channels → type 6).
+    ``depth=16`` (r14) takes a uint16 array and stores each sample as
+    two big-endian bytes; the scanline filters still run bytewise with
+    the byte-sized ``bpp`` offset, per spec."""
     import zlib
 
     h, w, channels = px.shape
+    if depth not in (8, 16):
+        raise ValueError("PNG depth must be 8 or 16")
     if palette is not None:
-        if channels != 1:
+        if channels != 1 or alpha:
             raise ValueError("indexed PNG takes a 1-channel index array")
+        if depth != 8:
+            raise ValueError("indexed PNG is 8-bit only in this encoder")
         if not palette or len(palette) % 3 or len(palette) > 768:
             raise ValueError("PLTE must hold 1-256 RGB triples")
         colortype = 3
+    elif alpha:
+        if channels not in (2, 4):
+            raise ValueError("alpha PNG takes 2 (gray+A) or 4 (RGBA) channels")
+        colortype = 4 if channels == 2 else 6
     else:
+        if channels not in (1, 3):
+            raise ValueError("opaque PNG takes 1 (gray) or 3 (RGB) channels")
         colortype = 0 if channels == 1 else 2
-    bpp = channels
+    sampbytes = depth // 8
+    bpp = channels * sampbytes
+
+    def row_bytes(row: np.ndarray) -> np.ndarray:
+        # one scanline's raw FILTER input: samples as big-endian bytes
+        if depth == 8:
+            return row.reshape(-1).astype(np.uint8)
+        be = row.reshape(-1).astype(">u2").tobytes()
+        return np.frombuffer(be, dtype=np.uint8)
+
     lines = []
     if interlace:
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
             prior = np.zeros(pw * bpp, dtype=np.uint8)
             for r in range(ph):
-                raw = px[y0 + r * dy, x0::dx][:pw].reshape(-1)
+                raw = row_bytes(px[y0 + r * dy, x0::dx][:pw])
                 ftype = (filter_seed + r) % 5
                 lines.append(bytes([ftype]))
                 lines.append(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
@@ -356,7 +381,7 @@ def _encode_png_bytes(
     else:
         prior = np.zeros(w * bpp, dtype=np.uint8)
         for r in range(h):
-            raw = px[r].reshape(-1)
+            raw = row_bytes(px[r])
             ftype = (filter_seed + r) % 5
             lines.append(bytes([ftype]))
             lines.append(_png_filter_scanline(ftype, raw, prior, bpp).tobytes())
@@ -366,7 +391,7 @@ def _encode_png_bytes(
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, colortype, 0, 0, int(interlace)])
+        + bytes([depth, colortype, 0, 0, int(interlace)])
     )
     plte = _png_chunk(b"PLTE", palette) if palette is not None else b""
     return (
@@ -382,14 +407,21 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse a PNG per the public spec (critical chunks): signature,
     chunk walk with CRC-32 verification, IHDR geometry, concatenated
     IDAT zlib-inflate, scanline unfilter (all five filter types).
-    8-bit depth, color types 0 (gray), 2 (RGB) and 3 (indexed with a
-    PLTE palette — r13), sequential AND Adam7-interlaced (r13: seven
-    per-pass filtered sub-images, exact-size-checked, de-interlace
-    scatter). Ancillary chunks are skipped (CRC-checked) per spec.
+    Color types 0 (gray), 2 (RGB), 3 (indexed with a PLTE palette —
+    r13), 4 (gray+alpha — r14) and 6 (RGBA — r14, the modal PNG class
+    on the web); bit depth 8, or 16 (big-endian sample pairs — r14)
+    for the non-indexed types; sequential AND Adam7-interlaced (r13:
+    seven per-pass filtered sub-images, exact-size-checked,
+    de-interlace scatter — the filters and the scatter run BYTEWISE, so
+    they are depth-agnostic with the byte-sized ``bpp`` offset, per
+    spec). Ancillary chunks are skipped (CRC-checked) per spec.
     Returns ``(channels, width, height, pixels)`` shaped
     ``(h, w, channels)`` — the ``_parse_netpbm`` contract, so stats
-    code is shared; indexed images come back as mapped luma (grayscale
-    palette, 1 channel) or mapped RGB, the GIF convention."""
+    code is shared (dtype uint8, or uint16 for depth 16 — consumers
+    read the bit depth off ``pixels.dtype``); indexed images come back
+    as mapped luma (grayscale palette, 1 channel) or mapped RGB, the
+    GIF convention; alpha types keep the alpha plane as the LAST
+    channel (2 or 4 channels)."""
     import zlib
 
     if payload[:8] != PNG_SIGNATURE:
@@ -419,25 +451,32 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, colortype, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or colortype not in (0, 2, 3) or interlace not in (0, 1):
+    if (
+        colortype not in (0, 2, 3, 4, 6)
+        or interlace not in (0, 1)
+        or depth not in (8, 16)
+        or (depth == 16 and colortype == 3)
+    ):
         raise ValueError(
             f"unsupported PNG (depth={depth} color={colortype} interlace="
-            f"{interlace}; 8-bit gray/RGB/indexed, interlace 0/1 only)"
+            f"{interlace}; 8/16-bit gray/RGB/indexed/gray+A/RGBA, "
+            "interlace 0/1, 8-bit indexed only)"
         )
-    channels = 1 if colortype in (0, 3) else 3
-    stride = width * channels
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    sampbytes = depth // 8
+    bpp = channels * sampbytes
+    stride = width * bpp
     raw = zlib.decompress(b"".join(idat_parts))
     if interlace:  # Adam7 (r13): seven independent filtered sub-images
         expect = sum(
-            ph * (pw * channels + 1)
-            for _, _, _, _, pw, ph in _adam7_passes(width, height)
+            ph * (pw * bpp + 1) for _, _, _, _, pw, ph in _adam7_passes(width, height)
         )
         if len(raw) != expect:
             raise ValueError(f"inflated data {len(raw)} != Adam7 size {expect}")
-        full = np.empty((height, width, channels), dtype=np.uint8)
+        full = np.empty((height, width, bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
-            pstride = pw * channels
+            pstride = pw * bpp
             prior = np.zeros(pstride, dtype=np.uint8)
             for r in range(ph):
                 line = raw[pos : pos + pstride + 1]
@@ -446,10 +485,10 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     line[0],
                     np.frombuffer(line[1:], dtype=np.uint8),
                     prior,
-                    channels,
+                    bpp,
                 )
                 full[y0 + r * dy, x0 : x0 + (pw - 1) * dx + 1 : dx] = prior.reshape(
-                    pw, channels
+                    pw, bpp
                 )
         px = full.reshape(height, stride)
     else:
@@ -460,7 +499,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         for r in range(height):
             line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
             prior = _png_unfilter_scanline(
-                line[0], np.frombuffer(line[1:], dtype=np.uint8), prior, channels
+                line[0], np.frombuffer(line[1:], dtype=np.uint8), prior, bpp
             )
             px[r] = prior
     if colortype == 3:
@@ -474,6 +513,10 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         if (rgb[:, 0] == rgb[:, 1]).all() and (rgb[:, 1] == rgb[:, 2]).all():
             return 1, width, height, rgb[:, 0].reshape(height, width, 1)
         return 3, width, height, rgb.reshape(height, width, 3)
+    if depth == 16:  # big-endian sample pairs → uint16 (r14)
+        b = px.reshape(height, width * channels, 2).astype(np.uint16)
+        vals = (b[:, :, 0] << 8) | b[:, :, 1]
+        return channels, width, height, vals.reshape(height, width, channels)
     return channels, width, height, px.reshape(height, width, channels)
 
 
@@ -511,14 +554,23 @@ def _decode_image(payload: bytes) -> dict:
     would slot in here without touching callers.
     """
     fmt, channels, width, height, px = _parse_image(payload)
-    lum = px.mean(axis=2) if channels == 3 else px[:, :, 0]
+    # bit depth comes off the decoded dtype (uint16 ⇔ 16-bit PNG); luma
+    # is over COLOR channels only — alpha types (2 = gray+A, 4 = RGBA)
+    # keep the alpha plane as the last channel and it still feeds the
+    # all-sample stats/histogram, so a dropped alpha plane breaks hashes
+    bit_depth = 8 * px.dtype.itemsize
+    if channels >= 3:
+        lum = px[:, :, :3].mean(axis=2)
+    else:
+        lum = px[:, :, 0]
     flat = px.astype(np.int64).ravel()
     hist = np.bincount(
-        flat * N_HIST_BINS // 256, minlength=N_HIST_BINS
+        flat * N_HIST_BINS // (1 << bit_depth), minlength=N_HIST_BINS
     ) / flat.size
     return {
         "format": fmt,
         "channels": channels,
+        "bit_depth": bit_depth,
         "width": width,
         "height": height,
         "n_px": int(width * height),
@@ -536,6 +588,7 @@ PIXEL_STATS_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("format", T.StringType(), True),
         T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
         T.StructField("width", T.LongType(), True),
         T.StructField("height", T.LongType(), True),
         T.StructField("n_px", T.LongType(), True),
@@ -567,6 +620,7 @@ def decode_image_features(images: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"].values,
                     "format": [s["format"] for s in stats],
                     "channels": [s["channels"] for s in stats],
+                    "bit_depth": [s["bit_depth"] for s in stats],
                     "width": [s["width"] for s in stats],
                     "height": [s["height"] for s in stats],
                     "n_px": [s["n_px"] for s in stats],
@@ -640,6 +694,8 @@ def encode_png(
     indexed: bool = False,
     channels: int = 1,
     interlaced: bool = False,
+    alpha: bool = False,
+    depth: int = 8,
 ) -> DataFrame:
     """Encode each document as a genuine PNG — REAL zlib DEFLATE (or
     deterministic stored blocks at ``level=0``), scanline filters
@@ -666,13 +722,25 @@ def encode_png(
     ``interlaced=True`` (r13) writes the Adam7 SEVEN-pass layout — the
     same pixels, split into per-pass filtered sub-images, so the
     content oracle is unchanged while the decoder must run the full
-    de-interlace scatter."""
+    de-interlace scatter.
+
+    ``alpha=True`` (r14) appends an ALPHA channel (color type 4 for
+    gray, 6 for RGB — RGBA being the modal web PNG class): the sample
+    stream simply grows to ``(channels+1)·w·h`` digest-cycled bytes
+    with alpha as every last sample, so the SQL oracle replays the
+    alpha plane with the same cycled-byte expression and a decoder
+    that drops or misplaces the plane breaks the hash. ``depth=16``
+    (r14) widens every sample to TWO big-endian digest bytes
+    (``value = 256·b(2i-1) + b(2i)``) — the oracle replays the pairing
+    directly, so a little-endian or high-byte-only decode breaks it."""
     import hashlib
 
-    if indexed and channels != 1:
-        raise ValueError("indexed and channels=3 are mutually exclusive")
+    if indexed and (channels != 1 or alpha or depth != 8):
+        raise ValueError("indexed PNG is 1-channel, opaque, 8-bit")
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
 
     out_schema = T.StructType(
         [
@@ -688,9 +756,15 @@ def encode_png(
                 hx = hashlib.md5(text.encode()).hexdigest()
                 w = int(hx[:15], 16) % dim_mod + 1
                 h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
-                n = channels * w * h
+                nch = channels + (1 if alpha else 0)
+                n = nch * w * h * (depth // 8)
                 raster = (bytes.fromhex(hx) * ((n + 15) // 16))[:n]
-                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+                if depth == 8:
+                    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, nch)
+                else:  # big-endian byte pairs → uint16 samples
+                    px = np.frombuffer(raster, dtype=">u2").astype(
+                        np.uint16
+                    ).reshape(h, w, nch)
                 payloads.append(
                     _encode_png_bytes(
                         px,
@@ -698,6 +772,8 @@ def encode_png(
                         filter_seed=int(did),
                         palette=_AFFINE_GRAY_PALETTE if indexed else None,
                         interlace=interlaced,
+                        alpha=alpha,
+                        depth=depth,
                     )
                 )
             yield pd.DataFrame(

@@ -360,6 +360,104 @@ def multimodal_color_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_png_alpha_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             CASE WHEN doc_id % 4 = 0
+                  THEN [('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                        for i in range(1, 2*w*h + 1)]
+                  WHEN doc_id % 4 IN (1, 2)
+                  THEN [('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                        for i in range(1, 4*w*h + 1)]
+                  ELSE [256 * ('0x' || substr(hx, 2*((2*i-2) % 16) + 1, 2))::INT
+                        + ('0x' || substr(hx, 2*((2*i-1) % 16) + 1, 2))::INT
+                        for i in range(1, w*h + 1)]
+             END AS v,
+             CASE WHEN doc_id % 4 = 0 THEN 2
+                  WHEN doc_id % 4 = 3 THEN 1
+                  ELSE 4 END AS ch,
+             CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 8 END AS bd
+      FROM m
+    )
+    SELECT doc_id,
+           'png' AS format,
+           CAST(ch AS INT) AS channels,
+           CAST(bd AS INT) AS bit_depth,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(list_avg(v), 6) AS mean_px,
+           list_min([CAST(x AS BIGINT) for x in v]) AS min_px,
+           list_max([CAST(x AS BIGINT) for x in v]) AS max_px
+    FROM px
+    """,
+)
+def multimodal_png_alpha_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALPHA-channel and 16-BIT PNG decode (r14) — the two rejection
+    classes a real web-scraped lake hits first (RGBA, color type 6, is
+    the modal web PNG; screenshots and renders carry alpha): doc_id%4
+    == 0 → GRAY+ALPHA (color type 4, 2 samples/px), 1 → RGBA (color
+    type 6, 4 samples/px), 2 → RGBA additionally ADAM7-INTERLACED
+    (same samples — the bytewise filters and the de-interlace scatter
+    must handle bpp=4), 3 → 16-BIT grayscale (color type 0 depth 16 —
+    every sample TWO big-endian digest bytes, ``256·b(2i-1)+b(2i)``).
+    One ``decode_image_features`` stage decodes all four; the oracle
+    replays each branch's sample stream in SQL, so the stats gate the
+    ALPHA PLANE (alpha samples feed mean/min/max — a dropped plane
+    breaks the hash), the bpp=2/4 unfilter offsets, and the big-endian
+    16-bit pairing (a little-endian or high-byte-only decode lands far
+    off), while the recovered ``channels``/``bit_depth`` columns gate
+    the IHDR color-type/depth parse itself."""
+    docs = table(spark, sf_dir, "documents")
+    mixed = (
+        encode_png(docs.filter(F.col("doc_id") % 4 == 0), level=6, alpha=True)
+        .unionAll(
+            encode_png(
+                docs.filter(F.col("doc_id") % 4 == 1),
+                level=6,
+                channels=3,
+                alpha=True,
+            )
+        )
+        .unionAll(
+            encode_png(
+                docs.filter(F.col("doc_id") % 4 == 2),
+                level=6,
+                channels=3,
+                alpha=True,
+                interlaced=True,
+            )
+        )
+        .unionAll(
+            encode_png(docs.filter(F.col("doc_id") % 4 == 3), level=6, depth=16)
+        )
+    )
+    feats = decode_image_features(mixed)
+    return feats.select(
+        "doc_id",
+        "format",
+        "channels",
+        "bit_depth",
+        "width",
+        "height",
+        "n_px",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
+@query(
     "multimodal_gif_decode",
     oracle="""
     WITH m AS (

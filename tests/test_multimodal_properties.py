@@ -190,12 +190,25 @@ def test_png_parser_rejects_malformed():
         _parse_png(bytes(bad))
     with pytest.raises(ValueError, match="truncated|missing"):
         _parse_png(good[:-6])
-    # 16-bit depth advertised in IHDR (re-framed so the CRC is valid)
+    # 16-bit depth is SUPPORTED since r14 — but relabeling an 8-bit
+    # stream as 16-bit must fail the exact size check, not decode
     ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
     ihdr[8] = 16
     deep = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
-    with pytest.raises(ValueError, match="unsupported PNG"):
+    with pytest.raises(ValueError, match="inflated data"):
         _parse_png(deep)
+    # sub-byte depths stay rejected (re-framed so the CRC is valid)
+    ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
+    ihdr[8] = 4
+    shallow = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _parse_png(shallow)
+    # 16-bit indexed is a spec violation and stays rejected
+    ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
+    ihdr[8], ihdr[9] = 16, 3
+    deep_idx = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[8 + 25 :]
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        _parse_png(deep_idx)
     # Adam7 is SUPPORTED since r13 — but relabeling a SEQUENTIAL stream
     # as interlaced must fail the exact Adam7 size check, not decode
     ihdr = bytearray(good[8 + 8 : 8 + 8 + 13])
@@ -443,3 +456,46 @@ def test_png_adam7_interlaced_roundtrip(
         )
         with pytest.raises(ValueError, match="Adam7 size"):
             _parse_png(repacked)
+
+
+@given(
+    w=dims,
+    h=dims,
+    channels=st.sampled_from([1, 2, 3, 4]),
+    depth=st.sampled_from([8, 16]),
+    level=st.sampled_from([0, 6]),
+    filter_seed=st.integers(0, 4),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_png_alpha_and_deep_roundtrip(
+    w, h, channels, depth, level, filter_seed, interlace, data
+):
+    """r14: the full channel × depth × interlace matrix round-trips
+    exactly — gray / gray+alpha (type 4) / RGB / RGBA (type 6), 8- and
+    16-bit, sequential and Adam7. The bytewise filters must use the
+    byte-sized bpp offset (2/4/6/8), 16-bit samples must re-pair
+    big-endian, and the de-interlace scatter must place multi-byte
+    pixels intact."""
+    alpha = channels in (2, 4)
+    hi = (1 << depth) - 1
+    n = w * h * channels
+    px = np.array(
+        data.draw(st.lists(st.integers(0, hi), min_size=n, max_size=n)),
+        dtype=np.uint16 if depth == 16 else np.uint8,
+    ).reshape(h, w, channels)
+    pay = _encode_png_bytes(
+        px,
+        level=level,
+        filter_seed=filter_seed,
+        alpha=alpha,
+        depth=depth,
+        interlace=interlace,
+    )
+    # IHDR carries the declared depth and the right color type
+    assert pay[8 + 8 + 8] == depth
+    assert pay[8 + 8 + 9] == {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    c, gw, gh, got = _parse_png(pay)
+    assert (c, gw, gh) == (channels, w, h)
+    assert got.dtype == px.dtype
+    assert np.array_equal(got, px)
