@@ -183,6 +183,15 @@ def _subblocks(data: bytes) -> bytes:
 
 _GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
+# the NON-identity affine gray palette i → (7i+13) mod 256 — shared with
+# the indexed-PNG branch (operators/multimodal._AFFINE_GRAY_PALETTE);
+# used as the LOCAL color table of odd composite frames so the per-frame
+# palette lookup is load-bearing (index pass-through breaks content)
+_AFFINE_PALETTE = bytes(v for i in range(256) for v in ((7 * i + 13) % 256,) * 3)
+
+# modular inverse of 7 mod 256 (7·183 = 1281 ≡ 1): luma → affine index
+_INV7 = 183
+
 
 def _gif_interlace_order(h: int) -> list[int]:
     """The GIF four-pass row interlacement per the spec: rows 0,8,16…,
@@ -325,16 +334,33 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def _encode_gif_anim_bytes(
-    frames: list[np.ndarray], delays_cs: list[int], loop: int = 0
+    frames: list[np.ndarray],
+    delays_cs: list[int],
+    loop: int = 0,
+    composite: bool = False,
 ) -> bytes:
-    """Encode a list of same-size ``(h, w, 1)`` uint8 frames as an
-    ANIMATED GIF89a (r13): header, logical screen descriptor, grayscale
-    identity palette, the NETSCAPE2.0 looping application extension,
-    then per frame a Graphic Control Extension (disposal 1 = do not
-    dispose, no transparency, delay in centiseconds) + full-frame image
-    descriptor at (0,0) + its own REAL LZW code stream, and the
-    trailer. Full-frame replace only — the same scope posture as the
-    still branch (no offsets/partial frames/interlace/local tables)."""
+    """Encode a list of same-size ``(h, w, 1)`` uint8 RENDERED CANVASES
+    as an ANIMATED GIF89a (r13): header, logical screen descriptor,
+    grayscale identity palette, the NETSCAPE2.0 looping application
+    extension, then per frame a Graphic Control Extension (disposal 1 =
+    do not dispose, delay in centiseconds) + image descriptor + its own
+    REAL LZW code stream, and the trailer.
+
+    ``composite=False`` (r13 form): every frame a full-frame replace at
+    (0,0), global palette, no transparency.
+
+    ``composite=True`` (r14): the real-world frame-diffed form. Frame 0
+    is stored full; every later frame is stored as the BOUNDING RECT of
+    its diff against the previous canvas, at its (left, top) OFFSET,
+    with in-rect pixels that did NOT change encoded as a per-frame
+    TRANSPARENT index (the smallest index unused by the changed
+    pixels), and ODD frames routed through a LOCAL COLOR TABLE carrying
+    the non-identity affine gray palette (indexes are the inverse
+    affine of the luma, so the decoder's per-frame lookup is
+    load-bearing). Decoding composites rects over the canvas and must
+    reproduce exactly the input canvases — the container exercises
+    offsets, local palettes, and transparency while the CONTENT oracle
+    of any full-canvas consumer is unchanged."""
     if not frames:
         raise ValueError("animated GIF needs at least one frame")
     h, w, channels = frames[0].shape
@@ -353,41 +379,80 @@ def _encode_gif_anim_bytes(
         + b"\x00"
     )
     body = bytearray()
-    for px, delay in zip(frames, delays_cs):
+    prev_canvas: np.ndarray | None = None
+    for fi, (px, delay) in enumerate(zip(frames, delays_cs)):
         if px.shape != (h, w, 1):
             raise ValueError("all frames must share the logical screen size")
+        plane = px[:, :, 0]
+        local = composite and fi % 2 == 1
+        if not composite or prev_canvas is None:
+            x0 = y0 = 0
+            rw, rh = w, h
+            sub = plane
+            changed = np.ones((rh, rw), dtype=bool)
+        else:
+            diff = plane != prev_canvas
+            if diff.any():
+                rows = np.flatnonzero(diff.any(axis=1))
+                cols = np.flatnonzero(diff.any(axis=0))
+                y0, rh = int(rows[0]), int(rows[-1] - rows[0] + 1)
+                x0, rw = int(cols[0]), int(cols[-1] - cols[0] + 1)
+            else:  # nothing changed: a 1×1 all-transparent update
+                x0 = y0 = 0
+                rw = rh = 1
+            sub = plane[y0 : y0 + rh, x0 : x0 + rw]
+            changed = sub != prev_canvas[y0 : y0 + rh, x0 : x0 + rw]
+        if local:  # inverse affine: (v-13)·7⁻¹ mod 256 indexes the LCT
+            idx = (((sub.astype(np.int64) - 13) * _INV7) % 256).astype(np.uint8)
+        else:
+            idx = sub.copy()
+        trans_idx = None
+        if composite and prev_canvas is not None and not changed.all():
+            used = set(np.unique(idx[changed]).tolist()) if changed.any() else set()
+            trans_idx = next(t for t in range(256) if t not in used)
+            idx[~changed] = trans_idx
+        packed = 0x04 | (0x01 if trans_idx is not None else 0x00)
         gce = (
-            b"\x21\xf9\x04\x04"  # disposal 1, no transparent color
+            b"\x21\xf9\x04"
+            + bytes([packed])
             + int(delay).to_bytes(2, "little")
-            + b"\x00\x00"
+            + bytes([trans_idx if trans_idx is not None else 0, 0x00])
         )
         desc = (
             b"\x2c"
-            + (0).to_bytes(2, "little")
-            + (0).to_bytes(2, "little")
-            + w.to_bytes(2, "little")
-            + h.to_bytes(2, "little")
-            + b"\x00"
+            + int(x0).to_bytes(2, "little")
+            + int(y0).to_bytes(2, "little")
+            + int(rw).to_bytes(2, "little")
+            + int(rh).to_bytes(2, "little")
+            + (b"\x87" if local else b"\x00")  # 0x87: LCT flag + 256 entries
         )
-        codes = _lzw_compress(px.reshape(-1).tobytes())
-        body += gce + desc + bytes([_MCS]) + _subblocks(codes)
+        lct = _AFFINE_PALETTE if local else b""
+        codes = _lzw_compress(idx.reshape(-1).tobytes())
+        body += gce + desc + lct + bytes([_MCS]) + _subblocks(codes)
+        prev_canvas = plane.copy()
     return b"GIF89a" + lsd + _GRAY_PALETTE + netscape + bytes(body) + b"\x3b"
 
 
 def _parse_gif_frames(
     payload: bytes,
 ) -> tuple[int, int, list[int], list[np.ndarray]]:
-    """Parse an animated (or single-frame) GIF into ALL of its frames:
-    same container walk as ``_parse_gif`` but collecting every image
-    descriptor, with the Graphic Control Extension's delay field
-    (centiseconds) attached to the frame it precedes (0 when absent,
-    per the spec's default). Scope: full-frame replace over the
-    grayscale identity palette (the animated twin of the still
-    branch's posture) — offsets, partial frames, interlace, local
-    tables, and non-gray palettes are rejected. Other extensions
-    (NETSCAPE looping, comments) are skipped by sub-block framing.
+    """Parse an animated (or single-frame) GIF into its RENDERED frames
+    — the r14 COMPOSITING walk: every image descriptor is pasted onto
+    the logical-screen canvas at its (left, top) OFFSET (rects must fit
+    the screen), through its LOCAL color table when present (else the
+    global one; every palette actually used must be grayscale — this
+    branch renders luma), honoring the preceding Graphic Control
+    Extension's TRANSPARENT index (masked pixels keep the canvas — the
+    frame-diff mechanism real animated GIFs use) and delay field
+    (centiseconds; 0 when absent, per spec). Disposal methods 0/1
+    (no-op / do-not-dispose) are supported; 2/3 (restore-background /
+    restore-previous) are explicitly rejected, the posture every other
+    out-of-scope branch uses. The canvas starts as the global-palette
+    background color. Other extensions (NETSCAPE looping, comments) are
+    skipped by sub-block framing. Per-frame interlace is de-scattered.
     Returns ``(width, height, delays_cs, frames)`` with each frame the
-    ``(h, w)`` luma plane."""
+    full ``(sh, sw)`` rendered luma canvas — full-frame GIFs decode
+    exactly as before (each paste covers the screen)."""
     if payload[:6] not in GIF_MAGICS:
         raise ValueError(f"not a GIF payload: {payload[:6]!r}")
     if len(payload) < 13:
@@ -395,6 +460,7 @@ def _parse_gif_frames(
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
+    bg_index = payload[11]
     pos = 13
     palette = None
     if flags & 0x80:
@@ -411,10 +477,14 @@ def _parse_gif_frames(
         and (palette[:, 1] == palette[:, 2]).all()
     ):
         raise ValueError("animated branch supports grayscale palettes only")
-    lut = palette[:, 0]
+    glut = palette[:, 0]
+    canvas = np.full(
+        (sh, sw), glut[bg_index] if bg_index < glut.size else 0, dtype=np.uint8
+    )
     delays: list[int] = []
     frames: list[np.ndarray] = []
     pending_delay = 0
+    pending_trans: int | None = None
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
@@ -431,7 +501,14 @@ def _parse_gif_frames(
             if label == 0xF9:  # Graphic Control Extension
                 if len(body) < 4:
                     raise ValueError("truncated graphic control extension")
+                disposal = (body[0] >> 2) & 0x07
+                if disposal > 1:
+                    raise ValueError(
+                        f"unsupported GIF disposal method {disposal} "
+                        "(restore-background/previous out of scope)"
+                    )
                 pending_delay = int.from_bytes(body[1:3], "little")
+                pending_trans = body[3] if body[0] & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
@@ -439,17 +516,30 @@ def _parse_gif_frames(
             raise ValueError("truncated image descriptor")
         left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
         top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
-        if left or top:
-            raise ValueError(f"offset image descriptors not supported ({left},{top})")
         w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
         h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
-        if (w, h) != (sw, sh):
-            raise ValueError("partial frames not supported (full-frame replace only)")
+        if w < 1 or h < 1 or left + w > sw or top + h > sh:
+            raise ValueError(
+                f"image rect ({left},{top})+{w}x{h} outside the "
+                f"logical screen {sw}x{sh}"
+            )
         iflags = payload[pos + 9]
-        if iflags & 0x80:
-            raise ValueError("local color tables not supported")
         interlaced = bool(iflags & 0x40)
         pos += 10
+        lut = glut
+        if iflags & 0x80:  # local color table (r14)
+            lct_len = 3 * (2 << (iflags & 0x07))
+            local = np.frombuffer(payload[pos : pos + lct_len], dtype=np.uint8)
+            if local.size != lct_len:
+                raise ValueError("truncated local color table")
+            local = local.reshape(-1, 3)
+            if not (
+                (local[:, 0] == local[:, 1]).all()
+                and (local[:, 1] == local[:, 2]).all()
+            ):
+                raise ValueError("animated branch supports grayscale palettes only")
+            lut = local[:, 0]
+            pos += lct_len
         mcs = payload[pos]
         if mcs != _MCS:
             raise ValueError(f"unsupported LZW min code size {mcs} (8-bit only)")
@@ -470,14 +560,23 @@ def _parse_gif_frames(
         )
         if idx.size != w * h:
             raise ValueError(f"decoded {idx.size} pixels, descriptor says {w * h}")
-        frame = lut[idx].reshape(h, w)
+        idx = idx.reshape(h, w)
         if interlaced:  # per-frame row de-interlace (r13)
-            img = np.empty_like(frame)
-            img[_gif_interlace_order(h)] = frame
-            frame = img
-        frames.append(frame)
+            img = np.empty_like(idx)
+            img[_gif_interlace_order(h)] = idx
+            idx = img
+        if int(idx.max()) >= lut.size:
+            raise ValueError("palette index out of range")
+        region = canvas[top : top + h, left : left + w]
+        if pending_trans is not None:  # masked paste: transparency (r14)
+            mask = idx != pending_trans
+            region[mask] = lut[idx][mask]
+        else:
+            region[:, :] = lut[idx]
+        frames.append(canvas.copy())
         delays.append(pending_delay)
         pending_delay = 0  # a GCE governs only the next image, per spec
+        pending_trans = None
     if not frames:
         raise ValueError("no image descriptor before trailer")
     return sw, sh, delays, frames
@@ -533,7 +632,10 @@ def encode_gif(
 
 
 def encode_gif_anim(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    composite: bool = False,
 ) -> DataFrame:
     """Encode each document as an ANIMATED GIF89a clip with the SAME
     geometry arithmetic as ``encode_y4m`` (``w/h = md5 % 8 + 1``,
@@ -542,7 +644,13 @@ def encode_gif_anim(
     GCE delay ``digest_byte[f % 16] % 50 + 2`` centiseconds — all
     md5-derived, so a SQL oracle replays frame content, frame ORDER,
     and the delays without replaying LZW. Arrow-batched
-    ``mapInPandas``, map-only."""
+    ``mapInPandas``, map-only.
+
+    ``composite=True`` (r14) stores the SAME rendered canvases through
+    the frame-diffed container form (``_encode_gif_anim_bytes``
+    composite: bounding diff rects, local affine palettes on odd
+    frames, transparency for unchanged in-rect pixels) — pixels equal,
+    container harder, every content oracle unchanged."""
     import hashlib
 
     out_schema = T.StructType(
@@ -569,7 +677,75 @@ def encode_gif_anim(
                     for f in range(nf)
                 ]
                 delays = [d[f % 16] % 50 + 2 for f in range(nf)]
-                payloads.append(_encode_gif_anim_bytes(frames, delays))
+                payloads.append(
+                    _encode_gif_anim_bytes(frames, delays, composite=composite)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def encode_gif_anim_composite(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document as a frame-diffed ANIMATED GIF89a whose
+    CANVAS EVOLUTION is md5-replayable (r14): ``w/h = md5 % 8 + 2``,
+    ``nf = md5(text||'|nf') % 5 + 2``; canvas 0 is the digest cycled to
+    ``w·h`` bytes, and frame ``f ≥ 1`` updates ONLY the digest-derived
+    sub-rectangle ``x0 = d[2f%16] % w``, ``y0 = d[(2f+1)%16] % h``,
+    ``rw = d[(2f+3)%16] % (w-x0) + 1``, ``rh = d[(2f+5)%16] % (h-y0)+1``
+    with bytes addressed by FULL-canvas position ``d[(f·w·h + r·w + c)
+    % 16]`` — so a SQL oracle reconstructs any frame's canvas as "each
+    pixel's value from the LAST frame whose rect covered it" without
+    replaying LZW or the container. The container stores real
+    frame-diffs: bounding rects at nonzero offsets, transparency for
+    unchanged in-rect pixels, local affine palettes on odd frames
+    (``_encode_gif_anim_bytes`` composite form) — so offsets,
+    per-frame palettes, the transparent-index mask, and compositing
+    order are ALL load-bearing for the content hash. Per-frame GCE
+    delay ``d[f%16] % 50 + 2`` cs. Arrow-batched ``mapInPandas``,
+    map-only — the same 100 TB shape as every encoder."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                hx = hashlib.md5(text.encode()).hexdigest()
+                d = bytes.fromhex(hx)
+                w = int(hx[:15], 16) % 8 + 2
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 8 + 2
+                nf = int(hashlib.md5((text + "|nf").encode()).hexdigest()[:15], 16) % 5 + 2
+                canvas = np.array(
+                    [d[p % 16] for p in range(w * h)], dtype=np.uint8
+                ).reshape(h, w)
+                canvases = [canvas]
+                for f in range(1, nf):
+                    x0 = d[(2 * f) % 16] % w
+                    y0 = d[(2 * f + 1) % 16] % h
+                    rw = d[(2 * f + 3) % 16] % (w - x0) + 1
+                    rh = d[(2 * f + 5) % 16] % (h - y0) + 1
+                    cv = canvases[-1].copy()
+                    for r in range(y0, y0 + rh):
+                        for c in range(x0, x0 + rw):
+                            cv[r, c] = d[(f * w * h + r * w + c) % 16]
+                    canvases.append(cv)
+                delays = [d[f % 16] % 50 + 2 for f in range(nf)]
+                payloads.append(
+                    _encode_gif_anim_bytes(
+                        [c[:, :, None] for c in canvases], delays, composite=True
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].values, "payload": payloads},
                 columns=["doc_id", "payload"],

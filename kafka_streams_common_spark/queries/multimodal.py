@@ -29,6 +29,7 @@ from kafka_streams_common_spark.operators.gif import (
     decode_gif_anim_frame_stats,
     encode_gif,
     encode_gif_anim,
+    encode_gif_anim_composite,
 )
 from kafka_streams_common_spark.operators.jpeg import (
     decode_jpeg_color_recon_report,
@@ -1227,9 +1228,109 @@ def multimodal_gif_anim_scene_stats(spark: SparkSession, sf_dir: str) -> DataFra
     SQL — so frame segmentation (recovered by walking image blocks),
     the GCE parse, and each frame's LZW decode all gate the hash; a
     skipped frame, swapped order, or delay-attachment bug (a GCE
-    governs only the NEXT image) breaks it."""
+    governs only the NEXT image) breaks it. Since r14 the container is
+    the frame-DIFFED form (``composite=True``): the same rendered
+    canvases stored as bounding diff rects with LOCAL affine palettes
+    on odd frames and TRANSPARENT indexes for unchanged in-rect pixels
+    — pixels equal, oracle unchanged, while the decoder must run the
+    per-frame palette lookup, the transparency mask, and the composite
+    paste to reproduce them (the white-noise frames keep rects
+    full-screen here; nonzero offsets are gated by
+    ``multimodal_gif_composite_stats``)."""
     docs = table(spark, sf_dir, "documents")
-    clips = encode_gif_anim(docs)
+    clips = encode_gif_anim(docs, composite=True)
+    stats = decode_gif_anim_frame_stats(clips)
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "delay_cs",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        "min_luma",
+        "max_luma",
+        F.round("diff_prev", 6).alias("diff_prev"),
+    )
+
+
+def _gif_byte(j: str) -> str:
+    """DuckDB expression for digest byte ``j`` (0-based, cycled mod 16)
+    of ``hx`` — the md5 hex column every multimodal oracle carries."""
+    return f"('0x' || substr(hx, 2*(({j}) % 16) + 1, 2))::INT"
+
+
+def _gif_composite_oracle() -> str:
+    """The canvas-evolution replay for ``encode_gif_anim_composite``:
+    frame ``fi``'s canvas value at pixel ``p`` is the digest byte
+    addressed by the LAST frame ``g ≤ fi`` whose update rect covers
+    ``p`` (frame 0 covers everything) — the closed form of 'composite
+    each diff rect over the previous canvas', computable without
+    replaying LZW, transparency, or palettes."""
+    x0 = f"({_gif_byte('2*g')} % w)"
+    y0 = f"({_gif_byte('2*g+1')} % h)"
+    rw = f"({_gif_byte('2*g+3')} % (w - {x0}) + 1)"
+    rh = f"({_gif_byte('2*g+5')} % (h - {y0}) + 1)"
+    covers = (
+        f"(p % w) >= {x0} AND (p % w) < {x0} + {rw} "
+        f"AND (p // w) >= {y0} AND (p // w) < {y0} + {rh}"
+    )
+    gstar = f"list_max([g for g in range(0, fi + 1) if g = 0 OR ({covers})])"
+    val = _gif_byte(f"({gstar}) * w * h + p")
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 8 + 2
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 8 + 2
+                  AS INT) AS h,
+             CAST(('0x' || substr(md5(text || '|nf'), 1, 15))::BIGINT % 5 + 2
+                  AS INT) AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, hx, w, h, unnest(range(0, nf)) AS fi FROM m
+    ),
+    s AS (
+      SELECT doc_id, fi, w, h,
+             CAST({_gif_byte('fi')} % 50 + 2 AS BIGINT) AS delay_cs,
+             [{val} for p in range(0, w*h)] AS vals
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           delay_cs,
+           round(list_avg(vals), 6) AS mean_luma,
+           list_min([CAST(x AS BIGINT) for x in vals]) AS min_luma,
+           list_max([CAST(x AS BIGINT) for x in vals]) AS max_luma,
+           round(abs(list_avg(vals) - lag(list_avg(vals)) OVER (
+             PARTITION BY doc_id ORDER BY fi)), 6) AS diff_prev
+    FROM s
+    """
+
+
+@query("multimodal_gif_composite_stats", oracle=_gif_composite_oracle())
+def multimodal_gif_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-DIFFED animated GIF (r14) — offsets, local palettes, and
+    transparency made LOAD-BEARING for the content hash, the way real
+    animated GIFs are built: each document's clip evolves a canvas
+    whose frame ``f ≥ 1`` changes only a digest-derived SUB-RECTANGLE
+    (``operators/gif.encode_gif_anim_composite``); the container stores
+    each frame as its bounding diff rect at a genuinely NONZERO
+    (left, top), with unchanged in-rect pixels as a per-frame
+    TRANSPARENT index and odd frames through a LOCAL affine color
+    table. The decode stage must composite every rect over the evolving
+    canvas — through the transparency mask and the per-frame palette —
+    to reproduce the per-frame canvas stats; the oracle reconstructs
+    each pixel as 'the digest byte addressed by the LAST frame whose
+    rect covered it', so a wrong paste position, skipped local table,
+    inverted mask, or disposal error shifts canvas values and breaks
+    the hash. Map-only Arrow stages on both sides — the 100 TB shape
+    every codec row uses."""
+    docs = table(spark, sf_dir, "documents")
+    clips = encode_gif_anim_composite(docs)
     stats = decode_gif_anim_frame_stats(clips)
     return stats.select(
         "doc_id",

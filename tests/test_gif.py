@@ -159,8 +159,9 @@ def test_gif_anim_roundtrip_order_delays_and_scope():
     """Animated GIF89a (r13): every frame round-trips through its own
     LZW stream in order; GCE delays attach to the frame they precede
     and DEFAULT to 0 when a frame has no GCE (a GCE governs only the
-    next image, per spec); partial frames and non-gray palettes are
-    rejected; the NETSCAPE looping extension is skipped by framing."""
+    next image, per spec); a descriptor whose pixel stream disagrees
+    with its geometry is rejected; the NETSCAPE looping extension is
+    skipped by framing."""
     from kafka_streams_common_spark.operators.gif import (
         _encode_gif_anim_bytes,
         _parse_gif_frames,
@@ -191,15 +192,25 @@ def test_gif_anim_roundtrip_order_delays_and_scope():
     assert (c, pw, ph) == (1, 7, 5)
     assert (first[:, :, 0] == frames[0][:, :, 0]).all()
 
-    # partial frames rejected (full-frame replace scope)
+    # partial frames are COMPOSITED since r14 — but a descriptor that
+    # lies about its geometry still fails the decoded-pixel-count check
     small = _encode_gif_anim_bytes(
         [np.zeros((5, 7, 1), dtype=np.uint8)], [1]
     )
     desc_at = small.index(b"\x2c", 13 + 768)
     bad = bytearray(small)
-    bad[desc_at + 5] = 3  # frame width 3 != screen width 7
-    with pytest.raises(ValueError, match="partial frames"):
+    bad[desc_at + 5] = 3  # frame width 3, but the stream carries 7x5 px
+    with pytest.raises(ValueError, match="decoded .* pixels"):
         _parse_gif_frames(bytes(bad))
+    # a genuine partial frame composites over the background canvas
+    part = np.full((2, 3), 200, dtype=np.uint8)
+    full = np.zeros((5, 7), dtype=np.uint8)
+    full[1 : 1 + 2, 4 : 4 + 3] = part
+    pay_p = _encode_gif_anim_bytes(
+        [full[:, :, None], full[:, :, None]], [1, 2], composite=True
+    )
+    _, _, dp, fp = _parse_gif_frames(pay_p)
+    assert dp == [1, 2] and (fp[0] == full).all() and (fp[1] == full).all()
 
     with pytest.raises(ValueError, match="at least one frame"):
         _encode_gif_anim_bytes([], [])
@@ -283,3 +294,109 @@ def test_gif_row_interlacing_roundtrip_and_is_load_bearing():
     inter[inter.index(b"\x2c", 13 + 768) + 9] |= 0x40
     _, _, delays, frames = _parse_gif_frames(bytes(inter))
     assert delays == [3] and (frames[0] == f0[:, :, 0]).all()
+
+
+def test_gif_composite_frames_roundtrip_offsets_local_palettes():
+    """r14: diff-rect composite encoding — frame 0 full, later frames
+    stored as their bounding diff rect at a nonzero (left, top), odd
+    frames through a LOCAL affine color table, unchanged in-rect pixels
+    as the transparent index — must decode to EXACTLY the rendered
+    canvases."""
+    from kafka_streams_common_spark.operators.gif import (
+        _encode_gif_anim_bytes,
+        _parse_gif_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        w = int(rng.randint(2, 10))
+        h = int(rng.randint(2, 10))
+        nf = int(rng.randint(2, 6))
+        canvases = [rng.randint(0, 256, size=(h, w)).astype(np.uint8)]
+        for f in range(1, nf):
+            cv = canvases[-1].copy()
+            y0 = int(rng.randint(0, h))
+            x0 = int(rng.randint(0, w))
+            rh = int(rng.randint(1, h - y0 + 1))
+            rw = int(rng.randint(1, w - x0 + 1))
+            cv[y0 : y0 + rh, x0 : x0 + rw] = rng.randint(
+                0, 256, size=(rh, rw)
+            ).astype(np.uint8)
+            canvases.append(cv)
+        delays = [int(rng.randint(2, 50)) for _ in range(nf)]
+        pay = _encode_gif_anim_bytes(
+            [c[:, :, None] for c in canvases], delays, composite=True
+        )
+        gw, gh, got_delays, frames = _parse_gif_frames(pay)
+        assert (gw, gh) == (w, h)
+        assert got_delays == delays
+        assert len(frames) == nf
+        for cv, fr in zip(canvases, frames):
+            assert (fr == cv).all()
+
+
+def test_gif_composite_container_uses_features():
+    """The composite container genuinely exercises the three features:
+    a nonzero-offset descriptor, a local color table, and a set
+    transparency flag appear in the bytes when the content calls for
+    them."""
+    from kafka_streams_common_spark.operators.gif import (
+        _encode_gif_anim_bytes,
+        _parse_gif_frames,
+    )
+
+    base = np.zeros((6, 6), dtype=np.uint8)
+    nxt = base.copy()
+    nxt[3:5, 2:4] = 200  # only a sub-rect changes, away from (0, 0)
+    pay = _encode_gif_anim_bytes(
+        [base[:, :, None], nxt[:, :, None]], [2, 3], composite=True
+    )
+    # second descriptor: left=2, top=3, w=2, h=2, LOCAL table flag set
+    i = pay.index(b"\x2c", 13 + 768)  # frame 0 descriptor
+    j = pay.index(b"\x2c", i + 1)
+    left = int.from_bytes(pay[j + 1 : j + 3], "little")
+    top = int.from_bytes(pay[j + 3 : j + 5], "little")
+    rw = int.from_bytes(pay[j + 5 : j + 7], "little")
+    rh = int.from_bytes(pay[j + 7 : j + 9], "little")
+    assert (left, top, rw, rh) == (2, 3, 2, 2)
+    assert pay[j + 9] & 0x80  # local color table present (odd frame)
+    _, _, _, frames = _parse_gif_frames(pay)
+    assert (frames[1] == nxt).all()
+    # transparency: make the rect contain an UNCHANGED pixel
+    nxt2 = base.copy()
+    nxt2[1, 1] = 9
+    nxt2[3, 3] = 7  # bbox (1,1)-(3,3) includes unchanged pixels
+    pay2 = _encode_gif_anim_bytes(
+        [base[:, :, None], nxt2[:, :, None]], [2, 3], composite=True
+    )
+    # the second GCE has the transparent-color flag set (bit 0)
+    g = pay2.index(b"\x21\xf9", 13 + 768)
+    g2 = pay2.index(b"\x21\xf9", g + 1)
+    assert pay2[g2 + 3] & 0x01
+    _, _, _, frames2 = _parse_gif_frames(pay2)
+    assert (frames2[1] == nxt2).all()
+
+
+def test_gif_frames_rejects_disposal_2_3_and_bad_geometry():
+    """Disposal modes 2/3 (restore-bg / restore-prev) stay explicitly
+    rejected, as do rects that overflow the logical screen."""
+    from kafka_streams_common_spark.operators.gif import (
+        _encode_gif_anim_bytes,
+        _parse_gif_frames,
+    )
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    pay = bytearray(_encode_gif_anim_bytes([px], [5]))
+    g = pay.index(b"\x21\xf9", 13 + 768)
+    pay[g + 3] = (pay[g + 3] & ~0x1C) | (2 << 2)  # disposal 2
+    with pytest.raises(ValueError, match="disposal"):
+        _parse_gif_frames(bytes(pay))
+    pay[g + 3] = (pay[g + 3] & ~0x1C) | (3 << 2)  # disposal 3
+    with pytest.raises(ValueError, match="disposal"):
+        _parse_gif_frames(bytes(pay))
+    # rect overflow: descriptor claims left=2 on a full-width frame
+    pay2 = bytearray(_encode_gif_anim_bytes([px], [5]))
+    d = pay2.index(b"\x2c", 13 + 768)
+    pay2[d + 1] = 2
+    with pytest.raises(ValueError, match="logical screen"):
+        _parse_gif_frames(bytes(pay2))

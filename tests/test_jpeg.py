@@ -463,3 +463,88 @@ def test_jpeg_progressive_report_spark(spark):
         assert r["subsample"] == ("444" if did % 2 == 0 else "420")
         assert r["matches_baseline"] is True
         assert r["max_err_le_32"] is True and r["mean_err_le_8"] is True
+
+
+def test_codec_injection_seam_is_used(spark):
+    """r14: the decoder/encoder hooks on the report operators are
+    genuinely LOAD-BEARING — a fake 'native' decoder that returns
+    all-zero pixels (real header geometry) must flip the error gates,
+    proving the pure-Python codec was actually bypassed. This is the
+    executable form of the documented native-codec swap: when a
+    libjpeg-backed callable exists, passing it is the whole migration."""
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta beta"), (2, "gamma!"), (3, "delta?")],
+        ["doc_id", "text"],
+    )
+
+    def fake_decoder(payload):
+        c, w, h, px = _parse_jpeg(payload)
+        return c, w, h, np.zeros_like(px)
+
+    # grayscale report: default decoder passes, fake decoder fails the gate
+    from kafka_streams_common_spark.operators.jpeg import (
+        decode_jpeg_recon_report,
+        encode_jpeg,
+        jpeg_progressive_report,
+    )
+
+    imgs = encode_jpeg(docs)
+    real = decode_jpeg_recon_report(imgs).collect()
+    assert all(r["mean_err_le_12"] for r in real)
+    faked = decode_jpeg_recon_report(imgs, decoder=fake_decoder).collect()
+    assert not any(r["mean_err_le_12"] for r in faked)
+    # dims still come from the (fake) decoder's header geometry
+    assert {r["width"] for r in faked} == {r["width"] for r in real}
+
+    # color report: same contract
+    cimgs = encode_jpeg_color(docs)
+    cfaked = decode_jpeg_color_recon_report(cimgs, decoder=fake_decoder).collect()
+    assert not any(r["mean_err_le_8"] for r in cfaked)
+
+    # progressive report: encoder hook observed via a marker ordering
+    calls = []
+
+    def fake_encoder(px, subsample, progressive):
+        calls.append(progressive)
+        from kafka_streams_common_spark.operators.jpeg import (
+            _encode_jpeg_color_bytes,
+            _encode_jpeg_progressive_bytes,
+        )
+
+        return (
+            _encode_jpeg_progressive_bytes(px, subsample)
+            if progressive
+            else _encode_jpeg_color_bytes(px, subsample)
+        )
+
+    rows = jpeg_progressive_report(
+        docs, decoder=fake_decoder, encoder=fake_encoder
+    ).collect()
+    # the fake decoder zeroes both decodes: they match each other
+    # (trivially) but the source gates fail — hook proven live
+    full = [r for r in rows if r["doc_id"] % 4 == 0]
+    assert full and not any(r["mean_err_le_8"] for r in full)
+
+
+def test_progressive_report_equality_sublake(spark):
+    """r14: with equality_mod=4 only doc_id % 4 == 0 rows run the dual
+    decode equality gate; the other rows keep the corpus-wide
+    SOF-recovered mode/subsample/dims with NULL gate columns — the
+    designed cost cut for the heaviest tracking row."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in
+            jpeg_progressive_report(docs, equality_mod=4).collect()}
+    assert len(rows) == 8
+    for did, r in rows.items():
+        assert r["mode"] == "progressive"
+        assert r["subsample"] == ("444" if did % 2 == 0 else "420")
+        src = _md5_color_image(f"text {did}")
+        assert (r["width"], r["height"]) == (src.shape[1], src.shape[0])
+        if did % 4 == 0:
+            assert r["matches_baseline"] is True
+            assert r["max_err_le_32"] is True and r["mean_err_le_8"] is True
+        else:
+            assert r["matches_baseline"] is None
+            assert r["max_err_le_32"] is None and r["mean_err_le_8"] is None
