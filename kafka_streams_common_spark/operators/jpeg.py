@@ -1263,7 +1263,7 @@ JPEG_RECON_SCHEMA = T.StructType(
 
 
 def decode_jpeg_recon_report(
-    images: DataFrame, dim_mod: int = 16
+    images: DataFrame, dim_mod: int = 16, decoder=None
 ) -> DataFrame:
     """Arrow-batched JPEG decode + reconstruction report over
     ``(doc_id, payload, text)``: parses the container (markers, DHT/DQT
@@ -1275,14 +1275,22 @@ def decode_jpeg_recon_report(
     white noise, the hardest DCT content; tiny images dominate the
     mean), so the gates carry ~1.7× headroom while a broken
     unquant/IDCT/Huffman path lands at mean ≈50+). Dims and pixel
-    count come from the SOF0 parse, NOT passed through."""
+    count come from the SOF0 parse, NOT passed through.
+
+    ``decoder`` (r14, the codec seam): a callable ``payload →
+    (channels, width, height, pixels)`` replacing the pure-Python
+    ``_parse_jpeg`` — a libjpeg/PIL arrival is a one-argument swap
+    (contract-tested with a fake native decoder in
+    tests/test_jpeg.py)."""
     import hashlib
+
+    decode = decoder if decoder is not None else _parse_jpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, p, text in zip(pdf["doc_id"], pdf["payload"], pdf["text"]):
-                channels, w, h, px = _parse_jpeg(bytes(p))
+                channels, w, h, px = decode(bytes(p))
                 hx = hashlib.md5(text.encode()).hexdigest()
                 raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
                 src = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 1)
@@ -1380,6 +1388,45 @@ def _sof_sampling(payload: bytes) -> str:
     return _sof_info(payload)[1]
 
 
+def _sof_header(payload: bytes) -> tuple[str, str, int, int]:
+    """Header-only marker walk (no entropy decode): returns
+    ``(mode, subsample, width, height)`` — everything the SOF segment
+    carries, recovered from the file. This is the cheap corpus-wide leg
+    of the progressive gate (r14): geometry and mode recovery cost one
+    marker walk, while the full dual-decode equality runs on the
+    deterministic sub-lake."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = payload[pos + 1]
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC2):
+            mode = "baseline" if marker == 0xC0 else "progressive"
+            body = payload[pos + 4 : pos + 2 + length]
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nf = body[5]
+            if nf == 1:
+                return mode, "gray", width, height
+            factors = tuple(
+                (body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F) for i in range(nf)
+            )
+            for name, samp in _SUBSAMPLE_FACTORS.items():
+                if factors == samp:
+                    return mode, name, width, height
+            return mode, "other", width, height
+        pos += 2 + length
+    raise ValueError("no SOF segment")
+
+
+def _default_jpeg_encoder(px: np.ndarray, subsample: str, progressive: bool) -> bytes:
+    """The pure-Python encode side of the codec seam (r14): the default
+    for the report operators' ``encoder=`` hook. A libjpeg-backed
+    callable with this signature is a drop-in swap."""
+    if progressive:
+        return _encode_jpeg_progressive_bytes(px, subsample)
+    return _encode_jpeg_color_bytes(px, subsample)
+
+
 def encode_jpeg_color(
     docs: DataFrame,
     text_col: str = "text",
@@ -1436,7 +1483,9 @@ JPEG_COLOR_RECON_SCHEMA = T.StructType(
 )
 
 
-def decode_jpeg_color_recon_report(images: DataFrame, dim_mod: int = 32) -> DataFrame:
+def decode_jpeg_color_recon_report(
+    images: DataFrame, dim_mod: int = 32, decoder=None
+) -> DataFrame:
     """Arrow-batched COLOR JPEG decode + reconstruction report: parses
     the container (interleaved MCUs, per-component DQT/DHT selectors,
     chroma upsampling, BT.601 to RGB), recomputes the md5-derived RGB
@@ -1445,14 +1494,20 @@ def decode_jpeg_color_recon_report(images: DataFrame, dim_mod: int = 32) -> Data
     (max |err| ≤ 32, mean ≤ 8 — measured corpus worst 16 / 4.0, so ~2×
     headroom; a chroma-path break lands at mean ≈20+). Dims, pixel
     count, and subsampling mode come from the SOF0 parse, NOT passed
-    through."""
+    through.
+
+    ``decoder`` (r14, the codec seam): a callable ``payload →
+    (channels, width, height, pixels)`` replacing the pure-Python
+    ``_parse_jpeg`` — the executable form of the documented native-
+    codec swap (contract-tested in tests/test_jpeg.py)."""
+    decode = decoder if decoder is not None else _parse_jpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, p, text in zip(pdf["doc_id"], pdf["payload"], pdf["text"]):
                 payload = bytes(p)
-                channels, w, h, px = _parse_jpeg(payload)
+                channels, w, h, px = decode(payload)
                 if channels != 3:
                     raise ValueError(f"expected a color JPEG, got {channels} channel")
                 src = _md5_color_image(text, dim_mod)
@@ -1490,18 +1545,41 @@ JPEG_PROGRESSIVE_SCHEMA = T.StructType(
 )
 
 
-def jpeg_progressive_report(docs: DataFrame, dim_mod: int = 32) -> DataFrame:
+def jpeg_progressive_report(
+    docs: DataFrame,
+    dim_mod: int = 32,
+    equality_mod: int = 1,
+    decoder=None,
+    encoder=None,
+) -> DataFrame:
     """Arrow-batched PROGRESSIVE JPEG gate over ``(doc_id, text)``: per
-    row, build the md5-derived RGB source, encode it BOTH ways — a
-    progressive (SOF2) file with spectral selection + successive
-    approximation (even docs 4:4:4, odd 4:2:0) and the established
-    baseline (SOF0) file with the same tables — decode both through the
-    one multi-scan decoder, and emit: the SOF-RECOVERED mode and
-    subsampling, the recovered dims, ``matches_baseline`` = the two
-    decodes are ARRAY-EXACT (a correct progression reconstructs exactly
-    the coefficients the baseline carries — any EOBn/refinement/
-    correction-bit defect breaks it), and the source error bounds.
+    row, build the md5-derived RGB source, encode the progressive
+    (SOF2) file with spectral selection + successive approximation
+    (even docs 4:4:4, odd 4:2:0), and recover ``mode``/``subsample``/
+    dims from its SOF segment — NEVER passed through.
+
+    ``equality_mod`` (r14, the designed cost cut): the EXPENSIVE leg —
+    encode the baseline (SOF0) twin, decode BOTH files through the
+    multi-scan decoder, assert ``matches_baseline`` = the decodes are
+    ARRAY-EXACT (a correct progression reconstructs exactly the
+    coefficients the baseline carries — any EOBn/refinement/
+    correction-bit defect breaks it) plus the source error bounds —
+    runs on the deterministic sub-lake ``doc_id % equality_mod == 0``
+    (gate columns are NULL elsewhere; an oracle mirrors the predicate).
+    The default 1 keeps the full-lake dual decode — pytest pins it
+    bit-level corpus-wide; the registered query passes 4, which keeps
+    the gate's power (the sub-lake spans every dim/subsample class)
+    while cutting ~3 of the 4 entropy-coding passes from 75% of rows.
+
+    ``decoder``/``encoder`` (r14, the codec seam): ``decoder(payload)
+    → (channels, w, h, px)`` and ``encoder(px, subsample, progressive)
+    → bytes`` replace the pure-Python codecs — a libjpeg arrival is a
+    two-argument swap, contract-tested in tests/test_jpeg.py.
     Map-only."""
+    decode = decoder if decoder is not None else _parse_jpeg
+    encode = encoder if encoder is not None else _default_jpeg_encoder
+    if equality_mod < 1:
+        raise ValueError("equality_mod must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1509,12 +1587,20 @@ def jpeg_progressive_report(docs: DataFrame, dim_mod: int = 32) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 src = _md5_color_image(text, dim_mod)
                 ss = "444" if int(did) % 2 == 0 else "420"
-                prog = _encode_jpeg_progressive_bytes(src, ss)
-                base = _encode_jpeg_color_bytes(src, ss)
-                mode, got_ss = _sof_info(prog)
-                c, w, h, px = _parse_jpeg(prog)
-                _, _, _, px_base = _parse_jpeg(base)
-                err = np.abs(px.astype(np.int64) - src.astype(np.int64))
+                prog = encode(src, ss, True)
+                mode, got_ss, w, h = _sof_header(prog)
+                if int(did) % equality_mod == 0:
+                    base = encode(src, ss, False)
+                    c, dw, dh, px = decode(prog)
+                    if (dw, dh) != (w, h):
+                        raise ValueError("SOF header and decode disagree on dims")
+                    _, _, _, px_base = decode(base)
+                    err = np.abs(px.astype(np.int64) - src.astype(np.int64))
+                    matches = bool(np.array_equal(px, px_base))
+                    max_ok = bool(err.max() <= 32)
+                    mean_ok = bool(err.mean() <= 8.0)
+                else:
+                    matches = max_ok = mean_ok = None
                 rows.append(
                     {
                         "doc_id": did,
@@ -1524,9 +1610,9 @@ def jpeg_progressive_report(docs: DataFrame, dim_mod: int = 32) -> DataFrame:
                         "width": w,
                         "height": h,
                         "n_px": w * h,
-                        "matches_baseline": bool(np.array_equal(px, px_base)),
-                        "max_err_le_32": bool(err.max() <= 32),
-                        "mean_err_le_8": bool(err.mean() <= 8.0),
+                        "matches_baseline": matches,
+                        "max_err_le_32": max_ok,
+                        "mean_err_le_8": mean_ok,
                     }
                 )
             yield pd.DataFrame(

@@ -623,9 +623,9 @@ def multimodal_jpeg_color_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((('0x' || substr(md5(text), 1, 15))::BIGINT % 32 + 1)
               * (('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 32 + 1)
                 AS BIGINT) AS n_px,
-           TRUE AS matches_baseline,
-           TRUE AS max_err_le_32,
-           TRUE AS mean_err_le_8
+           CASE WHEN doc_id % 4 = 0 THEN TRUE END AS matches_baseline,
+           CASE WHEN doc_id % 4 = 0 THEN TRUE END AS max_err_le_32,
+           CASE WHEN doc_id % 4 = 0 THEN TRUE END AS mean_err_le_8
     FROM documents
     """,
 )
@@ -647,9 +647,18 @@ def multimodal_jpeg_progressive_recon(spark: SparkSession, sf_dir: str) -> DataF
     a lossy multi-scan format admits); and the source error bounds
     carry the established recon envelope. Bit-level internals are
     additionally pinned in tests/test_jpeg.py across content classes
-    (noise, flat, gradient — long EOB runs and ZRLs)."""
+    (noise, flat, gradient — long EOB runs and ZRLs).
+
+    r14: the SOF-recovery columns stay CORPUS-WIDE while the dual
+    encode+decode equality leg runs on the deterministic sub-lake
+    ``doc_id % 4 == 0`` (gate columns NULL elsewhere; the oracle
+    mirrors the predicate) — the sub-lake spans every dim × subsample
+    class, so the gate keeps its power at a quarter of the
+    entropy-coding cost (the r13 verdict's named fix for the heaviest
+    tracking row); pytest keeps the FULL-lake dual decode as the
+    bit-level pin."""
     docs = table(spark, sf_dir, "documents")
-    return jpeg_progressive_report(docs)
+    return jpeg_progressive_report(docs, equality_mod=4)
 
 
 @query(
