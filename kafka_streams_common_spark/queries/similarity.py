@@ -374,6 +374,129 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Three-member clone FAMILIES for the realistic-τ semantic-dedup row:
+# every vector gets TWO planted copies (+1e6 with the first component
+# +0.01, +2e6 with +0.02) — each family pairwise cosine ≈0.999 while the
+# ambient corpus maxes out at ≈0.513, so τ=0.9 separates families with a
+# wide margin on both sides. Deterministic double arithmetic both
+# engines reproduce bit-for-bit (the sim_embedding_near_dup recipe).
+_AUG3_SQL = """
+    aug AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + CASE WHEN i = 1 THEN 0.01 ELSE 0.0 END)
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 + CASE WHEN i = 1 THEN 0.02 ELSE 0.0 END)
+      FROM embeddings
+    )
+"""
+
+
+def _clone_family_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", to_double_array("embedding").alias("embedding"))
+
+    def shifted(shift: float):
+        return lambda x, i: x.cast("double") + F.when(
+            i == 0, F.lit(shift)
+        ).otherwise(F.lit(0.0))
+
+    out = base
+    for k, shift in ((1, 0.01), (2, 0.02)):
+        out = out.unionAll(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 1000000)).alias("vec_id"),
+                F.transform("embedding", shifted(shift)).alias("embedding"),
+            )
+        )
+    return out
+
+
+@query(
+    "sim_semantic_dedup_planted",
+    oracle=f"""
+    WITH RECURSIVE {_AUG3_SQL},
+    cent AS (
+      SELECT vec_id AS c_id, v AS c_emb FROM aug
+      ORDER BY vec_id LIMIT 16
+    ),
+    cells AS (
+      SELECT e.vec_id AS id, e.v, c.c_id AS cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.v', 'c.c_emb')} DESC, c.c_id
+             ) AS rn
+      FROM aug e, cent c
+    ),
+    assigned AS (SELECT id, v, cell FROM cells WHERE rn = 1),
+    probes AS (SELECT id AS q_id, v AS q_emb, cell FROM cells WHERE rn <= 2),
+    scored AS (
+      SELECT p.q_id AS vec_id, a.id AS neighbor_id,
+             {_cos_sql('a.v', 'p.q_emb')} AS score
+      FROM assigned a
+      JOIN probes p USING (cell)
+      WHERE p.q_id != a.id
+    ),
+    graph AS (
+      SELECT vec_id, neighbor_id, score FROM (
+        SELECT vec_id, neighbor_id, score,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY score DESC, neighbor_id
+               ) AS rn
+        FROM scored
+      ) WHERE rn <= 8
+    ),
+    edges AS (SELECT vec_id AS a, neighbor_id AS b FROM graph
+              WHERE score >= 0.9),
+    bi AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    cc(node, label) AS (
+      SELECT vec_id, vec_id FROM aug
+      UNION
+      SELECT bi.b, cc.label FROM cc JOIN bi ON bi.a = cc.node
+    )
+    SELECT node AS vec_id,
+           min(label) AS cluster_id,
+           (node = min(label)) AS keep
+    FROM cc GROUP BY node
+    """,
+)
+def sim_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the PRODUCTION threshold over PLANTED clone families
+    (r14) — the realistic-regime twin of ``sim_semantic_dedup``, whose
+    fixture carries no true semantic duplicates (τ there sits at 0.35
+    inside the ambient mass by design): every corpus vector gets two
+    deterministic perturbed copies (family pairwise cosine ≈0.999 vs
+    ambient ≤0.513), the approximate kNN graph is built over the 3×
+    corpus (16 seeded cells, 2 probes, k=8), edges threshold at τ=0.9,
+    and connected components elect the min-id survivor — so the
+    externally hash-gated keep-list GENUINELY PRUNES the planted
+    clones: exactly one ``keep`` per family, always the original
+    (clone ids are +1e6/+2e6). Clones share their original's home cell
+    (near-identical vectors), so family edges ride the same cell-keyed
+    join the kNN graph always runs — no all-pairs anywhere; the
+    hot-cell cap stays off here so families are never traded away
+    (``sim_semantic_dedup`` gates the capped posture). Oracle = full
+    graph replay + recursive-CTE closure over the same 3× corpus."""
+    return semantic_dedup(
+        _clone_family_corpus(spark, sf_dir),
+        tau=0.9,
+        k=8,
+        n_centroids=16,
+        n_probe=2,
+        max_cell=None,
+    )
+
+
 @query(
     "sim_centroid_by_label",
     oracle="""
