@@ -184,6 +184,10 @@ TRACKING_QUERIES = [
     "multimodal_png_palette_decode",
     "multimodal_jpeg_progressive_recon",
     "multimodal_color_image_decode",
+    # r14: alpha/16-bit PNG, frame-diffed GIF, planted-τ SemDeDup
+    "multimodal_png_alpha_decode",
+    "multimodal_gif_composite_stats",
+    "sim_semantic_dedup_planted",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

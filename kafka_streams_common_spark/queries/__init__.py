@@ -33,55 +33,50 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-13 WINDOW (``_R13_WINDOW``): head = the nine round-13
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the three round-14
 registrations, never driver-checked (invariant #1) —
-``multimodal_jpeg_color_recon`` (baseline YCbCr color JPEG, 4:4:4 and
-4:2:0 in one lake, per-component DQT/DHT selectors, subsampling mode
-RECOVERED from the SOF0 parse), ``multimodal_cross_modal_dedup`` (the
-production composition: one 5-format lake, one magic-dispatch decode
-scan, ONE modality-scoped banded join with the cap replayed per
-modality in SQL), ``sim_knn_graph`` (IVF-blocked k-NN edge list
-over every corpus vector, cell census cap live), ``sim_semantic_dedup``
-(the SemDeDup composition: graph → threshold → connected components →
-canonical keep list, the full graph replay + recursive-CTE closure as
-its oracle), ``multimodal_g711_mixed_decode`` (the full G.711 pair —
-PCM + μ-law + the new A-law branch over one three-codec lake, both
-expansions replayed in SQL), and ``multimodal_gif_anim_scene_stats``
-(ANIMATED GIF89a: per-frame GCE delays + independent LZW streams,
-frame content/order/delays replayed in SQL), and
-``multimodal_png_palette_decode`` (color-type-3 indexed PNG — PLTE
-with the affine non-identity gray palette, the lookup replayed in
-SQL), and ``multimodal_jpeg_progressive_recon`` (PROGRESSIVE SOF2:
-spectral selection + successive approximation, gated ARRAY-EXACT
-against the baseline decode of the same source plus SOF-recovered
-mode/subsample), and ``multimodal_color_image_decode`` (the truecolor
-path: P6 PPM + color-type-2 PNG, the 3·w·h RGB stream replayed in
-SQL). Then the seven rows
-whose implementation changed in round 13 itself (invariant #2): the
-``operators/jpeg.py`` refactor (shared block encode/decode helpers,
-multi-component ``_parse_jpeg``, new marker rejections) re-exposes
-``multimodal_jpeg_recon`` and — through the shared ``_parse_image``
-dispatch extraction in ``_decode_image`` and the ``_parse_gif``
-offset-descriptor rejection — ``multimodal_png_decode``,
-``multimodal_gif_decode``, and ``streaming_compressed_ingest``; the
-``banded_hamming_pairs`` ``group_cols`` extension plus the
-``_ahash_bands`` pixels-core extraction re-expose
-``multimodal_ahash_near_dup``, ``multimodal_audio_near_dup``, and
-``multimodal_video_near_dup`` (all default-parameter-identical —
-oracles unchanged — but changed code gets re-exposed, not argued
-about). The remaining 34 slots take the COMPUTED refresh queue
-VERBATIM (key: last-green round asc, green-count asc, registration
-order) — the first 34 of the 40 r7-stale rows promised in the README
-r12 ledger (the last six, ``anti_join_customers_without_orders``
-``set_union_distinct`` ``rollup_orders_by_status_priority``
+``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit PNG — the
+alpha plane, the bpp=2/4 unfilter offsets, and the big-endian sample
+pairing all replayed in SQL), ``multimodal_gif_composite_stats``
+(frame-DIFFED animated GIF: nonzero-offset rects, local affine
+palettes, transparent-index masks — the oracle reconstructs each
+pixel as "the digest byte of the last frame whose rect covered it"),
+and ``sim_semantic_dedup_planted`` (SemDeDup at τ=0.9 over planted
+3-member clone families — the keep-list genuinely prunes clones
+externally; full graph replay + recursive-CTE closure as its oracle).
+Then the TWELVE rows whose implementation changed in round 14 itself
+(invariant #2), all default-parameter-compatible at the operator
+level with oracles unchanged except where noted: the PNG core
+(``_encode_png_bytes``/``_parse_png`` alpha + 16-bit branches,
+``_decode_image`` bit-depth/alpha-aware stats + the new ``bit_depth``
+column, ``encode_png`` params) re-exposes ``multimodal_feature_extract``,
+``multimodal_png_decode``, ``multimodal_png_palette_decode``,
+``multimodal_color_image_decode``, ``multimodal_gif_decode``,
+``multimodal_format_census``, ``multimodal_cross_modal_dedup``
+(``_parse_image`` → ``_parse_png``), and
+``streaming_compressed_ingest``; the GIF compositing walk
+(``_parse_gif_frames`` offsets/local-tables/transparency/disposal
+validation; ``encode_gif_anim`` now emits the frame-diffed container —
+same rendered canvases, oracle unchanged) re-exposes
+``multimodal_gif_anim_scene_stats``; the JPEG codec seam
+(``decoder=``/``encoder=`` hooks), the progressive DC-table hoist in
+``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
+gate columns now mirror ``doc_id % 4 = 0``) re-expose
+``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
+``multimodal_jpeg_progressive_recon``. The remaining 35 slots take
+the COMPUTED refresh queue VERBATIM (key: last-green round asc,
+green-count asc, registration order): FIRST the six r7-stale rows
+displaced from the r13 window head (``anti_join_customers_without_
+orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
-``date_interval_arithmetic``, are displaced to the r14 queue head by
-the fourth-ninth registrations), which drains the r7 tier to SIX
-remaining rows: the 16 single-green rows (headed by the five displaced
-by the r12 second wave), the 8 two-green rows, the 5 three-green rows,
-and the first 5 of the 11 four-green rows (the r12 ledger's predicted
-6/10 split for the last two tiers recounts to 5/11 against the
-CORRECTNESS files; same names, same key order).
+``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
+drains to ZERO and the staleness floor moves to r8), then the first
+29 of the 50-row r8 tier (all single-green, in registration order;
+the remaining 21 r8 rows head the r15 queue).
+
+(The round-13 window derivation now lives in the README.md
+§Verification ledger, per the carry-only-the-active-window
+convention.)
 """
 
 from kafka_streams_common_spark.queries.registry import ORACLES, QUERIES, query
@@ -98,112 +93,116 @@ from kafka_streams_common_spark.queries import quality as _quality  # noqa: F401
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
-# Round-13 driver window, in driver execution order (the grading driver
+# Round-14 driver window, in driver execution order (the grading driver
 # runs the first ~50 registry entries; see the module docstring for the
 # rotation invariants and this round's derivation).
 
-# _R13_NEW — round-13 registrations with NO driver row ever (rotation
+# _R14_NEW — round-14 registrations with NO driver row ever (rotation
 # invariant #1: never-checked rows outrank everything).
-_R13_NEW = (
-    "multimodal_jpeg_color_recon",
-    "multimodal_cross_modal_dedup",
-    "sim_knn_graph",
-    "sim_semantic_dedup",
-    "multimodal_g711_mixed_decode",
-    "multimodal_gif_anim_scene_stats",
-    "multimodal_png_palette_decode",
-    "multimodal_jpeg_progressive_recon",
-    "multimodal_color_image_decode",
+_R14_NEW = (
+    "multimodal_png_alpha_decode",
+    "multimodal_gif_composite_stats",
+    "sim_semantic_dedup_planted",
 )
-assert all(n in QUERIES for n in _R13_NEW)
+assert all(n in QUERIES for n in _R14_NEW)
 
-# _R13_CHANGED — implementation changed in round 13 itself (rotation
-# invariant #2: re-expose changed code before unchanged rows). All
-# changes are default-parameter-identical (oracles unchanged): the
-# jpeg.py block-helper refactor + multi-component parse + marker
-# rejections; the _parse_image dispatch extraction under
-# _decode_image; the _parse_gif offset rejection; the
-# banded_hamming_pairs group_cols extension; the _ahash_bands core
-# extraction.
-_R13_CHANGED = (
-    "multimodal_jpeg_recon",
+# _R14_CHANGED — implementation changed in round 14 itself (rotation
+# invariant #2: re-expose changed code before unchanged rows): the
+# PNG alpha/16-bit branches (_encode_png_bytes/_parse_png/encode_png)
+# and the depth/alpha-aware _decode_image + bit_depth column under
+# decode_image_features; the GIF compositing walk (_parse_gif_frames
+# offsets/local-tables/transparency/disposal; encode_gif_anim emits
+# the frame-diffed container — same rendered canvases, oracle
+# unchanged); the JPEG decoder/encoder seam on the three report
+# operators, the progressive DC-table hoist in _parse_jpeg, and the
+# equality_mod=4 sub-lake on the progressive gate (its oracle now
+# mirrors the doc_id % 4 = 0 predicate).
+_R14_CHANGED = (
+    "multimodal_feature_extract",
     "multimodal_png_decode",
+    "multimodal_png_palette_decode",
+    "multimodal_color_image_decode",
     "multimodal_gif_decode",
+    "multimodal_format_census",
+    "multimodal_cross_modal_dedup",
     "streaming_compressed_ingest",
-    "multimodal_ahash_near_dup",
-    "multimodal_audio_near_dup",
-    "multimodal_video_near_dup",
+    "multimodal_gif_anim_scene_stats",
+    "multimodal_jpeg_recon",
+    "multimodal_jpeg_color_recon",
+    "multimodal_jpeg_progressive_recon",
 )
-assert all(n in QUERIES for n in _R13_CHANGED)
+assert all(n in QUERIES for n in _R14_CHANGED)
 
-# _R13_REFRESH — the COMPUTED stale-refresh queue promised in the
-# README r12 ledger (key: last-green round asc, green-count asc,
-# registration order), VERBATIM: drains the ENTIRE r7-stale tier
-# (40 rows — the oldest external green moves to r8).
-_R13_REFRESH = (
-    # r7-last, single-green (the five displaced r12 heads first)
-    "dedup_contamination_report",
-    "sim_ivf_pq_rerank",
-    "text_perplexity_filter",
-    "tpch_q11_important_stock",
-    "events_funnel_stage_counts",
-    "events_funnel_time_to_convert",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_order_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q8_national_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q16_supplier_relationship",
-    "tpch_q20_part_promotion_suppliers",
-    "window_rank_functions_showcase",
-    "array_function_showcase",
-    # r7-last, two-green
-    "dedup_passages",
-    "sim_centroid_outliers",
-    "text_bigram_logprob",
-    "tpch_q4_order_priority",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
-    "tpch_q7_nation_volume",
-    "tpch_q22_dormant_customers",
-    # r7-last, three-green
-    "streaming_quality_gate_ingest",
-    "dedup_decontaminate",
-    "text_quality_filter",
-    "text_gopher_quality_rules",
-    "events_funnel_conversion",
-    # r7-last, four-green
-    "text_quality_metrics",
-    "text_token_counts",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_unigram_logprob",
-    # anti_join_customers_without_orders, set_union_distinct,
-    # rollup_orders_by_status_priority, scalar_function_showcase,
-    # pivot_event_value_by_type, and date_interval_arithmetic — the
-    # queue's 35th-40th rows — are displaced to the r14 queue head by
-    # the fourth-ninth r13 registrations (sim_semantic_dedup,
-    # multimodal_g711_mixed_decode, multimodal_gif_anim_scene_stats,
-    # multimodal_png_palette_decode, multimodal_jpeg_progressive_recon,
-    # multimodal_color_image_decode), per invariant #1
+# _R14_REFRESH — the COMPUTED stale-refresh queue (key: last-green
+# round asc, green-count asc, registration order), VERBATIM: the six
+# r7-stale rows FIRST (displaced from the r13 head; the r7 tier drains
+# to ZERO and the staleness floor moves to r8), then the first 29 of
+# the 50-row r8 single-green tier. The remaining 21 r8 rows head the
+# r15 queue: window_trending_topk, asof_join_next_order_after_event,
+# udtf_explode_props_kv, graph_pagerank_customer_supplier,
+# zorder_key_orders, incremental_agg_orders_by_status,
+# dq_profile_events, dq_profile_events_approx, dq_constraints_orders,
+# scd2_user_event_history, join_salted_skew_events,
+# scd2_temporal_lookup, dq_drift_psi_totalprice (single-green), then
+# cube_orders_by_status_priority, array_agg_order_keys_per_customer
+# (three-green), filter_pushdown_scan (four-green), p4_json_parse_agg,
+# streaming_latest_per_key (five-green), j5_enrichment_chain,
+# s2_latest_per_key, asof_join_last_order_before_event (six-green).
+_R14_REFRESH = (
+    # r7-last, four-green — the final r7 rows, twice displaced
+    "anti_join_customers_without_orders",
+    "set_union_distinct",
+    "rollup_orders_by_status_priority",
+    "scalar_function_showcase",
+    "pivot_event_value_by_type",
+    "date_interval_arithmetic",
+    # r8-last, single-green, registration order
+    "s2_cdc_apply_tombstones",
+    "source_csv_roundtrip_nation",
+    "source_json_roundtrip_nation",
+    "streaming_suppressed_window_counts",
+    "streaming_sliding_window_counts",
+    "streaming_session_window_counts",
+    "streaming_fk_join_enrichment",
+    "streaming_stream_stream_full_outer_join",
+    "streaming_cdc_tombstones",
+    "streaming_rate_limit_ingest",
+    "dedup_connected_components_two_phase",
+    "dedup_decontaminate_bloom",
+    "sim_random_projection",
+    "text_chunk_documents",
+    "text_corpus_report_rollup",
+    "text_bpe_top_pairs",
+    "text_classifier_score",
+    "llm_temperature_sample_sources",
+    "text_normalize",
+    "text_url_canonicalize",
+    "text_kfold_split",
+    "llm_dsir_importance_weights",
+    "llm_weighted_sample_docs",
+    "window_range_moving_avg",
+    "events_zscore_outliers",
+    "agg_histogram_totalprice",
+    "stat_corr_price_linecount",
+    "stat_regression_tokens_by_source",
+    "agg_hll_mergeable_rollup",
 )
-assert all(n in QUERIES for n in _R13_REFRESH)
+assert all(n in QUERIES for n in _R14_REFRESH)
 
-_R13_WINDOW = (*_R13_NEW, *_R13_CHANGED, *_R13_REFRESH)
+_R14_WINDOW = (*_R14_NEW, *_R14_CHANGED, *_R14_REFRESH)
 
 # Past the window: every one of these has a green driver row from a
 # prior round on code unchanged since (r8+ — the r7 tier is fully
 # drained this round). All stay covered by the local parity suite
 # (scripts/driver_sim.py runs ALL oracles) each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R13_WINDOW)
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R14_WINDOW)
 
-_missing = [n for n in _R13_WINDOW if n not in QUERIES]
+_missing = [n for n in _R14_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
-assert len(set(_R13_WINDOW)) == 50, "duplicate window entries"
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+assert len(set(_R14_WINDOW)) == 50, "duplicate window entries"
 
-_reordered = {n: QUERIES[n] for n in (*_R13_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R14_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1074,6 +1074,70 @@ def main() -> None:
                 lambda: jpeg_progressive_report(docs1),
                 lambda: jpeg_progressive_report(docs8),
             ),
+            # r14: the registered row's equality_mod=4 form — the
+            # designed cost cut; SOF columns stay corpus-wide
+            "jpeg_progressive_report_sublake": (
+                lambda: jpeg_progressive_report(docs1, equality_mod=4),
+                lambda: jpeg_progressive_report(docs8, equality_mod=4),
+            ),
+        }
+    )
+
+    # r14 additions: alpha/16-bit PNG lake, frame-diffed composite GIF,
+    # and SemDeDup at τ=0.9 over planted clone families (cell count
+    # grown with the corpus, the knn_graph discipline)
+    def _alpha_lake(docs):
+        return decode_image_features(
+            encode_png(docs.filter(F.col("doc_id") % 4 == 0), level=6,
+                       alpha=True)
+            .unionAll(encode_png(docs.filter(F.col("doc_id") % 4 == 1),
+                                 level=6, channels=3, alpha=True))
+            .unionAll(encode_png(docs.filter(F.col("doc_id") % 4 == 2),
+                                 level=6, channels=3, alpha=True,
+                                 interlaced=True))
+            .unionAll(encode_png(docs.filter(F.col("doc_id") % 4 == 3),
+                                 level=6, depth=16))
+        )
+
+    from kafka_streams_common_spark.operators.gif import (
+        encode_gif_anim_composite,
+    )
+
+    def _planted(emb, n_centroids):
+        base = emb.select("vec_id", "embedding")
+        fam = base
+        for k in (1, 2):
+            fam = fam.unionAll(
+                emb.select(
+                    (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        (lambda s: lambda x, i: x.cast("double") + F.when(
+                            i == 0, F.lit(s)).otherwise(F.lit(0.0)))(k * 0.01),
+                    ).alias("embedding"),
+                )
+            )
+        return semantic_dedup(fam, tau=0.9, k=8, n_centroids=n_centroids,
+                              n_probe=2, max_cell=None)
+
+    noop_probes.update(
+        {
+            "png_alpha_deep_decode": (
+                lambda: _alpha_lake(docs1),
+                lambda: _alpha_lake(docs8),
+            ),
+            "gif_composite_frame_stats": (
+                lambda: decode_gif_anim_frame_stats(
+                    encode_gif_anim_composite(docs1)
+                ),
+                lambda: decode_gif_anim_frame_stats(
+                    encode_gif_anim_composite(docs8)
+                ),
+            ),
+            "semantic_dedup_planted": (
+                lambda: _planted(emb1, 64),
+                lambda: _planted(emb8, 512),
+            ),
         }
     )
 
