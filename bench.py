@@ -184,10 +184,14 @@ TRACKING_QUERIES = [
     "multimodal_png_palette_decode",
     "multimodal_jpeg_progressive_recon",
     "multimodal_color_image_decode",
-    # r14: alpha/16-bit PNG, frame-diffed GIF, planted-τ SemDeDup
+    # r14: alpha/16-bit PNG, frame-diffed GIF, planted-τ SemDeDup,
+    # EXIF extraction, gzip text lake, WebDataset tar shards
     "multimodal_png_alpha_decode",
     "multimodal_gif_composite_stats",
     "sim_semantic_dedup_planted",
+    "multimodal_exif_metadata",
+    "multimodal_gzip_text_ingest",
+    "multimodal_webdataset_ingest",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

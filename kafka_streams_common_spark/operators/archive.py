@@ -1,0 +1,338 @@
+"""Archive-container codecs: gzip members (RFC 1952) and ustar tar
+shards (POSIX.1-1988) — the two container formats a large-scale
+training-data lake actually arrives in (gzip-compressed text files;
+WebDataset-style tar shards of paired image+caption members).
+
+Original implementations of the PUBLIC specs, the multimodal tier's
+posture (PIL/tarfile-free on the hot path; stdlib ``tarfile``/``gzip``
+pin interchange in pytest): byte-level header builds and walks with
+every integrity field real and VERIFIED on decode — gzip FLG bits,
+CRC-32 and ISIZE trailers; tar octal size fields, the space-substituted
+header CHECKSUM, ustar magic, and the two-zero-block terminator.
+
+Reference parity note: the reference engine (kafka-streams-common) has
+no binary-container surface — this module is part of the mandated
+training-data-pipeline extension, not a port.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+def _gzip_compress_bytes(
+    data: bytes, fname: str | None = None, mtime: int = 0, level: int = 6
+) -> bytes:
+    """Build an RFC 1952 gzip member by hand: fixed 10-byte header
+    (magic, CM=8 deflate, FLG, little-endian MTIME, XFL=0, OS=255
+    unknown), optional zero-terminated FNAME (Latin-1 per spec), RAW
+    deflate body (``wbits=-15`` — the zlib wrapper is NOT part of
+    gzip), and the CRC-32 + ISIZE little-endian trailer. ``mtime``
+    defaults to 0 so the container is deterministic."""
+    import zlib
+
+    flg = _FNAME if fname is not None else 0
+    head = (
+        GZIP_MAGIC
+        + b"\x08"
+        + bytes([flg])
+        + int(mtime).to_bytes(4, "little")
+        + b"\x00\xff"
+    )
+    name = fname.encode("latin-1") + b"\x00" if fname is not None else b""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    trailer = (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little") + (
+        len(data) & 0xFFFFFFFF
+    ).to_bytes(4, "little")
+    return head + name + body + trailer
+
+
+def _gzip_decompress_bytes(payload: bytes) -> tuple[str | None, bytes]:
+    """Parse one gzip member per RFC 1952: magic + CM check, FLG walk
+    (FEXTRA/FNAME/FCOMMENT/FHCRC consumed in spec order; reserved bits
+    rejected), raw-deflate inflate, then the trailer VERIFIED — CRC-32
+    and ISIZE must both match the decompressed bytes, and trailing
+    garbage is rejected. Returns ``(fname, data)`` with ``fname`` None
+    when the FNAME flag is absent."""
+    import zlib
+
+    if payload[:2] != GZIP_MAGIC:
+        raise ValueError(f"not a gzip member: {payload[:2]!r}")
+    if len(payload) < 18:
+        raise ValueError("truncated gzip member")
+    if payload[2] != 8:
+        raise ValueError(f"unsupported gzip compression method {payload[2]}")
+    flg = payload[3]
+    if flg & 0xE0:
+        raise ValueError(f"reserved gzip FLG bits set: 0x{flg:02x}")
+    pos = 10
+    if flg & _FEXTRA:
+        xlen = int.from_bytes(payload[pos : pos + 2], "little")
+        pos += 2 + xlen
+    fname = None
+    if flg & _FNAME:
+        end = payload.index(b"\x00", pos)
+        fname = payload[pos:end].decode("latin-1")
+        pos = end + 1
+    if flg & _FCOMMENT:
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & _FHCRC:
+        want = int.from_bytes(payload[pos : pos + 2], "little")
+        got = zlib.crc32(payload[:pos]) & 0xFFFF
+        if want != got:
+            raise ValueError("gzip header CRC16 mismatch")
+        pos += 2
+    do = zlib.decompressobj(-15)
+    data = do.decompress(payload[pos:]) + do.flush()
+    tail = do.unused_data
+    if len(tail) != 8:
+        raise ValueError(f"gzip trailer must be exactly 8 bytes, {len(tail)} left")
+    crc = int.from_bytes(tail[0:4], "little")
+    isize = int.from_bytes(tail[4:8], "little")
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise ValueError("gzip CRC-32 mismatch")
+    if isize != (len(data) & 0xFFFFFFFF):
+        raise ValueError("gzip ISIZE mismatch")
+    return fname, data
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    """One 512-byte ustar header: NUL-padded name, octal mode/uid/gid/
+    size/mtime, the SPACE-substituted checksum field re-written as
+    ``%06o\\0 `` after summing, typeflag '0', ``ustar\\0`` magic +
+    version ``00``."""
+    nb = name.encode()
+    if len(nb) > 100:
+        raise ValueError("tar member name exceeds 100 bytes")
+    hdr = bytearray(512)
+    hdr[0 : len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = f"{size:011o}".encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8  # checksum field counts as spaces
+    hdr[156] = ord("0")  # regular file
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chksum = sum(hdr)
+    hdr[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+    return bytes(hdr)
+
+
+def _tar_bytes(members: list[tuple[str, bytes]]) -> bytes:
+    """A complete ustar archive: header + 512-padded data per member,
+    then the two zero end-blocks — the WebDataset shard layout."""
+    out = bytearray()
+    for name, data in members:
+        out += _tar_header(name, len(data))
+        out += data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def _parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
+    """Walk a ustar archive per the public spec: per header VERIFY the
+    space-substituted checksum and the ustar magic, parse the octal
+    size, slice the 512-padded data, stop at the zero block. Returns
+    the members in archive order."""
+    members: list[tuple[str, bytes]] = []
+    pos = 0
+    while pos + 512 <= len(payload):
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            return members
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"missing ustar magic at offset {pos}")
+        want = int(hdr[148:156].rstrip(b"\x00 ") or b"0", 8)
+        got = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if want != got:
+            raise ValueError(f"tar header checksum mismatch at offset {pos}")
+        name = hdr[0:100].rstrip(b"\x00").decode()
+        size = int(hdr[124:136].rstrip(b"\x00 ") or b"0", 8)
+        data = payload[pos + 512 : pos + 512 + size]
+        if len(data) != size:
+            raise ValueError(f"truncated tar member {name!r}")
+        members.append((name, data))
+        pos += 512 + size + ((-size) % 512)
+    raise ValueError("tar archive ended without the zero end-block")
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+
+def encode_gzip_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document's utf-8 text as a genuine RFC 1952 gzip
+    member — EVEN doc_ids carry the FNAME header field
+    (``doc-<id>.txt``), odd ones are anonymous (FLG=0), so the decode
+    stage's flag walk is exercised both ways and the recovered name is
+    oracle-checkable. Arrow-batched ``mapInPandas``, map-only — the
+    compressed-text-lake ingest shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                fname = f"doc-{int(did)}.txt" if int(did) % 2 == 0 else None
+                payloads.append(_gzip_compress_bytes(text.encode(), fname=fname))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+GZIP_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("member_name", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("text_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_gzip_text_stats(gz: DataFrame) -> DataFrame:
+    """Arrow-batched gzip decode over ``(doc_id, payload)``: full RFC
+    1952 walk (flag fields, raw-deflate inflate, CRC-32 + ISIZE
+    trailer VERIFIED per row), emitting the recovered member name, the
+    decompressed byte count, and the md5 of the decompressed bytes —
+    so the SQL oracle (``md5(text)``, ``strlen(text)``) gates the
+    inflate END TO END: one flipped bit, a skipped flag field, or a
+    wrong trailer offset breaks the hash. Map-only."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                fname, data = _gzip_decompress_bytes(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "member_name": fname,
+                        "n_bytes": len(data),
+                        "text_md5": hashlib.md5(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in GZIP_TEXT_SCHEMA])
+
+    return gz.mapInPandas(batches, GZIP_TEXT_SCHEMA)
+
+
+def encode_webdataset_shard(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document as a WebDataset-style ustar shard: two
+    members under one key — ``doc-<id>.pgm`` (the document's byte-exact
+    Netpbm P5 image, the established md5 geometry/raster arithmetic)
+    and ``doc-<id>.txt`` (the utf-8 caption). This is the pairing
+    layout multimodal training pipelines actually read (image+caption
+    grouped by key inside tar shards). Arrow-batched ``mapInPandas``,
+    map-only. The shard ships WITHOUT the doc_id column — the decode
+    stage must recover the key from member names."""
+    import hashlib
+
+    out_schema = T.StructType([T.StructField("payload", T.BinaryType(), True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hx = hashlib.md5(text.encode()).hexdigest()
+                w = int(hx[:15], 16) % 16 + 1
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+                raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
+                pgm = b"P5\n%d %d\n255\n" % (w, h) + raster
+                key = f"doc-{int(did)}"
+                payloads.append(
+                    _tar_bytes(
+                        [(f"{key}.pgm", pgm), (f"{key}.txt", text.encode())]
+                    )
+                )
+            yield pd.DataFrame({"payload": payloads}, columns=["payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+WEBDATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_members", T.IntegerType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("caption_bytes", T.LongType(), True),
+        T.StructField("caption_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_webdataset_pairs(shards: DataFrame) -> DataFrame:
+    """Arrow-batched WebDataset ingest over ``(payload)`` tar shards:
+    walk the ustar container (checksums + magic VERIFIED per header),
+    group members by key (basename before the first dot), dispatch by
+    extension — ``.pgm`` through the real Netpbm parse for pixel
+    stats, ``.txt`` as the caption — and emit one PAIRED row per key
+    with the doc_id RECOVERED from the member names, never passed
+    through (the shard carries no id column). A missing pair member,
+    a checksum break, a padding slip, or a key-grouping bug all break
+    the oracle hash. Map-only — the exact shape of tar-shard ingest at
+    100 TB (one shard per row here; one shard per FILE in production,
+    same kernel)."""
+    import hashlib
+
+    from kafka_streams_common_spark.operators.multimodal import _parse_netpbm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                members = _parse_tar(bytes(p))
+                groups: dict[str, dict[str, bytes]] = {}
+                for name, data in members:
+                    key, _, ext = name.partition(".")
+                    groups.setdefault(key, {})[ext] = data
+                for key, parts in groups.items():
+                    if "pgm" not in parts or "txt" not in parts:
+                        raise ValueError(f"incomplete WebDataset pair {key!r}")
+                    if not key.startswith("doc-"):
+                        raise ValueError(f"unrecognized member key {key!r}")
+                    channels, w, h, px = _parse_netpbm(parts["pgm"])
+                    flat = px.astype(np.int64).ravel()
+                    rows.append(
+                        {
+                            "doc_id": int(key[4:]),
+                            "n_members": len(parts),
+                            "width": w,
+                            "height": h,
+                            "mean_px": float(flat.mean()),
+                            "caption_bytes": len(parts["txt"]),
+                            "caption_md5": hashlib.md5(parts["txt"]).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WEBDATASET_SCHEMA])
+
+    return shards.mapInPandas(batches, WEBDATASET_SCHEMA)

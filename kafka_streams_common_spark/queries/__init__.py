@@ -33,15 +33,25 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-14 WINDOW (``_R14_WINDOW``): head = the three round-14
-registrations, never driver-checked (invariant #1) —
-``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit PNG — the
-alpha plane, the bpp=2/4 unfilter offsets, and the big-endian sample
-pairing all replayed in SQL), ``multimodal_gif_composite_stats``
-(frame-DIFFED animated GIF: nonzero-offset rects, local affine
-palettes, transparent-index masks — the oracle reconstructs each
-pixel as "the digest byte of the last frame whose rect covered it"),
-and ``sim_semantic_dedup_planted`` (SemDeDup at τ=0.9 over planted
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the six round-14
+registrations, never driver-checked (invariant #1), in registration
+order — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
+PNG — the alpha plane, the bpp=2/4 unfilter offsets, and the
+big-endian sample pairing all replayed in SQL),
+``multimodal_exif_metadata`` (APP1 ``Exif\\0\\0`` TIFF IFD0 walk in
+real JPEGs, BOTH byte orders, inline and out-of-line values;
+``exif_width`` cross-gated against the independent SOF parse),
+``multimodal_gzip_text_ingest`` (RFC 1952 members with real CRC-32 +
+ISIZE trailers verified per row, FNAME flag both ways; oracle =
+``md5(text)``/``strlen(text)`` — the hash gates the inflate end to
+end), ``multimodal_webdataset_ingest`` (ustar tar shards of PAIRED
+image+caption members, header checksums verified, doc_id RECOVERED
+from member names; stdlib tarfile/gzip interchange pinned in
+pytest), ``multimodal_gif_composite_stats`` (frame-DIFFED animated
+GIF: nonzero-offset rects, local affine palettes, transparent-index
+masks — the oracle reconstructs each pixel as "the digest byte of
+the last frame whose rect covered it"), and
+``sim_semantic_dedup_planted`` (SemDeDup at τ=0.9 over planted
 3-member clone families — the keep-list genuinely prunes clones
 externally; full graph replay + recursive-CTE closure as its oracle).
 Then the TWELVE rows whose implementation changed in round 14 itself
@@ -63,7 +73,7 @@ same rendered canvases, oracle unchanged) re-exposes
 ``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
 gate columns now mirror ``doc_id % 4 = 0``) re-expose
 ``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
-``multimodal_jpeg_progressive_recon``. The remaining 35 slots take
+``multimodal_jpeg_progressive_recon``. The remaining 32 slots take
 the COMPUTED refresh queue VERBATIM (key: last-green round asc,
 green-count asc, registration order): FIRST the six r7-stale rows
 displaced from the r13 window head (``anti_join_customers_without_
@@ -71,8 +81,8 @@ orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
 ``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
 drains to ZERO and the staleness floor moves to r8), then the first
-29 of the 50-row r8 tier (all single-green, in registration order;
-the remaining 21 r8 rows head the r15 queue).
+26 of the 50-row r8 tier (all single-green, in registration order;
+the remaining 24 r8 rows head the r15 queue).
 
 (The round-13 window derivation now lives in the README.md
 §Verification ledger, per the carry-only-the-active-window
@@ -101,6 +111,9 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # invariant #1: never-checked rows outrank everything).
 _R14_NEW = (
     "multimodal_png_alpha_decode",
+    "multimodal_exif_metadata",
+    "multimodal_gzip_text_ingest",
+    "multimodal_webdataset_ingest",
     "multimodal_gif_composite_stats",
     "sim_semantic_dedup_planted",
 )
@@ -136,9 +149,11 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # _R14_REFRESH — the COMPUTED stale-refresh queue (key: last-green
 # round asc, green-count asc, registration order), VERBATIM: the six
 # r7-stale rows FIRST (displaced from the r13 head; the r7 tier drains
-# to ZERO and the staleness floor moves to r8), then the first 29 of
-# the 50-row r8 single-green tier. The remaining 21 r8 rows head the
-# r15 queue: window_trending_topk, asof_join_next_order_after_event,
+# to ZERO and the staleness floor moves to r8), then the first 26 of
+# the 50-row r8 single-green tier. The remaining 24 r8 rows head the
+# r15 queue: stat_corr_price_linecount,
+# stat_regression_tokens_by_source, agg_hll_mergeable_rollup,
+# window_trending_topk, asof_join_next_order_after_event,
 # udtf_explode_props_kv, graph_pagerank_customer_supplier,
 # zorder_key_orders, incremental_agg_orders_by_status,
 # dq_profile_events, dq_profile_events_approx, dq_constraints_orders,
@@ -183,9 +198,6 @@ _R14_REFRESH = (
     "window_range_moving_avg",
     "events_zscore_outliers",
     "agg_histogram_totalprice",
-    "stat_corr_price_linecount",
-    "stat_regression_tokens_by_source",
-    "agg_hll_mergeable_rollup",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

@@ -1262,6 +1262,154 @@ def multimodal_gif_anim_scene_stats(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "multimodal_exif_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS BIGINT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'cam-' || substr(hx, 1, 6) AS make,
+           '2020:01:'
+             || lpad(CAST(('0x' || substr(hx, 1, 2))::INT % 28 + 1 AS VARCHAR), 2, '0')
+             || ' '
+             || lpad(CAST(('0x' || substr(hx, 3, 2))::INT % 24 AS VARCHAR), 2, '0')
+             || ':'
+             || lpad(CAST(('0x' || substr(hx, 5, 2))::INT % 60 AS VARCHAR), 2, '0')
+             || ':'
+             || lpad(CAST(('0x' || substr(hx, 7, 2))::INT % 60 AS VARCHAR), 2, '0')
+             AS datetime,
+           CAST(('0x' || substr(hx, 9, 2))::INT % 8 + 1 AS BIGINT) AS orientation,
+           w AS exif_width,
+           w AS sof_width,
+           h AS sof_height
+    FROM m
+    """,
+)
+def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (r14) — the standard governance pass
+    over a web-scraped image lake (camera/time/orientation filters):
+    each document's grayscale JPEG gains a genuine APP1 ``Exif\\0\\0``
+    segment whose TIFF IFD0 carries Make + DateTime (ASCII,
+    out-of-line values), Orientation (SHORT, inline) and ImageWidth
+    (LONG, inline) — EVEN docs little-endian ``II``, odd BIG-endian
+    ``MM``, so the decoder's byte-order dispatch is load-bearing for
+    every numeric field. ``operators/exif.decode_jpeg_exif``
+    marker-walks to APP1, parses the TIFF header + IFD0 (magic 42,
+    inline-vs-offset resolution), and emits the recovered fields
+    alongside the INDEPENDENT SOF-recovered geometry; the oracle
+    replays every field from the md5 arithmetic and cross-gates
+    ``exif_width`` against ``sof_width``. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.exif import (
+        decode_jpeg_exif,
+        encode_jpeg_exif,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_jpeg_exif(encode_jpeg_exif(docs))
+
+
+@query(
+    "multimodal_gzip_text_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'doc-' || doc_id || '.txt' END AS member_name,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def multimodal_gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed text-lake ingest (r14) — the container the bulk
+    of real crawl/text corpora actually arrive in: each document's
+    utf-8 bytes become a genuine RFC 1952 member (raw DEFLATE body,
+    real CRC-32 + ISIZE trailer; even docs carry the FNAME header
+    field, odd docs are anonymous — both FLG paths exercised), then
+    ``operators/archive.decode_gzip_text_stats`` walks the header
+    flags, inflates, VERIFIES both trailer fields, and emits the
+    recovered member name + decompressed byte count + the md5 of the
+    decompressed bytes. The oracle is simply ``md5(text)`` /
+    ``strlen(text)`` — compression is exactly what the decoder must
+    undo, so the hash gates the inflate end to end and the
+    ``member_name`` column gates the flag walk. Interchange with the
+    stdlib gzip module is pinned both directions in
+    tests/test_archive.py. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.archive import (
+        decode_gzip_text_stats,
+        encode_gzip_docs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_gzip_text_stats(encode_gzip_docs(docs))
+
+
+@query(
+    "multimodal_webdataset_ingest",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_members,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           round(list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                           for i in range(1, w*h + 1)]), 6) AS mean_px,
+           CAST(strlen(text) AS BIGINT) AS caption_bytes,
+           md5(text) AS caption_md5
+    FROM m
+    """,
+)
+def multimodal_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET tar-shard ingest (r14) — the layout multimodal
+    training pipelines actually read: each document becomes a genuine
+    ustar archive holding the PAIRED members ``doc-<id>.pgm`` (the
+    byte-exact Netpbm image of the established md5 raster) and
+    ``doc-<id>.txt`` (the caption), with real octal size fields,
+    space-substituted header CHECKSUMS, 512-byte padding, and the
+    two-zero-block terminator; the shard ships WITHOUT an id column.
+    ``operators/archive.decode_webdataset_pairs`` walks the container
+    (checksums + ustar magic verified per header), groups members by
+    key, dispatches by extension (image parse vs caption), and emits
+    one paired row per key with ``doc_id`` RECOVERED from the member
+    names — so the oracle hash gates the header walk, the octal size
+    parse, the padding arithmetic, the key grouping, AND both member
+    payloads (image stats replay the md5 arithmetic; ``caption_md5``
+    = ``md5(text)``). Interchange with the stdlib tarfile module is
+    pinned both directions in tests/test_archive.py. Map-only —
+    production reads one shard per FILE with the same kernel."""
+    from kafka_streams_common_spark.operators.archive import (
+        decode_webdataset_pairs,
+        encode_webdataset_shard,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = decode_webdataset_pairs(encode_webdataset_shard(docs))
+    return pairs.select(
+        "doc_id",
+        "n_members",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        "caption_bytes",
+        "caption_md5",
+    )
+
+
 def _gif_byte(j: str) -> str:
     """DuckDB expression for digest byte ``j`` (0-based, cycled mod 16)
     of ``hx`` — the md5 hex column every multimodal oracle carries."""

@@ -1141,6 +1141,36 @@ def main() -> None:
         }
     )
 
+    # r14 second wave: archive containers + EXIF extraction (all
+    # map-only Arrow stages — linear by construction; the probes pin it)
+    from kafka_streams_common_spark.operators.archive import (
+        decode_gzip_text_stats,
+        decode_webdataset_pairs,
+        encode_gzip_docs,
+        encode_webdataset_shard,
+    )
+    from kafka_streams_common_spark.operators.exif import (
+        decode_jpeg_exif,
+        encode_jpeg_exif,
+    )
+
+    noop_probes.update(
+        {
+            "gzip_text_ingest": (
+                lambda: decode_gzip_text_stats(encode_gzip_docs(docs1)),
+                lambda: decode_gzip_text_stats(encode_gzip_docs(docs8)),
+            ),
+            "webdataset_ingest": (
+                lambda: decode_webdataset_pairs(encode_webdataset_shard(docs1)),
+                lambda: decode_webdataset_pairs(encode_webdataset_shard(docs8)),
+            ),
+            "jpeg_exif_metadata": (
+                lambda: decode_jpeg_exif(encode_jpeg_exif(docs1)),
+                lambda: decode_jpeg_exif(encode_jpeg_exif(docs8)),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

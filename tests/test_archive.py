@@ -1,0 +1,178 @@
+"""Archive-container tier (r14): gzip members (RFC 1952) and ustar tar
+shards — round trips, STDLIB INTERCHANGE pins (our bytes open with
+``gzip``/``tarfile`` and vice versa), integrity-field rejection paths,
+and the Spark operators against pure-Python replays."""
+
+from __future__ import annotations
+
+import hashlib
+import io
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_common_spark.operators.archive import (
+    _gzip_compress_bytes,
+    _gzip_decompress_bytes,
+    _parse_tar,
+    _tar_bytes,
+    _tar_header,
+    decode_gzip_text_stats,
+    decode_webdataset_pairs,
+    encode_gzip_docs,
+    encode_webdataset_shard,
+)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    data=st.binary(min_size=0, max_size=5000),
+    named=st.booleans(),
+    level=st.sampled_from([1, 6, 9]),
+)
+def test_gzip_roundtrip_and_stdlib_interchange(data, named, level):
+    import gzip as stdgzip
+
+    blob = _gzip_compress_bytes(
+        data, fname="member.bin" if named else None, level=level
+    )
+    # ours -> stdlib
+    assert stdgzip.decompress(blob) == data
+    # ours -> ours, with name recovery
+    fname, out = _gzip_decompress_bytes(blob)
+    assert out == data
+    assert fname == ("member.bin" if named else None)
+    # stdlib -> ours
+    fname2, out2 = _gzip_decompress_bytes(stdgzip.compress(data, mtime=0))
+    assert out2 == data
+
+
+def test_gzip_rejection_paths():
+    data = b"x" * 4096
+    blob = _gzip_compress_bytes(data, fname="a.txt")
+    with pytest.raises(ValueError, match="not a gzip"):
+        _gzip_decompress_bytes(b"\x1f\x8c" + blob[2:])
+    with pytest.raises(ValueError, match="compression method"):
+        _gzip_decompress_bytes(blob[:2] + b"\x07" + blob[3:])
+    with pytest.raises(ValueError, match="reserved"):
+        _gzip_decompress_bytes(blob[:3] + bytes([blob[3] | 0x20]) + blob[4:])
+    # CRC flip
+    bad = bytearray(blob)
+    bad[-6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        _gzip_decompress_bytes(bytes(bad))
+    # ISIZE flip
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="ISIZE"):
+        _gzip_decompress_bytes(bytes(bad))
+    # trailing garbage after the trailer
+    with pytest.raises(ValueError, match="trailer"):
+        _gzip_decompress_bytes(blob + b"junk")
+    # truncated member
+    with pytest.raises(ValueError, match="truncated|trailer"):
+        _gzip_decompress_bytes(blob[:12])
+
+
+@settings(deadline=None, max_examples=30)
+@given(data=st.data())
+def test_tar_roundtrip_and_stdlib_interchange(data):
+    import tarfile
+
+    n = data.draw(st.integers(1, 5))
+    members = []
+    for i in range(n):
+        size = data.draw(
+            st.one_of(
+                st.integers(0, 40),
+                st.sampled_from([511, 512, 513, 1024]),  # padding boundaries
+            )
+        )
+        members.append((f"m{i}.bin", data.draw(st.binary(min_size=size, max_size=size))))
+    blob = _tar_bytes(members)
+    assert len(blob) % 512 == 0
+    # ours -> ours
+    assert _parse_tar(blob) == members
+    # ours -> stdlib
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    got = [(m.name, tf.extractfile(m).read()) for m in tf.getmembers()]
+    assert got == members
+    # stdlib -> ours
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as w:
+        for name, d in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(d)
+            w.addfile(ti, io.BytesIO(d))
+    assert _parse_tar(buf.getvalue()) == members
+
+
+def test_tar_rejection_paths():
+    blob = _tar_bytes([("a.txt", b"hello")])
+    # checksum break
+    bad = bytearray(blob)
+    bad[0] ^= 1
+    with pytest.raises(ValueError, match="checksum"):
+        _parse_tar(bytes(bad))
+    # magic break (re-checksum so ONLY the magic is wrong)
+    hdr = bytearray(blob[:512])
+    hdr[257:263] = b"gnutar"
+    hdr[148:156] = b" " * 8
+    chk = sum(hdr)
+    hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+    with pytest.raises(ValueError, match="ustar magic"):
+        _parse_tar(bytes(hdr) + blob[512:])
+    # missing end block
+    with pytest.raises(ValueError, match="zero end-block"):
+        _parse_tar(blob[:-1024])
+    # truncated member data
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_tar(blob[:512] + b"he")
+    # oversized name
+    with pytest.raises(ValueError, match="100 bytes"):
+        _tar_header("x" * 101, 0)
+
+
+def test_gzip_spark_stats_match_replay(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta beta"), (2, "gamma!"), (3, "δelta unicode")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in decode_gzip_text_stats(encode_gzip_docs(docs)).collect()}
+    texts = {0: "alpha", 1: "beta beta", 2: "gamma!", 3: "δelta unicode"}
+    for did, text in texts.items():
+        r = rows[did]
+        assert r["member_name"] == (f"doc-{did}.txt" if did % 2 == 0 else None)
+        assert r["n_bytes"] == len(text.encode())
+        assert r["text_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_webdataset_spark_pairs_match_replay(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta beta"), (3, "gamma!")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in decode_webdataset_pairs(encode_webdataset_shard(docs)).collect()}
+    assert set(rows) == {1, 2, 3}  # doc_id RECOVERED from member names
+    for did, text in ((1, "alpha"), (2, "beta beta"), (3, "gamma!")):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % 16 + 1
+        raster = (bytes.fromhex(hx) * ((w * h + 15) // 16))[: w * h]
+        r = rows[did]
+        assert (r["width"], r["height"], r["n_members"]) == (w, h, 2)
+        assert abs(r["mean_px"] - np.frombuffer(raster, np.uint8).mean()) < 1e-12
+        assert r["caption_bytes"] == len(text.encode())
+        assert r["caption_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_webdataset_rejects_incomplete_pairs(spark):
+    from kafka_streams_common_spark.operators.archive import _tar_bytes
+
+    shard = _tar_bytes([("doc-7.pgm", b"P5\n1 1\n255\nx")])  # no caption
+    df = spark.createDataFrame([(bytearray(shard),)], ["payload"])
+    with pytest.raises(Exception, match="incomplete WebDataset pair"):
+        decode_webdataset_pairs(df).collect()
