@@ -192,6 +192,11 @@ TRACKING_QUERIES = [
     "multimodal_exif_metadata",
     "multimodal_gzip_text_ingest",
     "multimodal_webdataset_ingest",
+    # r14 second wave: zip bundles, BMP, MP3 metadata, encoding census
+    "multimodal_zip_bundle_ingest",
+    "multimodal_bmp_decode",
+    "multimodal_mp3_metadata",
+    "text_encoding_census",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

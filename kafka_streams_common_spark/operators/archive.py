@@ -1,14 +1,19 @@
-"""Archive-container codecs: gzip members (RFC 1952) and ustar tar
-shards (POSIX.1-1988) — the two container formats a large-scale
+"""Archive-container codecs: gzip members (RFC 1952), ustar tar
+shards (POSIX.1-1988), and PKZIP archives (the public PKWARE
+APPNOTE.TXT layout) — the container formats a large-scale
 training-data lake actually arrives in (gzip-compressed text files;
-WebDataset-style tar shards of paired image+caption members).
+WebDataset-style tar shards of paired image+caption members; zip
+archives of scraped document bundles).
 
 Original implementations of the PUBLIC specs, the multimodal tier's
-posture (PIL/tarfile-free on the hot path; stdlib ``tarfile``/``gzip``
-pin interchange in pytest): byte-level header builds and walks with
-every integrity field real and VERIFIED on decode — gzip FLG bits,
-CRC-32 and ISIZE trailers; tar octal size fields, the space-substituted
-header CHECKSUM, ustar magic, and the two-zero-block terminator.
+posture (PIL/tarfile/zipfile-free on the hot path; stdlib
+``tarfile``/``gzip``/``zipfile`` pin interchange in pytest):
+byte-level header builds and walks with every integrity field real and
+VERIFIED on decode — gzip FLG bits, CRC-32 and ISIZE trailers; tar
+octal size fields, the space-substituted header CHECKSUM, ustar magic,
+and the two-zero-block terminator; zip end-of-central-directory
+bookkeeping, central-vs-local header cross-checks, and per-member
+CRC-32 over the inflated bytes.
 
 Reference parity note: the reference engine (kafka-streams-common) has
 no binary-container surface — this module is part of the mandated
@@ -168,6 +173,164 @@ def _parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
         members.append((name, data))
         pos += 512 + size + ((-size) % 512)
     raise ValueError("tar archive ended without the zero end-block")
+
+
+ZIP_LOCAL_SIG = b"PK\x03\x04"
+ZIP_CENTRAL_SIG = b"PK\x01\x02"
+ZIP_EOCD_SIG = b"PK\x05\x06"
+
+# DOS date for 1980-01-01 (epoch of the format); time 00:00:00 — fixed
+# so archives are deterministic, the gzip ``mtime=0`` convention.
+_DOS_DATE_EPOCH = (0 << 9) | (1 << 5) | 1
+
+_ZIP_STORED, _ZIP_DEFLATE = 0, 8
+
+
+def _zip_bytes(members: list[tuple[str, bytes, bool]]) -> bytes:
+    """Build a complete PKZIP archive per the public APPNOTE layout:
+    per member a local file header (``PK\\x03\\x04``) + compressed
+    data, then the central directory (one ``PK\\x01\\x02`` record per
+    member, carrying the LOCAL HEADER OFFSET), then the end-of-central-
+    directory record (``PK\\x05\\x06``) with entry counts and the
+    central directory's size + offset. ``members`` is
+    ``(name, data, deflate?)`` — method 8 (raw DEFLATE, ``wbits=-15``)
+    when deflate, method 0 (stored) otherwise. CRC-32 is always over
+    the UNCOMPRESSED bytes."""
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for name, data, deflate in members:
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if deflate:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            comp = co.compress(data) + co.flush()
+            method = _ZIP_DEFLATE
+        else:
+            comp = data
+            method = _ZIP_STORED
+        offset = len(out)
+        fixed = (
+            (20).to_bytes(2, "little")  # version needed to extract
+            + (0).to_bytes(2, "little")  # general purpose flags
+            + method.to_bytes(2, "little")
+            + (0).to_bytes(2, "little")  # DOS mtime
+            + _DOS_DATE_EPOCH.to_bytes(2, "little")
+            + crc.to_bytes(4, "little")
+            + len(comp).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little")
+            + len(nb).to_bytes(2, "little")
+            + (0).to_bytes(2, "little")  # extra length
+        )
+        out += ZIP_LOCAL_SIG + fixed + nb + comp
+        central += (
+            ZIP_CENTRAL_SIG
+            + (20).to_bytes(2, "little")  # version made by
+            + fixed
+            + (0).to_bytes(2, "little")  # comment length
+            + (0).to_bytes(2, "little")  # disk number start
+            + (0).to_bytes(2, "little")  # internal attributes
+            + (0).to_bytes(4, "little")  # external attributes
+            + offset.to_bytes(4, "little")
+            + nb
+        )
+    cd_offset = len(out)
+    out += central
+    out += (
+        ZIP_EOCD_SIG
+        + (0).to_bytes(2, "little")  # this disk
+        + (0).to_bytes(2, "little")  # central-directory disk
+        + len(members).to_bytes(2, "little")
+        + len(members).to_bytes(2, "little")
+        + len(central).to_bytes(4, "little")
+        + cd_offset.to_bytes(4, "little")
+        + (0).to_bytes(2, "little")  # comment length
+    )
+    return bytes(out)
+
+
+def _parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
+    """Walk a PKZIP archive the way a conforming reader must: locate
+    the end-of-central-directory record FROM THE END (its comment-
+    length field must account for every trailing byte), then drive
+    extraction off the CENTRAL directory — per entry verify the
+    central/local header cross-fields (signature, name, method, CRC,
+    sizes), inflate method-8 bodies (raw DEFLATE) or slice method-0
+    bodies, and VERIFY the CRC-32 and uncompressed size against the
+    recovered bytes. Encrypted members (flag bit 0), data-descriptor
+    members (flag bit 3), and any other compression method are
+    explicitly rejected, the tier's posture."""
+    import zlib
+
+    eocd = payload.rfind(ZIP_EOCD_SIG)
+    if eocd < 0:
+        raise ValueError("no zip end-of-central-directory record")
+    if len(payload) < eocd + 22:
+        raise ValueError("truncated zip EOCD record")
+    comment_len = int.from_bytes(payload[eocd + 20 : eocd + 22], "little")
+    if eocd + 22 + comment_len != len(payload):
+        raise ValueError("zip EOCD comment length does not reach end of file")
+    n_entries = int.from_bytes(payload[eocd + 10 : eocd + 12], "little")
+    if payload[eocd + 8 : eocd + 10] != payload[eocd + 10 : eocd + 12]:
+        raise ValueError("multi-disk zip archives are not supported")
+    cd_size = int.from_bytes(payload[eocd + 12 : eocd + 16], "little")
+    cd_offset = int.from_bytes(payload[eocd + 16 : eocd + 20], "little")
+    if cd_offset + cd_size != eocd:
+        raise ValueError("zip central directory does not abut the EOCD record")
+
+    members: list[tuple[str, bytes]] = []
+    pos = cd_offset
+    for _ in range(n_entries):
+        if payload[pos : pos + 4] != ZIP_CENTRAL_SIG:
+            raise ValueError(f"bad central-directory signature at offset {pos}")
+        flags = int.from_bytes(payload[pos + 8 : pos + 10], "little")
+        if flags & 0x0001:
+            raise ValueError("encrypted zip members are not supported")
+        if flags & 0x0008:
+            raise ValueError("data-descriptor (streamed) zip members not supported")
+        method = int.from_bytes(payload[pos + 10 : pos + 12], "little")
+        if method not in (_ZIP_STORED, _ZIP_DEFLATE):
+            raise ValueError(f"unsupported zip compression method {method}")
+        crc = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+        csize = int.from_bytes(payload[pos + 20 : pos + 24], "little")
+        usize = int.from_bytes(payload[pos + 24 : pos + 28], "little")
+        fnlen = int.from_bytes(payload[pos + 28 : pos + 30], "little")
+        extralen = int.from_bytes(payload[pos + 30 : pos + 32], "little")
+        commentlen = int.from_bytes(payload[pos + 32 : pos + 34], "little")
+        lho = int.from_bytes(payload[pos + 42 : pos + 46], "little")
+        name = payload[pos + 46 : pos + 46 + fnlen].decode()
+        pos += 46 + fnlen + extralen + commentlen
+
+        # cross-check the local header the central entry points at
+        if payload[lho : lho + 4] != ZIP_LOCAL_SIG:
+            raise ValueError(f"bad local-header signature for member {name!r}")
+        l_fnlen = int.from_bytes(payload[lho + 26 : lho + 28], "little")
+        l_extralen = int.from_bytes(payload[lho + 28 : lho + 30], "little")
+        l_name = payload[lho + 30 : lho + 30 + l_fnlen].decode()
+        if l_name != name:
+            raise ValueError(
+                f"central/local name mismatch: {name!r} vs {l_name!r}"
+            )
+        if int.from_bytes(payload[lho + 8 : lho + 10], "little") != method:
+            raise ValueError(f"central/local method mismatch for {name!r}")
+        data_start = lho + 30 + l_fnlen + l_extralen
+        comp = payload[data_start : data_start + csize]
+        if len(comp) != csize:
+            raise ValueError(f"truncated zip member {name!r}")
+        if method == _ZIP_DEFLATE:
+            do = zlib.decompressobj(-15)
+            data = do.decompress(comp) + do.flush()
+            if do.unused_data:
+                raise ValueError(f"trailing bytes after deflate body of {name!r}")
+        else:
+            data = comp
+        if len(data) != usize:
+            raise ValueError(f"zip uncompressed-size mismatch for {name!r}")
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"zip CRC-32 mismatch for {name!r}")
+        members.append((name, data))
+    return members
 
 
 # ---------------------------------------------------------------------------
@@ -336,3 +499,84 @@ def decode_webdataset_pairs(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in WEBDATASET_SCHEMA])
 
     return shards.mapInPandas(batches, WEBDATASET_SCHEMA)
+
+
+def encode_zip_bundles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document as a two-member PKZIP bundle — the scraped-
+    document-bundle shape of real lakes: ``doc-<id>.txt`` (the utf-8
+    text, method 8 DEFLATE) and ``doc-<id>.rev`` (the CHARACTER-reversed
+    text, method 0 stored), so ONE bundle exercises both compression
+    methods and the decode stage must keep per-member method dispatch
+    straight. The bundle ships without the doc_id column — the decode
+    stage recovers the key from member names. Arrow-batched
+    ``mapInPandas``, map-only."""
+    out_schema = T.StructType([T.StructField("payload", T.BinaryType(), True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                key = f"doc-{int(did)}"
+                payloads.append(
+                    _zip_bytes(
+                        [
+                            (f"{key}.txt", text.encode(), True),
+                            (f"{key}.rev", text[::-1].encode(), False),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"payload": payloads}, columns=["payload"])
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+ZIP_BUNDLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_members", T.IntegerType(), True),
+        T.StructField("text_bytes", T.LongType(), True),
+        T.StructField("text_md5", T.StringType(), True),
+        T.StructField("rev_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_zip_bundles(bundles: DataFrame) -> DataFrame:
+    """Arrow-batched PKZIP ingest over ``(payload)`` bundles: locate
+    the EOCD record, drive extraction off the central directory
+    (central/local cross-fields, CRC-32 and uncompressed size VERIFIED
+    per member — see ``_parse_zip``), group members by key, and emit
+    one row per key with the doc_id RECOVERED from the member names.
+    The ``.txt`` member is DEFLATE and the ``.rev`` member stored, so
+    ``text_md5``/``rev_md5`` gate both method paths independently — a
+    method mix-up, a wrong local-header offset, or a missed inflate
+    breaks one hash and not the other. Map-only."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                groups: dict[str, dict[str, bytes]] = {}
+                for name, data in _parse_zip(bytes(p)):
+                    key, _, ext = name.partition(".")
+                    groups.setdefault(key, {})[ext] = data
+                for key, parts in groups.items():
+                    if "txt" not in parts or "rev" not in parts:
+                        raise ValueError(f"incomplete zip bundle {key!r}")
+                    if not key.startswith("doc-"):
+                        raise ValueError(f"unrecognized member key {key!r}")
+                    rows.append(
+                        {
+                            "doc_id": int(key[4:]),
+                            "n_members": len(parts),
+                            "text_bytes": len(parts["txt"]),
+                            "text_md5": hashlib.md5(parts["txt"]).hexdigest(),
+                            "rev_md5": hashlib.md5(parts["rev"]).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in ZIP_BUNDLE_SCHEMA])
+
+    return bundles.mapInPandas(batches, ZIP_BUNDLE_SCHEMA)

@@ -174,6 +174,133 @@ def _parse_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return channels, width, height, px
 
 
+BMP_MAGIC = b"BM"
+
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def _encode_bmp_bytes(px: np.ndarray) -> bytes:
+    """One Windows BMP file from an ``(h, w, 3)`` uint8 RGB array, per
+    the public BITMAPINFOHEADER layout: 14-byte file header (``BM``
+    magic, little-endian file size, pixel-data offset), 40-byte info
+    header (width, POSITIVE height = bottom-up, planes=1, bpp=24,
+    BI_RGB uncompressed), then the raster as bottom-up rows of BGR
+    triples each padded to a 4-byte boundary — the three classic BMP
+    gotchas (row order, channel order, stride padding) all real."""
+    h, w, ch = px.shape
+    if ch != 3 or px.dtype != np.uint8:
+        raise ValueError("BMP encoder takes (h, w, 3) uint8 RGB")
+    stride = (3 * w + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    size = _BMP_HEADER_SIZE + len(rows)
+    header = (
+        BMP_MAGIC
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + _BMP_HEADER_SIZE.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(rows).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")  # 72 dpi, per the spec's example
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + bytes(rows)
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse a 24-bit uncompressed BMP per the public spec: verify the
+    ``BM`` magic and the header's file-size field against the actual
+    byte count, require planes=1 / bpp=24 / BI_RGB, then rebuild the
+    raster from 4-byte-padded BGR rows — bottom-up when the height
+    field is positive, top-down when negative (both signs are legal
+    and both appear in the wild). Returns ``(channels, width, height,
+    pixels)`` with pixels in RGB order, the ``_parse_image`` contract.
+    Palettized, RLE-compressed, and 16/32-bpp variants are explicitly
+    rejected, the tier's posture."""
+    if payload[:2] != BMP_MAGIC:
+        raise ValueError(f"not a BMP payload: {payload[:2]!r}")
+    if len(payload) < _BMP_HEADER_SIZE:
+        raise ValueError("truncated BMP header")
+    if int.from_bytes(payload[2:6], "little") != len(payload):
+        raise ValueError("BMP file-size field mismatch")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    info_size = int.from_bytes(payload[14:18], "little")
+    if info_size < 40:
+        raise ValueError(f"unsupported BMP info-header size {info_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if bpp != 24:
+        raise ValueError(f"only 24-bpp BMP is supported, got {bpp}")
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) BMP is supported")
+    if w <= 0 or h_raw == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    h = abs(h_raw)
+    stride = (3 * w + 3) & ~3
+    raster = payload[data_offset : data_offset + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError(
+            f"BMP raster has {len(raster)} bytes, expected {stride * h}"
+        )
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_raw > 0:
+        px = px[::-1]  # bottom-up -> image order
+    return 3, w, h, np.ascontiguousarray(px)
+
+
+def encode_bmp(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim_mod: int = 16
+) -> DataFrame:
+    """Encode each document as a genuine 24-bit BMP: the SAME md5
+    geometry and digest-cycled RGB raster as ``encode_ppm`` (so the
+    same SQL oracle replays the decoded content), wrapped in the
+    Windows container — bottom-up rows, BGR channel order, 4-byte row
+    padding. The decoder must undo all three to recover the PPM-equal
+    pixels; passing any through breaks the content hash. Arrow-batched
+    ``mapInPandas``, map-only."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hx = hashlib.md5(text.encode()).hexdigest()
+                w = int(hx[:15], 16) % dim_mod + 1
+                h = int(hashlib.md5(text[::-1].encode()).hexdigest()[:15], 16) % dim_mod + 1
+                n = 3 * w * h
+                raster = (bytes.fromhex(hx) * ((n + 15) // 16))[:n]
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                payloads.append(_encode_bmp_bytes(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
@@ -539,6 +666,8 @@ def _parse_image(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
         from kafka_streams_common_spark.operators.jpeg import _parse_jpeg
 
         return ("jpeg", *_parse_jpeg(payload))
+    if payload[:2] == BMP_MAGIC:
+        return ("bmp", *_parse_bmp(payload))
     fmt = "pgm" if payload[1:2] == b"5" else "ppm"
     return (fmt, *_parse_netpbm(payload))
 

@@ -33,7 +33,7 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-14 WINDOW (``_R14_WINDOW``): head = the six round-14
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the TEN round-14
 registrations, never driver-checked (invariant #1), in registration
 order — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
 PNG — the alpha plane, the bpp=2/4 unfilter offsets, and the
@@ -53,7 +53,19 @@ masks — the oracle reconstructs each pixel as "the digest byte of
 the last frame whose rect covered it"), and
 ``sim_semantic_dedup_planted`` (SemDeDup at τ=0.9 over planted
 3-member clone families — the keep-list genuinely prunes clones
-externally; full graph replay + recursive-CTE closure as its oracle).
+externally; full graph replay + recursive-CTE closure as its oracle),
+``multimodal_zip_bundle_ingest`` (PKZIP bundles — EOCD + central-
+directory walk with central/local cross-checks and per-member CRC-32;
+the DEFLATE member and the STORED member gated by independent
+hashes), ``multimodal_bmp_decode`` (24-bit BITMAPINFOHEADER files:
+bottom-up rows, BGR order, 4-byte stride padding — all three undone
+to recover the PPM-equal digest raster), ``multimodal_mp3_metadata``
+(MPEG-1 Layer III frame-header walk with the ``144·kbps/Hz + pad``
+length formula on an alternating padding bit, CBR consistency, ID3v1
+trailer — every column recovered from the bytes), and
+``text_encoding_census`` (four-class encoding detection ladder +
+repair: clean/double-encoded UTF-8, cp1252, latin1 — ``repaired_md5``
+gates each inverse transform).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -73,7 +85,7 @@ same rendered canvases, oracle unchanged) re-exposes
 ``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
 gate columns now mirror ``doc_id % 4 = 0``) re-expose
 ``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
-``multimodal_jpeg_progressive_recon``. The remaining 32 slots take
+``multimodal_jpeg_progressive_recon``. The remaining 28 slots take
 the COMPUTED refresh queue VERBATIM (key: last-green round asc,
 green-count asc, registration order): FIRST the six r7-stale rows
 displaced from the r13 window head (``anti_join_customers_without_
@@ -81,8 +93,8 @@ orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
 ``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
 drains to ZERO and the staleness floor moves to r8), then the first
-26 of the 50-row r8 tier (all single-green, in registration order;
-the remaining 24 r8 rows head the r15 queue).
+22 of the 50-row r8 tier (all single-green, in registration order;
+the remaining 28 r8 rows head the r15 queue).
 
 (The round-13 window derivation now lives in the README.md
 §Verification ledger, per the carry-only-the-active-window
@@ -116,6 +128,10 @@ _R14_NEW = (
     "multimodal_webdataset_ingest",
     "multimodal_gif_composite_stats",
     "sim_semantic_dedup_planted",
+    "multimodal_zip_bundle_ingest",
+    "multimodal_bmp_decode",
+    "multimodal_mp3_metadata",
+    "text_encoding_census",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -149,14 +165,18 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # _R14_REFRESH — the COMPUTED stale-refresh queue (key: last-green
 # round asc, green-count asc, registration order), VERBATIM: the six
 # r7-stale rows FIRST (displaced from the r13 head; the r7 tier drains
-# to ZERO and the staleness floor moves to r8), then the first 26 of
-# the 50-row r8 single-green tier. The remaining 24 r8 rows head the
-# r15 queue: stat_corr_price_linecount,
-# stat_regression_tokens_by_source, agg_hll_mergeable_rollup,
-# window_trending_topk, asof_join_next_order_after_event,
-# udtf_explode_props_kv, graph_pagerank_customer_supplier,
-# zorder_key_orders, incremental_agg_orders_by_status,
-# dq_profile_events, dq_profile_events_approx, dq_constraints_orders,
+# to ZERO and the staleness floor moves to r8), then the first 22 of
+# the 50-row r8 single-green tier (the second new-query wave — zip /
+# bmp / mp3 / encoding census — displaced the queue's last four, per
+# rotation invariant #1). The remaining 28 r8 rows head the r15 queue:
+# llm_weighted_sample_docs, window_range_moving_avg,
+# events_zscore_outliers, agg_histogram_totalprice,
+# stat_corr_price_linecount, stat_regression_tokens_by_source,
+# agg_hll_mergeable_rollup, window_trending_topk,
+# asof_join_next_order_after_event, udtf_explode_props_kv,
+# graph_pagerank_customer_supplier, zorder_key_orders,
+# incremental_agg_orders_by_status, dq_profile_events,
+# dq_profile_events_approx, dq_constraints_orders,
 # scd2_user_event_history, join_salted_skew_events,
 # scd2_temporal_lookup, dq_drift_psi_totalprice (single-green), then
 # cube_orders_by_status_priority, array_agg_order_keys_per_customer
@@ -194,10 +214,6 @@ _R14_REFRESH = (
     "text_url_canonicalize",
     "text_kfold_split",
     "llm_dsir_importance_weights",
-    "llm_weighted_sample_docs",
-    "window_range_moving_avg",
-    "events_zscore_outliers",
-    "agg_histogram_totalprice",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

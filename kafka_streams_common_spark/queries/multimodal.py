@@ -1741,3 +1741,143 @@ def multimodal_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nb").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+@query(
+    "multimodal_zip_bundle_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_members,
+           CAST(strlen(text) AS BIGINT) AS text_bytes,
+           md5(text) AS text_md5,
+           md5(reverse(text)) AS rev_md5
+    FROM documents
+    """,
+)
+def multimodal_zip_bundle_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PKZIP bundle ingest (r14) — the scraped-document-bundle
+    container: each document becomes a genuine two-member zip archive
+    (``doc-<id>.txt`` DEFLATE-compressed, ``doc-<id>.rev`` stored with
+    the character-reversed text), then
+    ``operators/archive.decode_zip_bundles`` locates the end-of-
+    central-directory record, drives extraction off the central
+    directory with central/local header cross-checks, and VERIFIES the
+    per-member CRC-32 + uncompressed size. The doc_id is RECOVERED
+    from member names (the bundle carries no id column) and the two
+    md5 columns gate the two compression methods independently — the
+    oracle's ``md5(text)`` breaks on any inflate slip and
+    ``md5(reverse(text))`` on any stored-slice slip. Interchange with
+    stdlib ``zipfile`` is pinned both directions in
+    tests/test_archive.py. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.archive import (
+        decode_zip_bundles,
+        encode_zip_bundles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_zip_bundles(encode_zip_bundles(docs))
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           'bmp' AS format,
+           CAST(3 AS INT) AS channels,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                           for i in range(1, 3*w*h + 1)]), 6) AS mean_px,
+           list_min([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, 3*w*h + 1)]) AS min_px,
+           list_max([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, 3*w*h + 1)]) AS max_px
+    FROM m
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows BMP decode (r14) — the desktop-era container a scraped
+    lake still carries by the million: each document becomes a genuine
+    24-bit BITMAPINFOHEADER file with the SAME digest-cycled RGB
+    raster as the PPM/PNG truecolor lakes, but stored the BMP way —
+    bottom-up rows, BGR channel order, 4-byte row-stride padding. The
+    decoder (``_parse_bmp`` behind the shared ``decode_image_features``
+    magic dispatch) must undo all three container quirks to recover
+    the PPM-equal pixels; the oracle replays the 3·w·h RGB byte stream
+    in SQL, so a skipped row flip, an un-swapped channel order, or
+    stride bytes leaking into the raster all break the content hash.
+    The ``format`` column gates the ``BM`` magic dispatch. Map-only
+    Arrow stages."""
+    from kafka_streams_common_spark.operators.multimodal import encode_bmp
+
+    docs = table(spark, sf_dir, "documents")
+    feats = decode_image_features(encode_bmp(docs))
+    return feats.select(
+        "doc_id",
+        "format",
+        "channels",
+        "width",
+        "height",
+        "n_px",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
+
+
+@query(
+    "multimodal_mp3_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, strlen(text) AS tb,
+             CAST(([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1]
+                  AS INT) AS sr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(tb % 8 + 2 AS INT) AS n_frames,
+           CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                [CAST(doc_id % 14 AS INT) + 1] AS INT) AS bitrate_kbps,
+           sr AS sample_rate,
+           (['stereo','joint_stereo','dual_channel','mono'])
+           [CAST(doc_id % 4 AS INT) + 1] AS channel_mode,
+           CAST((tb % 8 + 2) * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           substr(md5(text), 1, 30) AS title,
+           substr(md5(reverse(text)), 1, 30) AS artist,
+           CAST(1980 + doc_id % 40 AS INT) AS year,
+           CAST(doc_id % 80 AS INT) AS genre_id
+    FROM m
+    """,
+)
+def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio metadata scan (r14) — the header-level census an
+    audio lake needs before committing to any decode: each document
+    becomes a genuine CBR MPEG-1 Layer III file (frame headers with
+    real bitrate/samplerate table indexes and an ALTERNATING padding
+    bit, digest fill as the payload) plus an ID3v1 trailer, then
+    ``operators/mpeg_audio.decode_mp3_meta`` walks the frames —
+    verifying sync, version/layer, and table indexes per frame,
+    advancing by the spec's ``144·kbps/Hz + pad`` length formula, and
+    requiring CBR consistency — and parses the 128-byte ``TAG``
+    trailer at its fixed offsets. EVERY column is recovered from the
+    bytes: a wrong length formula desyncs the walk on the first padded
+    frame, and the duration column gates the samples-per-frame
+    arithmetic. The oracle replays the planted derivation from
+    ``doc_id``/``text``. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.mpeg_audio import (
+        decode_mp3_meta,
+        encode_mp3_meta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_mp3_meta(encode_mp3_meta(docs))

@@ -1803,3 +1803,42 @@ def eval_score_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(va) * F.sqrt(vb)),
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "text_encoding_census",
+    oracle="""
+    SELECT doc_id,
+           (['utf8','double_utf8','cp1252','latin1'])
+           [CAST(doc_id % 4 AS INT) + 1] AS encoding,
+           CAST(strlen(text) + CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 6 WHEN 1 THEN 8 WHEN 2 THEN 7
+                ELSE 5 END AS BIGINT) AS n_bytes,
+           md5(text || CASE WHEN doc_id % 4 = 2
+                            THEN ' “café”' ELSE ' café' END) AS repaired_md5
+    FROM documents
+    """,
+)
+def text_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-encoding census + repair (r14) — the ingest scrub a
+    web-scraped corpus needs before any text operator can trust its
+    bytes: a raw-bytes lake is derived with a PLANTED encoding per
+    ``doc_id % 4`` (clean UTF-8 / double-encoded UTF-8 mojibake /
+    Windows-1252 smart quotes / ISO-8859-1 — each document's text plus
+    a non-ASCII suffix so the classes are actually distinguishable),
+    then ``operators/encoding.encoding_census`` classifies every
+    payload with the standard detection ladder (UTF-8 validity →
+    ``Ã``-bigram mojibake signature → C1-byte cp1252-vs-latin1 split)
+    and REPAIRS it back to text. The class column gates the detector
+    and ``repaired_md5`` gates the inverse transform end to end — the
+    oracle's ``md5(text || suffix)`` only matches if the double-encode
+    round trip / cp1252 table / latin-1 map were each inverted
+    correctly; the per-class ``n_bytes`` offsets (6/8/7/5) pin the
+    planted byte layout itself. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.encoding import (
+        encoding_census,
+        plant_encoding_lake,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return encoding_census(plant_encoding_lake(docs))

@@ -1171,6 +1171,46 @@ def main() -> None:
         }
     )
 
+    # r14 third wave: zip bundles, BMP, MP3 metadata, encoding census
+    # (map-only Arrow stages again)
+    from kafka_streams_common_spark.operators.archive import (
+        decode_zip_bundles,
+        encode_zip_bundles,
+    )
+    from kafka_streams_common_spark.operators.encoding import (
+        encoding_census,
+        plant_encoding_lake,
+    )
+    from kafka_streams_common_spark.operators.mpeg_audio import (
+        decode_mp3_meta,
+        encode_mp3_meta,
+    )
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_image_features,
+        encode_bmp,
+    )
+
+    noop_probes.update(
+        {
+            "zip_bundle_ingest": (
+                lambda: decode_zip_bundles(encode_zip_bundles(docs1)),
+                lambda: decode_zip_bundles(encode_zip_bundles(docs8)),
+            ),
+            "bmp_decode": (
+                lambda: decode_image_features(encode_bmp(docs1)),
+                lambda: decode_image_features(encode_bmp(docs8)),
+            ),
+            "mp3_metadata": (
+                lambda: decode_mp3_meta(encode_mp3_meta(docs1)),
+                lambda: decode_mp3_meta(encode_mp3_meta(docs8)),
+            ),
+            "encoding_census": (
+                lambda: encoding_census(plant_encoding_lake(docs1)),
+                lambda: encoding_census(plant_encoding_lake(docs8)),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

@@ -176,3 +176,104 @@ def test_webdataset_rejects_incomplete_pairs(spark):
     df = spark.createDataFrame([(bytearray(shard),)], ["payload"])
     with pytest.raises(Exception, match="incomplete WebDataset pair"):
         decode_webdataset_pairs(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# PKZIP (r14)
+
+from kafka_streams_common_spark.operators.archive import (  # noqa: E402
+    _parse_zip,
+    _zip_bytes,
+    decode_zip_bundles,
+    encode_zip_bundles,
+)
+
+
+@settings(deadline=None, max_examples=30)
+@given(data=st.data())
+def test_zip_roundtrip_and_stdlib_interchange(data):
+    import zipfile
+
+    n = data.draw(st.integers(1, 5))
+    members = []
+    for i in range(n):
+        body = data.draw(st.binary(min_size=0, max_size=2000))
+        members.append((f"m{i}.bin", body, data.draw(st.booleans())))
+    blob = _zip_bytes(members)
+    want = [(name, body) for name, body, _ in members]
+    # ours -> ours
+    assert _parse_zip(blob) == want
+    # ours -> stdlib
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == want
+    # stdlib -> ours (stdlib picks its own method per member)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as w:
+        for i, (name, body) in enumerate(want):
+            w.writestr(
+                name,
+                body,
+                compress_type=zipfile.ZIP_DEFLATED if i % 2 else zipfile.ZIP_STORED,
+            )
+    assert _parse_zip(buf.getvalue()) == want
+
+
+def test_zip_rejection_paths():
+    blob = _zip_bytes([("a.txt", b"hello zip world" * 20, True)])
+    # no EOCD
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        _parse_zip(blob[: blob.rfind(b"PK\x05\x06")])
+    # trailing garbage not covered by the comment-length field
+    with pytest.raises(ValueError, match="comment length"):
+        _parse_zip(blob + b"junk")
+    # CRC flip (both central and local copies, so only the CRC breaks)
+    bad = bytearray(blob)
+    lho_crc = 14  # local header CRC offset
+    cd = blob.find(b"PK\x01\x02")
+    bad[lho_crc] ^= 0xFF
+    bad[cd + 16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        _parse_zip(bytes(bad))
+    # central/local name mismatch
+    bad = bytearray(blob)
+    bad[30] ^= 1  # first byte of the local header's name
+    with pytest.raises(ValueError, match="name mismatch"):
+        _parse_zip(bytes(bad))
+    # unsupported method (both copies)
+    bad = bytearray(blob)
+    bad[8] = 99
+    bad[cd + 10] = 99
+    with pytest.raises(ValueError, match="compression method"):
+        _parse_zip(bytes(bad))
+    # encrypted flag
+    bad = bytearray(blob)
+    bad[cd + 8] |= 1
+    with pytest.raises(ValueError, match="encrypted"):
+        _parse_zip(bytes(bad))
+    # data-descriptor flag
+    bad = bytearray(blob)
+    bad[cd + 8] |= 8
+    with pytest.raises(ValueError, match="data-descriptor"):
+        _parse_zip(bytes(bad))
+
+
+def test_zip_spark_bundles_match_replay(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta beta"), (2, "γ unicode")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in decode_zip_bundles(encode_zip_bundles(docs)).collect()}
+    assert set(rows) == {0, 1, 2}  # doc_id RECOVERED from member names
+    for did, text in ((0, "alpha"), (1, "beta beta"), (2, "γ unicode")):
+        r = rows[did]
+        assert r["n_members"] == 2
+        assert r["text_bytes"] == len(text.encode())
+        assert r["text_md5"] == hashlib.md5(text.encode()).hexdigest()
+        assert r["rev_md5"] == hashlib.md5(text[::-1].encode()).hexdigest()
+
+
+def test_zip_rejects_incomplete_bundles(spark):
+    shard = _zip_bytes([("doc-7.txt", b"only text", True)])
+    df = spark.createDataFrame([(bytearray(shard),)], ["payload"])
+    with pytest.raises(Exception, match="incomplete zip bundle"):
+        decode_zip_bundles(df).collect()
