@@ -112,6 +112,7 @@ from kafka_streams_common_spark.queries import similarity as _similarity  # noqa
 from kafka_streams_common_spark.queries import text as _text  # noqa: F401,E402
 from kafka_streams_common_spark.queries import standard as _standard  # noqa: F401,E402
 from kafka_streams_common_spark.queries import quality as _quality  # noqa: F401,E402
+from kafka_streams_common_spark.queries import serde as _serde  # noqa: F401,E402
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 

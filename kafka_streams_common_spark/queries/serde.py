@@ -1,0 +1,125 @@
+"""Kafka-serde queries: the binary message encodings a real Kafka
+deployment carries — Avro object-container files, Confluent
+schema-registry framed messages (with live schema evolution), and
+protobuf wire-format messages — each encoded from a fixture table and
+decoded back by the from-scratch codecs in ``operators/avro.py`` /
+``operators/protowire.py``, with the SQL oracle replaying the payload
+derivation so the hash gates the codec end to end (the multimodal
+tier's pattern applied to the reference's own domain: the reference's
+serde surface is JSON-only, ``SerdeFactory.java:48-82``; these are the
+serdes its users actually put on topics next).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_common_spark.queries.registry import query, table
+
+
+@query(
+    "kafka_avro_ocf_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CASE WHEN o_orderkey % 7 <> 0 THEN o_orderpriority END AS priority,
+           CAST(o_orderkey % 64 AS BIGINT) AS container_id,
+           CASE WHEN (o_orderkey % 64) % 2 = 0 THEN 'deflate'
+                ELSE 'null' END AS codec
+    FROM orders
+    """,
+)
+def kafka_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO object-container-file roundtrip (r14) — the at-rest format
+    Kafka data lands in: orders are written into genuine OCF
+    containers (one per ``o_orderkey % 64``; magic, metadata map,
+    16-byte sync verified per block; 50-record blocks so multi-block
+    walks are real; EVEN containers raw-DEFLATE compressed, odd ones
+    ``null`` codec; ``priority`` a ``["null","string"]`` union, null
+    on every 7th key) and decoded back row-for-row by the from-scratch
+    reader. The oracle replays every recovered column — key fields,
+    the union's null pattern, the container id, and the codec the FILE
+    declares — straight from ``orders``, so one wrong varint, union
+    branch, sync check, or inflate breaks the hash. One
+    container-forming shuffle on encode (the topic-partition shape);
+    decode is map-only."""
+    from kafka_streams_common_spark.operators.avro import (
+        decode_orders_ocf,
+        encode_orders_ocf,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return decode_orders_ocf(encode_orders_ocf(orders))
+
+
+@query(
+    "kafka_confluent_avro_decode",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CASE WHEN event_id % 3 = 0 THEN 'unknown'
+                ELSE 'u' || CAST(user_id AS VARCHAR) END AS source,
+           CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+               AS schema_id
+    FROM events
+    """,
+)
+def kafka_confluent_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFLUENT wire-format decode with live schema evolution (r14) —
+    the per-message consumer path of a schema-registry fleet: every
+    third event is framed by the OLD producer (schema id 1, no
+    ``source`` field), the rest by the NEW one (schema id 2, which
+    ALSO carries a ``debug`` field the consumer has never seen); the
+    decoder unframes (magic byte + big-endian schema id), looks the
+    writer schema up by id, and schema-RESOLVES each body against the
+    reader schema — defaults filled for old messages, unknown fields
+    decoded and discarded for new ones. The oracle replays the
+    id split, the default fill, and the field passthroughs from
+    ``events``. Map-only Arrow stages both directions."""
+    from kafka_streams_common_spark.operators.avro import (
+        decode_events_confluent,
+        encode_events_confluent,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return decode_events_confluent(encode_events_confluent(events))
+
+
+@query(
+    "kafka_protobuf_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, value, user_id,
+             md5(event_type || '-' || CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           CAST(user_id - 500 AS BIGINT) AS delta,
+           'u' || CAST(user_id AS VARCHAR) AS source,
+           CAST(event_id % 1000 AS BIGINT) AS tag32,
+           CAST(('0x' || substr(hx, 1, 2))::INT
+              + ('0x' || substr(hx, 3, 2))::INT
+              + ('0x' || substr(hx, 5, 2))::INT
+              + ('0x' || substr(hx, 7, 2))::INT AS BIGINT) AS packed_sum,
+           CAST(4 AS INT) AS packed_n
+    FROM m
+    """,
+)
+def kafka_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOBUF wire-format decode (r14) — no protobuf runtime exists
+    in this container, so the wire format itself is implemented from
+    the public encoding spec: each event becomes one message (varint
+    id, utf-8 string, IEEE double, ZIGZAG sint delta that goes
+    negative for half the user ids, a NESTED Meta message, a PACKED
+    repeated varint of four md5 bytes, and a trace field the consumer
+    spec does not know — fixed64 on even ids, length-delimited on odd
+    ids). The old-consumer decode skips both unknown wire shapes,
+    un-zigzags, opens the nested message, and folds the packed list to
+    (sum, count); the oracle replays all of it from ``events`` + md5
+    arithmetic, so tag parsing, zigzag, nesting, packing, AND the
+    skip paths are each load-bearing for the hash. Map-only."""
+    from kafka_streams_common_spark.operators.protowire import (
+        decode_events_proto,
+        encode_events_proto,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return decode_events_proto(encode_events_proto(events))
