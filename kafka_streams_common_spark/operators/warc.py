@@ -1,0 +1,323 @@
+"""WARC (Web ARChive, ISO 28500) shard ingest — the container web
+crawls actually arrive in: Common Crawl publishes its corpus as WARC
+files of per-record gzip members, each member one WARC record whose
+block is a full HTTP message. A 100 TB text pipeline's first job is
+exactly this walk, so it gets the archive tier's treatment: an
+original implementation of the PUBLIC layout (iipc WARC 1.1 spec +
+RFC 1952 member framing + RFC 9112 HTTP framing) with every integrity
+field real and VERIFIED on decode.
+
+Encode builds genuine shards: a leading ``warcinfo`` record (real WARC
+files open with one), then one ``response`` record per document —
+version line ``WARC/1.0``, named headers (``WARC-Type``,
+``WARC-Record-ID`` as a deterministic ``urn:uuid:``, ``WARC-Date``,
+``WARC-Target-URI``, ``Content-Type: application/http;
+msgtype=response``, ``Content-Length``), CRLF blank line, the HTTP
+response (status line, ``Content-Type`` + ``Content-Length`` headers,
+body), and the record-terminating CRLF CRLF — each record individually
+gzip-compressed (the Common Crawl member-per-record convention) and
+the members concatenated into the shard.
+
+Decode walks the members (zlib verifies each member's CRC-32 + ISIZE
+trailer), parses WARC headers case-insensitively, REQUIRES the WARC
+``Content-Length`` to match the block exactly, checks the record
+terminator, skips non-``response`` records by type (the warcinfo
+path), parses the HTTP status line + headers, cross-checks the HTTP
+``Content-Length`` against the body, and recovers the document id
+from the target URI.
+
+Scale posture: shard forming is one groupBy exchange (the same
+partition-forming shuffle the crawler's writer performs); ingest is a
+map-only Arrow ``mapInPandas`` kernel per shard — at production scale
+the identical kernel runs one-shard-per-file via
+``spark.read.format("binaryFile")``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_common_spark.operators.archive import _gzip_compress_bytes
+
+CRLF = b"\r\n"
+WARC_DATE = "2026-01-01T00:00:00Z"
+URI_PREFIX = "https://example.org/doc/"
+
+
+def _record_uuid(seed: str) -> str:
+    """Deterministic urn:uuid from a seed (md5-derived, RFC 4122
+    shaped)."""
+    h = hashlib.md5(seed.encode()).hexdigest()
+    return f"urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def build_http_response(body: bytes, content_type: str) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK" + CRLF
+        + f"Content-Type: {content_type}".encode() + CRLF
+        + f"Content-Length: {len(body)}".encode() + CRLF
+        + CRLF
+        + body
+    )
+
+
+def build_warc_record(rec_type: str, headers: dict[str, str], block: bytes) -> bytes:
+    out = bytearray(b"WARC/1.0" + CRLF)
+    out += f"WARC-Type: {rec_type}".encode() + CRLF
+    for k, v in headers.items():
+        out += f"{k}: {v}".encode() + CRLF
+    out += f"Content-Length: {len(block)}".encode() + CRLF
+    out += CRLF
+    out += block
+    out += CRLF + CRLF
+    return bytes(out)
+
+
+def _warcinfo_record(shard_id: int) -> bytes:
+    info = (
+        b"software: kafka-streams-common-spark/archive-tier" + CRLF
+        + b"format: WARC File Format 1.0" + CRLF
+    )
+    return build_warc_record(
+        "warcinfo",
+        {
+            "WARC-Record-ID": f"<{_record_uuid(f'warcinfo:{shard_id}')}>",
+            "WARC-Date": WARC_DATE,
+            "Content-Type": "application/warc-fields",
+        },
+        info,
+    )
+
+
+def build_response_record(doc_id: int, body: bytes, content_type: str) -> bytes:
+    http = build_http_response(body, content_type)
+    return build_warc_record(
+        "response",
+        {
+            "WARC-Record-ID": f"<{_record_uuid(f'response:{doc_id}')}>",
+            "WARC-Date": WARC_DATE,
+            "WARC-Target-URI": f"{URI_PREFIX}{doc_id}",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        http,
+    )
+
+
+def split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Walk concatenated RFC 1952 members; zlib's gzip mode verifies
+    each member's CRC-32 + ISIZE trailer and raises on corruption."""
+    pos = 0
+    while pos < len(data):
+        do = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        member = do.decompress(data[pos:])
+        member += do.flush()
+        if not do.eof:
+            raise ValueError("truncated gzip member in WARC shard")
+        yield member
+        consumed = len(data) - pos - len(do.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member consumed no bytes")
+        pos += consumed
+
+
+def parse_warc_record(raw: bytes) -> tuple[dict[str, str], bytes]:
+    """One inflated member → (headers lowercased, block). Version line,
+    Content-Length match, and the CRLF CRLF terminator are all
+    REQUIRED."""
+    if not raw.startswith(b"WARC/"):
+        raise ValueError(f"bad WARC version line: {raw[:12]!r}")
+    version, _, rest = raw.partition(CRLF)
+    if version not in (b"WARC/1.0", b"WARC/1.1"):
+        raise ValueError(f"unsupported WARC version {version!r}")
+    head, sep, body = rest.partition(CRLF + CRLF)
+    if not sep:
+        raise ValueError("WARC record missing header terminator")
+    headers: dict[str, str] = {}
+    for line in head.split(CRLF):
+        k, _, v = line.partition(b":")
+        if not _:
+            raise ValueError(f"malformed WARC header line {line!r}")
+        headers[k.strip().decode().lower()] = v.strip().decode()
+    n = int(headers["content-length"])
+    if len(body) != n + 4:
+        raise ValueError(
+            f"WARC content-length {n} vs {len(body) - 4} block bytes"
+        )
+    if body[n:] != CRLF + CRLF:
+        raise ValueError("WARC record terminator missing")
+    return headers, body[:n]
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    status_line, _, rest = block.partition(CRLF)
+    parts = status_line.split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line {status_line!r}")
+    status = int(parts[1])
+    head, sep, body = rest.partition(CRLF + CRLF)
+    if not sep:
+        raise ValueError("HTTP message missing header terminator")
+    headers: dict[str, str] = {}
+    for line in head.split(CRLF):
+        k, _, v = line.partition(b":")
+        headers[k.strip().decode().lower()] = v.strip().decode()
+    want = headers.get("content-length")
+    if want is not None and int(want) != len(body):
+        raise ValueError(f"HTTP content-length {want} vs {len(body)} body bytes")
+    return status, headers, body
+
+
+_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def encode_warc_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    html: bool = False,
+) -> DataFrame:
+    """documents → WARC shards keyed by ``doc_id % n_shards``, each a
+    warcinfo record plus one response record per document (text/plain
+    bodies, or rendered pages when ``html=True``), every record its
+    own gzip member. One shard-forming shuffle, then a pure kernel."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from kafka_streams_common_spark.operators.webtext import render_doc_html
+
+        pdf = pdf.sort_values("doc_id")
+        sid = int(pdf["shard_id"].iloc[0])
+        members = [_gzip_compress_bytes(_warcinfo_record(sid))]
+        for did, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            if html:
+                body = render_doc_html(int(did), str(text), str(lang)).encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                body = str(text).encode()
+                ctype = "text/plain; charset=utf-8"
+            members.append(
+                _gzip_compress_bytes(build_response_record(int(did), body, ctype))
+            )
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "n_records": [len(members)],
+                "payload": [b"".join(members)],
+            }
+        )
+
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        (F.col("doc_id") % n_shards).cast("long").alias("shard_id"),
+    )
+    return keyed.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+
+
+_INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("http_status", T.IntegerType(), False),
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("payload_bytes", T.LongType(), False),
+        T.StructField("payload_md5", T.StringType(), False),
+        T.StructField("shard_id", T.LongType(), False),
+    ]
+)
+
+
+def decode_warc_responses(shards: DataFrame) -> DataFrame:
+    """Map-only WARC ingest: member walk (trailers verified by zlib),
+    WARC header parse + Content-Length + terminator checks, type
+    dispatch (warcinfo skipped), HTTP parse with its own length check,
+    doc id recovered from the target URI. Emits per-response rows
+    whose every column the oracle replays from ``documents``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                saw_info = False
+                for member in split_gzip_members(bytes(payload)):
+                    headers, block = parse_warc_record(member)
+                    rtype = headers.get("warc-type")
+                    if rtype != "response":
+                        if rtype == "warcinfo":
+                            saw_info = True
+                        continue
+                    uri = headers["warc-target-uri"]
+                    if not uri.startswith(URI_PREFIX):
+                        raise ValueError(f"unexpected target URI {uri!r}")
+                    status, http_headers, body = parse_http_response(block)
+                    rows.append(
+                        {
+                            "doc_id": int(uri[len(URI_PREFIX) :]),
+                            "http_status": status,
+                            "content_type": http_headers.get("content-type", ""),
+                            "payload_bytes": len(body),
+                            "payload_md5": hashlib.md5(body).hexdigest(),
+                            "shard_id": int(sid),
+                        }
+                    )
+                if not saw_info:
+                    raise ValueError(f"shard {sid} missing warcinfo record")
+            yield pd.DataFrame(rows, columns=[f.name for f in _INGEST_SCHEMA])
+
+    return shards.mapInPandas(batches, _INGEST_SCHEMA)
+
+
+_PIPELINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("uri_id_match", T.BooleanType(), False),
+        T.StructField("main_md5", T.StringType(), False),
+        T.StructField("n_paragraphs", T.IntegerType(), False),
+    ]
+)
+
+
+def warc_html_extract(shards: DataFrame) -> DataFrame:
+    """The composed crawl-to-corpus path, map-only after the shard
+    exchange: WARC walk → HTTP parse → HTML main-content extraction,
+    with the URI-recovered id CROSS-CHECKED against the id the article
+    <h1> carries (the two ids travel through different layers, so a
+    mix-up in either is caught)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kafka_streams_common_spark.operators.webtext import _extract_row
+
+        for pdf in it:
+            rows = []
+            for payload in pdf["payload"]:
+                for member in split_gzip_members(bytes(payload)):
+                    headers, block = parse_warc_record(member)
+                    if headers.get("warc-type") != "response":
+                        continue
+                    uri_id = int(headers["warc-target-uri"][len(URI_PREFIX) :])
+                    status, http_headers, body = parse_http_response(block)
+                    if "text/html" not in http_headers.get("content-type", ""):
+                        raise ValueError("pipeline shard must carry HTML")
+                    ex = _extract_row(body.decode("utf-8"))
+                    rows.append(
+                        {
+                            "doc_id": ex["doc_id"],
+                            "uri_id_match": ex["doc_id"] == uri_id,
+                            "main_md5": ex["main_md5"],
+                            "n_paragraphs": ex["n_paragraphs"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PIPELINE_SCHEMA])
+
+    return shards.mapInPandas(batches, _PIPELINE_SCHEMA)

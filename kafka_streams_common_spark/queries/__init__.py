@@ -113,6 +113,7 @@ from kafka_streams_common_spark.queries import text as _text  # noqa: F401,E402
 from kafka_streams_common_spark.queries import standard as _standard  # noqa: F401,E402
 from kafka_streams_common_spark.queries import quality as _quality  # noqa: F401,E402
 from kafka_streams_common_spark.queries import serde as _serde  # noqa: F401,E402
+from kafka_streams_common_spark.queries import web as _web  # noqa: F401,E402
 
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
