@@ -1881,3 +1881,96 @@ def multimodal_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_mp3_meta(encode_mp3_meta(docs))
+
+
+@query(
+    "multimodal_flac_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang, md5(text) AS hx, md5(reverse(text)) AS rhx
+      FROM documents
+    ), f AS (
+      SELECT doc_id, lang, rhx,
+             list_extract([8000, 16000, 22050, 44100, 48000],
+                          ('0x' || substr(hx, 1, 2))::INT % 5 + 1)
+                 AS sample_rate,
+             ('0x' || substr(hx, 3, 2))::INT % 2 + 1 AS channels,
+             CASE WHEN ('0x' || substr(hx, 5, 2))::INT % 2 = 0
+                  THEN 8 ELSE 16 END AS bits_per_sample,
+             ('0x' || substr(hx, 7, 8))::BIGINT % 10000000 AS total_samples
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(bits_per_sample AS INT) AS bits_per_sample,
+           CAST(total_samples AS BIGINT) AS total_samples,
+           rhx AS audio_md5,
+           'Doc ' || doc_id AS title,
+           'corpus-' || (doc_id % 10) AS artist,
+           lang AS language,
+           CAST(3 AS INT) AS n_blocks,
+           total_samples / sample_rate AS duration_sec
+    FROM f
+    """,
+)
+def multimodal_flac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata-block ingest (r14) — the lossless-audio
+    container's governance pass: each document becomes a metadata-only
+    FLAC (STREAMINFO bit-packed per spec from the md5 arithmetic —
+    20-bit sample rate, 3-bit channels, 5-bit bps, 36-bit total
+    samples, 128-bit audio md5 planted as ``md5(reverse(text))`` — a
+    LITTLE-endian VORBIS_COMMENT block with TITLE/ARTIST/LANGUAGE
+    tags, and a zero-verified PADDING block sized ``doc_id % 64 +
+    16``), then ``operators/flac.parse_flac_meta`` walks the chain
+    (is-last flag must land exactly at end-of-payload) and emits every
+    recovered field plus the derived clip duration. The oracle replays
+    the bit-packing arithmetic, so a shifted field boundary or a
+    byte-order slip anywhere breaks the hash. Map-only both ways."""
+    from kafka_streams_common_spark.operators.flac import (
+        decode_flac_meta,
+        encode_flac_meta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_flac_meta(encode_flac_meta(docs))
+
+
+@query(
+    "multimodal_mp3_id3v2_tags",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           'corpus-' || (doc_id % 10) AS artist,
+           lang AS album,
+           CAST(1990 + doc_id % 30 AS INT) AS year_v2,
+           CAST(doc_id % 12 + 1 AS INT) AS track,
+           substr(md5(text), 1, 16) AS comment,
+           'eng' AS comment_lang,
+           CASE WHEN doc_id % 2 = 1 THEN 'utf16' ELSE 'latin1' END
+               AS text_encoding,
+           CAST(strlen(text) % 8 + 2 AS INT) AS n_frames,
+           CAST(1980 + doc_id % 40 AS INT) AS year_v1
+    FROM documents
+    """,
+)
+def multimodal_mp3_id3v2_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2.3 dual-tag scan (r14) — the modern front-of-file tag on
+    top of the r14 MP3 fixture: each document's MP3 gains a leading
+    ID3v2.3 tag (synchsafe header size, PLAIN big-endian v2.3 frame
+    sizes — the classic not-synchsafe trap — TIT2/TPE1/TALB/TYER/TRCK
+    text frames and a COMM comment with language + description; ODD
+    doc_ids write BOM'd UTF-16, even latin-1, so both encodings and
+    the full-code-unit terminator handling are load-bearing; padding
+    ``doc_id % 33`` verified zero), while the legacy ID3v1 trailer
+    carries a DIFFERENT year. Decode parses the v2 tag, then runs the
+    established frame walk + v1 parse over the remainder — the oracle
+    gates both tag layers and the byte boundary between them.
+    Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.mpeg_audio import (
+        decode_mp3_id3v2,
+        encode_mp3_id3v2,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_mp3_id3v2(encode_mp3_id3v2(docs))
