@@ -1974,3 +1974,66 @@ def multimodal_mp3_id3v2_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_mp3_id3v2(encode_mp3_id3v2(docs))
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             md5(text) AS hx,
+             CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS w,
+             CAST(('0x' || substr(md5(reverse(text)), 1, 15))::BIGINT % 16 + 1
+                  AS INT) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byteorder,
+           CAST(ch AS INT) AS channels,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE (h + 3) // 4 END
+                AS INT) AS n_strips,
+           round(list_avg([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::INT
+                           for i in range(1, ch*w*h + 1)]), 6) AS mean_px,
+           list_min([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, ch*w*h + 1)]) AS min_px,
+           list_max([('0x' || substr(hx, 2*((i-1) % 16) + 1, 2))::BIGINT
+                     for i in range(1, ch*w*h + 1)]) AS max_px
+    FROM m
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode (r14) — the scanned-document container,
+    both byte orders live in one lake: EVEN doc_ids are little-endian
+    grayscale single-strip files, ODD are big-endian RGB stripped at 4
+    rows/strip, all with the established md5 geometry and
+    digest-cycled raster. ``operators/tiff.parse_tiff_image`` walks
+    the IFD (via the EXIF module's parser — inline-vs-offset value
+    resolution, arrays out of line), enforces the baseline posture
+    (uncompressed, 8-bit, chunky; palette/tiled/predictor rejected),
+    verifies EVERY StripByteCount against the geometry it claims, and
+    reassembles the raster across strips; the oracle replays dims,
+    strip counts, and full pixel stats — a wrong byte order flips the
+    IFD offsets themselves, so 'MM' files decode only if the
+    endianness dispatch is real. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.tiff import (
+        decode_tiff_features,
+        encode_tiff,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = decode_tiff_features(encode_tiff(docs))
+    return feats.select(
+        "doc_id",
+        "byteorder",
+        "channels",
+        "width",
+        "height",
+        "n_strips",
+        F.round("mean_px", 6).alias("mean_px"),
+        "min_px",
+        "max_px",
+    )
