@@ -1477,3 +1477,39 @@ def streaming_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_px", 6).alias("mean_px"),
     )
     return run_stream_to_memory(gated, spark, output_mode="append")
+
+
+@query(
+    "streaming_confluent_ingest",
+    oracle="""
+    SELECT event_id, event_type, value,
+           'u' || CAST(user_id AS VARCHAR) AS source,
+           CAST(2 AS INT) AS schema_id
+    FROM events
+    WHERE event_id % 3 <> 0
+    """,
+)
+def streaming_confluent_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFLUENT wire-format decode AT INGEST (r14) — the serde tier
+    under Structured Streaming, i.e. the actual shape of a
+    schema-registry consumer: each micro-batch's events are framed in
+    the registry wire format (every third by the old v1 producer, the
+    rest by v2 with an unknown ``debug`` field), unframed + schema-
+    RESOLVED inside the stream (both operators are stateless
+    ``mapInPandas``, so they run unmodified under streaming), then the
+    ingest gate routes on the RECOVERED schema id — legacy v1 messages
+    are dropped at the door (the DLQ-style policy the reference's
+    FAILFAST serde implies, SerdeFactory.java:199-209). The oracle is
+    the batch definition of the same gate, so stream ≡ batch semantics
+    are externally pinned."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_common_spark.operators.avro import (
+        decode_events_confluent,
+        encode_events_confluent,
+    )
+
+    stream = _streaming_compiler(spark, sf_dir).stream_source("events")
+    decoded = decode_events_confluent(encode_events_confluent(stream))
+    gated = decoded.filter(F.col("schema_id") == 2)
+    return run_stream_to_memory(gated, spark, output_mode="append")
