@@ -615,3 +615,21 @@ def decode_events_confluent(msgs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _CONFLUENT_ROWS])
 
     return msgs.mapInPandas(batches, _CONFLUENT_ROWS)
+
+
+def read_ocf_files(spark, path: str) -> DataFrame:
+    """Production-scale OCF ingest: one container per FILE via the
+    ``binaryFile`` source (container id from the ``orders-<id>.avro``
+    filename), decoded by the SAME kernel as the fixture path — the
+    file-parallel, shuffle-free plan a 100 TB Avro lake wants."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"orders-(\d+)\.avro$", 1)
+            .cast("long")
+            .alias("container_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return decode_orders_ocf(files)

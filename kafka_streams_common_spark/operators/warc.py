@@ -321,3 +321,24 @@ def warc_html_extract(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _PIPELINE_SCHEMA])
 
     return shards.mapInPandas(batches, _PIPELINE_SCHEMA)
+
+
+def read_warc_shard_files(spark, path: str) -> DataFrame:
+    """The production-scale entry point: one WARC shard per FILE via
+    Spark's ``binaryFile`` source (shard id recovered from the
+    ``shard-<id>.warc.gz`` filename), then the SAME map-only ingest
+    kernel as the fixture path — ``decode_warc_responses`` doesn't
+    know or care whether payloads came from a groupBy or a file scan.
+    At 100 TB this is the whole plan: a file-parallel scan + one Arrow
+    kernel, no shuffle."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)\.warc\.gz$", 1)
+            .cast("long")
+            .alias("shard_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return decode_warc_responses(files)
