@@ -197,6 +197,16 @@ TRACKING_QUERIES = [
     "multimodal_bmp_decode",
     "multimodal_mp3_metadata",
     "text_encoding_census",
+    # r14 third wave: Kafka serdes, web-scrape ingest, metadata breadth
+    "kafka_avro_ocf_roundtrip",
+    "kafka_confluent_avro_decode",
+    "kafka_protobuf_decode",
+    "web_warc_ingest",
+    "web_html_extract",
+    "web_warc_html_pipeline",
+    "multimodal_flac_metadata",
+    "multimodal_mp3_id3v2_tags",
+    "multimodal_tiff_decode",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the
@@ -213,6 +223,8 @@ STREAMING_TRACKING_QUERIES = [
     "streaming_multimodal_ingest",
     # r12 wave 2: compressed decode inside micro-batches
     "streaming_compressed_ingest",
+    # r14 wave 3: schema-registry decode + routing inside micro-batches
+    "streaming_confluent_ingest",
 ]
 
 

@@ -33,9 +33,9 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-14 WINDOW (``_R14_WINDOW``): head = the TEN round-14
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the TWENTY round-14
 registrations, never driver-checked (invariant #1), in registration
-order — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
+order. First the wave-1/2 ten — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
 PNG — the alpha plane, the bpp=2/4 unfilter offsets, and the
 big-endian sample pairing all replayed in SQL),
 ``multimodal_exif_metadata`` (APP1 ``Exif\\0\\0`` TIFF IFD0 walk in
@@ -66,6 +66,28 @@ trailer — every column recovered from the bytes), and
 ``text_encoding_census`` (four-class encoding detection ladder +
 repair: clean/double-encoded UTF-8, cp1252, latin1 — ``repaired_md5``
 gates each inverse transform).
+Then the wave-3 TEN: the Kafka-serde tier
+(``kafka_avro_ocf_roundtrip`` — from-scratch Avro OCF, null+deflate
+codecs, per-block sync verification, ``["null","string"]`` unions;
+``kafka_confluent_avro_decode`` — the schema-registry wire format
+with LIVE schema resolution: v1 messages default-filled, v2's unknown
+field skipped; ``kafka_protobuf_decode`` — the protobuf wire format
+without a protobuf runtime: zigzag sint, nested message, packed
+repeated varints, unknown fields skipped by BOTH wire shapes;
+``streaming_confluent_ingest`` — the same consumer path inside
+Structured Streaming with schema-id routing at the door), the
+web-scrape tier (``web_warc_ingest`` — ISO 28500 shards of
+per-record gzip members, WARC + HTTP Content-Lengths both enforced;
+``web_html_extract`` — from-scratch main-content extraction: raw-text
+<script> trap, boilerplate suppression, character references, exact
+text recovery gated by ``md5(text)``; ``web_warc_html_pipeline`` —
+the composed crawl-to-corpus walk with URI-vs-<h1> id cross-check),
+and the metadata-breadth wave (``multimodal_flac_metadata`` —
+STREAMINFO bit-unpacking + little-endian Vorbis comments;
+``multimodal_mp3_id3v2_tags`` — ID3v2.3 synchsafe header, plain-BE
+frame sizes, latin-1/UTF-16 text, dual-tag files;
+``multimodal_tiff_decode`` — baseline TIFF, BOTH byte orders,
+multi-strip assembly with per-strip byte-count verification).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -85,7 +107,7 @@ same rendered canvases, oracle unchanged) re-exposes
 ``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
 gate columns now mirror ``doc_id % 4 = 0``) re-expose
 ``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
-``multimodal_jpeg_progressive_recon``. The remaining 28 slots take
+``multimodal_jpeg_progressive_recon``. The remaining 18 slots take
 the COMPUTED refresh queue VERBATIM (key: last-green round asc,
 green-count asc, registration order): FIRST the six r7-stale rows
 displaced from the r13 window head (``anti_join_customers_without_
@@ -93,8 +115,9 @@ orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
 ``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
 drains to ZERO and the staleness floor moves to r8), then the first
-22 of the 50-row r8 tier (all single-green, in registration order;
-the remaining 28 r8 rows head the r15 queue).
+12 of the 50-row r8 tier (all single-green, in registration order;
+each wave of brand-new registrations displaced the queue's tail per
+invariant #1 — the remaining 38 r8 rows head the r15 queue).
 
 (The round-13 window derivation now lives in the README.md
 §Verification ledger, per the carry-only-the-active-window
@@ -134,6 +157,17 @@ _R14_NEW = (
     "multimodal_bmp_decode",
     "multimodal_mp3_metadata",
     "text_encoding_census",
+    # wave 3 (this session): Kafka-serde, web-scrape, metadata breadth
+    "kafka_avro_ocf_roundtrip",
+    "kafka_confluent_avro_decode",
+    "kafka_protobuf_decode",
+    "streaming_confluent_ingest",
+    "web_warc_ingest",
+    "web_html_extract",
+    "web_warc_html_pipeline",
+    "multimodal_flac_metadata",
+    "multimodal_mp3_id3v2_tags",
+    "multimodal_tiff_decode",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -167,10 +201,14 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # _R14_REFRESH — the COMPUTED stale-refresh queue (key: last-green
 # round asc, green-count asc, registration order), VERBATIM: the six
 # r7-stale rows FIRST (displaced from the r13 head; the r7 tier drains
-# to ZERO and the staleness floor moves to r8), then the first 22 of
-# the 50-row r8 single-green tier (the second new-query wave — zip /
-# bmp / mp3 / encoding census — displaced the queue's last four, per
-# rotation invariant #1). The remaining 28 r8 rows head the r15 queue:
+# to ZERO and the staleness floor moves to r8), then the first 12 of
+# the 50-row r8 single-green tier (each new-query wave displaced the
+# queue's tail per rotation invariant #1 — wave 2 four rows, wave 3
+# ten more). The remaining 38 r8 rows head the r15 queue:
+# sim_random_projection, text_chunk_documents,
+# text_corpus_report_rollup, text_bpe_top_pairs, text_classifier_score,
+# llm_temperature_sample_sources, text_normalize,
+# text_url_canonicalize, text_kfold_split, llm_dsir_importance_weights,
 # llm_weighted_sample_docs, window_range_moving_avg,
 # events_zscore_outliers, agg_histogram_totalprice,
 # stat_corr_price_linecount, stat_regression_tokens_by_source,
@@ -206,16 +244,6 @@ _R14_REFRESH = (
     "streaming_rate_limit_ingest",
     "dedup_connected_components_two_phase",
     "dedup_decontaminate_bloom",
-    "sim_random_projection",
-    "text_chunk_documents",
-    "text_corpus_report_rollup",
-    "text_bpe_top_pairs",
-    "text_classifier_score",
-    "llm_temperature_sample_sources",
-    "text_normalize",
-    "text_url_canonicalize",
-    "text_kfold_split",
-    "llm_dsir_importance_weights",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

@@ -1211,6 +1211,86 @@ def main() -> None:
         }
     )
 
+    # r14 fourth wave: Kafka serdes (container shuffle + map decode),
+    # web-scrape ingest, and the metadata-breadth codecs
+    from kafka_streams_common_spark.operators.avro import (
+        decode_events_confluent,
+        decode_orders_ocf,
+        encode_events_confluent,
+        encode_orders_ocf,
+    )
+    from kafka_streams_common_spark.operators.flac import (
+        decode_flac_meta,
+        encode_flac_meta,
+    )
+    from kafka_streams_common_spark.operators.mpeg_audio import (
+        decode_mp3_id3v2,
+        encode_mp3_id3v2,
+    )
+    from kafka_streams_common_spark.operators.protowire import (
+        decode_events_proto,
+        encode_events_proto,
+    )
+    from kafka_streams_common_spark.operators.tiff import (
+        decode_tiff_features,
+        encode_tiff,
+    )
+    from kafka_streams_common_spark.operators.warc import (
+        decode_warc_responses,
+        encode_warc_shards,
+        warc_html_extract,
+    )
+    from kafka_streams_common_spark.operators.webtext import (
+        extract_docs_main_text,
+        render_docs_html,
+    )
+
+    orders1 = table(spark, SF_DIR, "orders")
+    orders8 = replicate(orders1, "o_orderkey", COPIES).localCheckpoint(eager=True)
+    sev1 = events1.select("event_id", "event_type", "value", "user_id")
+    sev8 = replicate(sev1, "event_id", COPIES).localCheckpoint(eager=True)
+
+    noop_probes.update(
+        {
+            "kafka_avro_ocf": (
+                lambda: decode_orders_ocf(encode_orders_ocf(orders1)),
+                lambda: decode_orders_ocf(encode_orders_ocf(orders8)),
+            ),
+            "kafka_confluent_avro": (
+                lambda: decode_events_confluent(encode_events_confluent(sev1)),
+                lambda: decode_events_confluent(encode_events_confluent(sev8)),
+            ),
+            "kafka_protobuf": (
+                lambda: decode_events_proto(encode_events_proto(sev1)),
+                lambda: decode_events_proto(encode_events_proto(sev8)),
+            ),
+            "warc_ingest": (
+                lambda: decode_warc_responses(encode_warc_shards(docs1)),
+                lambda: decode_warc_responses(encode_warc_shards(docs8)),
+            ),
+            "html_extract": (
+                lambda: extract_docs_main_text(render_docs_html(docs1)),
+                lambda: extract_docs_main_text(render_docs_html(docs8)),
+            ),
+            "warc_html_pipeline": (
+                lambda: warc_html_extract(encode_warc_shards(docs1, html=True)),
+                lambda: warc_html_extract(encode_warc_shards(docs8, html=True)),
+            ),
+            "flac_metadata": (
+                lambda: decode_flac_meta(encode_flac_meta(docs1)),
+                lambda: decode_flac_meta(encode_flac_meta(docs8)),
+            ),
+            "mp3_id3v2": (
+                lambda: decode_mp3_id3v2(encode_mp3_id3v2(docs1)),
+                lambda: decode_mp3_id3v2(encode_mp3_id3v2(docs8)),
+            ),
+            "tiff_decode": (
+                lambda: decode_tiff_features(encode_tiff(docs1)),
+                lambda: decode_tiff_features(encode_tiff(docs8)),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {
