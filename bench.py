@@ -207,6 +207,9 @@ TRACKING_QUERIES = [
     "multimodal_flac_metadata",
     "multimodal_mp3_id3v2_tags",
     "multimodal_tiff_decode",
+    # r14 wave 3b: Avro collection wire forms, MP4 box walk
+    "kafka_avro_map_decode",
+    "multimodal_mp4_metadata",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -108,6 +108,26 @@ def _write_value(typ: Any, v: Any) -> bytes:
             for f in typ["fields"]:
                 out += _write_value(f["type"], v[f["name"]])
             return bytes(out)
+        if typ.get("type") == "array":
+            # one positive block + the 0 terminator (readers must also
+            # accept chained and negative-count blocks — see
+            # encode_array_blocks for the wire-variant writer)
+            out = bytearray()
+            if v:
+                out += write_long(len(v))
+                for item in v:
+                    out += _write_value(typ["items"], item)
+            out += write_long(0)
+            return bytes(out)
+        if typ.get("type") == "map":
+            out = bytearray()
+            if v:
+                out += write_long(len(v))
+                for k, mv in v.items():
+                    out += _write_value("string", k)
+                    out += _write_value(typ["values"], mv)
+            out += write_long(0)
+            return bytes(out)
         raise ValueError(f"unsupported complex type {typ.get('type')!r}")
     if typ == "null":
         if v is not None:
@@ -154,6 +174,30 @@ def _read_value(typ: Any, buf: bytes, pos: int) -> tuple[Any, int]:
             for f in typ["fields"]:
                 rec[f["name"]], pos = _read_value(f["type"], buf, pos)
             return rec, pos
+        if typ.get("type") == "array":
+            items: list = []
+            while True:
+                count, pos = read_long(buf, pos)
+                if count == 0:
+                    return items, pos
+                if count < 0:  # negative block: byte size follows, per spec
+                    count = -count
+                    _, pos = read_long(buf, pos)
+                for _ in range(count):
+                    item, pos = _read_value(typ["items"], buf, pos)
+                    items.append(item)
+        if typ.get("type") == "map":
+            entries: dict = {}
+            while True:
+                count, pos = read_long(buf, pos)
+                if count == 0:
+                    return entries, pos
+                if count < 0:
+                    count = -count
+                    _, pos = read_long(buf, pos)
+                for _ in range(count):
+                    k, pos = _read_value("string", buf, pos)
+                    entries[k], pos = _read_value(typ["values"], buf, pos)
         raise ValueError(f"unsupported complex type {typ.get('type')!r}")
     if typ == "null":
         return None, pos
@@ -633,3 +677,148 @@ def read_ocf_files(spark, path: str) -> DataFrame:
         )
     )
     return decode_orders_ocf(files)
+
+
+# ---------------------------------------------------------------------------
+# arrays / maps on the wire (r14 wave 3b): block-chained and
+# negative-count forms — writers rarely emit them, readers MUST accept
+# them (Avro spec "Complex Types": a block count may be negative, in
+# which case the block's byte size follows, and collections may span
+# any number of blocks before the 0 terminator).
+# ---------------------------------------------------------------------------
+
+
+def encode_array_blocks(item_type: Any, items: list, negative: bool) -> bytes:
+    """One array value as a SINGLE block, either positive-count or the
+    negative-count-plus-byte-size form."""
+    body = b"".join(_write_value(item_type, x) for x in items)
+    out = bytearray()
+    if items:
+        if negative:
+            out += write_long(-len(items)) + write_long(len(body))
+        else:
+            out += write_long(len(items))
+        out += body
+    out += write_long(0)
+    return bytes(out)
+
+
+def encode_map_blocks(
+    value_type: Any, entries: list[tuple[str, Any]], split: int
+) -> bytes:
+    """One map value CHAINED across two blocks when ``split`` lands
+    inside the entry list (entries[:split] then entries[split:]) — the
+    multi-block walk a spec-complete reader must do."""
+    out = bytearray()
+    for chunk in (entries[:split], entries[split:]):
+        if not chunk:
+            continue
+        out += write_long(len(chunk))
+        for k, v in chunk:
+            out += _write_value("string", k) + _write_value(value_type, v)
+    out += write_long(0)
+    return bytes(out)
+
+
+EVENT_PROPS_SCHEMA = {
+    "type": "record",
+    "name": "EventProps",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+_PROPS_MSG = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def encode_events_avro_props(events: DataFrame) -> DataFrame:
+    """Each event as one Confluent-framed Avro record carrying a MAP
+    and an ARRAY, written in the wire forms a spec-complete reader
+    must survive: the props map ({k, u} + {t} when ``event_id % 3 !=
+    0``) is CHAINED across two blocks whenever it has three entries;
+    the tags array (first three md5 bytes of ``<event_type>-<id>``)
+    uses the NEGATIVE-count-plus-byte-size block on even ids and the
+    positive form on odd ids. Map-only Arrow stage."""
+    import hashlib
+    import json as _json
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for eid, props_json, et, uid in zip(
+                pdf["event_id"], pdf["props"], pdf["event_type"], pdf["user_id"]
+            ):
+                eid, uid = int(eid), int(uid)
+                k = int(_json.loads(props_json)["k"])
+                entries = [("k", k), ("u", uid)]
+                if eid % 3 != 0:
+                    entries.append(("t", eid % 7))
+                digest = hashlib.md5(f"{et}-{eid}".encode()).hexdigest()
+                tags = [int(digest[2 * i : 2 * i + 2], 16) for i in range(3)]
+                body = (
+                    write_long(eid)
+                    + encode_map_blocks("long", entries, split=2)
+                    + encode_array_blocks("long", tags, negative=eid % 2 == 0)
+                )
+                payloads.append(confluent_frame(3, body))
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"].values, "payload": payloads},
+                columns=["event_id", "payload"],
+            )
+
+    return events.select("event_id", "props", "event_type", "user_id").mapInPandas(
+        batches, _PROPS_MSG
+    )
+
+
+_PROPS_ROWS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("k", T.LongType(), False),
+        T.StructField("u", T.LongType(), False),
+        T.StructField("t", T.LongType(), True),
+        T.StructField("n_props", T.IntegerType(), False),
+        T.StructField("tags_sum", T.LongType(), False),
+        T.StructField("n_tags", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_events_avro_props(msgs: DataFrame) -> DataFrame:
+    """Map-only decode through the GENERIC reader (``decode_record``
+    with the map/array branches): block-chained maps and
+    negative-count arrays both land here, so the chaining walk and the
+    skip-size parse are load-bearing for every row's hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for payload in pdf["payload"]:
+                msg = bytes(payload)
+                if msg[0] != CONFLUENT_MAGIC or struct.unpack_from(">I", msg, 1)[0] != 3:
+                    raise ValueError("bad frame for EventProps message")
+                rec, pos = decode_record(EVENT_PROPS_SCHEMA, msg, 5)
+                if pos != len(msg):
+                    raise ValueError(f"{len(msg) - pos} trailing bytes")
+                props, tags = rec["props"], rec["tags"]
+                rows.append(
+                    {
+                        "event_id": rec["event_id"],
+                        "k": props["k"],
+                        "u": props["u"],
+                        "t": props.get("t"),
+                        "n_props": len(props),
+                        "tags_sum": sum(tags),
+                        "n_tags": len(tags),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PROPS_ROWS])
+
+    return msgs.mapInPandas(batches, _PROPS_ROWS)

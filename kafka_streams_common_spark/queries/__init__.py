@@ -33,7 +33,7 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-14 WINDOW (``_R14_WINDOW``): head = the TWENTY round-14
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the TWENTY-TWO round-14
 registrations, never driver-checked (invariant #1), in registration
 order. First the wave-1/2 ten — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
 PNG — the alpha plane, the bpp=2/4 unfilter offsets, and the
@@ -87,7 +87,13 @@ STREAMINFO bit-unpacking + little-endian Vorbis comments;
 ``multimodal_mp3_id3v2_tags`` — ID3v2.3 synchsafe header, plain-BE
 frame sizes, latin-1/UTF-16 text, dual-tag files;
 ``multimodal_tiff_decode`` — baseline TIFF, BOTH byte orders,
-multi-strip assembly with per-strip byte-count verification).
+multi-strip assembly with per-strip byte-count verification); plus
+the wave-3b pair: ``kafka_avro_map_decode`` (Avro maps CHAINED across
+blocks and arrays in the negative-count-plus-byte-size form — the
+hostile collection wire shapes a spec-complete reader must walk) and
+``multimodal_mp4_metadata`` (ISO-BMFF box walk: 64-bit largesize and
+runs-to-EOF mdat forms both live, 16.16 tkhd geometry, packed
+ISO-639-2 language bits, track dispatch by hdlr).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -107,7 +113,7 @@ same rendered canvases, oracle unchanged) re-exposes
 ``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
 gate columns now mirror ``doc_id % 4 = 0``) re-expose
 ``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
-``multimodal_jpeg_progressive_recon``. The remaining 18 slots take
+``multimodal_jpeg_progressive_recon``. The remaining 16 slots take
 the COMPUTED refresh queue VERBATIM (key: last-green round asc,
 green-count asc, registration order): FIRST the six r7-stale rows
 displaced from the r13 window head (``anti_join_customers_without_
@@ -115,9 +121,9 @@ orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
 ``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
 drains to ZERO and the staleness floor moves to r8), then the first
-12 of the 50-row r8 tier (all single-green, in registration order;
+10 of the 50-row r8 tier (all single-green, in registration order;
 each wave of brand-new registrations displaced the queue's tail per
-invariant #1 — the remaining 38 r8 rows head the r15 queue).
+invariant #1 — the remaining 40 r8 rows head the r15 queue).
 
 (The round-13 window derivation now lives in the README.md
 §Verification ledger, per the carry-only-the-active-window
@@ -168,6 +174,9 @@ _R14_NEW = (
     "multimodal_flac_metadata",
     "multimodal_mp3_id3v2_tags",
     "multimodal_tiff_decode",
+    # wave 3b: Avro collections in hostile wire forms; MP4 box walk
+    "kafka_avro_map_decode",
+    "multimodal_mp4_metadata",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -201,10 +210,11 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # _R14_REFRESH — the COMPUTED stale-refresh queue (key: last-green
 # round asc, green-count asc, registration order), VERBATIM: the six
 # r7-stale rows FIRST (displaced from the r13 head; the r7 tier drains
-# to ZERO and the staleness floor moves to r8), then the first 12 of
+# to ZERO and the staleness floor moves to r8), then the first 10 of
 # the 50-row r8 single-green tier (each new-query wave displaced the
 # queue's tail per rotation invariant #1 — wave 2 four rows, wave 3
-# ten more). The remaining 38 r8 rows head the r15 queue:
+# ten, wave 3b two more). The remaining 40 r8 rows head the r15 queue:
+# dedup_connected_components_two_phase, dedup_decontaminate_bloom,
 # sim_random_projection, text_chunk_documents,
 # text_corpus_report_rollup, text_bpe_top_pairs, text_classifier_score,
 # llm_temperature_sample_sources, text_normalize,
@@ -242,8 +252,6 @@ _R14_REFRESH = (
     "streaming_stream_stream_full_outer_join",
     "streaming_cdc_tombstones",
     "streaming_rate_limit_ingest",
-    "dedup_connected_components_two_phase",
-    "dedup_decontaminate_bloom",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

@@ -2037,3 +2037,57 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_px",
         "max_px",
     )
+
+
+@query(
+    "multimodal_mp4_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             md5(text) AS hx,
+             md5(reverse(text)) AS rhx,
+             strlen(text) AS tb
+      FROM documents
+    )
+    SELECT doc_id,
+           'isom' AS major_brand,
+           CAST(('0x' || substr(hx, 1, 6))::BIGINT % 600000 + 1000
+                AS BIGINT) AS duration_ms,
+           CAST(2 AS INT) AS n_tracks,
+           CAST((('0x' || substr(hx, 1, 15))::BIGINT % 16 + 1) * 16
+                AS INT) AS video_width,
+           CAST((('0x' || substr(rhx, 1, 15))::BIGINT % 16 + 1) * 16
+                AS INT) AS video_height,
+           CAST(90000 AS BIGINT) AS video_timescale,
+           CAST(list_extract([8000, 16000, 22050, 44100, 48000],
+                             ('0x' || substr(hx, 7, 2))::INT % 5 + 1)
+                AS BIGINT) AS audio_rate,
+           CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu'
+                     WHEN 'zh' THEN 'zho' WHEN 'fr' THEN 'fra'
+                     WHEN 'es' THEN 'spa' END AS lang,
+           CAST(tb % 256 + 32 AS BIGINT) AS mdat_bytes
+    FROM m
+    """,
+)
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 / ISO-BMFF metadata walk (r14) — the container every video
+    lake stores, as the video twin of the MP3/FLAC metadata rows: each
+    document becomes a faithful MP4 skeleton (ftyp, moov > mvhd at
+    movie timescale 1000 + a vide trak at the 90 kHz video clock + a
+    soun trak whose media timescale IS the sample rate, each with
+    16.16 fixed-point tkhd geometry, packed 3×5-bit ISO-639-2 language
+    codes, and hdlr handler names carrying the doc id; a free box; and
+    an mdat written with the 64-BIT LARGESIZE form on odd ids and the
+    RUNS-TO-EOF form on even ids — both special size paths in every
+    batch). ``operators/mp4.parse_mp4_meta`` walks the tree with
+    boundary arithmetic enforced (an overrun raises), dispatches
+    tracks by handler, unpacks the language bits, and recovers the id
+    from the handler name; the oracle replays every field from the md5
+    arithmetic + the language map. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.mp4 import (
+        decode_mp4_meta,
+        encode_mp4_meta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_mp4_meta(encode_mp4_meta(docs))

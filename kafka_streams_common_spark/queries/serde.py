@@ -123,3 +123,46 @@ def kafka_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = table(spark, sf_dir, "events")
     return decode_events_proto(encode_events_proto(events))
+
+
+@query(
+    "kafka_avro_map_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             md5(event_type || '-' || CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id, k, CAST(user_id AS BIGINT) AS u,
+           CASE WHEN event_id % 3 <> 0
+                THEN CAST(event_id % 7 AS BIGINT) END AS t,
+           CAST(CASE WHEN event_id % 3 = 0 THEN 2 ELSE 3 END AS INT)
+               AS n_props,
+           CAST(('0x' || substr(hx, 1, 2))::INT
+              + ('0x' || substr(hx, 3, 2))::INT
+              + ('0x' || substr(hx, 5, 2))::INT AS BIGINT) AS tags_sum,
+           CAST(3 AS INT) AS n_tags
+    FROM m
+    """,
+)
+def kafka_avro_map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO map/array decode in the hostile wire forms (r14 wave 3b) —
+    collections are where foreign Avro actually breaks naive readers:
+    each event ships a Confluent-framed record whose props MAP is
+    CHAINED across two blocks whenever it has three entries (the
+    third, ``t``, present only when ``event_id % 3 != 0`` — so the
+    reader sees 1-block and 2-block maps mixed in every batch) and
+    whose tags ARRAY uses the NEGATIVE-count-plus-byte-size block on
+    even ids (the skippable form writers emit for large blocks) and
+    the positive form on odd ids. The generic reader must walk chained
+    blocks, honor negative counts, and terminate on the 0 block; the
+    oracle replays map membership, entry counts, and the array fold
+    from ``events`` + md5 arithmetic. Map-only both directions."""
+    from kafka_streams_common_spark.operators.avro import (
+        decode_events_avro_props,
+        encode_events_avro_props,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return decode_events_avro_props(encode_events_avro_props(events))

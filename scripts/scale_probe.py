@@ -1291,6 +1291,31 @@ def main() -> None:
         }
     )
 
+    # r14 wave 3b: Avro collection wire forms + MP4 box walk
+    from kafka_streams_common_spark.operators.avro import (
+        decode_events_avro_props,
+        encode_events_avro_props,
+    )
+    from kafka_streams_common_spark.operators.mp4 import (
+        decode_mp4_meta,
+        encode_mp4_meta,
+    )
+
+    pev1 = events1.select("event_id", "props", "event_type", "user_id")
+    pev8 = replicate(pev1, "event_id", COPIES).localCheckpoint(eager=True)
+    noop_probes.update(
+        {
+            "kafka_avro_map": (
+                lambda: decode_events_avro_props(encode_events_avro_props(pev1)),
+                lambda: decode_events_avro_props(encode_events_avro_props(pev8)),
+            ),
+            "mp4_metadata": (
+                lambda: decode_mp4_meta(encode_mp4_meta(docs1)),
+                lambda: decode_mp4_meta(encode_mp4_meta(docs8)),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {

@@ -399,3 +399,62 @@ def test_spark_confluent_and_proto_decode(spark):
     assert prot[1]["packed_sum"] == sum(int(hx[2 * i : 2 * i + 2], 16) for i in range(4))
     assert prot[1]["packed_n"] == 4
     assert prot[1]["source"] == "u491" and prot[1]["tag32"] == 1
+
+
+# ---------------------------------------------------------------------------
+# arrays / maps (r14 wave 3b)
+# ---------------------------------------------------------------------------
+
+_COLL_SCHEMA = {
+    "type": "record",
+    "name": "C",
+    "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+@settings(deadline=None, max_examples=80)
+@given(
+    st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=10),
+    st.dictionaries(st.text(max_size=8), st.text(max_size=12), max_size=6),
+)
+def test_avro_collections_roundtrip(xs, m):
+    rec = {"xs": xs, "m": m}
+    buf = av.encode_record(_COLL_SCHEMA, rec)
+    got, pos = av.decode_record(_COLL_SCHEMA, buf)
+    assert pos == len(buf)
+    assert got == rec
+
+
+def test_avro_chained_and_negative_blocks():
+    arr_t = {"type": "array", "items": "long"}
+    # negative-count block: -3 entries + byte size, then terminator
+    neg = av.encode_array_blocks("long", [7, 8, 9], negative=True)
+    assert av._read_value(arr_t, neg, 0) == ([7, 8, 9], len(neg))
+    # the negative form really is on the wire: first varint zigzags -3
+    assert av.read_long(neg, 0)[0] == -3
+
+    map_t = {"type": "map", "values": "long"}
+    chained = av.encode_map_blocks("long", [("a", 1), ("b", 2), ("c", 3)], split=2)
+    got, pos = av._read_value(map_t, chained, 0)
+    assert got == {"a": 1, "b": 2, "c": 3} and pos == len(chained)
+    # two blocks really are on the wire: the first count varint is 2
+    assert av.read_long(chained, 0)[0] == 2
+
+
+def test_spark_avro_map_decode(spark):
+    events = spark.createDataFrame(
+        [(i, f'{{"k": {i * 3}}}', f"type-{i % 2}", 400 + i) for i in range(1, 13)],
+        "event_id long, props string, event_type string, user_id long",
+    )
+    out = {r["event_id"]: r for r in
+           av.decode_events_avro_props(av.encode_events_avro_props(events)).collect()}
+    assert len(out) == 12
+    assert out[6]["t"] is None and out[6]["n_props"] == 2  # 6 % 3 == 0
+    assert out[5]["t"] == 5 and out[5]["n_props"] == 3
+    assert out[5]["k"] == 15 and out[5]["u"] == 405
+    import hashlib
+    hx = hashlib.md5(b"type-0-4").hexdigest()
+    assert out[4]["tags_sum"] == sum(int(hx[2 * i : 2 * i + 2], 16) for i in range(3))
