@@ -210,6 +210,9 @@ TRACKING_QUERIES = [
     # r14 wave 3b: Avro collection wire forms, MP4 box walk
     "kafka_avro_map_decode",
     "multimodal_mp4_metadata",
+    # r14 wave 3c: Ogg pages + subtitle sidecars
+    "multimodal_ogg_metadata",
+    "multimodal_subtitle_cues",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

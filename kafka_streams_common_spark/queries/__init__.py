@@ -33,7 +33,7 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-14 WINDOW (``_R14_WINDOW``): head = the TWENTY-TWO round-14
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the TWENTY-FOUR round-14
 registrations, never driver-checked (invariant #1), in registration
 order. First the wave-1/2 ten — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
 PNG — the alpha plane, the bpp=2/4 unfilter offsets, and the
@@ -93,7 +93,14 @@ blocks and arrays in the negative-count-plus-byte-size form — the
 hostile collection wire shapes a spec-complete reader must walk) and
 ``multimodal_mp4_metadata`` (ISO-BMFF box walk: 64-bit largesize and
 runs-to-EOF mdat forms both live, 16.16 tkhd geometry, packed
-ISO-639-2 language bits, track dispatch by hdlr).
+ISO-639-2 language bits, track dispatch by hdlr); and the wave-3c
+pair: ``multimodal_ogg_metadata`` (Ogg pages with the FROM-SCRATCH
+0x04c11db7 CRC — non-reflected, so a borrowed zlib CRC fails —
+multi-segment lacing live on every row, BOS/EOS + sequence
+discipline, Vorbis ID + comment headers) and
+``multimodal_subtitle_cues`` (SubRip AND WebVTT dialects in every
+batch — counters, separators, zero-padding, time order enforced;
+caption recovered exactly, md5-gated).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -113,7 +120,7 @@ same rendered canvases, oracle unchanged) re-exposes
 ``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
 gate columns now mirror ``doc_id % 4 = 0``) re-expose
 ``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
-``multimodal_jpeg_progressive_recon``. The remaining 16 slots take
+``multimodal_jpeg_progressive_recon``. The remaining 14 slots take
 the COMPUTED refresh queue VERBATIM (key: last-green round asc,
 green-count asc, registration order): FIRST the six r7-stale rows
 displaced from the r13 window head (``anti_join_customers_without_
@@ -121,9 +128,9 @@ orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
 ``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
 drains to ZERO and the staleness floor moves to r8), then the first
-10 of the 50-row r8 tier (all single-green, in registration order;
+8 of the 50-row r8 tier (all single-green, in registration order;
 each wave of brand-new registrations displaced the queue's tail per
-invariant #1 — the remaining 40 r8 rows head the r15 queue).
+invariant #1 — the remaining 42 r8 rows head the r15 queue).
 
 (The round-13 window derivation now lives in the README.md
 §Verification ledger, per the carry-only-the-active-window
@@ -177,6 +184,9 @@ _R14_NEW = (
     # wave 3b: Avro collections in hostile wire forms; MP4 box walk
     "kafka_avro_map_decode",
     "multimodal_mp4_metadata",
+    # wave 3c: Ogg/Vorbis pages (from-scratch CRC), subtitle sidecars
+    "multimodal_ogg_metadata",
+    "multimodal_subtitle_cues",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -213,7 +223,8 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # to ZERO and the staleness floor moves to r8), then the first 10 of
 # the 50-row r8 single-green tier (each new-query wave displaced the
 # queue's tail per rotation invariant #1 — wave 2 four rows, wave 3
-# ten, wave 3b two more). The remaining 40 r8 rows head the r15 queue:
+# ten, wave 3b two, wave 3c two more). The remaining 42 r8 rows head
+# the r15 queue: streaming_cdc_tombstones, streaming_rate_limit_ingest,
 # dedup_connected_components_two_phase, dedup_decontaminate_bloom,
 # sim_random_projection, text_chunk_documents,
 # text_corpus_report_rollup, text_bpe_top_pairs, text_classifier_score,
@@ -250,8 +261,6 @@ _R14_REFRESH = (
     "streaming_session_window_counts",
     "streaming_fk_join_enrichment",
     "streaming_stream_stream_full_outer_join",
-    "streaming_cdc_tombstones",
-    "streaming_rate_limit_ingest",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

@@ -2091,3 +2091,89 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_mp4_meta(encode_mp4_meta(docs))
+
+
+@query(
+    "multimodal_ogg_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang, md5(text) AS hx FROM documents
+    )
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_pages,
+           CAST(('0x' || substr(hx, 3, 2))::INT % 2 + 1 AS INT) AS channels,
+           CAST(list_extract([8000, 16000, 22050, 44100, 48000],
+                             ('0x' || substr(hx, 1, 2))::INT % 5 + 1)
+                AS INT) AS sample_rate,
+           CAST((('0x' || substr(hx, 5, 2))::INT % 8 + 1) * 32000
+                AS INT) AS bitrate_nominal,
+           CAST(('0x' || substr(hx, 7, 8))::BIGINT % 10000000
+                AS BIGINT) AS total_samples,
+           'Doc ' || doc_id AS title,
+           lang AS language,
+           CAST((339 + strlen(CAST(doc_id AS VARCHAR)) + doc_id % 40) // 255
+                + 1 AS INT) AS comment_segments
+    FROM m
+    """,
+)
+def multimodal_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG/Vorbis metadata walk (r14) — the open-codec streaming
+    container: each document becomes a genuine 3-page logical stream
+    (BOS page with the Vorbis identification header, a comment page
+    whose packet is PADDED past 255 bytes so multi-segment lacing is
+    live on every row, and an EOS page whose granule position is the
+    total sample count), with the page CRC computed from scratch with
+    the Ogg polynomial 0x04c11db7 — non-reflected, init 0, no final
+    xor — so a borrowed zlib CRC-32 fails instantly, and VERIFIED per
+    page on decode alongside sequence continuity and the BOS-first /
+    EOS-last discipline. ``comment_segments`` pins the lacing walk
+    arithmetic (the oracle replays the full packet-length formula);
+    all other fields replay the md5 derivation. Map-only Arrow
+    stages."""
+    from kafka_streams_common_spark.operators.ogg import (
+        decode_ogg_meta,
+        encode_ogg_meta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_ogg_meta(encode_ogg_meta(docs))
+
+
+@query(
+    "multimodal_subtitle_cues",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             CAST(ceil(strlen(text) / 120.0) AS BIGINT) AS n,
+             2000 + doc_id % 1000 AS dur
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+           CAST(n AS INT) AS n_cues,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE n * dur + (n - 1) * 100 END AS BIGINT) AS span_ms,
+           md5(text) AS caption_md5,
+           CAST(strlen(text) AS BIGINT) AS caption_chars
+    FROM m
+    """,
+)
+def multimodal_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/WebVTT subtitle-cue ingest (r14) — the text-with-timing
+    sidecar video-caption training pairs align on: each document's
+    text is chunked into 120-char cues (duration ``2000 + doc_id %
+    1000`` ms, 100 ms gaps); EVEN doc_ids ship SubRip (1-based
+    counters, COMMA milliseconds, CRLF), ODD WebVTT (header line, DOT
+    milliseconds, LF) — both dialects live in every batch, dispatched
+    on the WEBVTT magic. The strict cue walk (counters must increment
+    from 1, separators must match the dialect, zero-padding and time
+    order enforced) reassembles the caption EXACTLY — ``caption_md5 =
+    md5(text)`` leaves no slack — and the oracle replays the cue-count
+    and timing-span arithmetic. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.subtitles import (
+        decode_subtitles,
+        encode_subtitles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_subtitles(encode_subtitles(docs))

@@ -1316,6 +1316,29 @@ def main() -> None:
         }
     )
 
+    # r14 wave 3c: Ogg pages (from-scratch CRC) + subtitle sidecars
+    from kafka_streams_common_spark.operators.ogg import (
+        decode_ogg_meta,
+        encode_ogg_meta,
+    )
+    from kafka_streams_common_spark.operators.subtitles import (
+        decode_subtitles,
+        encode_subtitles,
+    )
+
+    noop_probes.update(
+        {
+            "ogg_metadata": (
+                lambda: decode_ogg_meta(encode_ogg_meta(docs1)),
+                lambda: decode_ogg_meta(encode_ogg_meta(docs8)),
+            ),
+            "subtitle_cues": (
+                lambda: decode_subtitles(encode_subtitles(docs1)),
+                lambda: decode_subtitles(encode_subtitles(docs8)),
+            ),
+        }
+    )
+
     if len(sys.argv) > 1:  # optional operator-name filter for quick re-runs
         probes = {k: v for k, v in probes.items() if k in sys.argv[1:]}
         noop_probes = {
