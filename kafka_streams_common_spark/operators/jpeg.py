@@ -163,15 +163,17 @@ class _BitWriterMSB:
         self.nbits = 0
 
     def put(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        nbits = self.nbits + length
+        out = self.out
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
             if byte == 0xFF:
-                self.out.append(0x00)
-            self.nbits -= 8
-            self.acc &= (1 << self.nbits) - 1
+                out.append(0x00)
+            nbits -= 8
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def align(self) -> None:
         """Pad the current byte with 1-bits (the spec's fill bits) —
@@ -736,29 +738,52 @@ def _encode_jpeg_progressive_bytes(px: np.ndarray, subsample: str = "444") -> by
 
 class _BitReaderMSB:
     """MSB-first bit reader over entropy-coded data with byte
-    unstuffing (0xFF 0x00 → 0xFF); stops at any other marker."""
+    unstuffing (0xFF 0x00 → 0xFF); stops at any other marker.
+
+    r14 perf rework (behavior-identical; the whole suite's bit-level
+    pins and corrupt-stream error messages are the regression gate):
+    fills are buffered through ``_try_fill`` so ``peek16`` can look
+    ahead WITHOUT consuming past a marker (the stop reason is recorded
+    and only raised if a read actually needs those bits — exactly the
+    lazy semantics the bit-by-bit reader had), and ``bits`` extracts
+    in one mask instead of n ``bit()`` calls."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self._stop: str | None = None  # why filling stopped, lazily raised
 
-    def _fill(self) -> None:
+    def _try_fill(self) -> bool:
+        """Buffer one more (unstuffed) byte; False at end-of-data, a
+        dangling 0xFF, or a marker — recording the exact message the
+        eager reader used to raise, WITHOUT consuming the marker."""
+        if self._stop is not None:
+            return False
         if self.pos >= len(self.data):
-            raise ValueError("entropy stream ran out of bytes")
+            self._stop = "entropy stream ran out of bytes"
+            return False
         byte = self.data[self.pos]
         if byte == 0xFF:
             nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
             if nxt is None:
-                raise ValueError("entropy stream truncated at a dangling 0xFF")
+                self._stop = "entropy stream truncated at a dangling 0xFF"
+                return False
             if nxt != 0x00:
-                raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
+                self._stop = f"marker 0xFF{nxt:02x} inside entropy data"
+                return False
             self.pos += 2
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
+        return True
+
+    def _fill(self) -> None:
+        if not self._try_fill():
+            stop, self._stop = self._stop, None
+            raise ValueError(stop)
 
     def bit(self) -> int:
         if not self.nbits:
@@ -767,10 +792,32 @@ class _BitReaderMSB:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def peek16(self) -> int:
+        """The next 16 bits WITHOUT consuming, 1-padded past the end of
+        the entropy segment (the encoder 1-pads its final byte, so a
+        valid symbol never needs the virtual bits)."""
+        while self.nbits < 16 and self._try_fill():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        pad = 16 - self.nbits
+        return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+
+    def drop(self, n: int) -> None:
+        """Consume ``n`` previously peeked bits; raises the recorded
+        stop reason if the stream did not actually hold them."""
+        if n > self.nbits:
+            stop, self._stop = self._stop, None
+            raise ValueError(stop or "entropy stream ran out of bytes")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def restart(self, expect_n: int) -> None:
         """Consume a byte-aligned RSTn marker: discard the current
@@ -778,6 +825,7 @@ class _BitReaderMSB:
         the stream position."""
         self.acc = 0
         self.nbits = 0
+        self._stop = None  # peeks may have parked on this very marker
         if self.pos + 2 > len(self.data):
             raise ValueError("entropy stream truncated at a restart marker")
         got = self.data[self.pos : self.pos + 2]
@@ -787,29 +835,61 @@ class _BitReaderMSB:
         self.pos += 2
 
 
-def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """``{(length, code): symbol}`` from a DHT table (canonical codes
-    per Annex C) — the decode-side form of ``_canonical_codes``."""
+class _HuffTable(dict):
+    """``{(length, code): symbol}`` plus a flat 2^16-entry LUT:
+    ``lut[next16bits] = (length << 8) | symbol`` (-1 = invalid code).
+    Prefix codes are unique, so the first-match walk and the LUT agree
+    on every decodable stream."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, mapping: dict, lut: list[int]) -> None:
+        super().__init__(mapping)
+        self.lut = lut
+
+
+_HUFF_CACHE: dict[tuple[bytes, bytes], "_HuffTable"] = {}
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> "_HuffTable":
+    """Canonical decode table from a DHT segment (codes per Annex C) —
+    the decode-side form of ``_canonical_codes``. MEMOIZED on the DHT
+    bytes (r14): a lake's files overwhelmingly share tables, and the
+    LUT build is per-table work that must not repeat per image."""
+    key = (bytes(bits), bytes(vals))
+    cached = _HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
+    lut = [-1] * (1 << 16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            base = code << (16 - length)
+            packed = (length << 8) | vals[k]
+            lut[base : base + (1 << (16 - length))] = [packed] * (1 << (16 - length))
             code += 1
             k += 1
         code <<= 1
-    return table
+    result = _HuffTable(table, lut)
+    _HUFF_CACHE[key] = result
+    return result
 
 
-def _read_symbol(rd: _BitReaderMSB, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code (no symbol within 16 bits)")
+def _read_symbol(rd: _BitReaderMSB, table: "_HuffTable") -> int:
+    packed = table.lut[rd.peek16()]
+    if packed < 0:
+        # distinguish a genuinely invalid 16-bit code from a stream
+        # that simply ended mid-code — the lazy reader raised the
+        # fill error in the latter case
+        if rd.nbits < 16 and rd._stop is not None:
+            stop, rd._stop = rd._stop, None
+            raise ValueError(stop)
+        raise ValueError("invalid Huffman code (no symbol within 16 bits)")
+    rd.drop(packed >> 8)
+    return packed & 0xFF
 
 
 def _extend(bits: int, size: int) -> int:
