@@ -99,6 +99,8 @@ def parse_pages(data: bytes) -> list[dict]:
     pos = 0
     expect_seq: int | None = None
     while pos < len(data):
+        if pos + 27 > len(data):
+            raise ValueError("truncated Ogg page header")
         if data[pos : pos + 4] != OGG_MAGIC:
             raise ValueError(f"lost Ogg capture pattern at {pos}")
         if data[pos + 4] != 0:

@@ -146,8 +146,12 @@ def _skip_field(wire_type: int, buf: bytes, pos: int) -> int:
         _, pos = read_uvarint(buf, pos)
         return pos
     if wire_type == _WT_I64:
+        if pos + 8 > len(buf):
+            raise ValueError("fixed64 field overruns buffer")
         return pos + 8
     if wire_type == _WT_I32:
+        if pos + 4 > len(buf):
+            raise ValueError("fixed32 field overruns buffer")
         return pos + 4
     if wire_type == _WT_LEN:
         n, pos = read_uvarint(buf, pos)

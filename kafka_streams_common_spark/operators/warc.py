@@ -145,6 +145,8 @@ def parse_warc_record(raw: bytes) -> tuple[dict[str, str], bytes]:
         if not _:
             raise ValueError(f"malformed WARC header line {line!r}")
         headers[k.strip().decode().lower()] = v.strip().decode()
+    if "content-length" not in headers:
+        raise ValueError("WARC record missing Content-Length header")
     n = int(headers["content-length"])
     if len(body) != n + 4:
         raise ValueError(

@@ -118,3 +118,9 @@ def test_spark_ogg(spark):
         assert r["title"] == f"Doc {did}"
         assert r["n_pages"] == 3
         assert r["comment_segments"] == 2
+
+
+def test_truncated_page_header_rejected():
+    page = ogg.build_page(b"xyz", 1, 0, 0, bos=True, eos=True)
+    with pytest.raises(ValueError, match="truncated Ogg page header"):
+        ogg.parse_pages(page + b"OggS\x00")

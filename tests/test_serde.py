@@ -458,3 +458,14 @@ def test_spark_avro_map_decode(spark):
     import hashlib
     hx = hashlib.md5(b"type-0-4").hexdigest()
     assert out[4]["tags_sum"] == sum(int(hx[2 * i : 2 * i + 2], 16) for i in range(3))
+
+
+def test_proto_truncated_fixed_width_skips_rejected():
+    # an unknown fixed64/fixed32 whose value is cut off must raise, not
+    # silently end the message
+    buf = pw._tag(9, 1) + b"\x01\x02\x03"  # fixed64 with 3 bytes left
+    with pytest.raises(ValueError, match="fixed64"):
+        pw.decode_message({1: ("a", "uint")}, buf)
+    buf = pw._tag(9, 5) + b"\x01"
+    with pytest.raises(ValueError, match="fixed32"):
+        pw.decode_message({1: ("a", "uint")}, buf)

@@ -188,3 +188,9 @@ def test_spark_html_pipeline(spark):
     text7 = "body text 7 " + "x" * (7 * 37 % 300)
     assert out[7]["main_md5"] == hashlib.md5(text7.encode()).hexdigest()
     assert out[7]["n_paragraphs"] == (len(text7) + 199) // 200
+
+
+def test_warc_missing_content_length_rejected():
+    raw = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        w.parse_warc_record(raw)
