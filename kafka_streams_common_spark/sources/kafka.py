@@ -139,3 +139,79 @@ def kafka_sink_writer(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Confluent schema-registry values (r14) — the binary value format the
+# reference's JSON-only SerdeFactory stops short of. Works on any
+# DataFrame with a binary value column (a `format("kafka")` stream's
+# `value`, or a batch of captured messages); stateless mapInPandas, so
+# it runs identically under Structured Streaming.
+# ---------------------------------------------------------------------------
+
+_AVRO_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+
+
+def _reader_spark_schema(reader_schema: dict) -> T.StructType:
+    """Spark schema for a resolved reader record (primitive and
+    ``["null", prim]`` fields — the registry-consumer subset)."""
+    fields = []
+    for f in reader_schema["fields"]:
+        typ = f["type"]
+        nullable = isinstance(typ, list)
+        if nullable:
+            non_null = [t for t in typ if t != "null"]
+            if len(non_null) != 1 or not isinstance(non_null[0], str):
+                raise ValueError(f"field {f['name']!r}: only ['null', prim] unions")
+            typ = non_null[0]
+        if typ not in _AVRO_TO_SPARK:
+            raise ValueError(f"field {f['name']!r}: unsupported avro type {typ!r}")
+        fields.append(f"{f['name']} {_AVRO_TO_SPARK[typ]}")
+    return T._parse_datatype_string(", ".join(fields))
+
+
+def decode_confluent_values(
+    df: DataFrame,
+    schemas_by_id: dict[int, dict],
+    reader_schema: dict,
+    value_col: str = "value",
+    with_schema_id: bool = True,
+) -> DataFrame:
+    """Generic registry-consumer decode: unframe each message (magic
+    byte + big-endian schema id, unknown ids rejected — the DLQ
+    trigger), schema-RESOLVE the Avro body against ``reader_schema``
+    (writer-only fields discarded, reader defaults filled), and emit
+    one typed column per reader field (+ ``schema_id``). Output schema
+    is DERIVED from the reader schema, so a topic's consumer is one
+    call. Stateless Arrow stage — batch and streaming identical."""
+    from kafka_streams_common_spark.operators.avro import confluent_parse
+
+    out_schema = _reader_spark_schema(reader_schema)
+    if with_schema_id:
+        out_schema = T.StructType(
+            list(out_schema.fields) + [T.StructField("schema_id", T.IntegerType(), False)]
+        )
+    names = [f["name"] for f in reader_schema["fields"]]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for payload in pdf[value_col]:
+                sid, rec = confluent_parse(bytes(payload), schemas_by_id, reader_schema)
+                row = {n: rec[n] for n in names}
+                if with_schema_id:
+                    row["schema_id"] = sid
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(value_col).mapInPandas(batches, out_schema)

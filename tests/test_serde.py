@@ -469,3 +469,54 @@ def test_proto_truncated_fixed_width_skips_rejected():
     buf = pw._tag(9, 5) + b"\x01"
     with pytest.raises(ValueError, match="fixed32"):
         pw.decode_message({1: ("a", "uint")}, buf)
+
+
+def test_generic_confluent_value_decoder(spark):
+    """sources/kafka.decode_confluent_values: the one-call registry
+    consumer — output schema DERIVED from the reader schema, defaults
+    filled, unknown writer fields discarded, schema_id emitted."""
+    from kafka_streams_common_spark.sources.kafka import decode_confluent_values
+
+    msgs = []
+    for i in range(1, 7):
+        if i % 3 == 0:
+            body = av.encode_record(
+                av.EVENT_SCHEMA_V1,
+                {"event_id": i, "event_type": f"t{i}", "value": i / 2},
+            )
+            msgs.append((av.confluent_frame(1, body),))
+        else:
+            body = av.encode_record(
+                av.EVENT_SCHEMA_V2,
+                {
+                    "event_id": i,
+                    "event_type": f"t{i}",
+                    "value": i / 2,
+                    "source": f"u{i}",
+                    "debug": "x",
+                },
+            )
+            msgs.append((av.confluent_frame(2, body),))
+    df = spark.createDataFrame(msgs, "value binary")
+    out = decode_confluent_values(df, av.EVENT_SCHEMAS_BY_ID, av.EVENT_SCHEMA_READER)
+    assert [f.name for f in out.schema.fields] == [
+        "event_id", "event_type", "value", "source", "schema_id",
+    ]
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[3]["source"] == "unknown" and rows[3]["schema_id"] == 1
+    assert rows[4]["source"] == "u4" and rows[4]["schema_id"] == 2
+    # stateless -> streaming-safe: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # nullable reader fields map to nullable spark types
+    from kafka_streams_common_spark.sources.kafka import _reader_spark_schema
+
+    sch = _reader_spark_schema(
+        {"fields": [{"name": "a", "type": "long"},
+                    {"name": "b", "type": ["null", "string"]}]}
+    )
+    assert sch.simpleString() == "struct<a:bigint,b:string>"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unions"):
+        _reader_spark_schema({"fields": [{"name": "a", "type": ["null", "string", "long"]}]})
