@@ -367,7 +367,16 @@ def read_ocf(buf: bytes) -> tuple[dict, str, list[dict]]:
             payload = do.decompress(payload) + do.flush()
         p = 0
         for _ in range(count):
+            prev = p
             rec, p = decode_record(schema, payload, p)
+            if p == prev:
+                # zero-byte records (fieldless schemas) + an attacker-
+                # controlled count would spin forever; a block claiming
+                # more records than it has bytes is corrupt either way
+                raise ValueError(
+                    "OCF block record consumed no bytes (degenerate schema "
+                    "with runaway count)"
+                )
             records.append(rec)
         if p != len(payload):
             raise ValueError(

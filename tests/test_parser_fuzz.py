@@ -1,0 +1,153 @@
+"""Cross-parser fuzz battery (r14): every binary/text container parser
+in the repo must FAIL CLEANLY on arbitrary foreign bytes — a bounded
+set of exception types, no hangs, no unbounded allocation. This is the
+posture a 100 TB ingest needs: one corrupt object in a billion must
+quarantine as a per-row error, never wedge an executor.
+
+Each parser also gets a 'mutation' leg: take a VALID container, flip
+one byte at an arbitrary offset, and require clean handling (either a
+successful parse — many single-bit flips only change payload content —
+or one of the bounded exception types)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_common_spark.operators import avro as av
+from kafka_streams_common_spark.operators import flac as fl
+from kafka_streams_common_spark.operators import mp4
+from kafka_streams_common_spark.operators import mpeg_audio as ma
+from kafka_streams_common_spark.operators import ogg
+from kafka_streams_common_spark.operators import protowire as pw
+from kafka_streams_common_spark.operators import subtitles as sub
+from kafka_streams_common_spark.operators import tiff as tf
+from kafka_streams_common_spark.operators import warc as w
+from kafka_streams_common_spark.operators import webtext as wt
+
+# the bounded failure surface foreign bytes may produce
+_OK_ERRORS = (
+    ValueError,
+    KeyError,
+    IndexError,
+    UnicodeDecodeError,
+    struct.error,
+    zlib.error,
+    EOFError,
+    OverflowError,
+)
+
+_raw = st.binary(min_size=0, max_size=300)
+
+
+def _clean(parser, data):
+    try:
+        parser(data)
+    except _OK_ERRORS:
+        pass  # clean per-row failure — exactly what the ingest wants
+
+
+_PARSERS = {
+    "ocf": lambda b: av.read_ocf(b),
+    "confluent": lambda b: av.confluent_parse(
+        b, av.EVENT_SCHEMAS_BY_ID, av.EVENT_SCHEMA_READER
+    ),
+    "proto": lambda b: pw.decode_message(pw.EVENT_PROTO_READER_SPEC, b),
+    "flac": lambda b: fl.parse_flac_meta(b),
+    "id3v2": lambda b: ma._parse_id3v2(b),
+    "mp3": lambda b: ma._parse_mp3_meta(b),
+    "tiff": lambda b: tf.parse_tiff_image(b),
+    "mp4": lambda b: mp4.parse_mp4_meta(b),
+    "ogg": lambda b: ogg.parse_pages(b),
+    "warc": lambda b: w.parse_warc_record(b),
+    "gzip_members": lambda b: list(w.split_gzip_members(b)),
+    "subtitles": lambda b: sub.parse_cues(b.decode("latin-1")),
+    "html": lambda b: wt.extract_main_text(b.decode("latin-1")),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PARSERS))
+@settings(deadline=None, max_examples=120)
+@given(data=_raw)
+def test_random_bytes_fail_cleanly(name, data):
+    _clean(_PARSERS[name], data)
+
+
+# magic-prefixed fuzz: random bytes AFTER a valid magic reach deeper
+# parse layers than pure noise does
+_MAGICS = {
+    "ocf": av.OCF_MAGIC,
+    "confluent": b"\x00\x00\x00\x00\x02",
+    "flac": fl.FLAC_MAGIC,
+    "id3v2": b"ID3\x03\x00\x00",
+    "tiff": b"II\x2a\x00\x08\x00\x00\x00",
+    "mp4": (16).to_bytes(4, "big") + b"ftypisom" + (512).to_bytes(4, "big"),
+    "ogg": ogg.OGG_MAGIC,
+    "warc": b"WARC/1.0\r\n",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MAGICS))
+@settings(deadline=None, max_examples=120)
+@given(data=_raw)
+def test_magic_prefixed_bytes_fail_cleanly(name, data):
+    _clean(_PARSERS[name], _MAGICS[name] + data)
+
+
+def _valid_samples():
+    d = hashlib.md5(b"fuzz-doc").digest()
+    px_g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    return {
+        "ocf": av.write_ocf(
+            av.ORDER_SCHEMA_JSON,
+            [
+                {
+                    "o_orderkey": 5,
+                    "o_custkey": 6,
+                    "o_totalprice": 1.5,
+                    "o_orderstatus": "O",
+                    "priority": None,
+                }
+            ],
+            codec="deflate",
+        ),
+        "confluent": av.confluent_frame(
+            1,
+            av.encode_record(
+                av.EVENT_SCHEMA_V1,
+                {"event_id": 3, "event_type": "t", "value": 2.0},
+            ),
+        ),
+        "proto": pw.encode_message(
+            pw.EVENT_PROTO_READER_SPEC,
+            {
+                "event_id": 9,
+                "event_type": "x",
+                "value": 0.5,
+                "delta": -4,
+                "meta": {"source": "u1", "tag32": 7},
+                "token_bytes": [1, 2, 3],
+            },
+        ),
+        "flac": fl.build_flac_meta(8000, 1, 8, 100, d, [("TITLE", "t")], 16),
+        "id3v2": ma._id3v2_tag([("TIT2", "t")], ("eng", "d", "c"), False, 4),
+        "tiff": tf._tiff_image_bytes(px_g, "II", rows_per_strip=2),
+        "mp4": mp4.build_mp4_meta(1, 5000, 64, 48, 8000, "eng", b"\x00" * 8, "normal"),
+        "ogg": ogg.build_page(b"\x01vorbis-ish", 3, 0, 0, bos=True, eos=True),
+        "warc": w.build_response_record(4, b"payload", "text/plain"),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_MAGICS))
+@settings(deadline=None, max_examples=120)
+@given(offset_frac=st.floats(min_value=0, max_value=1), flip=st.integers(1, 255))
+def test_single_byte_mutations_handled(name, offset_frac, flip):
+    raw = bytearray(_valid_samples()[name])
+    raw[int(offset_frac * (len(raw) - 1))] ^= flip
+    _clean(_PARSERS[name], bytes(raw))

@@ -520,3 +520,16 @@ def test_generic_confluent_value_decoder(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unions"):
         _reader_spark_schema({"fields": [{"name": "a", "type": ["null", "string", "long"]}]})
+
+
+def test_ocf_fieldless_schema_runaway_count_rejected():
+    """A fieldless record decodes to zero bytes; an OCF block pairing
+    that with a huge declared count must fail fast, not spin."""
+    schema_json = json.dumps({"type": "record", "name": "E", "fields": []})
+    meta = av._write_meta_map(
+        {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    )
+    sync = b"\x00" * 16
+    block = av.write_long(10**15) + av.write_long(0) + sync
+    with pytest.raises(ValueError, match="consumed no bytes"):
+        av.read_ocf(av.OCF_MAGIC + meta + sync + block)
