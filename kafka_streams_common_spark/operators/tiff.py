@@ -122,6 +122,16 @@ def _as_list(v: object) -> list[int]:
     return list(v) if isinstance(v, list) else [int(v)]
 
 
+def _as_scalar(ifd: dict, tag: int, default: int | None = None) -> int:
+    """A tag that must carry exactly one value; a multi-count entry
+    where a scalar belongs is corrupt (a flipped count byte produces
+    exactly this shape)."""
+    v = ifd.get(tag, default)
+    if isinstance(v, list):
+        raise ValueError(f"TIFF tag {tag} must be scalar, got count {len(v)}")
+    return int(v)
+
+
 def parse_tiff_image(payload: bytes) -> tuple[str, int, int, int, int, np.ndarray]:
     """Full baseline decode: IFD walk (via the EXIF module's parser —
     byte order, magic, inline/offset resolution), required-tag and
@@ -133,14 +143,14 @@ def parse_tiff_image(payload: bytes) -> tuple[str, int, int, int, int, np.ndarra
     for tag in (TAG_WIDTH, TAG_HEIGHT, TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS):
         if tag not in ifd:
             raise ValueError(f"required TIFF tag {tag} missing")
-    w, h = int(ifd[TAG_WIDTH]), int(ifd[TAG_HEIGHT])
+    w, h = _as_scalar(ifd, TAG_WIDTH), _as_scalar(ifd, TAG_HEIGHT)
     if w <= 0 or h <= 0:
         raise ValueError(f"bad TIFF dimensions {w}x{h}")
-    compression = int(ifd.get(TAG_COMPRESSION, 1))
+    compression = _as_scalar(ifd, TAG_COMPRESSION, 1)
     if compression != 1:
         raise ValueError(f"only uncompressed TIFF is supported, got {compression}")
-    spp = int(ifd.get(TAG_SPP, 1))
-    photometric = int(ifd.get(TAG_PHOTOMETRIC, 1))
+    spp = _as_scalar(ifd, TAG_SPP, 1)
+    photometric = _as_scalar(ifd, TAG_PHOTOMETRIC, 1)
     if (spp, photometric) not in ((1, 1), (3, 2)):
         raise ValueError(
             f"unsupported TIFF class: SamplesPerPixel={spp}, "
@@ -148,11 +158,11 @@ def parse_tiff_image(payload: bytes) -> tuple[str, int, int, int, int, np.ndarra
         )
     if _as_list(ifd[TAG_BPS]) != [8] * spp:
         raise ValueError(f"only 8-bit samples supported, got {ifd[TAG_BPS]}")
-    if int(ifd.get(TAG_PLANAR, 1)) != 1:
+    if _as_scalar(ifd, TAG_PLANAR, 1) != 1:
         raise ValueError("only chunky planar configuration supported")
     if 322 in ifd or 323 in ifd:
         raise ValueError("tiled TIFF is not supported")
-    rps = int(ifd.get(TAG_ROWS_PER_STRIP, h))
+    rps = _as_scalar(ifd, TAG_ROWS_PER_STRIP, h)
     offsets = _as_list(ifd[TAG_STRIP_OFFSETS])
     counts = _as_list(ifd[TAG_STRIP_BYTE_COUNTS])
     if len(offsets) != len(counts):

@@ -151,3 +151,56 @@ def test_single_byte_mutations_handled(name, offset_frac, flip):
     raw = bytearray(_valid_samples()[name])
     raw[int(offset_frac * (len(raw) - 1))] ^= flip
     _clean(_PARSERS[name], bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# legacy-tier parsers (r11-r13 codecs) under the same battery
+# ---------------------------------------------------------------------------
+
+from kafka_streams_common_spark.operators import archive as ar
+from kafka_streams_common_spark.operators import gif as g
+from kafka_streams_common_spark.operators import jpeg as jp
+from kafka_streams_common_spark.operators import multimodal as mm
+from kafka_streams_common_spark.operators.exif import _parse_tiff_ifd0
+
+_LEGACY_PARSERS = {
+    "png": lambda b: mm._parse_png(b),
+    "netpbm": lambda b: mm._parse_netpbm(b),
+    "bmp": lambda b: mm._parse_bmp(b),
+    "wav": lambda b: mm._parse_wav(b),
+    "y4m": lambda b: mm._parse_y4m(b),
+    "gif": lambda b: g._parse_gif(b),
+    "jpeg": lambda b: jp._parse_jpeg(b),
+    "tar": lambda b: ar._parse_tar(b),
+    "zip": lambda b: ar._parse_zip(b),
+    "gzip": lambda b: ar._gzip_decompress_bytes(b),
+    "tiff_ifd": lambda b: _parse_tiff_ifd0(b),
+}
+
+_LEGACY_MAGICS = {
+    "png": mm.PNG_SIGNATURE,
+    "netpbm": b"P5\n",
+    "bmp": b"BM",
+    "wav": b"RIFF\x80\x00\x00\x00WAVE",
+    "y4m": b"YUV4MPEG2 ",
+    "gif": b"GIF87a",
+    "jpeg": b"\xff\xd8\xff",
+    "tar": b"",  # tar has no leading magic; header checksum is the gate
+    "zip": b"PK\x03\x04",
+    "gzip": b"\x1f\x8b\x08\x00",
+    "tiff_ifd": b"MM\x00\x2a",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_LEGACY_PARSERS))
+@settings(deadline=None, max_examples=120)
+@given(data=_raw)
+def test_legacy_random_bytes_fail_cleanly(name, data):
+    _clean(_LEGACY_PARSERS[name], data)
+
+
+@pytest.mark.parametrize("name", sorted(_LEGACY_PARSERS))
+@settings(deadline=None, max_examples=120)
+@given(data=_raw)
+def test_legacy_magic_prefixed_fail_cleanly(name, data):
+    _clean(_LEGACY_PARSERS[name], _LEGACY_MAGICS[name] + data)
