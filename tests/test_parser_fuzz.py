@@ -204,3 +204,27 @@ def test_legacy_random_bytes_fail_cleanly(name, data):
 @given(data=_raw)
 def test_legacy_magic_prefixed_fail_cleanly(name, data):
     _clean(_LEGACY_PARSERS[name], _LEGACY_MAGICS[name] + data)
+
+
+def _legacy_valid_samples():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(9, 11, 1), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    return {
+        "png": mm._encode_png_bytes(rng.integers(0, 256, (9, 11, 1), dtype=np.uint8)),
+        "bmp": mm._encode_bmp_bytes(rgb),
+        "gif": g._encode_gif_bytes(gray[:, :, :1]),
+        "jpeg": jp._encode_jpeg_bytes(gray),
+        "netpbm": b"P5\n11 9\n255\n" + gray[:, :, 0].tobytes(),
+        "gzip": ar._gzip_compress_bytes(b"legacy mutation corpus", fname="a.txt"),
+        "tiff_ifd": tf._tiff_image_bytes(gray[:, :, 0], "MM", rows_per_strip=4),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_legacy_valid_samples()))
+@settings(deadline=None, max_examples=120)
+@given(offset_frac=st.floats(min_value=0, max_value=1), flip=st.integers(1, 255))
+def test_legacy_single_byte_mutations_handled(name, offset_frac, flip):
+    raw = bytearray(_legacy_valid_samples()[name])
+    raw[int(offset_frac * (len(raw) - 1))] ^= flip
+    _clean(_LEGACY_PARSERS[name], bytes(raw))
