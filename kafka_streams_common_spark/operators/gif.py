@@ -161,6 +161,12 @@ def _lzw_decompress(codebytes: bytes, expected: int | None = None) -> bytes:
         else:
             raise ValueError(f"LZW code {code} out of range (table={len(table)})")
         out += entry
+        if expected is not None and len(out) > expected:
+            # cap DURING decode: a crafted stream can otherwise expand
+            # ~4096× its input before the caller's raster check runs
+            raise ValueError(
+                f"decoded {len(out)}+ pixels for a raster declaring {expected} pixels"
+            )
         if prev is not None and len(table) < _MAX_CODE:
             table.append(prev + entry[0:1])
             if len(table) == (1 << width) and width < 12:
@@ -294,6 +300,8 @@ def _parse_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError(f"offset image descriptors not supported ({left},{top})")
         w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
         h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        if w * h > (1 << 28):
+            raise ValueError(f"raster {w}x{h} exceeds the 256M-pixel bound")
         iflags = payload[pos + 9]
         if iflags & 0x80:
             raise ValueError("local color tables not supported")
@@ -459,6 +467,8 @@ def _parse_gif_frames(
         raise ValueError("truncated logical screen descriptor")
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
+    if sw * sh > (1 << 28):
+        raise ValueError(f"canvas {sw}x{sh} exceeds the 256M-pixel bound")
     flags = payload[10]
     bg_index = payload[11]
     pos = 13

@@ -1094,6 +1094,20 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+            # sanity bound BEFORE allocating coefficient planes: every
+            # block costs ≥ 2 bits of entropy data (a DC symbol + an
+            # EOB, ≥ 1 bit each even with degenerate tables), so a
+            # header declaring more blocks than 4× the FILE bytes is
+            # corrupt — without this, a flipped dim byte could demand
+            # a multi-GB allocation and an hours-long MCU loop
+            total_blocks = sum(
+                (mcuy * vi) * (mcux * hi) for _, hi, vi, _ in comps
+            )
+            if total_blocks > 4 * len(payload):
+                raise ValueError(
+                    f"SOF declares {total_blocks} blocks but the file "
+                    f"has only {len(payload)} bytes"
+                )
             coefs = [
                 np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
                 for _, hi, vi, _ in comps

@@ -593,11 +593,23 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     sampbytes = depth // 8
     bpp = channels * sampbytes
     stride = width * bpp
-    raw = zlib.decompress(b"".join(idat_parts))
+    if width * height > (1 << 28):
+        raise ValueError(f"raster {width}x{height} exceeds the 256M-pixel bound")
+    # expected filtered size is known from the header BEFORE inflating,
+    # so inflate with a hard output cap: a zlib bomb (or a flipped
+    # geometry byte) fails the size check without ever allocating its
+    # claimed output
     if interlace:  # Adam7 (r13): seven independent filtered sub-images
         expect = sum(
             ph * (pw * bpp + 1) for _, _, _, _, pw, ph in _adam7_passes(width, height)
         )
+    else:
+        expect = height * (width * bpp + 1)
+    do = zlib.decompressobj()
+    raw = do.decompress(b"".join(idat_parts), expect + 1)
+    if len(raw) == expect and not do.eof:
+        raise ValueError("IDAT zlib stream incomplete")
+    if interlace:
         if len(raw) != expect:
             raise ValueError(f"inflated data {len(raw)} != Adam7 size {expect}")
         full = np.empty((height, width, bpp), dtype=np.uint8)
@@ -668,6 +680,13 @@ def _parse_image(payload: bytes) -> tuple[str, int, int, int, np.ndarray]:
         return ("jpeg", *_parse_jpeg(payload))
     if payload[:2] == BMP_MAGIC:
         return ("bmp", *_parse_bmp(payload))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF, either byte order (r14)
+        from kafka_streams_common_spark.operators.tiff import parse_tiff_image
+
+        _bo, channels, width, height, _n_strips, px = parse_tiff_image(payload)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        return ("tiff", channels, width, height, px)
     fmt = "pgm" if payload[1:2] == b"5" else "ppm"
     return (fmt, *_parse_netpbm(payload))
 

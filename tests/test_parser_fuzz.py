@@ -228,3 +228,54 @@ def test_legacy_single_byte_mutations_handled(name, offset_frac, flip):
     raw = bytearray(_legacy_valid_samples()[name])
     raw[int(offset_frac * (len(raw) - 1))] ^= flip
     _clean(_LEGACY_PARSERS[name], bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# decompression-bomb / declared-geometry guards (r14): a flipped
+# header byte must produce a FAST ValueError, never a multi-GB
+# allocation or an hours-long decode loop
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_huge_declared_dims_fail_fast():
+    raw = bytearray(jp._encode_jpeg_bytes(np.zeros((8, 8, 1), dtype=np.uint8)))
+    at = raw.index(b"\xff\xc0")  # SOF0: len(2) precision(1) h(2) w(2)
+    raw[at + 5 : at + 9] = (65500).to_bytes(2, "big") + (65500).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="declares .* blocks"):
+        jp._parse_jpeg(bytes(raw))
+
+
+def test_png_huge_declared_dims_fail_fast():
+    raw = bytearray(mm._encode_png_bytes(np.zeros((8, 8, 1), dtype=np.uint8)))
+    at = raw.index(b"IHDR")
+    raw[at + 4 : at + 12] = (65500).to_bytes(4, "big") * 2
+    # (the IHDR CRC check fires first on an un-fixed CRC; recompute it)
+    crc = zlib.crc32(raw[at : at + 4 + 13]) & 0xFFFFFFFF
+    raw[at + 17 : at + 21] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="256M-pixel"):
+        mm._parse_png(bytes(raw))
+
+
+def test_gif_lzw_output_capped():
+    from kafka_streams_common_spark.operators.gif import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    codes = _lzw_compress(bytes(64))
+    with pytest.raises(ValueError, match="declaring 16 pixels"):
+        _lzw_decompress(codes, expected=16)
+
+
+def test_gif_huge_canvas_fails_fast():
+    from kafka_streams_common_spark.operators import gif as gg
+
+    raw = bytearray(gg._encode_gif_bytes(np.zeros((4, 4, 1), dtype=np.uint8)))
+    raw[6:10] = (65500).to_bytes(2, "little") * 2  # logical screen dims
+    # _parse_gif reads the IMAGE descriptor dims; patch those too (the
+    # descriptor sits after the 13-byte header + 768-byte palette —
+    # 0x2C also occurs inside the identity palette)
+    at = raw.index(b"\x2c", 13 + 768)
+    raw[at + 5 : at + 9] = (65500).to_bytes(2, "little") * 2
+    with pytest.raises(ValueError, match="256M-pixel"):
+        gg._parse_gif(bytes(raw))

@@ -116,3 +116,28 @@ def test_spark_tiff(spark):
         assert r["n_strips"] == (1 if did % 2 == 0 else (h + 3) // 4)
         assert r["mean_px"] == pytest.approx(sum(raster) / n)
         assert r["min_px"] == min(raster) and r["max_px"] == max(raster)
+
+
+def test_tiff_through_shared_dispatch(spark):
+    """The shared magic dispatch opens TIFFs in both byte orders (r14):
+    decode_image_features over a TIFF lake recovers the same stats as
+    the dedicated decoder."""
+    from kafka_streams_common_spark.operators.multimodal import (
+        decode_image_features,
+    )
+    from kafka_streams_common_spark.operators.tiff import encode_tiff
+
+    docs = spark.createDataFrame(
+        [(i, f"dispatch doc {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           decode_image_features(encode_tiff(docs)).collect()}
+    assert len(out) == 6
+    assert all(r["format"] == "tiff" for r in out.values())
+    for did, r in out.items():
+        hx = hashlib.md5(f"dispatch doc {did}".encode()).hexdigest()
+        w = int(hx[:15], 16) % 16 + 1
+        ch = 1 if did % 2 == 0 else 3
+        assert r["width"] == w
+        assert r["channels"] == ch
