@@ -279,3 +279,57 @@ def test_gif_huge_canvas_fails_fast():
     raw[at + 5 : at + 9] = (65500).to_bytes(2, "little") * 2
     with pytest.raises(ValueError, match="256M-pixel"):
         gg._parse_gif(bytes(raw))
+
+
+def _riff_wav(n_samples=40, rate=8000):
+    body = bytes(range(n_samples))  # 8-bit PCM
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")  # byte rate (8-bit mono)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits/sample
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def _y4m(w=4, h=2, frames=2):
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+    out = bytearray(head)
+    for i in range(frames):
+        out += b"FRAME\n" + bytes([i]) * (w * h)
+    return bytes(out)
+
+
+def _audio_video_valid_samples():
+    return {
+        "wav": _riff_wav(),
+        "y4m": _y4m(),
+        "mp3": ma._mp3_bytes(3, 9, 0, 3, b"\x11\x22", "t", "a", "al", 1999, 5),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_audio_video_valid_samples()))
+@settings(deadline=None, max_examples=120)
+@given(offset_frac=st.floats(min_value=0, max_value=1), flip=st.integers(1, 255))
+def test_audio_video_single_byte_mutations_handled(name, offset_frac, flip):
+    parser = {**_LEGACY_PARSERS, **_PARSERS}[name]
+    raw = bytearray(_audio_video_valid_samples()[name])
+    raw[int(offset_frac * (len(raw) - 1))] ^= flip
+    _clean(parser, bytes(raw))
+
+
+def test_audio_video_samples_parse_clean():
+    """The hand-built mutation baselines are themselves valid."""
+    ch, rate, bits, px = mm._parse_wav(_riff_wav())
+    assert (ch, rate, bits) == (1, 8000, 8) and px.size == 40
+    w, h, frames = mm._parse_y4m(_y4m())
+    assert (w, h, len(frames)) == (4, 2, 2)
+    meta = ma._parse_mp3_meta(
+        ma._mp3_bytes(3, 9, 0, 3, b"\x11\x22", "t", "a", "al", 1999, 5)
+    )
+    assert meta["n_frames"] == 3 and meta["year"] == 1999
