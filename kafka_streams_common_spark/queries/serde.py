@@ -166,3 +166,92 @@ def kafka_avro_map_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = table(spark, sf_dir, "events")
     return decode_events_avro_props(encode_events_avro_props(events))
+
+
+@query(
+    "kafka_msgpack_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, value, user_id,
+             md5(event_type || '-' || CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           CAST(user_id - 500 AS BIGINT) AS delta,
+           'u' || CAST(user_id AS VARCHAR) AS source,
+           CAST(('0x' || substr(hx, 1, 2))::INT
+              + ('0x' || substr(hx, 3, 2))::INT
+              + ('0x' || substr(hx, 5, 2))::INT AS BIGINT) AS tags_sum,
+           CAST(3 AS INT) AS n_tags,
+           CAST(('0x' || substr(hx, 9, 2))::INT
+              + ('0x' || substr(hx, 11, 2))::INT
+              + ('0x' || substr(hx, 13, 2))::INT
+              + ('0x' || substr(hx, 15, 2))::INT AS BIGINT) AS blob_sum,
+           event_id % 2 = 0 AS flagged,
+           CASE WHEN event_id % 5 <> 0
+                THEN 'note-' || CAST(event_id % 97 AS VARCHAR) END AS note
+    FROM m
+    """,
+)
+def kafka_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MESSAGEPACK wire-format decode (r14 wave 4) — the schema-less
+    binary serde fluentd/Go/Rust producers put on topics: each event
+    becomes one msgpack map (nested ``meta`` map, bin8 blob, nil/bool,
+    float64) with a DELIBERATE hostile-width policy — even ids pad
+    ``id`` to uint32, ``%3`` ids force str8 + array16, ``%4`` ids
+    force map16 — because the spec permits any width that holds the
+    value and canonical-only readers are wrong. The generic decoder
+    walks every family in the spec; the oracle replays all ten columns
+    (signed deltas, md5-byte tag/blob sums, the nil-note pattern) from
+    ``events``, so one misread marker or width breaks the hash.
+    Map-only Arrow stages both directions."""
+    from kafka_streams_common_spark.operators.msgpack import (
+        decode_events_msgpack,
+        encode_events_msgpack,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return decode_events_msgpack(encode_events_msgpack(events))
+
+
+@query(
+    "kafka_cbor_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, value, user_id,
+             md5(event_type || '-' || CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           CAST((event_id % 8) * 0.25 AS DOUBLE) AS half,
+           CAST(user_id - 500 AS BIGINT) AS delta,
+           ('0x' || substr(hx, 1, 14))::BIGINT AS bignum,
+           CAST(('0x' || substr(hx, 1, 2))::INT
+              + ('0x' || substr(hx, 3, 2))::INT
+              + ('0x' || substr(hx, 5, 2))::INT AS BIGINT) AS tags_sum,
+           CAST(3 AS INT) AS n_tags,
+           CASE WHEN event_id % 5 <> 0
+                THEN 'note-' || CAST(event_id % 97 AS VARCHAR) END AS note,
+           event_id % 2 = 0 AS flagged,
+           CASE WHEN event_id % 2 = 0 THEN 'indef' ELSE 'def' END AS map_form
+    FROM m
+    """,
+)
+def kafka_cbor_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR (RFC 8949) decode in the hostile wire forms (r14 wave 4) —
+    the wire features MessagePack lacks, all live in every batch:
+    INDEFINITE-length top-level maps (even ids, break-terminated),
+    indefinite tags arrays, chunked indefinite TEXT strings (``%3``
+    ids), HALF-PRECISION floats (the appendix-D ladder, pinned against
+    ``struct`` on all 65536 bit patterns in pytest), tag-2 BIGNUMS
+    (7 md5 bytes as a big-endian byte-string integer), major-type-1
+    negatives, and 4-byte-padded arguments (``%4`` ids). ``map_form``
+    reads the actual first wire byte, so the even/odd indefinite
+    policy is itself oracle-gated. Map-only Arrow stages."""
+    from kafka_streams_common_spark.operators.cbor import (
+        decode_events_cbor,
+        encode_events_cbor,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return decode_events_cbor(encode_events_cbor(events))
