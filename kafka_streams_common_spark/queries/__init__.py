@@ -33,9 +33,8 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-14 WINDOW (``_R14_WINDOW``): head = the TWENTY-FOUR round-14
-registrations, never driver-checked (invariant #1), in registration
-order. First the wave-1/2 ten — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
+ROUND-14 WINDOW (``_R14_WINDOW``): head = the round-14 registrations,
+never driver-checked (invariant #1), in registration order. First the wave-1/2 ten — ``multimodal_png_alpha_decode`` (RGBA / gray+alpha / 16-bit
 PNG — the alpha plane, the bpp=2/4 unfilter offsets, and the
 big-endian sample pairing all replayed in SQL),
 ``multimodal_exif_metadata`` (APP1 ``Exif\\0\\0`` TIFF IFD0 walk in
@@ -100,7 +99,13 @@ multi-segment lacing live on every row, BOS/EOS + sequence
 discipline, Vorbis ID + comment headers) and
 ``multimodal_subtitle_cues`` (SubRip AND WebVTT dialects in every
 batch — counters, separators, zero-padding, time order enforced;
-caption recovered exactly, md5-gated).
+caption recovered exactly, md5-gated); and the wave-3d pair,
+registered after the definitive r14 sweep and therefore pinned here
+by invariant #1: ``kafka_msgpack_decode`` (every MessagePack spec
+family with deliberately non-minimal integer/collection widths on
+deterministic row subsets) and ``kafka_cbor_decode`` (RFC 8949 —
+indefinite-length maps/arrays/chunked text, half-precision floats,
+tag-2 bignums, major-type-1 negatives, padded argument widths).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -127,10 +132,10 @@ displaced from the r13 window head (``anti_join_customers_without_
 orders`` ``set_union_distinct`` ``rollup_orders_by_status_priority``
 ``scalar_function_showcase`` ``pivot_event_value_by_type``
 ``date_interval_arithmetic`` — the r13 verdict's top ask; the r7 tier
-drains to ZERO and the staleness floor moves to r8), then the first
-8 of the 50-row r8 tier (all single-green, in registration order;
+drains to ZERO and the staleness floor moves to r8), then the head
+of the 50-row r8 tier (all single-green, in registration order;
 each wave of brand-new registrations displaced the queue's tail per
-invariant #1 — the remaining 42 r8 rows head the r15 queue).
+invariant #1 — the displaced r8 rows head the r15 queue).
 
 (The round-13 window derivation now lives in the README.md
 §Verification ledger, per the carry-only-the-active-window
@@ -187,6 +192,12 @@ _R14_NEW = (
     # wave 3c: Ogg/Vorbis pages (from-scratch CRC), subtitle sidecars
     "multimodal_ogg_metadata",
     "multimodal_subtitle_cues",
+    # wave 3d: schema-less binary Kafka serdes (post-sweep registrations;
+    # never driver-checked, so invariant #1 pins them here)
+    "kafka_msgpack_decode",
+    "kafka_cbor_decode",
+    # wave 4 (this session): source-format breadth + compressed-text codecs
+    "source_orc_roundtrip_nation",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -220,11 +231,13 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # _R14_REFRESH — the COMPUTED stale-refresh queue (key: last-green
 # round asc, green-count asc, registration order), VERBATIM: the six
 # r7-stale rows FIRST (displaced from the r13 head; the r7 tier drains
-# to ZERO and the staleness floor moves to r8), then the first 10 of
-# the 50-row r8 single-green tier (each new-query wave displaced the
+# to ZERO and the staleness floor moves to r8), then the head of the
+# 50-row r8 single-green tier (each new-query wave displaced the
 # queue's tail per rotation invariant #1 — wave 2 four rows, wave 3
-# ten, wave 3b two, wave 3c two more). The remaining 42 r8 rows head
-# the r15 queue: streaming_cdc_tombstones, streaming_rate_limit_ingest,
+# ten, wave 3b two, wave 3c two, wave 3d two). The displaced r8 rows
+# head the r15 queue: streaming_fk_join_enrichment,
+# streaming_stream_stream_full_outer_join,
+# streaming_cdc_tombstones, streaming_rate_limit_ingest,
 # dedup_connected_components_two_phase, dedup_decontaminate_bloom,
 # sim_random_projection, text_chunk_documents,
 # text_corpus_report_rollup, text_bpe_top_pairs, text_classifier_score,
@@ -258,9 +271,6 @@ _R14_REFRESH = (
     "source_json_roundtrip_nation",
     "streaming_suppressed_window_counts",
     "streaming_sliding_window_counts",
-    "streaming_session_window_counts",
-    "streaming_fk_join_enrichment",
-    "streaming_stream_stream_full_outer_join",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

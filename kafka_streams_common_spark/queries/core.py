@@ -471,6 +471,21 @@ def source_json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_orc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's ORC leg through the external gate (r14) — the second
+    columnar warehouse format Spark reads natively. Same round-trip
+    contract as the csv/json rows: nation written as ORC, re-read via
+    the TableCatalog/TableRef path, value-exact against the parquet
+    fixture. At 100 TB the format choice is a scan-efficiency decision
+    (both are splittable, predicate-pushdown columnar formats); the
+    catalog makes it a one-field swap rather than a pipeline rewrite."""
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@query(
     "sink_partitioned_overwrite_day",
     oracle="""
     SELECT event_id, user_id, event_type,

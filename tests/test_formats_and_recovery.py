@@ -48,6 +48,33 @@ def test_csv_and_json_sources_through_catalog(spark, tmp_path):
         assert got == base, name
 
 
+def test_orc_source_through_catalog(spark, tmp_path):
+    """S1's ORC leg (r14): write nation as ORC, re-read through the same
+    TableCatalog/TableRef path, value-exact — all columns, not just the
+    key/name pair."""
+    src = TableCatalog.for_directory(SF_SMOKE).resolve("nation").read(spark)
+    orc_path = str(tmp_path / "nation_orc")
+    src.write.orc(orc_path)
+    cat = TableCatalog(
+        {
+            "nation_orc": TableRef(
+                name="nation_orc",
+                path=orc_path,
+                format="orc",
+                schema=src.schema,
+                key_field="n_nationkey",
+            )
+        }
+    )
+    cols = src.columns
+    base = sorted(tuple(r[c] for c in cols) for r in src.collect())
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in cat.resolve("nation_orc").read(spark).collect()
+    )
+    assert got == base
+
+
 def test_changelog_materialization_resumes_from_checkpoint(spark, tmp_path):
     """Fault tolerance (SURVEY §2.7 exactly-once row): the stateful merge
     resumes from its checkpoint — new files after a restart are folded into
