@@ -580,3 +580,243 @@ def decode_zip_bundles(bundles: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in ZIP_BUNDLE_SCHEMA])
 
     return bundles.mapInPandas(batches, ZIP_BUNDLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# bz2 / xz single-member text codecs (r14 wave 4)
+#
+# The other two containers bulk text corpora arrive in (Wikipedia dumps
+# ship as .bz2; many curated corpora as .xz). Same posture as the gzip
+# leg above: the CONTAINER framing is walked and verified from scratch
+# per the public specs; the entropy core is the stdlib codec (bz2/lzma
+# here, exactly as zlib supplies DEFLATE for the gzip/zip legs) —
+# writing a BWT or an LZMA range coder from scratch would add risk, not
+# coverage, since the framing fields are where ingest bugs live.
+# ---------------------------------------------------------------------------
+
+BZ2_MAGIC = b"BZh"
+_BZ2_BLOCK_MAGIC = b"\x31\x41\x59\x26\x53\x59"  # BCD pi — start of block
+_BZ2_STREAM_END_MAGIC = b"\x17\x72\x45\x38\x50\x90"  # BCD sqrt(pi) — blockless stream
+XZ_MAGIC = b"\xfd7zXZ\x00"
+_XZ_FOOTER_MAGIC = b"YZ"
+_XZ_CHECK_NAMES = {0x01: "crc32", 0x04: "crc64"}
+
+# hard per-member output cap: neither container states the decompressed
+# size up front (xz's index does, but it trails the data), so a
+# decompression bomb is bounded by refusing members that inflate past
+# this — the same guard class as the PNG capped inflate
+_TEXT_MEMBER_CAP = 64 << 20
+
+
+def _bz2_crc32(data: bytes) -> int:
+    """bzip2's block CRC: CRC-32 with the standard 0x04c11db7 polynomial
+    but MSB-first (non-reflected) bit order, init and final-xor
+    0xFFFFFFFF — a borrowed zlib.crc32 (reflected) fails instantly, the
+    same trap the Ogg page CRC springs. Table-driven, built once."""
+    global _BZ2_CRC_TABLE
+    try:
+        table = _BZ2_CRC_TABLE
+    except NameError:
+        table = []
+        for i in range(256):
+            c = i << 24
+            for _ in range(8):
+                c = ((c << 1) ^ 0x04C11DB7 if c & 0x80000000 else c << 1) & 0xFFFFFFFF
+            table.append(c)
+        _BZ2_CRC_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[(crc >> 24) ^ b]
+    return crc ^ 0xFFFFFFFF
+
+
+def _bz2_compress_member(data: bytes, level: int) -> bytes:
+    """One bzip2 stream at the given block-size level (the '1'-'9'
+    header digit = block size in units of 100 kB)."""
+    import bz2
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"bz2 level {level} outside 1-9")
+    return bz2.compress(data, compresslevel=level)
+
+
+def _bz2_verify_and_decompress(payload: bytes) -> tuple[int, bytes]:
+    """Walk one bzip2 stream: 'BZh' magic, block-size digit '1'-'9',
+    the 48-bit BCD-pi block magic, then decompress (output-capped) and
+    VERIFY the 32-bit block CRC — bzip2's own non-reflected CRC-32 over
+    the plain bytes, stored big-endian right after the block magic.
+    Single-block streams only (every member here is far below the
+    100 kB minimum block size; a second block magic means the CRC check
+    would cover only the first block, so reject). Returns
+    ``(level, data)``."""
+    import bz2
+
+    if payload[:3] != BZ2_MAGIC:
+        raise ValueError(f"not a bzip2 stream: {payload[:3]!r}")
+    if not 0x31 <= payload[3] <= 0x39:
+        raise ValueError(f"bad bzip2 block-size digit {payload[3:4]!r}")
+    level = payload[3] - 0x30
+    if payload[4:10] == _BZ2_STREAM_END_MAGIC:
+        # blockless stream: zero blocks, combined CRC must be 0
+        if int.from_bytes(payload[10:14], "big") != 0 or len(payload) != 14:
+            raise ValueError("malformed empty bzip2 stream")
+        return level, b""
+    if payload[4:10] != _BZ2_BLOCK_MAGIC:
+        raise ValueError("bzip2 block magic missing")
+    want_crc = int.from_bytes(payload[10:14], "big")
+    do = bz2.BZ2Decompressor()
+    try:
+        data = do.decompress(payload, _TEXT_MEMBER_CAP + 1)
+    except OSError as e:  # stdlib raises OSError on corrupt entropy data
+        raise ValueError(f"corrupt bzip2 stream: {e}") from e
+    if len(data) > _TEXT_MEMBER_CAP:
+        raise ValueError("bzip2 member exceeds the decompressed-size cap")
+    if not do.eof:
+        raise ValueError("truncated bzip2 stream")
+    if do.unused_data:
+        raise ValueError("trailing garbage after bzip2 stream")
+    if len(data) >= level * 100_000:
+        raise ValueError("multi-block bzip2 stream (block CRC would not cover it)")
+    got = _bz2_crc32(data)
+    if got != want_crc:
+        raise ValueError(f"bzip2 block CRC mismatch: {got:08x} != {want_crc:08x}")
+    return level, data
+
+
+def _xz_compress_member(data: bytes, check: str) -> bytes:
+    """One .xz stream with the named integrity check ('crc32'/'crc64')."""
+    import lzma
+
+    checks = {"crc32": lzma.CHECK_CRC32, "crc64": lzma.CHECK_CRC64}
+    return lzma.compress(data, format=lzma.FORMAT_XZ, check=checks[check], preset=6)
+
+
+def _xz_verify_and_decompress(payload: bytes) -> tuple[str, bytes]:
+    """Walk one .xz stream per the public xz file-format spec: header
+    magic + stream flags + CRC32(flags) all verified; the 12-byte
+    stream footer verified end-first (CRC32 over backward-size+flags,
+    the 'YZ' magic, and flags REQUIRED to equal the header's — a
+    spliced stream fails); the footer's backward-size walked back to
+    the index, whose first byte must be the 0x00 index indicator; then
+    the capped decompress (stdlib lzma verifies the declared CRC32 or
+    CRC64 block check itself). Returns ``(check_name, data)``."""
+    import lzma
+    import zlib
+
+    if payload[:6] != XZ_MAGIC:
+        raise ValueError(f"not an xz stream: {payload[:6]!r}")
+    flags = payload[6:8]
+    if flags[0] != 0 or flags[1] not in _XZ_CHECK_NAMES:
+        raise ValueError(f"unsupported xz stream flags {flags!r}")
+    if int.from_bytes(payload[8:12], "little") != (zlib.crc32(flags) & 0xFFFFFFFF):
+        raise ValueError("xz header CRC32 mismatch")
+    footer = payload[-12:]
+    if footer[10:12] != _XZ_FOOTER_MAGIC:
+        raise ValueError("xz footer magic missing")
+    if footer[8:10] != flags:
+        raise ValueError("xz footer stream flags differ from header")
+    if int.from_bytes(footer[0:4], "little") != (zlib.crc32(footer[4:10]) & 0xFFFFFFFF):
+        raise ValueError("xz footer CRC32 mismatch")
+    backward = (int.from_bytes(footer[4:8], "little") + 1) * 4
+    index_pos = len(payload) - 12 - backward
+    if index_pos < 12 or payload[index_pos] != 0x00:
+        raise ValueError("xz index indicator not found where the footer points")
+    do = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    data = do.decompress(payload, _TEXT_MEMBER_CAP + 1)
+    if len(data) > _TEXT_MEMBER_CAP:
+        raise ValueError("xz member exceeds the decompressed-size cap")
+    if not do.eof:
+        raise ValueError("truncated xz stream")
+    if do.unused_data:
+        raise ValueError("trailing garbage after xz stream")
+    return _XZ_CHECK_NAMES[flags[1]], data
+
+
+def encode_bz2_xz_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document's utf-8 text as a real single-member
+    compressed stream — EVEN doc_ids as bzip2 at block-size level
+    ``1 + doc_id % 9`` (all nine header digits live in one lake), ODD
+    doc_ids as .xz with the CRC32 check when ``doc_id % 4 == 1`` and
+    CRC64 when ``doc_id % 4 == 3`` (both stream-flag values live).
+    Arrow-batched ``mapInPandas``, map-only."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                data = text.encode()
+                if did % 2 == 0:
+                    payloads.append(_bz2_compress_member(data, 1 + did % 9))
+                else:
+                    payloads.append(
+                        _xz_compress_member(
+                            data, "crc32" if did % 4 == 1 else "crc64"
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads},
+                columns=["doc_id", "payload"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+BZ2_XZ_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("level", T.IntegerType(), True),
+        T.StructField("check_name", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("text_md5", T.StringType(), False),
+    ]
+)
+
+
+def decode_bz2_xz_text_stats(members: DataFrame) -> DataFrame:
+    """Arrow-batched ingest over ``(doc_id, payload)`` members,
+    DISPATCHED BY MAGIC BYTES per row (no routing shuffle): bzip2
+    members get the full header walk + the from-scratch non-reflected
+    block-CRC verification; xz members the header/footer/index framing
+    walk with both CRC32 fields checked and the declared block check
+    verified by the codec. Emits the recovered level (bz2) or check
+    name (xz) + byte count + md5 of the decompressed bytes, so the SQL
+    oracle (``md5(text)``/``strlen(text)``) gates each codec end to
+    end. Map-only."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:3] == BZ2_MAGIC:
+                    level, data = _bz2_verify_and_decompress(p)
+                    codec, check_name = "bz2", None
+                elif p[:6] == XZ_MAGIC:
+                    check_name, data = _xz_verify_and_decompress(p)
+                    codec, level = "xz", None
+                else:
+                    raise ValueError(f"unrecognized compressed member: {p[:6]!r}")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "codec": codec,
+                        "level": level,
+                        "check_name": check_name,
+                        "n_bytes": len(data),
+                        "text_md5": hashlib.md5(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in BZ2_XZ_TEXT_SCHEMA])
+
+    return members.mapInPandas(batches, BZ2_XZ_TEXT_SCHEMA)

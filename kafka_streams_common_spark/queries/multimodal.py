@@ -1352,6 +1352,47 @@ def multimodal_gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_bz2_xz_text_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bz2' ELSE 'xz' END AS codec,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(1 + doc_id % 9 AS INT) END AS level,
+           CASE WHEN doc_id % 4 = 1 THEN 'crc32'
+                WHEN doc_id % 4 = 3 THEN 'crc64' END AS check_name,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def multimodal_bz2_xz_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bzip2 + xz compressed-text-lake ingest (r14 wave 4) — the other
+    two containers bulk corpora arrive in (Wikipedia dumps are .bz2,
+    curated corpora commonly .xz). Even docs become real single-block
+    bzip2 streams at block-size level ``1 + doc_id % 9`` (all nine
+    header digits live), odd docs .xz streams alternating the CRC32 and
+    CRC64 stream-flag checks. ``decode_bz2_xz_text_stats`` dispatches
+    by magic per row (no routing shuffle) and walks the framing from
+    scratch: the bzip2 block CRC is bzip2's own NON-REFLECTED CRC-32
+    recomputed over the plain bytes (a borrowed zlib.crc32 fails); the
+    xz header/footer CRC32 fields, footer 'YZ' magic, header==footer
+    flag equality, and the backward-size walk to the index indicator
+    are all enforced; both decompressors are output-capped (bomb
+    guard). The recovered ``level``/``check_name`` columns gate the
+    header walks; ``text_md5`` gates each decompression end to end.
+    Map-only Arrow stages — at 100 TB this is a pure scan, and the
+    per-row magic dispatch is what lets ONE pass ingest a mixed lake
+    without a per-codec shuffle or multiple reads."""
+    from kafka_streams_common_spark.operators.archive import (
+        decode_bz2_xz_text_stats,
+        encode_bz2_xz_docs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_bz2_xz_text_stats(encode_bz2_xz_docs(docs))
+
+
+@query(
     "multimodal_webdataset_ingest",
     oracle="""
     WITH m AS (

@@ -277,3 +277,127 @@ def test_zip_rejects_incomplete_bundles(spark):
     df = spark.createDataFrame([(bytearray(shard),)], ["payload"])
     with pytest.raises(Exception, match="incomplete zip bundle"):
         decode_zip_bundles(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# bz2 / xz members (r14 wave 4)
+# ---------------------------------------------------------------------------
+
+from kafka_streams_common_spark.operators.archive import (  # noqa: E402
+    _bz2_compress_member,
+    _bz2_crc32,
+    _bz2_verify_and_decompress,
+    _xz_compress_member,
+    _xz_verify_and_decompress,
+    decode_bz2_xz_text_stats,
+    encode_bz2_xz_docs,
+)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    level=st.integers(min_value=1, max_value=9),
+    check=st.sampled_from(["crc32", "crc64"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_bz2_xz_roundtrip(data, level, check):
+    lvl, out = _bz2_verify_and_decompress(_bz2_compress_member(data, level))
+    assert (lvl, out) == (level, data)
+    chk, out = _xz_verify_and_decompress(_xz_compress_member(data, check))
+    assert (chk, out) == (check, data)
+
+
+def test_bz2_crc_is_not_reflected():
+    """bzip2's block CRC uses MSB-first bit order — the reflected
+    zlib.crc32 must NOT agree (except by astronomically unlikely
+    coincidence on this fixed vector)."""
+    import zlib
+
+    data = b"the quick brown fox jumps over the lazy dog"
+    assert _bz2_crc32(data) != (zlib.crc32(data) & 0xFFFFFFFF)
+    # and it must equal what bzip2 itself wrote into the block header
+    blob = _bz2_compress_member(data, 1)
+    assert int.from_bytes(blob[10:14], "big") == _bz2_crc32(data)
+
+
+def test_bz2_rejection_paths():
+    blob = bytearray(_bz2_compress_member(b"payload bytes here", 2))
+    bad = bytearray(blob)
+    bad[0] = 0x42  # 'B' stays, kill the h
+    bad[2] = 0x78
+    with pytest.raises(ValueError, match="not a bzip2"):
+        _bz2_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[3] = 0x30  # level digit '0'
+    with pytest.raises(ValueError, match="block-size digit"):
+        _bz2_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[5] ^= 0xFF  # block magic
+    with pytest.raises(ValueError, match="block magic"):
+        _bz2_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[11] ^= 0x01  # stored block CRC — the codec's own check trips first
+    with pytest.raises(ValueError, match="corrupt bzip2|CRC mismatch"):
+        _bz2_verify_and_decompress(bytes(bad))
+    with pytest.raises(Exception, match="truncated|Compressed data ended"):
+        _bz2_verify_and_decompress(bytes(blob[:-4]))
+    with pytest.raises(ValueError, match="trailing garbage"):
+        _bz2_verify_and_decompress(bytes(blob) + b"xx")
+
+
+def test_xz_rejection_paths():
+    blob = bytearray(_xz_compress_member(b"payload bytes here", "crc32"))
+    bad = bytearray(blob)
+    bad[1] ^= 0xFF
+    with pytest.raises(ValueError, match="not an xz"):
+        _xz_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[7] = 0x0A  # check id SHA-256: valid xz, outside our flag set
+    with pytest.raises(ValueError, match="unsupported xz stream flags"):
+        _xz_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[9] ^= 0x01  # header CRC32 over the flags
+    with pytest.raises(ValueError, match="header CRC32"):
+        _xz_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF  # footer magic
+    with pytest.raises(ValueError, match="footer magic"):
+        _xz_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[-3] = 0x04  # footer flags: crc64 — spliced-stream trap
+    with pytest.raises(ValueError, match="flags differ"):
+        _xz_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[-12] ^= 0x01  # footer CRC32
+    with pytest.raises(ValueError, match="footer CRC32"):
+        _xz_verify_and_decompress(bytes(bad))
+    bad = bytearray(blob)
+    bad[-8] = 0xFF  # backward size points into the void
+    bad[0:0] = b""  # keep bytearray
+    # recompute footer CRC so ONLY the backward walk fails
+    import zlib
+
+    crc = zlib.crc32(bytes(bad[-8:-2])) & 0xFFFFFFFF
+    bad[-12:-8] = crc.to_bytes(4, "little")
+    with pytest.raises(ValueError, match="index indicator"):
+        _xz_verify_and_decompress(bytes(bad))
+
+
+def test_bz2_xz_spark_stats_match_replay(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta beta"), (2, "γ unicode"), (3, "delta!"),
+         (4, "epsilon"), (17, "xz with crc32"), (19, "xz with crc64")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in decode_bz2_xz_text_stats(encode_bz2_xz_docs(docs)).collect()}
+    assert rows[0]["codec"] == "bz2" and rows[0]["level"] == 1
+    assert rows[4]["codec"] == "bz2" and rows[4]["level"] == 5
+    assert rows[2]["level"] == 3 and rows[2]["check_name"] is None
+    assert rows[17]["check_name"] == "crc32" and rows[17]["level"] is None
+    assert rows[19]["check_name"] == "crc64"
+    assert rows[1]["codec"] == "xz" and rows[1]["check_name"] == "crc32"
+    assert rows[3]["check_name"] == "crc64"
+    for did, text in ((0, "alpha"), (2, "γ unicode"), (17, "xz with crc32")):
+        assert rows[did]["n_bytes"] == len(text.encode())
+        assert rows[did]["text_md5"] == hashlib.md5(text.encode()).hexdigest()
