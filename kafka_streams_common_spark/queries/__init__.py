@@ -199,6 +199,7 @@ _R14_NEW = (
     # wave 4 (this session): source-format breadth + compressed-text codecs
     "source_orc_roundtrip_nation",
     "multimodal_bz2_xz_text_ingest",
+    "kafka_thrift_decode",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -270,7 +271,6 @@ _R14_REFRESH = (
     "s2_cdc_apply_tombstones",
     "source_csv_roundtrip_nation",
     "source_json_roundtrip_nation",
-    "streaming_suppressed_window_counts",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

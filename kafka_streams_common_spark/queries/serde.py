@@ -255,3 +255,57 @@ def kafka_cbor_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = table(spark, sf_dir, "events")
     return decode_events_cbor(encode_events_cbor(events))
+
+
+@query(
+    "kafka_thrift_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, value, user_id,
+             md5(event_type || '-' || CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    )
+    SELECT event_id, event_type, value,
+           CAST(user_id - 500 AS BIGINT) AS delta,
+           'u' || CAST(user_id AS VARCHAR) AS source,
+           CAST(event_id % 1000 - 500 AS BIGINT) AS tag16,
+           event_id % 2 = 0 AS flag,
+           CAST(list_sum([('0x' || substr(hx, 2 * i + 1, 2))::INT
+                          FOR i IN generate_series(
+                              0, CASE WHEN event_id % 2 = 0
+                                      THEN 15 ELSE 3 END)]) AS BIGINT)
+               AS token_sum,
+           CAST(CASE WHEN event_id % 2 = 0 THEN 16 ELSE 4 END AS INT)
+               AS token_n,
+           CAST(len(list_distinct([('0x' || substr(hx, 2 * i + 1, 2))::INT
+                                   FOR i IN generate_series(0, 3)])) AS INT)
+               AS set_n,
+           CAST(CASE WHEN event_id % 5 = 0 THEN 0 ELSE 2 END AS INT) AS map_n,
+           CASE WHEN event_id % 5 <> 0 THEN CAST(user_id AS BIGINT) END AS map_u
+    FROM m
+    """,
+)
+def kafka_thrift_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRIFT COMPACT-PROTOCOL decode (r14 wave 4) — the third schema'd
+    Kafka serde family, implemented from the public
+    thrift-compact-protocol.md spec with no thrift runtime: short-form
+    field headers packing the 1-15 field-id DELTA with the type nibble
+    (a delta-2 jump reaches the nested Meta struct), the long-form
+    escape (zero nibble + zigzag field id) carrying BOTH unknown trace
+    fields — a double on even ids and a nested STRUCT on odd ids, so
+    the flat and the RECURSIVE skip paths are each load-bearing —
+    header-carried bools (TRUE and FALSE type nibbles both ship),
+    zigzag i16/i32/i64 (``delta`` and ``tag16`` go negative), a
+    16-element i32 list forcing the LONG-FORM size on even ids vs the
+    packed short form on odd, a SET of distinct md5 bytes, the
+    single-0x00-byte empty-map form on ids divisible by 5, and
+    little-endian doubles (the THRIFT-2799 byte-order trap pinned).
+    The oracle replays every column from ``events`` + md5 arithmetic.
+    Map-only Arrow stages both directions."""
+    from kafka_streams_common_spark.operators.thriftcompact import (
+        decode_events_thrift,
+        encode_events_thrift,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return decode_events_thrift(encode_events_thrift(events))

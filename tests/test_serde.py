@@ -533,3 +533,130 @@ def test_ocf_fieldless_schema_runaway_count_rejected():
     block = av.write_long(10**15) + av.write_long(0) + sync
     with pytest.raises(ValueError, match="consumed no bytes"):
         av.read_ocf(av.OCF_MAGIC + meta + sync + block)
+
+
+# ---------------------------------------------------------------------------
+# Thrift compact protocol (r14 wave 4)
+# ---------------------------------------------------------------------------
+
+from kafka_streams_common_spark.operators import thriftcompact as tc  # noqa: E402
+
+
+def test_thrift_golden_vectors():
+    """Byte-golden forms from the compact-protocol spec: short-form
+    header packs (delta << 4) | type; zigzag(1) == 2; bools live in
+    the header nibble; long-form header = type byte + zigzag field id."""
+    assert tc.encode_struct({"a": (1, "i64")}, {"a": 1}) == bytes([0x16, 0x02, 0x00])
+    assert tc.encode_struct({"f": (1, "bool")}, {"f": True}) == bytes([0x11, 0x00])
+    assert tc.encode_struct({"f": (1, "bool")}, {"f": False}) == bytes([0x12, 0x00])
+    # field 1000 needs the long form: zigzag(1000) = 2000 = varint d0 0f
+    lb = tc.encode_struct({"d": (1000, "double")}, {"d": 1.0})
+    assert lb[0] == tc.CT_DOUBLE and lb[1:3] == bytes([0xD0, 0x0F])
+    # doubles are LITTLE-endian (THRIFT-2799 pin)
+    import struct as _s
+
+    assert lb[3:11] == _s.pack("<d", 1.0)
+    # empty map is the single zero byte
+    assert tc.encode_struct({"m": (1, "map_string_i64")}, {"m": {}}) == bytes(
+        [0x1B, 0x00, 0x00]
+    )
+
+
+@given(
+    eid=st.integers(min_value=0, max_value=2**40),
+    delta=st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    tag16=st.integers(min_value=-(2**15), max_value=2**15 - 1),
+    s=st.text(max_size=40),
+    val=st.floats(allow_nan=False),
+    flag=st.booleans(),
+    toks=st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=20),
+    props=st.dictionaries(st.text(max_size=8), st.integers(min_value=-(2**62), max_value=2**62), max_size=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_thrift_struct_roundtrip(eid, delta, tag16, s, val, flag, toks, props):
+    values = {
+        "event_id": eid,
+        "event_type": s,
+        "value": val,
+        "delta": delta,
+        "meta": {"source": s[::-1], "tag16": tag16},
+        "flag": flag,
+        "tokens": toks,
+        "token_set": sorted(set(toks)),
+        "props": props,
+    }
+    blob = tc.encode_struct(tc.EVENT_THRIFT_READER_SPEC, values)
+    rec, end = tc.decode_struct(tc.EVENT_THRIFT_READER_SPEC, blob)
+    assert end == len(blob)
+    assert rec == values
+
+
+def test_thrift_unknown_fields_skipped_both_shapes():
+    """Old consumer vs new producer: the writer spec's trace fields
+    (long-form double, long-form nested struct) are absent from the
+    reader spec and must be skipped by type."""
+    values = {
+        "event_id": 7,
+        "event_type": "x",
+        "value": 1.5,
+        "delta": -3,
+        "meta": {"source": "u1", "tag16": 9},
+        "flag": False,
+        "tokens": [1, 2],
+        "token_set": [1, 2],
+        "props": {"u": 1},
+        "trace_double": 3.25,
+        "trace_note": {"note": "abc", "n": 4},
+    }
+    blob = tc.encode_struct(tc.EVENT_THRIFT_SPEC, values)
+    rec, end = tc.decode_struct(tc.EVENT_THRIFT_READER_SPEC, blob)
+    assert end == len(blob)
+    assert rec["event_id"] == 7 and "trace_double" not in rec and "trace_note" not in rec
+
+
+def test_thrift_error_paths():
+    blob = tc.encode_struct({"a": (1, "i64")}, {"a": 300})
+    with pytest.raises(ValueError, match="stop byte|truncated"):
+        tc.decode_struct({"a": (1, "i64")}, blob[:-1])
+    # wire/spec type mismatch
+    with pytest.raises(ValueError, match="type mismatch"):
+        tc.decode_struct({"a": (1, "string")}, blob)
+    # truncated varint inside the value
+    with pytest.raises(ValueError, match="truncated varint"):
+        tc.decode_struct({"a": (1, "i64")}, bytes([0x16, 0x80]))
+    # binary length past the end
+    with pytest.raises(ValueError, match="truncated binary"):
+        tc.decode_struct({"a": (1, "string")}, bytes([0x18, 0x7F, 0x41, 0x00]))
+    # i16 out of range on encode
+    with pytest.raises(ValueError, match="out of i16 range"):
+        tc.encode_struct({"a": (1, "i16")}, {"a": 1 << 20})
+
+
+def test_spark_thrift_decode_matches_replay(spark):
+    import hashlib
+
+    from kafka_streams_common_spark.operators.thriftcompact import (
+        decode_events_thrift,
+        encode_events_thrift,
+    )
+
+    events = spark.createDataFrame(
+        [(i, f"type{i % 3}", float(i) * 1.25, 490 + i) for i in range(12)],
+        ["event_id", "event_type", "value", "user_id"],
+    )
+    rows = {
+        r["event_id"]: r.asDict()
+        for r in decode_events_thrift(encode_events_thrift(events)).collect()
+    }
+    assert len(rows) == 12
+    for i in range(12):
+        r = rows[i]
+        digest = hashlib.md5(f"type{i % 3}-{i}".encode()).hexdigest()
+        n = 16 if i % 2 == 0 else 4
+        toks = [int(digest[2 * j : 2 * j + 2], 16) for j in range(n)]
+        assert r["token_sum"] == sum(toks) and r["token_n"] == n
+        assert r["set_n"] == len(set(toks[:4]))
+        assert r["delta"] == 490 + i - 500
+        assert r["flag"] == (i % 2 == 0)
+        assert r["map_n"] == (0 if i % 5 == 0 else 2)
+        assert r["map_u"] == (None if i % 5 == 0 else 490 + i)
