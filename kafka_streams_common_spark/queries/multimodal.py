@@ -2218,3 +2218,72 @@ def multimodal_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decode_subtitles(encode_subtitles(docs))
+
+
+@query(
+    "multimodal_flac_audio_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hx, md5(reverse(text)) AS hr,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT % 600 + 100 AS n,
+             CASE doc_id % 3 WHEN 0 THEN 192 WHEN 1 THEN 256
+                  ELSE 144 END AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+               AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 'mono'
+                WHEN doc_id % 8 IN (1, 7) THEN 'left_side'
+                WHEN doc_id % 8 = 3 THEN 'right_side'
+                ELSE 'mid_side' END AS channel_mode,
+           CAST(CASE ('0x' || substr(hx, 1, 2))::INT % 5
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(bs AS INT) AS blocksize,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n + bs - 1) // bs AS INT) AS n_frames,
+           CAST(list_sum([256 * ('0x' || substr(hx, 2*((2*i) % 16) + 1, 2))::INT
+                          + ('0x' || substr(hx, 2*((2*i+1) % 16) + 1, 2))::INT
+                          - 32768
+                          FOR i IN generate_series(0, CAST(n - 1 AS INT))])
+                AS BIGINT) AS sum_left,
+           CASE WHEN doc_id % 2 = 1 THEN
+             CAST(list_sum([256 * ('0x' || substr(hr, 2*((2*i) % 16) + 1, 2))::INT
+                            + ('0x' || substr(hr, 2*((2*i+1) % 16) + 1, 2))::INT
+                            - 32768
+                            FOR i IN generate_series(0, CAST(n - 1 AS INT))])
+                  AS BIGINT) END AS sum_right
+    FROM m
+    """,
+)
+def multimodal_flac_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC audio-FRAME decode (r14 wave 4) — past the r14 metadata
+    walk into the encoded audio itself, from the public RFC 9639 spec:
+    each document becomes a REAL multi-frame FLAC file (signed-16-bit
+    samples from the cycled md5 digest; left from md5(text), right
+    from md5(reverse(text))), and the decoder entropy-decodes every
+    frame — sync + CRC-8-verified headers, UTF-8-coded frame numbers
+    (sequence enforced), table AND explicit blocksize forms (192/256
+    table codes vs the 144 end-of-header form, rotated by doc_id % 3),
+    CONSTANT/VERBATIM/FIXED-0-2/LPC subframes rotated per
+    frame+channel, partitioned-rice residuals with both parameter
+    widths and the verbatim escape, wasted-bits, and all THREE stereo
+    decorrelation modes (left/side, right/side, mid/side with the
+    17-bit side channel) rotated across odd doc_ids — then verifies
+    the frame CRC-16s and the STREAMINFO 128-bit MD5 of the decoded
+    interleaved samples. The oracle replays the channel sums directly
+    from md5 byte arithmetic, so every decode stage sits between the
+    planted samples and the gated sums; the recovered ``channel_mode``
+    additionally gates the frame-header dispatch. Map-only Arrow
+    stages; the rice bitstream work is vectorized numpy (scatter +
+    packbits / flatnonzero + searchsorted), and the documented native-
+    codec seam applies as for JPEG."""
+    from kafka_streams_common_spark.operators.flacaudio import (
+        decode_flac_audio_stats,
+        encode_flac_audio_docs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_flac_audio_stats(encode_flac_audio_docs(docs))

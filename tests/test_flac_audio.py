@@ -1,0 +1,212 @@
+"""FLAC audio-frame codec (r14 wave 4): roundtrips across every
+subframe type / stereo mode / blocksize form, integrity-field
+rejection paths, and the Spark replay."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_common_spark.operators.flacaudio import (
+    _best_rice_param,
+    _bits_of_array,
+    _crc8,
+    _crc16,
+    _doc_audio_params,
+    _read_signed_array,
+    _read_utf8_number,
+    _rice_bits,
+    _utf8_number,
+    decode_flac_audio,
+    decode_flac_audio_stats,
+    encode_flac_audio,
+    encode_flac_audio_docs,
+)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=700),
+    mode=st.sampled_from(["mono", "stereo", "left_side", "right_side", "mid_side"]),
+    bs=st.sampled_from([144, 192, 256]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_roundtrip(n, mode, bs, seed):
+    rng = np.random.default_rng(seed)
+    nch = 1 if mode == "mono" else 2
+    chans = [rng.integers(-32768, 32768, n).astype(np.int64) for _ in range(nch)]
+    rec = decode_flac_audio(encode_flac_audio(chans, 44100, 16, bs, mode))
+    assert rec["n_samples"] == n and rec["blocksize"] == bs
+    assert rec["n_frames"] == (n + bs - 1) // bs
+    for c in range(nch):
+        assert np.array_equal(rec["audio"][c], chans[c])
+
+
+def test_flac_constant_and_wasted_bits():
+    rec = decode_flac_audio(
+        encode_flac_audio([np.full(300, -1234, dtype=np.int64)], 8000, 16, 144, "mono")
+    )
+    assert np.array_equal(rec["audio"][0], np.full(300, -1234))
+    rng = np.random.default_rng(3)
+    s = (rng.integers(-8192, 8192, 300) * 4).astype(np.int64)  # 2 wasted bits
+    rec = decode_flac_audio(encode_flac_audio([s], 8000, 16, 144, "mono"))
+    assert np.array_equal(rec["audio"][0], s)
+
+
+def test_flac_escape_partition_engages():
+    """White noise at full 16-bit scale plus a spike pattern makes rice
+    lose to the verbatim escape in at least some partition — and the
+    roundtrip must survive either choice."""
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, 256).astype(np.int64)
+    s[::2] = 32767
+    s[1::2] = -32768  # maximally alternating: diffs are huge
+    rec = decode_flac_audio(encode_flac_audio([s], 48000, 16, 256, "mono"))
+    assert np.array_equal(rec["audio"][0], s)
+
+
+@given(v=st.integers(min_value=0, max_value=(1 << 31) - 1))
+@settings(max_examples=60, deadline=None)
+def test_utf8_number_roundtrip(v):
+    buf = _utf8_number(v)
+    got, end = _read_utf8_number(buf, 0)
+    assert got == v and end == len(buf)
+
+
+@given(
+    res=st.lists(
+        st.integers(min_value=-(2**17), max_value=2**17 - 1), min_size=1, max_size=64
+    ),
+    p=st.integers(min_value=0, max_value=14),
+)
+@settings(max_examples=40, deadline=None)
+def test_rice_bits_decode_by_hand(res, p):
+    """The vectorized rice bit-builder against a straightforward
+    per-bit reader."""
+    res = np.array(res, dtype=np.int64)
+    bits = _rice_bits(res, p)
+    pos = 0
+    for want in res:
+        q = 0
+        while bits[pos] == 0:
+            q += 1
+            pos += 1
+        pos += 1
+        rem = 0
+        for _ in range(p):
+            rem = (rem << 1) | int(bits[pos])
+            pos += 1
+        zig = (q << p) | rem
+        assert ((zig >> 1) ^ -(zig & 1)) == want
+    assert pos == bits.shape[0]
+
+
+def test_flac_crc_polynomials():
+    """CRC-8 (0x07) and CRC-16 (0x8005), both MSB-first init 0 —
+    pinned against bitwise long division."""
+
+    def bitwise(data, poly, width):
+        crc = 0
+        top = 1 << (width - 1)
+        mask = (1 << width) - 1
+        for byte in data:
+            crc ^= byte << (width - 8)
+            for _ in range(8):
+                crc = ((crc << 1) ^ poly if crc & top else crc << 1) & mask
+        return crc
+
+    data = b"flac frame header bytes"
+    assert _crc8(data) == bitwise(data, 0x07, 8)
+    assert _crc16(data) == bitwise(data, 0x8005, 16)
+
+
+def test_flac_rejection_paths():
+    rng = np.random.default_rng(5)
+    chans = [rng.integers(-32768, 32768, 300).astype(np.int64)]
+    blob = bytearray(encode_flac_audio(chans, 16000, 16, 144, "mono"))
+    meta_end = 4 + 4 + 34  # magic + block header + STREAMINFO
+
+    bad = bytearray(blob)
+    bad[0] = 0x00
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac_audio(bytes(bad))
+    # header CRC-8: flip the sample-rate nibble of frame 0
+    bad = bytearray(blob)
+    bad[meta_end + 2] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-8|sample-rate"):
+        decode_flac_audio(bytes(bad))
+    # frame CRC-16: flip a body byte (recompute nothing)
+    bad = bytearray(blob)
+    bad[meta_end + 20] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-16|rice|underrun|reserved|exceed"):
+        decode_flac_audio(bytes(bad))
+    # STREAMINFO audio md5: flip one md5 byte (bytes 18-33 of STREAMINFO)
+    bad = bytearray(blob)
+    bad[4 + 4 + 20] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5 mismatch"):
+        decode_flac_audio(bytes(bad))
+    # truncation mid-frame
+    with pytest.raises(Exception):
+        decode_flac_audio(bytes(blob[:-10]))
+    # total-samples mismatch: claim one more sample
+    bad = bytearray(blob)
+    packed = int.from_bytes(bad[4 + 4 + 10 : 4 + 4 + 18], "big")
+    bad[4 + 4 + 10 : 4 + 4 + 18] = (packed + 1).to_bytes(8, "big")
+    with pytest.raises(ValueError, match="!= STREAMINFO"):
+        decode_flac_audio(bytes(bad))
+
+
+def test_flac_out_of_sequence_frame_rejected():
+    rng = np.random.default_rng(9)
+    chans = [rng.integers(-32768, 32768, 400).astype(np.int64)]
+    blob = encode_flac_audio(chans, 16000, 16, 144, "mono")
+    # decode frame 0 to find where frame 1 starts (sync bytes can occur
+    # inside entropy data, so scanning for ff f8 is not reliable), then
+    # bump frame 1's coded number and recompute its header CRC-8 so
+    # ONLY the sequence check fires
+    from kafka_streams_common_spark.operators.flacaudio import (
+        _parse_streaminfo,
+        decode_frame,
+    )
+
+    meta_end = 4 + 4 + 34
+    info = _parse_streaminfo(blob[8:meta_end])
+    _, _, _, pos = decode_frame(blob, meta_end, info)
+    # header: sync(2) + bs|rate + chan|size + utf8 number + explicit
+    # 8-bit blocksize byte (144 is not a table code), then CRC-8
+    hdr = bytearray(blob[pos : pos + 6])
+    assert hdr[4] == 1  # frame number 1, single utf8 byte
+    hdr[4] = 2
+    crc = _crc8(bytes(hdr))
+    patched = blob[:pos] + bytes(hdr) + bytes([crc]) + blob[pos + 7 :]
+    with pytest.raises(ValueError, match="out of sequence|CRC-16"):
+        decode_flac_audio(patched)
+
+
+def test_flac_spark_stats_match_replay(spark):
+    docs = spark.createDataFrame(
+        [(i, f"flac lake doc {i} " * (i % 4 + 1)) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in decode_flac_audio_stats(encode_flac_audio_docs(docs)).collect()
+    }
+    assert len(rows) == 10
+    for i in range(10):
+        text = f"flac lake doc {i} " * (i % 4 + 1)
+        chans, rate, bs, mode = _doc_audio_params(i, text)
+        r = rows[i]
+        assert r["channel_mode"] == mode and r["sample_rate"] == rate
+        assert r["blocksize"] == bs
+        assert r["n_samples"] == chans[0].shape[0]
+        assert r["n_frames"] == (chans[0].shape[0] + bs - 1) // bs
+        assert r["sum_left"] == int(chans[0].sum())
+        if mode == "mono":
+            assert r["sum_right"] is None and r["channels"] == 1
+        else:
+            assert r["sum_right"] == int(chans[1].sum()) and r["channels"] == 2
