@@ -60,6 +60,8 @@ _PTYPE_CT = {
     "binary": CT_BINARY,
     "struct": CT_STRUCT,
     "list_i32": CT_LIST,
+    "list_string": CT_LIST,
+    "list_struct": CT_LIST,
     "set_i32": CT_SET,
     "map_string_i64": CT_MAP,
 }
@@ -123,6 +125,18 @@ def _encode_value(ptype: str, v: Any, sub_spec: dict | None = None) -> bytes:
         if len(elems) < 15:
             return bytes([(len(elems) << 4) | CT_I32]) + body
         return bytes([0xF0 | CT_I32]) + _write_uvarint(len(elems)) + body
+    if ptype in ("list_string", "list_struct"):
+        ect = CT_BINARY if ptype == "list_string" else CT_STRUCT
+        elems = list(v)
+        if ptype == "list_string":
+            body = b"".join(
+                _write_uvarint(len(e.encode())) + e.encode() for e in elems
+            )
+        else:
+            body = b"".join(encode_struct(sub_spec, e) for e in elems)
+        if len(elems) < 15:
+            return bytes([(len(elems) << 4) | ect]) + body
+        return bytes([0xF0 | ect]) + _write_uvarint(len(elems)) + body
     if ptype == "map_string_i64":
         items = list(v.items())
         if not items:
@@ -259,6 +273,29 @@ def _decode_value(ptype: str, ct: int, buf: bytes, pos: int, sub_spec: dict | No
         for _ in range(n):
             u, pos = _read_uvarint(buf, pos)
             out.append(_unzigzag(u))
+        return out, pos
+    if ptype in ("list_string", "list_struct"):
+        expect_ect = CT_BINARY if ptype == "list_string" else CT_STRUCT
+        head = buf[pos]
+        pos += 1
+        if head & 0x0F != expect_ect:
+            raise ValueError(
+                f"collection element type {head & 0x0F} != {expect_ect} ({ptype})"
+            )
+        n = head >> 4
+        if n == 15:
+            n, pos = _read_uvarint(buf, pos)
+        out = []
+        for _ in range(n):
+            if ptype == "list_string":
+                ln, pos = _read_uvarint(buf, pos)
+                if pos + ln > len(buf):
+                    raise ValueError("truncated string list element")
+                out.append(buf[pos : pos + ln].decode())
+                pos += ln
+            else:
+                rec, pos = decode_struct(sub_spec, buf, pos)
+                out.append(rec)
         return out, pos
     if ptype == "map_string_i64":
         n, pos = _read_uvarint(buf, pos)

@@ -201,6 +201,7 @@ _R14_NEW = (
     "multimodal_bz2_xz_text_ingest",
     "kafka_thrift_decode",
     "multimodal_flac_audio_decode",
+    "source_parquet_footer_walk",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -270,7 +271,6 @@ _R14_REFRESH = (
     "date_interval_arithmetic",
     # r8-last, single-green, registration order
     "s2_cdc_apply_tombstones",
-    "source_csv_roundtrip_nation",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

@@ -660,3 +660,74 @@ def test_spark_thrift_decode_matches_replay(spark):
         assert r["flag"] == (i % 2 == 0)
         assert r["map_n"] == (0 if i % 5 == 0 else 2)
         assert r["map_u"] == (None if i % 5 == 0 else 490 + i)
+
+
+def test_thrift_list_string_and_list_struct_roundtrip():
+    spec = {
+        "names": (1, "list_string"),
+        "items": (2, "list_struct", {"a": (1, "i32"), "b": (2, "string")}),
+    }
+    values = {
+        "names": ["x", "", "longer name", "γ"],
+        "items": [{"a": -5, "b": "p"}, {"a": 1 << 20, "b": ""}],
+    }
+    blob = tc.encode_struct(spec, values)
+    rec, end = tc.decode_struct(spec, blob)
+    assert end == len(blob) and rec == values
+    # 15+ elements forces the long-form size
+    many = {"names": [f"n{i}" for i in range(20)], "items": []}
+    blob = tc.encode_struct(spec, many)
+    rec, end = tc.decode_struct(spec, blob)
+    assert rec["names"] == many["names"] and rec["items"] == []
+
+
+def test_parquet_footer_walk_against_spark_writer(spark, tmp_path):
+    """The thrift reader against parquet-mr's own bytes: Spark writes,
+    we decode the footer and cross-check every recovered field against
+    the DataFrame itself."""
+    from kafka_streams_common_spark.operators.parquetmeta import (
+        parse_parquet_footer,
+        parquet_footer_stats,
+        read_parquet_files,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name_{i:03d}", float(i) * 1.5) for i in range(50)],
+        ["k", "name", "v"],
+    )
+    d = str(tmp_path / "pq")
+    df.coalesce(1).write.parquet(d)
+    import glob
+
+    meta = parse_parquet_footer(open(glob.glob(d + "/*.parquet")[0], "rb").read())
+    assert meta["num_rows"] == 50
+    assert [e["name"] for e in meta["schema"][1:]] == ["k", "name", "v"]
+    row = parquet_footer_stats(read_parquet_files(spark, d), "k", "name").collect()[0]
+    assert row["num_rows"] == 50 and row["n_columns"] == 3
+    assert row["min_key"] == 0 and row["max_key"] == 49
+    assert row["min_name"] == "name_000" and row["max_name"] == "name_049"
+    assert row["rowgroup_rows_match"] is True
+
+
+def test_parquet_footer_rejection_paths(spark, tmp_path):
+    from kafka_streams_common_spark.operators.parquetmeta import (
+        parse_parquet_footer,
+    )
+    import glob
+
+    df = spark.createDataFrame([(1, "a")], ["k", "name"])
+    d = str(tmp_path / "pq2")
+    df.coalesce(1).write.parquet(d)
+    blob = bytearray(open(glob.glob(d + "/*.parquet")[0], "rb").read())
+    bad = bytearray(blob)
+    bad[0] ^= 0xFF
+    with pytest.raises(ValueError, match="head magic"):
+        parse_parquet_footer(bytes(bad))
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="tail magic"):
+        parse_parquet_footer(bytes(bad))
+    bad = bytearray(blob)
+    bad[-8:-4] = (len(blob)).to_bytes(4, "little")  # footer len > body
+    with pytest.raises(ValueError, match="outside the file body"):
+        parse_parquet_footer(bytes(bad))
