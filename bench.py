@@ -213,6 +213,16 @@ TRACKING_QUERIES = [
     # r14 wave 3c: Ogg pages + subtitle sidecars
     "multimodal_ogg_metadata",
     "multimodal_subtitle_cues",
+    # r14 wave 3d: schema-less binary serdes
+    "kafka_msgpack_decode",
+    "kafka_cbor_decode",
+    # r14 wave 4: source-format breadth, compressed-text codecs, thrift,
+    # FLAC audio frames, parquet footer walk
+    "source_orc_roundtrip_nation",
+    "multimodal_bz2_xz_text_ingest",
+    "kafka_thrift_decode",
+    "multimodal_flac_audio_decode",
+    "source_parquet_footer_walk",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the
