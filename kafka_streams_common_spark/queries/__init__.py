@@ -105,7 +105,18 @@ by invariant #1: ``kafka_msgpack_decode`` (every MessagePack spec
 family with deliberately non-minimal integer/collection widths on
 deterministic row subsets) and ``kafka_cbor_decode`` (RFC 8949 —
 indefinite-length maps/arrays/chunked text, half-precision floats,
-tag-2 bignums, major-type-1 negatives, padded argument widths).
+tag-2 bignums, major-type-1 negatives, padded argument widths); and
+the wave-4 five — ``source_orc_roundtrip_nation`` (S1's second native
+columnar format through the catalog round-trip gate),
+``multimodal_bz2_xz_text_ingest`` (real bzip2 + xz members with
+from-scratch framing verification, incl. bzip2's non-reflected block
+CRC-32), ``kafka_thrift_decode`` (Thrift compact protocol: delta
+headers, recursive unknown-field skip, THRIFT-2799 little-endian
+doubles pinned), ``multimodal_flac_audio_decode`` (from-scratch FLAC
+frames per RFC 9639 — rice residuals, LPC, all three stereo modes,
+CRC-8/CRC-16/STREAMINFO-MD5 gates), and
+``source_parquet_footer_walk`` (Spark's own parquet-mr footer decoded
+by the repo's thrift reader, statistics gated against SQL aggregates).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -238,8 +249,11 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # to ZERO and the staleness floor moves to r8), then the head of the
 # 50-row r8 single-green tier (each new-query wave displaced the
 # queue's tail per rotation invariant #1 — wave 2 four rows, wave 3
-# ten, wave 3b two, wave 3c two, wave 3d two). The displaced r8 rows
-# head the r15 queue: streaming_fk_join_enrichment,
+# ten, wave 3b two, wave 3c two, wave 3d two, wave 4 five). The
+# displaced r8 rows head the r15 queue: source_csv_roundtrip_nation,
+# source_json_roundtrip_nation, streaming_suppressed_window_counts,
+# streaming_sliding_window_counts, streaming_session_window_counts,
+# streaming_fk_join_enrichment,
 # streaming_stream_stream_full_outer_join,
 # streaming_cdc_tombstones, streaming_rate_limit_ingest,
 # dedup_connected_components_two_phase, dedup_decontaminate_bloom,
