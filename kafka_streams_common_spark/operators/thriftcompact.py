@@ -182,9 +182,16 @@ def encode_struct(spec: dict, values: dict) -> bytes:
     return bytes(out)
 
 
-def _skip_value(ct: int, buf: bytes, pos: int) -> int:
+_MAX_NEST_DEPTH = 64
+
+
+def _skip_value(ct: int, buf: bytes, pos: int, depth: int = 0) -> int:
     """Skip one value of compact type ``ct`` — the forward-compat
-    path. Bool-in-header types carry no body."""
+    path. Bool-in-header types carry no body. ``depth`` bounds hostile
+    nesting (each struct level costs ONE wire byte, so without a cap a
+    kilobyte of 0x1C bytes would recurse a thousand frames deep)."""
+    if depth > _MAX_NEST_DEPTH:
+        raise ValueError("thrift nesting depth exceeds the bound")
     if ct in (CT_TRUE, CT_FALSE):
         return pos
     if ct == CT_BYTE:
@@ -207,7 +214,7 @@ def _skip_value(ct: int, buf: bytes, pos: int) -> int:
         if n == 15:
             n, pos = _read_uvarint(buf, pos)
         for _ in range(n):
-            pos = _skip_value(ect, buf, pos)
+            pos = _skip_value(ect, buf, pos, depth + 1)
         return pos
     if ct == CT_MAP:
         n, pos = _read_uvarint(buf, pos)
@@ -217,8 +224,8 @@ def _skip_value(ct: int, buf: bytes, pos: int) -> int:
         pos += 1
         kct, vct = head >> 4, head & 0x0F
         for _ in range(n):
-            pos = _skip_value(kct, buf, pos)
-            pos = _skip_value(vct, buf, pos)
+            pos = _skip_value(kct, buf, pos, depth + 1)
+            pos = _skip_value(vct, buf, pos, depth + 1)
         return pos
     if ct == CT_STRUCT:
         last_id = 0
@@ -233,7 +240,7 @@ def _skip_value(ct: int, buf: bytes, pos: int) -> int:
             delta = head >> 4
             if delta == 0:
                 _, pos = _read_uvarint(buf, pos)
-            pos = _skip_value(fct, buf, pos)
+            pos = _skip_value(fct, buf, pos, depth + 1)
             last_id += delta
     raise ValueError(f"cannot skip unknown compact type {ct}")
 
