@@ -223,6 +223,7 @@ TRACKING_QUERIES = [
     "kafka_thrift_decode",
     "multimodal_flac_audio_decode",
     "source_parquet_footer_walk",
+    "source_orc_footer_walk",
 ]
 
 # Streaming-stateful tracking rows (r11, VERDICT r10 item 6): the

@@ -43,6 +43,12 @@ _WIRE_TYPE = {
     "bytes": _WT_LEN,
     "message": _WT_LEN,
     "packed_varint": _WT_LEN,
+    # proto2-style repeated fields: one tag+value unit PER element
+    # (unpacked — the default for proto2 scalars, and the only form for
+    # strings/messages); decode accumulates into a list
+    "repeated_uint": _WT_VARINT,
+    "repeated_string": _WT_LEN,
+    "repeated_message": _WT_LEN,
 }
 
 
@@ -120,6 +126,18 @@ def encode_field(field_num: int, ptype: str, v: Any, sub_spec: dict | None = Non
     if ptype == "packed_varint":
         body = b"".join(write_uvarint(int(x)) for x in v)
         return tag + write_uvarint(len(body)) + body
+    if ptype == "repeated_uint":
+        return b"".join(tag + write_uvarint(int(x)) for x in v)
+    if ptype == "repeated_string":
+        return b"".join(
+            tag + write_uvarint(len(x.encode())) + x.encode() for x in v
+        )
+    if ptype == "repeated_message":
+        out = bytearray()
+        for item in v:
+            body = encode_message(sub_spec, item)
+            out += tag + write_uvarint(len(body)) + body
+        return bytes(out)
     raise ValueError(f"unsupported ptype {ptype!r}")
 
 
@@ -178,7 +196,9 @@ def decode_message(spec: dict, buf: bytes) -> dict:
         name, ptype = entry[0], entry[1]
         sub = entry[2] if len(entry) > 2 else None
         want = _WIRE_TYPE[ptype]
-        if wt != want:
+        if wt != want and not (ptype == "repeated_uint" and wt == _WT_LEN):
+            # a parser MUST accept packed AND unpacked forms for
+            # packable repeated scalars (protobuf.dev encoding spec)
             raise ValueError(
                 f"field {field_num} ({name}): wire type {wt}, expected {want}"
             )
@@ -223,6 +243,31 @@ def decode_message(spec: dict, buf: bytes) -> dict:
             if pos != end:
                 raise ValueError("packed field overran its length")
             out[name] = vals
+        elif ptype == "repeated_uint":
+            if wt == _WT_LEN:  # packed run
+                n, pos = read_uvarint(buf, pos)
+                end = pos + n
+                vals = out.setdefault(name, [])
+                while pos < end:
+                    u, pos = read_uvarint(buf, pos)
+                    vals.append(u)
+                if pos != end:
+                    raise ValueError("packed repeated field overran its length")
+            else:
+                u, pos = read_uvarint(buf, pos)
+                out.setdefault(name, []).append(u)
+        elif ptype == "repeated_string":
+            n, pos = read_uvarint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError("length-delimited field overruns buffer")
+            out.setdefault(name, []).append(bytes(buf[pos : pos + n]).decode("utf-8"))
+            pos += n
+        elif ptype == "repeated_message":
+            n, pos = read_uvarint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError("length-delimited field overruns buffer")
+            out.setdefault(name, []).append(decode_message(sub, buf[pos : pos + n]))
+            pos += n
         else:
             raise ValueError(f"unsupported ptype {ptype!r}")
     return out

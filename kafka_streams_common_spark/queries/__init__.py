@@ -116,7 +116,10 @@ doubles pinned), ``multimodal_flac_audio_decode`` (from-scratch FLAC
 frames per RFC 9639 — rice residuals, LPC, all three stereo modes,
 CRC-8/CRC-16/STREAMINFO-MD5 gates), and
 ``source_parquet_footer_walk`` (Spark's own parquet-mr footer decoded
-by the repo's thrift reader, statistics gated against SQL aggregates).
+by the repo's thrift reader, statistics gated against SQL aggregates);
+plus ``source_orc_footer_walk`` (the protobuf twin — Spark's native
+ORC tail walked by ``operators/protowire``, both compression forms,
+packed and unpacked repeated layouts).
 Then the TWELVE rows whose implementation changed in round 14 itself
 (invariant #2), all default-parameter-compatible at the operator
 level with oracles unchanged except where noted: the PNG core
@@ -213,6 +216,7 @@ _R14_NEW = (
     "kafka_thrift_decode",
     "multimodal_flac_audio_decode",
     "source_parquet_footer_walk",
+    "source_orc_footer_walk",
 )
 assert all(n in QUERIES for n in _R14_NEW)
 
@@ -250,7 +254,8 @@ assert all(n in QUERIES for n in _R14_CHANGED)
 # 50-row r8 single-green tier (each new-query wave displaced the
 # queue's tail per rotation invariant #1 — wave 2 four rows, wave 3
 # ten, wave 3b two, wave 3c two, wave 3d two, wave 4 five). The
-# displaced r8 rows head the r15 queue: source_csv_roundtrip_nation,
+# displaced r8 rows head the r15 queue: s2_cdc_apply_tombstones,
+# source_csv_roundtrip_nation,
 # source_json_roundtrip_nation, streaming_suppressed_window_counts,
 # streaming_sliding_window_counts, streaming_session_window_counts,
 # streaming_fk_join_enrichment,
@@ -283,8 +288,6 @@ _R14_REFRESH = (
     "scalar_function_showcase",
     "pivot_event_value_by_type",
     "date_interval_arithmetic",
-    # r8-last, single-green, registration order
-    "s2_cdc_apply_tombstones",
 )
 assert all(n in QUERIES for n in _R14_REFRESH)
 

@@ -716,3 +716,61 @@ def source_parquet_footer_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parquet_footer_stats(
         read_parquet_files(spark, d), "n_nationkey", "n_name"
     )
+
+
+@query(
+    "source_orc_footer_walk",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS num_rows,
+             CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+             CAST(MAX(n_nationkey) AS BIGINT) AS max_key,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             MIN(n_name) AS min_name, MAX(n_name) AS max_name
+      FROM nation
+    )
+    SELECT c.compression, a.num_rows, CAST(1 AS INT) AS n_stripes,
+           a.num_rows AS stripe_rows,
+           'n_nationkey,n_name,n_regionkey' AS field_names,
+           a.min_key, a.max_key, a.key_sum, a.min_name, a.max_name
+    FROM (VALUES ('zlib'), ('none')) c(compression) CROSS JOIN agg a
+    """,
+)
+def source_orc_footer_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tail walk with the repo's own PROTOBUF wire reader (r14
+    wave 4) — the protobuf twin of `source_parquet_footer_walk`'s
+    thrift synergy: nation is written by Spark's native ORC writer in
+    BOTH the zlib and uncompressed forms, and the tail is parsed
+    back-to-front from the public orc_proto spec — postscript (never
+    compressed; its field-8000 "ORC" magic verified), the chunked
+    compression framing undone ((length<<1)|isOriginal 3-byte words,
+    raw-DEFLATE bodies, output-capped), then the footer message:
+    repeated StripeInformation (row counts cross-checked against the
+    footer total), the TYPE TREE (root-struct field names + subtypes,
+    arity enforced), and per-column statistics with zigzag sint64
+    min/max/SUM and string min/max — all gated against SQL aggregates
+    of the same table. The repeated-field walk exercises BOTH proto
+    layouts (packed runs for the uint32 lists, unpacked for strings
+    and messages). The planner's read at warehouse scale: footers
+    only, file-parallel, row data untouched. Map-only after the two
+    one-file writes."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_streams_common_spark.operators.orcmeta import (
+        orc_footer_stats,
+        read_orc_files,
+    )
+    from kafka_streams_common_spark.queries.registry import table
+
+    src = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    outs = []
+    for comp in ("zlib", "none"):
+        d = tempfile.mkdtemp(prefix=f"kscs_orcfooter_{comp}_")
+        atexit.register(shutil.rmtree, d, True)
+        src.coalesce(1).write.mode("overwrite").option("compression", comp).orc(d)
+        outs.append(read_orc_files(spark, d))
+    return orc_footer_stats(outs[0].unionByName(outs[1]), "n_nationkey", "n_name")

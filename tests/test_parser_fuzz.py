@@ -464,3 +464,22 @@ def test_thrift_nesting_depth_bounded():
     hostile = bytes([0x1C]) * 1024  # delta-1 STRUCT field, forever
     with pytest.raises(ValueError, match="nesting depth"):
         tc.decode_struct({}, hostile)
+
+
+from kafka_streams_common_spark.operators import orcmeta as om
+
+
+_W4_PARSERS["orc_tail"] = lambda b: om.parse_orc_tail(b)
+_W4_MAGICS["orc_tail"] = b"ORC"
+
+
+@settings(deadline=None, max_examples=120)
+@given(data=_raw)
+def test_orc_tail_random_bytes_fail_cleanly(data):
+    _w4_clean(_W4_PARSERS["orc_tail"], data)
+
+
+@settings(deadline=None, max_examples=120)
+@given(data=_raw)
+def test_orc_tail_magic_prefixed_fail_cleanly(data):
+    _w4_clean(_W4_PARSERS["orc_tail"], b"ORC" + data)

@@ -731,3 +731,71 @@ def test_parquet_footer_rejection_paths(spark, tmp_path):
     bad[-8:-4] = (len(blob)).to_bytes(4, "little")  # footer len > body
     with pytest.raises(ValueError, match="outside the file body"):
         parse_parquet_footer(bytes(bad))
+
+
+def test_proto_repeated_fields_roundtrip():
+    """proto2-style repeated fields: unpacked on the wire from our
+    encoder; the decoder must also accept PACKED runs for repeated
+    scalars (the spec requires parsers to take both forms)."""
+    spec = {
+        1: ("ids", "repeated_uint"),
+        2: ("names", "repeated_string"),
+        3: ("items", "repeated_message", {1: ("a", "uint")}),
+    }
+    values = {"ids": [1, 300, 0], "names": ["x", "", "γ"], "items": [{"a": 7}, {"a": 9}]}
+    blob = pw.encode_message(spec, values)
+    assert pw.decode_message(spec, blob) == values
+    # packed form of field 1: tag wt=2, len, varints
+    packed = bytes([0x0A, 0x03, 0x01, 0xAC, 0x02])
+    assert pw.decode_message(spec, packed) == {"ids": [1, 300]}
+
+
+def test_orc_tail_walk_against_spark_writer(spark, tmp_path):
+    """The protobuf reader against Spark's native ORC writer, both
+    compression forms, statistics cross-checked against the frame."""
+    import glob
+
+    from kafka_streams_common_spark.operators.orcmeta import (
+        orc_footer_stats,
+        parse_orc_tail,
+        read_orc_files,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name_{i:03d}") for i in range(40)], ["k", "name"]
+    )
+    for comp in ("zlib", "none"):
+        d = str(tmp_path / f"orc_{comp}")
+        df.coalesce(1).write.option("compression", comp).orc(d)
+        rec = parse_orc_tail(open(glob.glob(d + "/*.orc")[0], "rb").read())
+        assert rec["compression"] == comp
+        fo = rec["footer"]
+        assert fo["number_of_rows"] == 40
+        assert fo["types"][0]["field_names"] == ["k", "name"]
+        row = orc_footer_stats(read_orc_files(spark, d), "k", "name").collect()[0]
+        assert row["num_rows"] == 40 and row["key_sum"] == sum(range(40))
+        assert row["min_name"] == "name_000" and row["max_name"] == "name_039"
+        assert row["stripe_rows"] == 40 and row["n_stripes"] == 1
+
+
+def test_orc_tail_rejection_paths(spark, tmp_path):
+    import glob
+
+    from kafka_streams_common_spark.operators.orcmeta import parse_orc_tail
+
+    df = spark.createDataFrame([(1, "a")], ["k", "name"])
+    d = str(tmp_path / "orc_rej")
+    df.coalesce(1).write.option("compression", "zlib").orc(d)
+    blob = bytearray(open(glob.glob(d + "/*.orc")[0], "rb").read())
+    bad = bytearray(blob)
+    bad[0] ^= 0xFF
+    with pytest.raises(ValueError, match="head magic"):
+        parse_orc_tail(bytes(bad))
+    bad = bytearray(blob)
+    bad[-1] = 0  # zero postscript length
+    with pytest.raises(ValueError, match="postscript length"):
+        parse_orc_tail(bytes(bad))
+    bad = bytearray(blob)
+    bad[-1] = 255  # postscript claims more than the file holds...
+    with pytest.raises(ValueError):
+        parse_orc_tail(bytes(bad))
