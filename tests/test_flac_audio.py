@@ -79,14 +79,18 @@ def test_utf8_number_roundtrip(v):
 
 @given(
     res=st.lists(
-        st.integers(min_value=-(2**17), max_value=2**17 - 1), min_size=1, max_size=64
+        st.integers(min_value=-255, max_value=255), min_size=1, max_size=64
     ),
     p=st.integers(min_value=0, max_value=14),
 )
 @settings(max_examples=40, deadline=None)
 def test_rice_bits_decode_by_hand(res, p):
     """The vectorized rice bit-builder against a straightforward
-    per-bit reader."""
+    per-bit reader. Residual magnitudes are kept small because the
+    hand reader walks unary runs one bit at a time — a |res| of 2^17
+    at p=0 would mean ~260k Python steps per value (the real decoder
+    jumps runs with searchsorted; large magnitudes are covered by the
+    wide-range roundtrip below)."""
     res = np.array(res, dtype=np.int64)
     bits = _rice_bits(res, p)
     pos = 0
@@ -210,3 +214,23 @@ def test_flac_spark_stats_match_replay(spark):
             assert r["sum_right"] is None and r["channels"] == 1
         else:
             assert r["sum_right"] == int(chans[1].sum()) and r["channels"] == 2
+
+
+def test_rice_bits_wide_range_roundtrip_via_decoder():
+    """Large residual magnitudes (17-bit side-channel scale) through
+    the REAL partition decoder — the searchsorted path, not the
+    bit-at-a-time hand reader."""
+    from kafka_streams_common_spark.operators.flacaudio import _decode_residual
+
+    rng = np.random.default_rng(13)
+    res = rng.integers(-(2**17), 2**17, 60).astype(np.int64)
+    for p in (5, 10, 14):
+        bits = np.concatenate(
+            [np.array([0, 0], np.uint8),  # method 00
+             ((0 >> np.arange(2, -1, -1)) & 1).astype(np.uint8),  # order 0
+             ((p >> np.arange(3, -1, -1)) & 1).astype(np.uint8),
+             _rice_bits(res, p)]
+        )
+        ones = np.flatnonzero(bits)
+        out, _ = _decode_residual(bits, ones, 0, 0, res.shape[0])
+        assert np.array_equal(out, res), p
