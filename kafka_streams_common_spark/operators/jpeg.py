@@ -153,6 +153,11 @@ def _bit_size(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+# vectorized size-category lookup for the block encoder: quantized
+# baseline coefficients and DC diffs stay far below this bound
+_SIZE_LUT = np.array([int(i).bit_length() for i in range(1 << 13)], dtype=np.int64)
+
+
 class _BitWriterMSB:
     """MSB-first bit writer with JPEG byte stuffing (0xFF → 0xFF 0x00)
     and 1-padding of the final byte, per the spec."""
@@ -223,23 +228,33 @@ def _encode_block(
     bw.put(code, length)
     if size:
         bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
-    # AC: run-length coded
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run >= 16:
-            zc, zl = ac_codes[0xF0]  # ZRL
-            bw.put(zc, zl)
-            run -= 16
-        size = _bit_size(v)
-        code, length = ac_codes[(run << 4) | size]
-        bw.put(code, length)
-        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-        run = 0
-    if run:
+    # AC: run-length coded. Symbol generation is vectorized (r14):
+    # nonzero positions, zero-run lengths, size categories, and
+    # one's-complement amplitudes all come out of numpy at once, so
+    # the Python loop touches only the nonzero coefficients instead
+    # of all 63 — emitted symbols (and bytes) are identical.
+    ac = zz[1:]
+    nz = np.flatnonzero(ac)
+    if nz.size == 0:
+        ec, el = ac_codes[0x00]  # EOB
+        bw.put(ec, el)
+        return new_dc
+    vals = ac[nz]
+    sizes = _SIZE_LUT[np.abs(vals)]
+    runs = np.empty_like(nz)
+    runs[0] = nz[0]
+    runs[1:] = np.diff(nz) - 1
+    amps = np.where(vals >= 0, vals, vals + (np.int64(1) << sizes) - 1)
+    zc, zl = ac_codes[0xF0]  # ZRL
+    put = bw.put
+    for r, s, a in zip(runs.tolist(), sizes.tolist(), amps.tolist()):
+        while r >= 16:
+            put(zc, zl)
+            r -= 16
+        code, length = ac_codes[(r << 4) | s]
+        put(code, length)
+        put(a, s)
+    if nz[-1] != 62:
         ec, el = ac_codes[0x00]  # EOB
         bw.put(ec, el)
     return new_dc
@@ -474,16 +489,22 @@ def _enc_ac_first(
                 bw.put(eobrun - (1 << n), n)
             eobrun = 0
 
+    # point-transform the whole band grid at once (r14): truncate
+    # toward zero per the spec's AC convention — same values _pt_ac
+    # produced per element, without a Python comprehension per block
+    band = zblocks[:, :, ss : se + 1].astype(np.int64)
+    tgrid = np.where(band >= 0, band >> al, -((-band) >> al))
     for by in range(nby):
         for bx in range(nbx):
-            zz = zblocks[by, bx]
-            vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
-            nz = [i for i, v in enumerate(vals) if v]
-            if not nz:
+            varr = tgrid[by, bx]
+            nzarr = np.flatnonzero(varr)
+            if nzarr.size == 0:
                 eobrun += 1
                 if eobrun == 32767:
                     flush()
                 continue
+            vals = varr.tolist()
+            nz = nzarr.tolist()
             flush()
             r = 0
             for i in range(nz[-1] + 1):
@@ -546,15 +567,18 @@ def _enc_ac_refine(
             put_sym(n << 4, (eobrun - (1 << n), n) if n else None, run_bits)
             eobrun = 0
 
+    # grid-level precompute (r14): |coef| >> Al and sign planes for the
+    # whole component at once — per-block comprehensions removed
+    band = zblocks[:, :, ss : se + 1].astype(np.int64)
+    absg = np.abs(band) >> al
+    signg = (band >= 0).astype(np.int64)
     for by in range(nby):
         for bx in range(nbx):
-            zz = zblocks[by, bx]
-            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
-            signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
-            eob = -1
-            for i, t in enumerate(absv):
-                if t == 1:
-                    eob = i
+            absrow = absg[by, bx]
+            absv = absrow.tolist()
+            signs = signg[by, bx].tolist()
+            ones = np.flatnonzero(absrow == 1)
+            eob = int(ones[-1]) if ones.size else -1
             r = 0
             for i, t in enumerate(absv):
                 if t == 0:
