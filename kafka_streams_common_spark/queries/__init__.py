@@ -136,8 +136,11 @@ validation; ``encode_gif_anim`` now emits the frame-diffed container —
 same rendered canvases, oracle unchanged) re-exposes
 ``multimodal_gif_anim_scene_stats``; the JPEG codec seam
 (``decoder=``/``encoder=`` hooks), the progressive DC-table hoist in
-``_parse_jpeg``, and the ``equality_mod=4`` sub-lake (oracle CHANGED:
-gate columns now mirror ``doc_id % 4 = 0``) re-expose
+``_parse_jpeg``, the ``equality_mod=4`` sub-lake (oracle CHANGED:
+gate columns now mirror ``doc_id % 4 = 0``), and the second-session
+vectorized AC symbol generation in ``_encode_block`` +
+``_enc_ac_first``/``_enc_ac_refine`` (byte-identical; golden pins
+unchanged) re-expose
 ``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``, and
 ``multimodal_jpeg_progressive_recon``. The remaining 14 slots take
 the COMPUTED refresh queue VERBATIM (key: last-green round asc,
