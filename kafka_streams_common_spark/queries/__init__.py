@@ -3,7 +3,7 @@
 Modules:
 - ``core``       — reference-parity operators (SURVEY.md §2.1-§2.6)
 - ``streaming``  — Structured Streaming duality queries (§2.4/§2.5/§2.7)
-- ``multimodal`` — binary-column plumbing with stubbed decode
+- ``multimodal`` — binary columns with REAL from-scratch codecs
 - ``standard``   — §2.7 standard OLAP categories absent in the reference
 - ``dedup``      — exact + fuzzy deduplication over ``documents``
 - ``similarity`` — embedding similarity search over ``embeddings``

