@@ -244,6 +244,29 @@ STREAMING_TRACKING_QUERIES = [
     "streaming_confluent_ingest",
 ]
 
+# Frozen per-query ceilings for the heavy tracking tier (r15, VERDICT
+# r14 next-steps #6): 2.5× the idle-probe median frozen in BASELINE.md
+# §"Frozen tracking ceilings". A breach is emitted under
+# "ceiling_breaches" in the tracking JSON line and FAILS the run
+# (exit 3) — regressions gate instead of drifting. Re-freezing requires
+# an idle-probe adjudication entry in BASELINE.md.
+TRACKING_CEILINGS = {
+    "multimodal_jpeg_recon": 4.1,
+    "multimodal_jpeg_color_recon": 3.5,
+    "multimodal_jpeg_progressive_recon": 3.0,
+    "sim_semantic_dedup_planted": 21.4,
+    "kafka_thrift_decode": 14.6,
+    "kafka_msgpack_decode": 7.7,
+    "kafka_cbor_decode": 7.2,
+    "multimodal_flac_audio_decode": 6.4,
+    "multimodal_bz2_xz_text_ingest": 7.1,
+    "dedup_incremental_vs_corpus": 10.4,
+    "sim_incremental_near_dup_vs_corpus": 6.0,
+    "streaming_holt_trend": 8.6,
+    "streaming_temporal_asof_join": 24.4,
+    "streaming_ewma_value": 8.3,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -293,9 +316,15 @@ def main() -> None:
     # tail-captures stdout, and in round 8 the single ever-growing line
     # was clipped mid-way, losing the headline ("parsed": null in
     # BENCH_r08.json). The headline line is small and final, so it
-    # survives both a tail capture and a last-line parse; the FYI
-    # tracking rows (no frozen budget — BASELINE.md "Tracking table")
-    # ride on their own sacrificial first line.
+    # survives both a tail capture and a last-line parse; the tracking
+    # rows (frozen ceilings for the heavy tier since r15, FYI-only for
+    # the rest — BASELINE.md "Tracking table" / "Frozen tracking
+    # ceilings") ride on their own sacrificial first line.
+    breaches = {
+        n: {"sec": tracking[n], "ceiling": c}
+        for n, c in TRACKING_CEILINGS.items()
+        if n in tracking and tracking[n] > c
+    }
     print(
         json.dumps(
             {
@@ -303,6 +332,7 @@ def main() -> None:
                 "value": round(sum(tracking.values()), 3),
                 "unit": "sec",
                 "tracking": tracking,
+                "ceiling_breaches": breaches,
                 "sf": sf,
             }
         )
@@ -319,6 +349,9 @@ def main() -> None:
             }
         )
     )
+    if breaches:
+        print(f"# CEILING BREACH: {breaches}", file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,7 @@ def main() -> None:
 Generated from the live registry by `scripts/gen_query_catalog.py` —
 one row per registered query, in driver execution order. {len(rows)}
 queries, {n_oracle} with DuckDB SQL oracles (every query;
-invariant-style oracles — sketch bounds, stubbed decode — are still
+invariant-style oracles — sketch bounds, codec-decode gates — are still
 full SQL comparisons of the projected columns). The first 50 rows are
 the current driver window
 (`kafka_streams_common_spark/queries/__init__.py`); README
