@@ -637,3 +637,63 @@ def test_flat_and_reference_engines_agree_on_pixels_and_errors():
 
     for payload in corpus:
         assert run(_parse_jpeg, payload) == run(_parse_jpeg_reference, payload)
+
+
+def test_hostile_dht_amplitude_wider_than_16_bits():
+    """r15: a hostile DHT can declare a DC size CATEGORY above 16 —
+    legal nowhere in a real encoder, but a spec-robust decoder must not
+    crash or misread. This exercises the flat engine's arbitrary-width
+    amplitude fallback (``_flat_read_bits``, the one branch the fuzz
+    corpus cannot reach because real tables cap at 11/10): a hand-built
+    8×8 grayscale file whose only DC code maps to size 20 must decode
+    IDENTICALLY through both engines (positive and negative one's-
+    complement amplitudes), and truncating inside the 20-bit amplitude
+    must raise the same error from both."""
+    from kafka_streams_common_spark.operators.jpeg import _parse_jpeg_reference
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def pack_bits(s):
+        s = s + "1" * ((8 - len(s) % 8) % 8)
+        raw = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)  # byte stuffing
+        return bytes(out)
+
+    def build(dc_amp_bits):
+        dqt = seg(0xDB, bytes([0x00]) + bytes([1]) * 64)
+        one_code = [1] + [0] * 15
+        dht_dc = seg(0xC4, bytes([0x00]) + bytes(one_code) + bytes([20]))
+        dht_ac = seg(0xC4, bytes([0x10]) + bytes(one_code) + bytes([0x00]))
+        sof = seg(
+            0xC0,
+            bytes([8])
+            + (8).to_bytes(2, "big")
+            + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]),
+        )
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        ecs = pack_bits("0" + dc_amp_bits + "0")  # DC sym, amp, AC EOB
+        return b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos + ecs + b"\xff\xd9"
+
+    pos = build("10000000000000000011")  # high bit 1: positive amplitude
+    c, w, h, px = _parse_jpeg(pos)
+    _, _, _, px_ref = _parse_jpeg_reference(pos)
+    assert (c, w, h) == (1, 8, 8)
+    assert np.array_equal(px, px_ref)
+    assert px[0, 0, 0] == 255  # DC ≈ 524291 with unit quant saturates
+
+    neg = build("00000000000000000011")  # high bit 0: one's-complement neg
+    _, _, _, pn = _parse_jpeg(neg)
+    _, _, _, pn_ref = _parse_jpeg_reference(neg)
+    assert np.array_equal(pn, pn_ref)
+    assert pn[0, 0, 0] == 0
+
+    trunc = pos[:-4]  # cut inside the entropy tail
+    for fn in (_parse_jpeg, _parse_jpeg_reference):
+        with pytest.raises(ValueError, match="entropy stream ran out of bytes"):
+            fn(trunc)
