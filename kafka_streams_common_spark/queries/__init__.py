@@ -36,7 +36,7 @@ Rotation invariants (held every round since r1):
 ROUND-15 WINDOW (``_R15_WINDOW``): NO new registrations this round —
 the r14 verdict's top ask was to drain the r8-stale single-green tier
 without new-query displacement, so the wave is frozen and the window
-is 3 changed + 47 refresh. Head (invariant #2): the THREE rows whose
+is 4 changed + 46 refresh. Head (invariant #2): the rows whose
 implementation changed in round 15 itself — the JPEG trio
 (``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``,
 ``multimodal_jpeg_progressive_recon``): the default decode engine is
@@ -47,8 +47,13 @@ fast path), with the reader-class engine retained as
 messages) over the corpus + fuzz battery; the three pipelines also
 ride ``fan_out`` so the single-split local lake spreads across cores
 (idle medians gray 3.85→1.63 s, color 9.7→1.40 s, progressive
-10.1→1.19 s at sf0.1). Oracles unchanged. Then the 47 refresh slots
-take the COMPUTED queue VERBATIM (key: last-green round asc,
+10.1→1.19 s at sf0.1), plus ``sim_ivf_pq_rerank`` — the r15 sf0.1
+oracle sweep caught its fixed index shape at 1/10 minimum recall on
+the 2,000-vector fixture, and its parameters now scale with the
+corpus (√n cells, capped n/8 shortlist; identical shape at the gate
+SFs, re-proven green at all three SFs). Oracles unchanged. Then the
+46 refresh slots take the COMPUTED queue VERBATIM (key: last-green
+round asc,
 green-count asc, registration order): the ENTIRE 42-row r8
 single-green tier (s2_cdc_apply_tombstones, the csv/json round-trips,
 the seven r8 streaming rows, dedup two-phase CC + bloom
@@ -59,12 +64,11 @@ then the next-stalest r8 rows by green count:
 ``cube_orders_by_status_priority`` and
 ``array_agg_order_keys_per_customer`` (three-green),
 ``filter_pushdown_scan`` (four-green), ``streaming_latest_per_key``
-(five-green), ``p4_json_parse_agg`` (six-green). Displaced by the
-3 changed rows and carried to r16: the six-green trio
-``j5_enrichment_chain`` / ``s2_latest_per_key`` /
-``asof_join_last_order_before_event`` (greens r1-r5 + r8 each, the
-registry's most-proven rows). After this round the r8 single-green
-tier is EMPTY.
+(five-green). Displaced by the 4 changed rows and carried to r16:
+``p4_json_parse_agg`` and the six-green trio ``j5_enrichment_chain``
+/ ``s2_latest_per_key`` / ``asof_join_last_order_before_event``
+(greens r1-r5 + r8 each, the registry's most-proven rows). After
+this round the r8 single-green tier is EMPTY.
 
 (The round-14 window derivation lives in the README.md §Verification
 ledger, per the carry-only-the-active-window convention.)
@@ -100,6 +104,13 @@ _R15_CHANGED = (
     "multimodal_jpeg_recon",
     "multimodal_jpeg_color_recon",
     "multimodal_jpeg_progressive_recon",
+    # late-r15 addition: the sf0.1 oracle sweep caught the fixed IVF-PQ
+    # index shape dropping to 1/10 minimum recall on the 2,000-vector
+    # fixture; parameters now scale with the corpus (√n cells, n/8
+    # shortlist capped at 1,000 — identical 16/8 shape at the 500-vector
+    # gate SFs, 32/16/250 at sf0.1, floor margin restored to 5/10).
+    # Oracle unchanged; re-proven at sf0.001/0.01/0.1.
+    "sim_ivf_pq_rerank",
 )
 assert all(n in QUERIES for n in _R15_CHANGED)
 
@@ -160,7 +171,6 @@ _R15_REFRESH = (
     "array_agg_order_keys_per_customer",
     "filter_pushdown_scan",
     "streaming_latest_per_key",
-    "p4_json_parse_agg",
 )
 assert all(n in QUERIES for n in _R15_REFRESH)
 

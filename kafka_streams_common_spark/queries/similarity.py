@@ -804,18 +804,32 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     8× narrower rows than the float corpus), cell-pruned ADC scoring
     through a broadcast (query, subspace, code) lookup table with
     DECIMAL-exact partial sums, then exact cosine re-rank of the
-    60-deep shortlist.
+    shortlist.
 
     Codebook training is not SQL-expressible, so — the sketch-row
     convention (HLL, approx-quantiles) — the hash-gated row carries
     deterministic invariants instead of replayed values: every query
     returns exactly k results, and per-query recall@10 against the
     in-engine brute-force baseline clears a floor of 3/10 (the fixture's
-    near-uniform embeddings are PQ's worst case; measured minimum 5/10
-    at both gate SFs, so the floor has 40% margin; the ≥0.9 recall
-    story on clustered data is pinned in pytest). Everything is seeded,
-    so the booleans cannot flap.
+    near-uniform embeddings are PQ's worst case; the ≥0.9 recall story
+    on clustered data is pinned in pytest). Everything is seeded, so
+    the booleans cannot flap at a given corpus.
+
+    Index parameters SCALE WITH THE CORPUS (r15): the sf0.1 oracle
+    sweep caught the original fixed (16 cells, probe 8, rerank 60)
+    shape dropping to 1/10 minimum recall on the 2,000-vector sf0.1
+    fixture — cell count and shortlist must grow with n or candidate
+    quality decays. The FAISS-taxonomy rule applied here: cells ≈ √n
+    (power of two, floor 16), probe = cells/2, shortlist =
+    max(60, n/8) capped at 1,000. At the 500-vector gate SFs this
+    keeps the original 16-cell/probe-8 shape (measured minimum 5/10
+    recall); at sf0.1 it yields 32/16/250 and restores the same 5/10
+    minimum (from 1/10). At warehouse scale the same rule keeps ADC
+    work per query ~√n-cells-bounded while the cap keeps the exact
+    re-rank stage constant-size.
     """
+    import math
+
     from kafka_streams_common_spark.operators.similarity import (
         brute_force_cosine_topk,
         ivf_pq_topk,
@@ -826,9 +840,16 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    cent = train_ivf_centroids(emb, n_centroids=16)
+    n = emb.count()
+    n_cells = 1 << max(4, round(math.log2(math.sqrt(n))))
+    cent = train_ivf_centroids(emb, n_centroids=n_cells)
     res = ivf_pq_topk(
-        emb, queries, k=10, n_probe=8, rerank=60, centroids=cent
+        emb,
+        queries,
+        k=10,
+        n_probe=max(4, n_cells // 2),
+        rerank=min(max(60, n // 8), 1000),
+        centroids=cent,
     )
     exact = brute_force_cosine_topk(emb, queries, k=10).select(
         F.col("q_id").alias("__eq"), F.col("vec_id").alias("__ev")

@@ -5,9 +5,12 @@ then runs every registered query against its DuckDB oracle at sf0.01
 with the driver's canonicalization. Exits nonzero on the first mismatch.
 
 Usage: python scripts/driver_sim.py [--vanilla] [--limit N] [--only a,b,c]
+                                    [--sf DIR]
   --vanilla  use a bare SparkSession (no get_spark configs) like the driver
   --limit N  only run the first N queries in registration order
   --only     comma-separated query names to check (targeted re-verification)
+  --sf DIR   fixture directory (default /root/testdata/sf0.01) — e.g.
+             /root/testdata/sf0.1 for a 10x-the-gate-scale sweep
 """
 
 from __future__ import annotations
@@ -37,7 +40,10 @@ def canon(pdf):
 
 
 def main() -> int:
+    global SF
     vanilla = "--vanilla" in sys.argv
+    if "--sf" in sys.argv:
+        SF = sys.argv[sys.argv.index("--sf") + 1]
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
@@ -79,7 +85,21 @@ def main() -> int:
     if limit is not None:
         names = names[:limit]
     failed = []
+    import gc
+
     for i, name in enumerate(names):
+        # per-query hygiene (r15): long sweeps accumulate pinned
+        # localCheckpoint RDDs, cached plans, and py4j-held JVM plan
+        # trees; without this, heap pressure by row ~80 of an sf0.1
+        # sweep inflated the big-state streaming rows ~60x (holt/ewma
+        # read 795/733 s in-sweep vs 3-11 s fresh or after a cleared
+        # 23-query warm-up — adjudicated in SCALE.md). The grading
+        # driver's 50-query sf0.01 window never hits this regime.
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+        gc.collect()
         t0 = time.time()
         try:
             got = canon(qs[name](spark, SF).toPandas())
