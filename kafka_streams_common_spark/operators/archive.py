@@ -345,7 +345,10 @@ def encode_gzip_docs(
     (``doc-<id>.txt``), odd ones are anonymous (FLG=0), so the decode
     stage's flag walk is exercised both ways and the recovered name is
     oracle-checkable. Arrow-batched ``mapInPandas``, map-only — the
-    compressed-text-lake ingest shape."""
+    compressed-text-lake ingest shape. The input rides ``fan_out`` (r16)
+    so a single-split local lake spreads the kernel across the session's
+    cores; a many-split production table takes the no-op branch and no
+    exchange is inserted."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -364,7 +367,9 @@ def encode_gzip_docs(
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(batches, out_schema)
 
 
 GZIP_TEXT_SCHEMA = T.StructType(
@@ -415,7 +420,10 @@ def encode_webdataset_shard(
     layout multimodal training pipelines actually read (image+caption
     grouped by key inside tar shards). Arrow-batched ``mapInPandas``,
     map-only. The shard ships WITHOUT the doc_id column — the decode
-    stage must recover the key from member names."""
+    stage must recover the key from member names. The input rides
+    ``fan_out`` (r16) so a single-split local lake spreads the kernel
+    across the session's cores; a many-split production table takes the
+    no-op branch and no exchange is inserted."""
     import hashlib
 
     out_schema = T.StructType([T.StructField("payload", T.BinaryType(), True)])
@@ -437,7 +445,9 @@ def encode_webdataset_shard(
                 )
             yield pd.DataFrame({"payload": payloads}, columns=["payload"])
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(batches, out_schema)
 
 
 WEBDATASET_SCHEMA = T.StructType(
@@ -511,7 +521,10 @@ def encode_zip_bundles(
     methods and the decode stage must keep per-member method dispatch
     straight. The bundle ships without the doc_id column — the decode
     stage recovers the key from member names. Arrow-batched
-    ``mapInPandas``, map-only."""
+    ``mapInPandas``, map-only. The input rides ``fan_out`` (r16) so a
+    single-split local lake spreads the kernel across the session's
+    cores; a many-split production table takes the no-op branch and no
+    exchange is inserted."""
     out_schema = T.StructType([T.StructField("payload", T.BinaryType(), True)])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -529,7 +542,9 @@ def encode_zip_bundles(
                 )
             yield pd.DataFrame({"payload": payloads}, columns=["payload"])
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(batches, out_schema)
 
 
 ZIP_BUNDLE_SCHEMA = T.StructType(
@@ -740,7 +755,10 @@ def encode_bz2_xz_docs(
     ``1 + doc_id % 9`` (all nine header digits live in one lake), ODD
     doc_ids as .xz with the CRC32 check when ``doc_id % 4 == 1`` and
     CRC64 when ``doc_id % 4 == 3`` (both stream-flag values live).
-    Arrow-batched ``mapInPandas``, map-only."""
+    Arrow-batched ``mapInPandas``, map-only. The input rides ``fan_out``
+    (r16) so a single-split local lake spreads the kernel across the
+    session's cores; a many-split production table takes the no-op
+    branch and no exchange is inserted."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -767,7 +785,9 @@ def encode_bz2_xz_docs(
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(batches, out_schema)
 
 
 BZ2_XZ_TEXT_SCHEMA = T.StructType(

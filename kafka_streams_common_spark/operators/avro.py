@@ -454,7 +454,10 @@ def encode_orders_ocf(orders: DataFrame, n_containers: int = 64) -> DataFrame:
     by key inside each container and blocks hold 50 records, so real
     multi-block walks happen at sf0.01+. One groupBy exchange — the
     same partition-forming shuffle a topic writer performs — then a
-    pure Arrow kernel per group."""
+    pure Arrow kernel per group. The exchange width is pinned to
+    ``min(n_containers, defaultParallelism)`` (r16) so AQE's
+    small-shuffle coalescing cannot serialize the per-container
+    deflate kernel onto one core on a tiny local lake."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("o_orderkey")
@@ -497,7 +500,12 @@ def encode_orders_ocf(orders: DataFrame, n_containers: int = 64) -> DataFrame:
         "o_orderpriority",
         (F.col("o_orderkey") % n_containers).cast("long").alias("container_id"),
     )
-    return keyed.groupBy("container_id").applyInPandas(build, _OCF_OUT)
+    n_parts = min(int(n_containers), keyed.sparkSession.sparkContext.defaultParallelism)
+    return (
+        keyed.repartition(n_parts, "container_id")
+        .groupBy("container_id")
+        .applyInPandas(build, _OCF_OUT)
+    )
 
 
 _OCF_ROWS = T.StructType(
@@ -593,7 +601,10 @@ def encode_events_confluent(events: DataFrame) -> DataFrame:
     = 0`` rows are written by the OLD producer (schema id 1 — no
     ``source``), the rest by the NEW one (schema id 2 — ``source`` =
     ``u<user_id>`` plus a ``debug`` field the consumer has never seen).
-    Map-only Arrow stage — the per-message topic-produce shape."""
+    Map-only Arrow stage — the per-message topic-produce shape. The
+    input rides ``fan_out`` (r16) so a single-split local lake spreads
+    the kernel across the session's cores; a many-split production table
+    takes the no-op branch and no exchange is inserted."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -625,7 +636,11 @@ def encode_events_confluent(events: DataFrame) -> DataFrame:
                 columns=["event_id", "payload"],
             )
 
-    return events.select("event_id", "event_type", "value", "user_id").mapInPandas(
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(
+        events.select("event_id", "event_type", "value", "user_id")
+    ).mapInPandas(
         batches, _CONFLUENT_MSG
     )
 
@@ -754,7 +769,10 @@ def encode_events_avro_props(events: DataFrame) -> DataFrame:
     0``) is CHAINED across two blocks whenever it has three entries;
     the tags array (first three md5 bytes of ``<event_type>-<id>``)
     uses the NEGATIVE-count-plus-byte-size block on even ids and the
-    positive form on odd ids. Map-only Arrow stage."""
+    positive form on odd ids. Map-only Arrow stage. The input rides
+    ``fan_out`` (r16) so a single-split local lake spreads the kernel
+    across the session's cores; a many-split production table takes the
+    no-op branch and no exchange is inserted."""
     import hashlib
     import json as _json
 
@@ -782,7 +800,11 @@ def encode_events_avro_props(events: DataFrame) -> DataFrame:
                 columns=["event_id", "payload"],
             )
 
-    return events.select("event_id", "props", "event_type", "user_id").mapInPandas(
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(
+        events.select("event_id", "props", "event_type", "user_id")
+    ).mapInPandas(
         batches, _PROPS_MSG
     )
 

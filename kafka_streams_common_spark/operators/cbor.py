@@ -295,7 +295,10 @@ def _event_cbor(event_id: int, event_type: str, value: float, user_id: int) -> b
 
 def encode_events_cbor(events: DataFrame) -> DataFrame:
     """Encode each event as one CBOR message (see :func:`_event_cbor`).
-    Arrow-batched ``mapInPandas``, map-only."""
+    Arrow-batched ``mapInPandas``, map-only. The input rides ``fan_out``
+    (r16) so a single-split local lake spreads the kernel across the
+    session's cores; a many-split production table takes the no-op
+    branch and no exchange is inserted."""
     out_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
@@ -316,9 +319,11 @@ def encode_events_cbor(events: DataFrame) -> DataFrame:
                 columns=["event_id", "payload"],
             )
 
-    return events.select("event_id", "event_type", "value", "user_id").mapInPandas(
-        batches, out_schema
-    )
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(
+        events.select("event_id", "event_type", "value", "user_id")
+    ).mapInPandas(batches, out_schema)
 
 
 CBOR_EVENT_SCHEMA = T.StructType(

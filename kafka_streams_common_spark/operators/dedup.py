@@ -72,7 +72,15 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
        corpus-wide repartition Exchange (file count alone regressed
        exactly that way: 1 big file → forced shuffle before a broadcast
        join that needed none).
+
+    Streaming frames pass through untouched (r16): micro-batch
+    parallelism is the source's concern (maxFilesPerTrigger /
+    partition count), and ``.rdd`` is illegal on an unstarted
+    streaming plan — the guard must stay safe for encoders shared
+    between batch and streaming pipelines.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:

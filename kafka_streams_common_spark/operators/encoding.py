@@ -86,7 +86,10 @@ def plant_encoding_lake(
     itself is ASCII; non-latin-1 corpora would need escaping and are
     rejected loudly). The oracle replays the class from ``doc_id`` and
     the repaired text from ``text || suffix``. Arrow-batched
-    ``mapInPandas``, map-only."""
+    ``mapInPandas``, map-only. The input rides ``fan_out`` (r16) so a
+    single-split local lake spreads the kernel across the session's
+    cores; a many-split production table takes the no-op branch and no
+    exchange is inserted."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -118,7 +121,9 @@ def plant_encoding_lake(
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(batches, out_schema)
 
 
 ENCODING_CENSUS_SCHEMA = T.StructType(

@@ -227,7 +227,10 @@ _FLAC_OUT = T.StructType(
 def encode_flac_meta(docs: DataFrame) -> DataFrame:
     """documents → metadata-only FLAC per row: STREAMINFO from the md5
     arithmetic, TITLE/ARTIST/LANGUAGE comments, PADDING sized
-    ``doc_id % 64 + 16``. Map-only."""
+    ``doc_id % 64 + 16``. Map-only. The input rides ``fan_out`` (r16) so
+    a single-split local lake spreads the kernel across the session's
+    cores; a many-split production table takes the no-op branch and no
+    exchange is inserted."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -255,7 +258,11 @@ def encode_flac_meta(docs: DataFrame) -> DataFrame:
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(batches, _FLAC_OUT)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        batches, _FLAC_OUT
+    )
 
 
 _FLAC_META = T.StructType(

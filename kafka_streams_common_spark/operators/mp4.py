@@ -317,7 +317,10 @@ def encode_mp4_meta(docs: DataFrame) -> DataFrame:
     document's ISO-639-1 code mapped to 639-2, mdat payload = the
     digest cycled to ``strlen(text) % 256 + 32`` bytes — written with
     the 64-bit largesize form on odd ids and the runs-to-EOF form on
-    even ids. Map-only."""
+    even ids. Map-only. The input rides ``fan_out`` (r16) so a single-
+    split local lake spreads the kernel across the session's cores; a
+    many-split production table takes the no-op branch and no exchange
+    is inserted."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -350,7 +353,11 @@ def encode_mp4_meta(docs: DataFrame) -> DataFrame:
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(batches, _MP4_OUT)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        batches, _MP4_OUT
+    )
 
 
 _MP4_META = T.StructType(

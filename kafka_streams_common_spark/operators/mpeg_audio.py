@@ -186,7 +186,9 @@ def encode_mp3_meta(
     frame), title/artist = the text digests, year ``1980 + doc_id %
     40``, genre ``doc_id % 80``. Audio payload is digest fill — the
     metadata walk never reads it. Arrow-batched ``mapInPandas``,
-    map-only."""
+    map-only. The input rides ``fan_out`` (r16) so a single-split local
+    lake spreads the kernel across the session's cores; a many-split
+    production table takes the no-op branch and no exchange is inserted."""
     import hashlib
 
     out_schema = T.StructType(
@@ -222,7 +224,9 @@ def encode_mp3_meta(
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col)).mapInPandas(batches, out_schema)
 
 
 MP3_META_SCHEMA = T.StructType(
@@ -428,7 +432,10 @@ def encode_mp3_id3v2(
     UTF-16, even latin-1, padding ``doc_id % 33``) and the legacy
     ID3v1 trailer carrying a DIFFERENT year, so the decode stage must
     read both tags independently. The audio between them is the
-    established CBR frame fixture. Map-only."""
+    established CBR frame fixture. Map-only. The input rides ``fan_out``
+    (r16) so a single-split local lake spreads the kernel across the
+    session's cores; a many-split production table takes the no-op
+    branch and no exchange is inserted."""
     import hashlib
 
     out_schema = T.StructType(
@@ -474,7 +481,11 @@ def encode_mp3_id3v2(
                 columns=["doc_id", "payload"],
             )
 
-    return docs.select(id_col, text_col, "lang").mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select(id_col, text_col, "lang")).mapInPandas(
+        batches, out_schema
+    )
 
 
 MP3_ID3V2_SCHEMA = T.StructType(

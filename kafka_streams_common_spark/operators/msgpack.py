@@ -255,7 +255,10 @@ def encode_events_msgpack(events: DataFrame) -> DataFrame:
     """Encode each event as one MessagePack message (map of 8 fields,
     nested meta map, bin blob, hostile widths — see
     :func:`_event_msgpack`). Arrow-batched ``mapInPandas``, map-only —
-    the producer side of a msgpack topic."""
+    the producer side of a msgpack topic. The input rides ``fan_out``
+    (r16) so a single-split local lake spreads the kernel across the
+    session's cores; a many-split production table takes the no-op
+    branch and no exchange is inserted."""
     out_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType(), False),
@@ -276,9 +279,11 @@ def encode_events_msgpack(events: DataFrame) -> DataFrame:
                 columns=["event_id", "payload"],
             )
 
-    return events.select("event_id", "event_type", "value", "user_id").mapInPandas(
-        batches, out_schema
-    )
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(
+        events.select("event_id", "event_type", "value", "user_id")
+    ).mapInPandas(batches, out_schema)
 
 
 MSGPACK_EVENT_SCHEMA = T.StructType(

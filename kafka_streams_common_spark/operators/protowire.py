@@ -317,7 +317,10 @@ def encode_events_proto(events: DataFrame) -> DataFrame:
     ``<event_type>-<event_id>``, and an extra trace field the consumer
     spec does not know — fixed64 on even ids, length-delimited on odd
     ids, so BOTH unknown-field skip paths ship in every batch.
-    Map-only Arrow stage."""
+    Map-only Arrow stage. The input rides ``fan_out`` (r16) so a single-
+    split local lake spreads the kernel across the session's cores; a
+    many-split production table takes the no-op branch and no exchange
+    is inserted."""
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -345,7 +348,11 @@ def encode_events_proto(events: DataFrame) -> DataFrame:
                 columns=["event_id", "payload"],
             )
 
-    return events.select("event_id", "event_type", "value", "user_id").mapInPandas(
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(
+        events.select("event_id", "event_type", "value", "user_id")
+    ).mapInPandas(
         batches, _PROTO_MSG
     )
 

@@ -399,7 +399,10 @@ def encode_events_thrift(events: DataFrame) -> DataFrame:
     divisible by 5, and a trace field the reader spec does not know —
     a long-form-header double on even ids, a long-form-header nested
     STRUCT on odd ids, so both flat and recursive skip paths ship in
-    every batch. Map-only Arrow stage."""
+    every batch. Map-only Arrow stage. The input rides ``fan_out`` (r16)
+    so a single-split local lake spreads the kernel across the session's
+    cores; a many-split production table takes the no-op branch and no
+    exchange is inserted."""
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -434,9 +437,11 @@ def encode_events_thrift(events: DataFrame) -> DataFrame:
                 columns=["event_id", "payload"],
             )
 
-    return events.select("event_id", "event_type", "value", "user_id").mapInPandas(
-        batches, _THRIFT_MSG
-    )
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(
+        events.select("event_id", "event_type", "value", "user_id")
+    ).mapInPandas(batches, _THRIFT_MSG)
 
 
 _THRIFT_ROWS = T.StructType(

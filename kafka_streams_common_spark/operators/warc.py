@@ -193,7 +193,11 @@ def encode_warc_shards(
     """documents → WARC shards keyed by ``doc_id % n_shards``, each a
     warcinfo record plus one response record per document (text/plain
     bodies, or rendered pages when ``html=True``), every record its
-    own gzip member. One shard-forming shuffle, then a pure kernel."""
+    own gzip member. One shard-forming shuffle, then a pure kernel;
+    the exchange width is pinned to ``min(n_shards,
+    defaultParallelism)`` (r16) so AQE's small-shuffle coalescing
+    cannot serialize the per-shard gzip kernel onto one core on a
+    tiny local lake."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         from kafka_streams_common_spark.operators.webtext import render_doc_html
@@ -225,7 +229,12 @@ def encode_warc_shards(
         "lang",
         (F.col("doc_id") % n_shards).cast("long").alias("shard_id"),
     )
-    return keyed.groupBy("shard_id").applyInPandas(build, _SHARD_SCHEMA)
+    n_parts = min(int(n_shards), keyed.sparkSession.sparkContext.defaultParallelism)
+    return (
+        keyed.repartition(n_parts, "shard_id")
+        .groupBy("shard_id")
+        .applyInPandas(build, _SHARD_SCHEMA)
+    )
 
 
 _INGEST_SCHEMA = T.StructType(

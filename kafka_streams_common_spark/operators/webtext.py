@@ -340,7 +340,10 @@ def _extract_row(page: str) -> dict:
 
 def render_docs_html(docs: DataFrame) -> DataFrame:
     """documents → one rendered page per row (map-only); ships WITHOUT
-    an id column — extraction must recover the id from the content."""
+    an id column — extraction must recover the id from the content. The
+    input rides ``fan_out`` (r16) so a single-split local lake spreads
+    the kernel across the session's cores; a many-split production table
+    takes the no-op branch and no exchange is inserted."""
     out_schema = T.StructType([T.StructField("page", T.StringType(), False)])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -351,7 +354,11 @@ def render_docs_html(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame({"page": pages})
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(batches, out_schema)
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    return fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        batches, out_schema
+    )
 
 
 def extract_docs_main_text(pages: DataFrame, page_col: str = "page") -> DataFrame:
