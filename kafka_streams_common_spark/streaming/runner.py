@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +32,38 @@ from pyspark.sql import functions as F
 from kafka_streams_common_spark.catalog import TableCatalog
 from kafka_streams_common_spark.compiler import BatchCompiler
 from kafka_streams_common_spark.registry import latest_per_key
+
+
+@contextmanager
+def bounded_shuffle_partitions(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` down to the session's core
+    count for the duration of a bounded streaming run (r16).
+
+    Stateful streaming pays a per-microbatch, per-partition state-store
+    commit: under a vanilla session's 200 default shuffle partitions, a
+    multi-batch ``applyInPandasWithState`` run at sf0.1 measured ~300×
+    pathological (SCALE.md — 1,055 s for ``streaming_holt_trend`` on a
+    bare ``local[8]``) purely on empty-partition commit overhead. The
+    stateful operator's state partitioning is pinned to the shuffle
+    partition count at query START, so an explicit ``repartition()``
+    cannot fix it — Spark re-inserts its own exchange. This scope-down
+    is the enforceable form of the production rule "size shuffle
+    partitions to the state parallelism": it only ever LOWERS the
+    setting (a session already at or below ``defaultParallelism`` is
+    untouched), and restores the previous value after the query stops —
+    batch queries planned outside the scope never see it.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = max(spark.sparkContext.defaultParallelism, 8)
+    if int(prev) <= target:
+        yield
+        return
+    spark.conf.set(key, str(target))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 class StreamingCompiler(BatchCompiler):
@@ -103,20 +136,28 @@ def run_stream_to_memory(
 
     Aggregations should use ``output_mode='complete'`` so the memory table
     holds exactly the final aggregate state.
+
+    The ``mem_*`` temp view is dropped before returning (r16 — it used to
+    accumulate one catalog entry per run across long bench sessions):
+    ``spark.table`` resolves the view EAGERLY at DataFrame creation, so
+    the returned frame keeps its bound memory-sink plan after the drop —
+    pinned by ``tests/test_streaming.py::test_memory_sink_view_cleanup``.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
-    return spark.table(name)
+    with bounded_shuffle_partitions(spark):
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.table(name)
+        finally:
+            q.stop()
+            q.awaitTermination()
+            spark.catalog.dropTempView(name)
 
 
 def run_changelog_materialization(
@@ -176,12 +217,13 @@ def run_changelog_materialization(
         # resumes after the last committed microbatch (already-processed
         # input is NOT replayed into the state merge)
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with bounded_shuffle_partitions(spark):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     state = current_state()
     assert state is not None, "no microbatch produced state"
     if tombstone_predicate is not None:
@@ -274,12 +316,13 @@ def run_fk_join_materialization(
     writer = dim_stream.writeStream.foreachBatch(merge_batch).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with bounded_shuffle_partitions(spark):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     state = current_state()
     assert state is not None, "no microbatch produced state"
     view = facts.join(

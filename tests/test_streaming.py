@@ -58,6 +58,25 @@ def test_streaming_agg_equals_batch(spark, stream_catalog):
     assert canonical_rows(streamed.toPandas()) == canonical_rows(batch.toPandas())
 
 
+def test_memory_sink_view_cleanup(spark, stream_catalog):
+    """run_stream_to_memory must not leak its mem_* temp view (r16 fix),
+    AND the returned frame must stay usable after the drop — the eager
+    spark.table resolution the fix relies on."""
+    comp = StreamingCompiler(spark, stream_catalog, max_files_per_trigger=4)
+    sdf = (
+        comp.stream_source("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    streamed = run_stream_to_memory(sdf, spark, output_mode="complete")
+    leaked = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("mem_")
+    ]
+    assert leaked == [], leaked
+    # the bound memory-sink plan survives the dropTempView
+    assert streamed.count() > 0
+
+
 def test_changelog_materialization_multibatch_equals_batch_view(spark, stream_catalog):
     """The foreachBatch latest-per-key merge must converge to the batch
     latest-per-key view regardless of microbatch boundaries."""
