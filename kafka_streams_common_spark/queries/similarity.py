@@ -841,6 +841,11 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     n = emb.count()
+    if n == 0:
+        raise ValueError(
+            "sim_ivf_pq_rerank: embeddings corpus is empty — "
+            "cannot size the IVF-PQ index from n"
+        )
     n_cells = 1 << max(4, round(math.log2(math.sqrt(n))))
     cent = train_ivf_centroids(emb, n_centroids=n_cells)
     res = ivf_pq_topk(

@@ -42,11 +42,20 @@ def canon(pdf):
 def main() -> int:
     global SF
     vanilla = "--vanilla" in sys.argv
-    if "--sf" in sys.argv:
-        SF = sys.argv[sys.argv.index("--sf") + 1]
-    limit = None
-    if "--limit" in sys.argv:
-        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+
+    def flag_value(flag: str) -> str | None:
+        if flag not in sys.argv:
+            return None
+        i = sys.argv.index(flag)
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+            sys.exit(f"{flag} requires a value (see module docstring)")
+        return sys.argv[i + 1]
+
+    sf_arg = flag_value("--sf")
+    if sf_arg is not None:
+        SF = sf_arg
+    limit_arg = flag_value("--limit")
+    limit = int(limit_arg) if limit_arg is not None else None
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
@@ -77,8 +86,9 @@ def main() -> int:
     qs, os_ = mod.queries(), mod.oracle_sql()
     assert set(os_) <= set(qs), "oracle without query"
     names = list(qs)
-    if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    only_arg = flag_value("--only")
+    if only_arg is not None:
+        only = only_arg.split(",")
         missing = [n for n in only if n not in qs]
         assert not missing, f"--only names not registered: {missing}"
         names = only

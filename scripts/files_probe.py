@@ -54,7 +54,7 @@ def _write_ocf(orders, n_containers: int, out: Path) -> int:
     return n
 
 
-def _time(fn, reader_df_builder) -> float:
+def _time(reader_df_builder) -> float:
     t0 = time.perf_counter()
     reader_df_builder().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
@@ -118,7 +118,7 @@ def main() -> None:
                 if kind == "warc"
                 else (lambda d=d: av.read_ocf_files(spark, str(d)))
             )
-            times = [_time(None, build) for _ in range(3)]
+            times = [_time(build) for _ in range(3)]
             cases.append(
                 {
                     "case": tag,
