@@ -33,44 +33,42 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-15 WINDOW (``_R15_WINDOW``): NO new registrations this round —
-the r14 verdict's top ask was to drain the r8-stale single-green tier
-without new-query displacement, so the wave is frozen and the window
-is 4 changed + 46 refresh. Head (invariant #2): the rows whose
-implementation changed in round 15 itself — the JPEG trio
-(``multimodal_jpeg_recon``, ``multimodal_jpeg_color_recon``,
-``multimodal_jpeg_progressive_recon``): the default decode engine is
-now the FLAT entropy decoder (segment unstuffed once, local bit
-cursor + 2^16 LUT, coefficients in per-block lists — _parse_jpeg_impl
-fast path), with the reader-class engine retained as
-``_parse_jpeg_reference`` and pinned A/B equal (pixels AND error
-messages) over the corpus + fuzz battery; the three pipelines also
-ride ``fan_out`` so the single-split local lake spreads across cores
-(idle medians gray 3.85→1.63 s, color 9.7→1.40 s, progressive
-10.1→1.19 s at sf0.1), plus ``sim_ivf_pq_rerank`` — the r15 sf0.1
-oracle sweep caught its fixed index shape at 1/10 minimum recall on
-the 2,000-vector fixture, and its parameters now scale with the
-corpus (√n cells, capped n/8 shortlist; identical shape at the gate
-SFs, re-proven green at all three SFs). Oracles unchanged. Then the
-46 refresh slots take the COMPUTED queue VERBATIM (key: last-green
-round asc,
-green-count asc, registration order): the ENTIRE 42-row r8
-single-green tier (s2_cdc_apply_tombstones, the csv/json round-trips,
-the seven r8 streaming rows, dedup two-phase CC + bloom
-decontaminate, random projection, the text/llm governance tier, the
-window/stat/agg tier, as-of next-event, UDTF, pagerank, z-order,
-incremental agg, the dq/scd2/skew tier — enumerated in _R15_REFRESH),
-then the next-stalest r8 rows by green count:
-``cube_orders_by_status_priority`` and
-``array_agg_order_keys_per_customer`` (three-green),
-``filter_pushdown_scan`` (four-green), ``streaming_latest_per_key``
-(five-green). Displaced by the 4 changed rows and carried to r16:
-``p4_json_parse_agg`` and the six-green trio ``j5_enrichment_chain``
-/ ``s2_latest_per_key`` / ``asof_join_last_order_before_event``
-(greens r1-r5 + r8 each, the registry's most-proven rows). After
-this round the r8 single-green tier is EMPTY.
+ROUND-16 WINDOW (``_R16_WINDOW``): NO new registrations this round —
+the wave stays frozen while the r15 verdict's perf-governance asks
+land. Head (invariant #2; invariant #1 is vacuous): the 45 rows whose
+implementation changed in round 16 itself. First the 19 rows riding
+the serde/compressed/metadata ``fan_out`` — the r15 verdict's #1 lever
+(the per-row Python wire/codec kernels no longer run at single-split
+scan parallelism; the two shard-forming encoders pin their exchange
+width against AQE small-shuffle coalescing): the 7 Kafka-serde rows
+(thrift, protobuf, confluent, OCF, avro-map, msgpack, cbor), the 8
+multimodal container/metadata rows (gzip, bz2/xz, webdataset, zip,
+mp3, flac-meta, id3v2, mp4), ``text_encoding_census``, and the 3 web
+rows (warc ingest, html extract, warc-html pipeline). Then the 26
+streaming rows — every one routes through ``streaming/runner.py``,
+which changed twice this round: the ``mem_*``/``tws_*``/``lpks_*``
+memory-sink temp views are now dropped in a finally block (the r15
+catalog-leak item), and bounded streaming runs execute under a scoped
+``spark.sql.shuffle.partitions`` override so a vanilla 200-partition
+session cannot pay 200 state-store commits per microbatch (the r15
+"What's wrong #3" hazard — enforced in code, pinned by
+``tests/test_stateful_and_bucketing.py``). Oracles unchanged for all
+45. (The ``fan_out`` streaming-passthrough guard and the IVF-PQ
+empty-corpus guard are behavior-identical on every registered query's
+path and do not force re-exposure beyond these 45.) Then the 5
+refresh slots take the COMPUTED queue VERBATIM (key: last-green round
+asc, green-count asc, registration order): the four rows displaced at
+r15 — ``p4_json_parse_agg`` (five-green) and the six-green trio
+``j5_enrichment_chain`` / ``s2_latest_per_key`` /
+``asof_join_last_order_before_event`` (greens r1-r5 + r8 each) — then
+``merge_upsert_user_state`` (r10-last, two-green, first of its tier in
+registration order). Displaced to the r17 queue head: the rest of the
+r10-last two-green tier (``dedup_soft_weights``, ``text_ngram_novelty``,
+``dedup_containment_pairs``, ``sim_mmr_diversified_topk``,
+``sim_knn_label_accuracy``, ``eval_classifier_auc``,
+``eval_calibration_bins``, …) in the same computed key order.
 
-(The round-14 window derivation lives in the README.md §Verification
+(Round-14/15 window derivations live in the README.md §Verification
 ledger, per the carry-only-the-active-window convention.)
 """
 
@@ -91,104 +89,100 @@ from kafka_streams_common_spark.queries import web as _web  # noqa: F401,E402
 from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 
 
-# Round-15 driver window, in driver execution order (the grading driver
+# Round-16 driver window, in driver execution order (the grading driver
 # runs the first ~50 registry entries; see the module docstring for the
 # rotation invariants and this round's derivation).
 
-# _R15_CHANGED — implementation changed in round 15 itself (rotation
-# invariant #2; no new registrations this round, so invariant #1 is
-# vacuous): the flat entropy decode engine behind _parse_jpeg (reader-
-# class twin retained as _parse_jpeg_reference, A/B-pinned) and fan_out
-# on the three JPEG pipelines. Oracles unchanged.
-_R15_CHANGED = (
-    "multimodal_jpeg_recon",
-    "multimodal_jpeg_color_recon",
-    "multimodal_jpeg_progressive_recon",
-    # late-r15 addition: the sf0.1 oracle sweep caught the fixed IVF-PQ
-    # index shape dropping to 1/10 minimum recall on the 2,000-vector
-    # fixture; parameters now scale with the corpus (√n cells, n/8
-    # shortlist capped at 1,000 — identical 16/8 shape at the 500-vector
-    # gate SFs, 32/16/250 at sf0.1, floor margin restored to 5/10).
-    # Oracle unchanged; re-proven at sf0.001/0.01/0.1.
-    "sim_ivf_pq_rerank",
-)
-assert all(n in QUERIES for n in _R15_CHANGED)
-
-# _R15_REFRESH — the COMPUTED stale-refresh queue (key: last-green
-# round asc, green-count asc, registration order), VERBATIM: the whole
-# 42-row r8 single-green tier first (this drains it to ZERO), then the
-# multi-green r8 rows by green count (cube/array_agg three-green,
-# filter_pushdown four-green, streaming_latest_per_key five-green,
-# p4_json_parse_agg six-green). The six-green trio j5_enrichment_chain /
-# s2_latest_per_key / asof_join_last_order_before_event is displaced by
-# the 3 changed rows and heads the r16 queue.
-_R15_REFRESH = (
-    # r8 single-green tier, registration order
-    "s2_cdc_apply_tombstones",
-    "source_csv_roundtrip_nation",
-    "source_json_roundtrip_nation",
+# _R16_CHANGED — implementation changed in round 16 itself (rotation
+# invariant #2; no new registrations, so invariant #1 is vacuous):
+# the serde/compressed/metadata fan_out tier (19 rows) and the
+# streaming tier (26 rows — runner.py temp-view cleanup + scoped
+# shuffle-partition bound on every bounded run). Oracles unchanged.
+_R16_CHANGED = (
+    # Kafka-serde fan_out rows
+    "kafka_thrift_decode",
+    "kafka_protobuf_decode",
+    "kafka_confluent_avro_decode",
+    "kafka_avro_ocf_roundtrip",
+    "kafka_avro_map_decode",
+    "kafka_msgpack_decode",
+    "kafka_cbor_decode",
+    # multimodal container/metadata fan_out rows
+    "multimodal_gzip_text_ingest",
+    "multimodal_bz2_xz_text_ingest",
+    "multimodal_webdataset_ingest",
+    "multimodal_zip_bundle_ingest",
+    "multimodal_mp3_metadata",
+    "multimodal_flac_metadata",
+    "multimodal_mp3_id3v2_tags",
+    "multimodal_mp4_metadata",
+    # text + web fan_out rows
+    "text_encoding_census",
+    "web_warc_ingest",
+    "web_html_extract",
+    "web_warc_html_pipeline",
+    # streaming tier — every row routes through streaming/runner.py
+    # (mem_*/tws_*/lpks_* view cleanup + bounded_shuffle_partitions)
+    "streaming_count_by_event_type",
+    "streaming_stream_static_join",
+    "streaming_tumbling_window_counts",
     "streaming_suppressed_window_counts",
     "streaming_sliding_window_counts",
     "streaming_session_window_counts",
+    "streaming_stream_stream_join",
+    "streaming_latest_per_key",
     "streaming_fk_join_enrichment",
+    "streaming_dedup_distinct_keys",
+    "streaming_quality_gate_ingest",
+    "streaming_mix_ingest",
+    "streaming_stream_stream_left_join",
     "streaming_stream_stream_full_outer_join",
+    "streaming_latest_per_key_state",
+    "streaming_session_state_machine",
+    "streaming_funnel_conversion",
     "streaming_cdc_tombstones",
     "streaming_rate_limit_ingest",
-    "dedup_connected_components_two_phase",
-    "dedup_decontaminate_bloom",
-    "sim_random_projection",
-    "text_chunk_documents",
-    "text_corpus_report_rollup",
-    "text_bpe_top_pairs",
-    "text_classifier_score",
-    "llm_temperature_sample_sources",
-    "text_normalize",
-    "text_url_canonicalize",
-    "text_kfold_split",
-    "llm_dsir_importance_weights",
-    "llm_weighted_sample_docs",
-    "window_range_moving_avg",
-    "events_zscore_outliers",
-    "agg_histogram_totalprice",
-    "stat_corr_price_linecount",
-    "stat_regression_tokens_by_source",
-    "agg_hll_mergeable_rollup",
-    "window_trending_topk",
-    "asof_join_next_order_after_event",
-    "udtf_explode_props_kv",
-    "graph_pagerank_customer_supplier",
-    "zorder_key_orders",
-    "incremental_agg_orders_by_status",
-    "dq_profile_events",
-    "dq_profile_events_approx",
-    "dq_constraints_orders",
-    "scd2_user_event_history",
-    "join_salted_skew_events",
-    "scd2_temporal_lookup",
-    "dq_drift_psi_totalprice",
-    # multi-green r8 rows, green-count asc then registration order
-    "cube_orders_by_status_priority",
-    "array_agg_order_keys_per_customer",
-    "filter_pushdown_scan",
-    "streaming_latest_per_key",
+    "streaming_ohlc_daily",
+    "streaming_temporal_asof_join",
+    "streaming_holt_trend",
+    "streaming_ewma_value",
+    "streaming_multimodal_ingest",
+    "streaming_compressed_ingest",
+    "streaming_confluent_ingest",
 )
-assert all(n in QUERIES for n in _R15_REFRESH)
+assert all(n in QUERIES for n in _R16_CHANGED)
 
-_R15_WINDOW = (*_R15_CHANGED, *_R15_REFRESH)
+# _R16_REFRESH — the COMPUTED stale-refresh queue (key: last-green
+# round asc, green-count asc, registration order), VERBATIM: the four
+# rows displaced at r15 (p4 five-green, the six-green trio), then the
+# first row of the r10-last two-green tier. The rest of that tier
+# (dedup_soft_weights, text_ngram_novelty, dedup_containment_pairs,
+# sim_mmr_diversified_topk, sim_knn_label_accuracy,
+# eval_classifier_auc, eval_calibration_bins, ...) heads the r17 queue.
+_R16_REFRESH = (
+    "p4_json_parse_agg",
+    "j5_enrichment_chain",
+    "s2_latest_per_key",
+    "asof_join_last_order_before_event",
+    "merge_upsert_user_state",
+)
+assert all(n in QUERIES for n in _R16_REFRESH)
+
+_R16_WINDOW = (*_R16_CHANGED, *_R16_REFRESH)
 
 # Past the window: every one of these has a green driver row from a
 # prior round on code unchanged since (r8+; after this round the
 # staleness floor moves past the r8 single-green tier entirely). All
 # stay covered by the local parity suite (scripts/driver_sim.py runs
 # ALL oracles) each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R15_WINDOW)
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R16_WINDOW)
 
-_missing = [n for n in _R15_WINDOW if n not in QUERIES]
+_missing = [n for n in _R16_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
-assert len(set(_R15_WINDOW)) == 50, "duplicate window entries"
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+assert len(set(_R16_WINDOW)) == 50, "duplicate window entries"
 
-_reordered = {n: QUERIES[n] for n in (*_R15_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R16_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
