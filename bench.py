@@ -244,22 +244,40 @@ STREAMING_TRACKING_QUERIES = [
     "streaming_confluent_ingest",
 ]
 
-# Frozen per-query ceilings for the heavy tracking tier (r15, VERDICT
-# r14 next-steps #6): 2.5× the idle-probe median frozen in BASELINE.md
-# §"Frozen tracking ceilings". A breach is emitted under
-# "ceiling_breaches" in the tracking JSON line and FAILS the run
-# (exit 3) — regressions gate instead of drifting. Re-freezing requires
-# an idle-probe adjudication entry in BASELINE.md.
+# Frozen per-query ceilings for the heavy tracking tier (re-frozen
+# r16): 2.5× the idle-probe median frozen in BASELINE.md §"Frozen
+# tracking ceilings", with a 2.5 s absolute floor for sub-second rows
+# (fixed-cost jitter dominates at that magnitude; the floor still
+# catches a slide back to single-core, which reads 3-7 s). A breach is
+# emitted under "ceiling_breaches" in the tracking JSON line and FAILS
+# the run (exit 3) — regressions gate instead of drifting. Re-freezing
+# requires an idle-probe adjudication entry in BASELINE.md.
 TRACKING_CEILINGS = {
     "multimodal_jpeg_recon": 4.1,
     "multimodal_jpeg_color_recon": 3.5,
     "multimodal_jpeg_progressive_recon": 3.0,
     "sim_semantic_dedup_planted": 21.4,
-    "kafka_thrift_decode": 14.6,
-    "kafka_msgpack_decode": 7.7,
-    "kafka_cbor_decode": 7.2,
-    "multimodal_flac_audio_decode": 6.4,
-    "multimodal_bz2_xz_text_ingest": 7.1,
+    # the r16 fan_out tier — medians in BASELINE.md r16 adjudications
+    "kafka_thrift_decode": 2.5,
+    "kafka_protobuf_decode": 2.5,
+    "kafka_confluent_avro_decode": 2.5,
+    "kafka_avro_ocf_roundtrip": 2.5,
+    "kafka_avro_map_decode": 2.5,
+    "kafka_msgpack_decode": 2.5,
+    "kafka_cbor_decode": 2.5,
+    "multimodal_flac_audio_decode": 4.7,
+    "multimodal_bz2_xz_text_ingest": 2.5,
+    "multimodal_gzip_text_ingest": 2.5,
+    "multimodal_webdataset_ingest": 2.5,
+    "multimodal_zip_bundle_ingest": 2.5,
+    "multimodal_mp3_metadata": 2.5,
+    "multimodal_mp3_id3v2_tags": 2.5,
+    "multimodal_mp4_metadata": 2.5,
+    "multimodal_flac_metadata": 2.5,
+    "text_encoding_census": 2.5,
+    "web_warc_ingest": 2.5,
+    "web_html_extract": 2.5,
+    "web_warc_html_pipeline": 2.5,
     "dedup_incremental_vs_corpus": 10.4,
     "sim_incremental_near_dup_vs_corpus": 6.0,
     "streaming_holt_trend": 8.6,

@@ -730,3 +730,36 @@ def test_registry_wide_single_partition_window_lint(spark):
         if v:
             failures[name] = v
     assert not failures, failures
+
+
+def test_serde_kernels_ride_fan_out(spark):
+    """r16: the per-row wire/codec kernel chains must not run at
+    single-split scan parallelism. For each representative map-only
+    serde/metadata query, the planned partition count at the kernel
+    stage must be >= the session's defaultParallelism (fan_out inserts
+    the one repartition on the single-split local fixture; on a
+    many-split production table the guard is a no-op)."""
+    target = spark.sparkContext.defaultParallelism
+    for name in (
+        "kafka_thrift_decode",
+        "kafka_msgpack_decode",
+        "multimodal_bz2_xz_text_ingest",
+        "text_encoding_census",
+        "web_html_extract",
+    ):
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert df.rdd.getNumPartitions() >= target, name
+
+
+def test_shard_forming_encoders_single_exchange(spark):
+    """r16: the WARC / Avro-OCF shard-forming encoders pin their
+    partition-forming exchange width (AQE cannot coalesce a
+    user-specified repartition), and the pinned repartition must
+    SATISFY the groupBy's required distribution — exactly one Exchange
+    in the plan, not repartition + a second group-forming shuffle."""
+    import re
+
+    for name in ("kafka_avro_ocf_roundtrip", "web_warc_html_pipeline"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, f"{name}: {n_exchanges} exchanges"
