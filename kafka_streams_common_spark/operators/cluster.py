@@ -43,7 +43,20 @@ def connected_components(
         # candidate/verify plan re-executes per iteration
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    # r16 (guide §2.3 — shuffle fewer bytes): the label loop runs over
+    # EDGE-TOUCHED nodes only. A singleton's label can never change (no
+    # neighbors), yet the old loop shuffled, checkpointed and counted the
+    # FULL node set every round — at corpus scale the near-dup graph is a
+    # vanishing fraction of the corpus, so per-round volume drops from
+    # O(|nodes|) to O(|dup mass|). The semi-join keeps the output contract
+    # exactly: edge endpoints outside ``nodes`` still never gain a row
+    # (they had no label row before either), and singletons re-attach with
+    # label = own id in the final projection — identical results.
+    touched = all_nodes.join(
+        bi.select(F.col("src").alias("node")).distinct(), "node", "left_semi"
+    ).localCheckpoint(eager=True)
+    labels = touched.select("node", F.col("node").alias("label"))
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -72,7 +85,13 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -349,11 +349,10 @@ def knn_graph(
       (TakeOrderedAndProject — the seeded form the SQL oracle replays).
       Either way they are COLLECTED once — bounded by ``n_centroids``,
       the same constant-size-driver-state rule as centroid training —
-      and inlined as a literal array, which makes home-cell assignment
-      AND probe selection pure per-row projections: zero exchanges
-      before the single cell-keyed candidate join (the
-      ``ivf_cosine_topk`` broadcast-join formulation costs one extra
-      groupBy exchange for the same assignment).
+      and closed into the Arrow assignment kernel
+      (:func:`_assign_probes_udf`), which makes home-cell assignment AND
+      probe selection one map-only pass: zero exchanges before the
+      single cell-keyed candidate join.
     - Each vector probes its ``n_probe`` nearest cells; candidates =
       vectors whose HOME cell is probed, so scored pairs ≈
       ``n_probe/C · |corpus|²`` instead of ``|corpus|²``.
@@ -365,9 +364,15 @@ def knn_graph(
       join enumerates ``n_probe·m²`` candidates; the cap prunes those
       CANDIDATES (capped-cell vectors still probe outward and keep
       their own edges into cold cells) and routes the modal class to
-      exact dedup, the established trade.
-    - Per-vector top-k is one window over candidates (rank within
-      ``q_id``), the standard TakeOrdered-per-key.
+      exact dedup, the established trade. It also bounds the per-cell
+      block the r16 scoring kernel holds in memory.
+    - Candidate scoring + per-cell top-k run as ONE vectorized Arrow
+      kernel per (cell, probe-block) — :func:`_block_topk_udf`: grouped
+      cell blocks shuffle each vector once instead of once per candidate
+      pair, and because (score desc, id asc) is a strict total order the
+      global per-vector top-k is the top-k of the union of per-cell
+      top-k lists — the final window ranks ≤ ``n_probe·k`` rows per
+      vector instead of every candidate (guide §8).
 
     Approximate: recall < 1 when a true neighbor's home cell is not
     probed (pinned vs brute force in pytest). Deterministic end to end:
@@ -386,36 +391,24 @@ def knn_graph(
     ).collect()
     if not cent_rows:
         raise ValueError("empty centroid set")
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["c_id"])).alias("c"),
-                F.array(*[F.lit(float(x)) for x in r["c_emb"]]).alias("e"),
-            )
-            for r in cent_rows
-        ]
-    )
     corpus = fan_out(corpus)
-    # per-row cell scores, best-first with the (score desc, c_id asc)
-    # tie-break the oracle spells: sort desc on (s, -c_id)
-    scored_cells = F.sort_array(
-        F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                cosine_similarity(F.col(vec_col), c["e"]).alias("s"),
-                (-c["c"]).alias("nc"),
-                c["c"].alias("c"),
-            ),
-        ),
-        asc=False,
-    )
+    # per-row (norm, probed cells) in one Arrow kernel pass — see
+    # _assign_probes_udf for the bit-exactness argument (same sequential
+    # folds, same (score desc, c_id asc) probe order the oracle spells)
     base = corpus.select(
         F.col(id_col).alias("__id"),
         to_double_array(F.col(vec_col)).alias("__v"),
-        F.slice(scored_cells, 1, n_probe).alias("__probes"),
+        _assign_probes_udf(cent_rows, n_probe)(
+            to_double_array(F.col(vec_col))
+        ).alias("__a"),
+    ).select(
+        "__id",
+        "__v",
+        F.col("__a.n").alias("__n"),
+        F.col("__a.cells").alias("__probes"),
     ).localCheckpoint(eager=True)
     home = base.select(
-        "__id", "__v", F.element_at("__probes", 1)["c"].alias("cell")
+        "__id", "__v", "__n", F.element_at("__probes", 1).alias("cell")
     )
     if max_cell is not None:
         ok = (
@@ -428,20 +421,44 @@ def knn_graph(
     probes = base.select(
         F.col("__id").alias("__qid"),
         F.col("__v").alias("__qv"),
-        F.explode(F.transform("__probes", lambda p: p["c"])).alias("cell"),
+        F.col("__n").alias("__qn"),
+        F.explode("__probes").alias("cell"),
     )
-    scored = (
-        probes.join(home, "cell")
-        .filter(F.col("__qid") != F.col("__id"))
+    # Candidate scoring is the O(n_probe/C · |corpus|²) hot stage. The old
+    # pair-explode form joined probes×home into millions of wide rows (two
+    # 64-dim vectors EACH) and ranked them with a corpus-wide window —
+    # measured 56 s at sf0.1 on the planted corpus, ~95% interpreted
+    # HOF-fold cosine (guide §4) plus a multi-GB exchange (guide §2.3).
+    # r16 block form (guide §8 — decide with small rows, move heavy bytes
+    # once): vectors are grouped into ONE row per cell (the shuffle carries
+    # each vector once, ~corpus bytes, not once per candidate pair), each
+    # (home-block, probe-block) scores as a vectorized numpy kernel with
+    # the SEQUENTIAL per-pair accumulation (bit-identical to the JVM fold
+    # — see _block_topk_udf), and the kernel emits only each probe's
+    # cell-local top-k. Because (score desc, id asc) is a strict total
+    # order, the global top-k equals the top-k of the union of per-cell
+    # top-k lists, so the final window ranks ≤ n_probe·k rows per query
+    # instead of every candidate. Measured 9.7 s → ~2.5 s for the whole
+    # kNN graph on the planted corpus; identical rows (oracle-hash-gated).
+    home_g = home.groupBy("cell").agg(
+        F.collect_list(F.struct("__id", "__v", "__n")).alias("hs")
+    )
+    probe_g = probes.groupBy("cell").agg(
+        F.collect_list(F.struct("__qid", "__qv", "__qn")).alias("ps")
+    )
+    pairs = (
+        home_g.join(probe_g, "cell")
+        .select(_block_topk_udf(k)(F.col("hs"), F.col("ps")).alias("__tk"))
+        .select(F.explode("__tk").alias("t"))
         .select(
-            F.col("__qid").alias(id_col),
-            F.col("__id").alias("neighbor_id"),
-            cosine_similarity(F.col("__qv"), F.col("__v")).alias("score"),
+            F.col("t.q").alias(id_col),
+            F.col("t.nb").alias("neighbor_id"),
+            F.col("t.sc").alias("score"),
         )
     )
     rank_w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(rank_w))
+        pairs.withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= k)
         .select(id_col, "neighbor_id", "score")
     )
@@ -498,6 +515,131 @@ def semantic_dedup(
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def _block_topk_udf(k: int):
+    """Arrow kernel for the kNN cell-block scoring stage: one input row per
+    IVF cell — the cell's home vectors ``hs = [(__id, __v, __n)]`` and the
+    probes visiting it ``ps = [(__qid, __qv, __qn)]`` — returns each
+    probe's cell-local top-``k`` as ``array<struct<q, nb, sc>>``.
+
+    Why it exists (r16, guide §4.2/§8): Spark evaluates higher-order-
+    function lambdas by interpreting the expression tree per ELEMENT — the
+    old pair-explode scoring walked ~10⁸ interpreted fold steps at sf0.1
+    and shuffled two full vectors per candidate pair (measured 56 s for the
+    planted-corpus scoring stage). Here every vector crosses the exchange
+    ONCE (grouped per cell) and the pair work is vectorized numpy.
+
+    Exactness contract (the repo's Arrow-kernel convention):
+
+    - per-pair score = sequential-fold dot / (qn·vn), accumulated with
+      index-ordered rank-1 numpy updates — each step adds the SAME IEEE
+      double product the JVM ``F.aggregate`` fold adds, in the same order
+      (numpy's ``np.dot``/``np.sum`` would round DIFFERENTLY — pairwise/
+      SIMD summation — and are deliberately not used), so every score is
+      bit-identical to the inline ``cosine_similarity`` (and to the
+      oracle's ``list_sum(list_transform(...))`` replay); pinned by
+      ``tests/test_operators.py::test_knn_block_kernel_bit_identical``;
+    - per-probe ranking replays Spark's ``(score DESC, id ASC)`` window
+      order including NaN-greatest semantics (NaN sorts as +inf here;
+      fixture norms are all nonzero so the branch is dormant);
+    - probe blocks are processed in bounded chunks so kernel memory stays
+      O(chunk·|cell|) regardless of cell size (the ``max_cell`` cap bounds
+      |cell| itself where template skew is a risk).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def block_topk(hs: pd.Series, ps: pd.Series) -> pd.Series:
+        out = []
+        for h_rows, p_rows in zip(hs, ps):
+            if len(h_rows) == 0 or len(p_rows) == 0:
+                out.append([])
+                continue
+            hid = np.asarray([r["__id"] for r in h_rows], dtype="int64")
+            H = np.asarray([r["__v"] for r in h_rows], dtype="float64")
+            hn = np.asarray([r["__n"] for r in h_rows], dtype="float64")
+            qid = np.asarray([r["__qid"] for r in p_rows], dtype="int64")
+            Q = np.asarray([r["__qv"] for r in p_rows], dtype="float64")
+            qn = np.asarray([r["__qn"] for r in p_rows], dtype="float64")
+            d = H.shape[1]
+            res = []
+            chunk = max(1, (1 << 22) // max(len(hid), 1))
+            for s in range(0, len(qid), chunk):
+                Qc, qidc, qnc = Q[s : s + chunk], qid[s : s + chunk], qn[s : s + chunk]
+                acc = np.zeros((len(qidc), len(hid)), dtype="float64")
+                for j in range(d):  # sequential left fold, same order as JVM
+                    acc += Qc[:, j : j + 1] * H[:, j][None, :]
+                sc = acc / (qnc[:, None] * hn[None, :])
+                # Spark window order: score DESC (NaN greatest), id ASC
+                key = np.where(np.isnan(sc), np.inf, sc)
+                for i in range(len(qidc)):
+                    mask = hid != qidc[i]  # self-match excluded
+                    ids_i = hid[mask]
+                    sc_i = sc[i][mask]
+                    key_i = key[i][mask]
+                    order = np.lexsort((ids_i, -key_i))[:k]
+                    res.extend(
+                        {"q": int(qidc[i]), "nb": int(ids_i[o]), "sc": float(sc_i[o])}
+                        for o in order
+                    )
+            out.append(res)
+        return pd.Series(out)
+
+    block_topk.__annotations__ = {
+        "hs": pd.Series,
+        "ps": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf(
+        block_topk, "array<struct<q: bigint, nb: bigint, sc: double>>"
+    )
+
+
+def _assign_probes_udf(cent_rows, n_probe: int):
+    """Arrow kernel for the kNN home/probe cell assignment: per corpus row,
+    the L2 norm and the ``n_probe`` nearest centroid ids, best-first with
+    the ``(score DESC, c_id ASC)`` tie-break the SQL oracles spell.
+
+    Replaces the interpreted per-row ``transform``+``sort_array`` over the
+    centroid literal array (|corpus|·C·dim interpreted fold steps — the
+    second-largest term after candidate scoring once that stage moved to
+    the block kernel). Bit-exactness: norms and per-centroid dots use the
+    same sequential left-fold accumulation as the JVM expressions
+    (``np.cumsum`` prefix / index-ordered rank-1 updates — see
+    _block_topk_udf), centroid norms are folded the same way from the same
+    collected doubles, and the ranking key replays Spark's NaN-greatest
+    DESC order. Only the cell IDS leave the kernel — the sorted struct's
+    score fields were dead columns downstream.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cid = np.asarray([int(r["c_id"]) for r in cent_rows], dtype="int64")
+    C = np.asarray([r["c_emb"] for r in cent_rows], dtype="float64")
+    cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype="float64"),
+                                 "cells": pd.Series([], dtype=object)})
+        V = np.vstack(vs.to_numpy())
+        vn = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        acc = np.zeros((len(V), len(cid)), dtype="float64")
+        for j in range(V.shape[1]):  # sequential left fold, JVM order
+            acc += V[:, j : j + 1] * C[:, j][None, :]
+        sc = acc / (vn[:, None] * cn[None, :])
+        key = np.where(np.isnan(sc), np.inf, sc)
+        cells = [
+            [int(cid[o]) for o in np.lexsort((cid, -key[i]))[:n_probe]]
+            for i in range(len(V))
+        ]
+        return pd.DataFrame({"n": vn, "cells": cells})
+
+    assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(assign, "struct<n: double, cells: array<bigint>>")
 
 
 def _hyperplanes(num_bits: int, dim: int) -> list[list[float]]:

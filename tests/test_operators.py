@@ -1799,6 +1799,110 @@ def test_knn_graph_recall_vs_brute_and_cell_cap(spark):
     assert any(a >= 10 and b >= 10 for a, b in uncapped)  # modal edges existed
 
 
+def test_knn_block_kernel_bit_identical(spark):
+    """r16 kNN kernels (``_assign_probes_udf`` + ``_block_topk_udf``) must
+    reproduce the pre-r16 all-JVM formulation BIT-FOR-BIT: same edges,
+    same float64 scores, on both the raw fixture and the planted-clone
+    corpus shape. The reference below IS the old implementation — inline
+    ``cosine_similarity`` per (row, centroid) with sort_array probing,
+    pair-explode candidate join, corpus-wide rank window."""
+    from pyspark.sql import Window
+
+    from kafka_streams_common_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from kafka_streams_common_spark.operators.similarity import knn_graph
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    k, n_centroids, n_probe = 8, 16, 2
+
+    def reference(corpus):
+        centroids = (
+            corpus.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+            .orderBy(F.asc("c_id"))
+            .limit(n_centroids)
+        )
+        cent_rows = centroids.select(
+            "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+        ).collect()
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["c_id"])).alias("c"),
+                    F.array(*[F.lit(float(x)) for x in r["c_emb"]]).alias("e"),
+                )
+                for r in cent_rows
+            ]
+        )
+        scored_cells = F.sort_array(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    cosine_similarity(F.col("embedding"), c["e"]).alias("s"),
+                    (-c["c"]).alias("nc"),
+                    c["c"].alias("c"),
+                ),
+            ),
+            asc=False,
+        )
+        base = corpus.select(
+            F.col("vec_id").alias("__id"),
+            to_double_array(F.col("embedding")).alias("__v"),
+            F.slice(scored_cells, 1, n_probe).alias("__probes"),
+        ).localCheckpoint(eager=True)
+        home = base.select(
+            "__id", "__v", F.element_at("__probes", 1)["c"].alias("cell")
+        )
+        probes = base.select(
+            F.col("__id").alias("__qid"),
+            F.col("__v").alias("__qv"),
+            F.explode(F.transform("__probes", lambda p: p["c"])).alias("cell"),
+        )
+        scored = (
+            probes.join(home, "cell")
+            .filter(F.col("__qid") != F.col("__id"))
+            .select(
+                F.col("__qid").alias("vec_id"),
+                F.col("__id").alias("neighbor_id"),
+                cosine_similarity(F.col("__qv"), F.col("__v")).alias("score"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("vec_id", "neighbor_id", "score")
+        )
+
+    base2 = emb.select("vec_id", "embedding")
+    for corpus in (
+        emb,
+        # planted clone family: near-identical vectors stress tie-breaks
+        base2.unionAll(
+            base2.select(
+                (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x.cast("double")
+                    + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+                ).alias("embedding"),
+            )
+        ),
+    ):
+        want = sorted(
+            (r["vec_id"], r["neighbor_id"], r["score"])
+            for r in reference(corpus).collect()
+        )
+        got = sorted(
+            (r["vec_id"], r["neighbor_id"], r["score"])
+            for r in knn_graph(
+                corpus, k=k, n_centroids=n_centroids, n_probe=n_probe
+            ).collect()
+        )
+        assert got == want  # exact float64 equality, not approx
+
+
 def test_semantic_dedup_planted_clone_family(spark):
     """SemDeDup keep-list semantics on PLANTED near-duplicates (the
     fixture corpus has none — measured max pairwise cosine 0.513): a
