@@ -134,6 +134,30 @@ def _lloyd_refine(
     return centroids
 
 
+def collect_training_sample(
+    corpus: DataFrame,
+    sample_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The deterministic md5-ordered training sample both index trainers
+    draw from: the ``sample_size`` rows with the smallest
+    ``(md5(id), id)`` key (TakeOrderedAndProject — partial top-N per
+    partition, constant-size driver merge). A prefix of a larger sample
+    IS the smaller sample, so one collect can feed trainers of different
+    sizes with bit-identical inputs."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+            md5_int64(id_col).alias("__h"),
+        )
+        .orderBy(F.asc("__h"), F.asc("__id"))
+        .limit(sample_size)
+        .collect()
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -142,6 +166,7 @@ def train_ivf_centroids(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _sample_rows: list | None = None,
 ) -> DataFrame:
     """Deterministic sampled k-means++ centroid training for IVF.
 
@@ -161,20 +186,24 @@ def train_ivf_centroids(
     Spherical k-means: vectors are L2-normalized so nearest-by-cosine =
     nearest-by-dot; empty cells re-seed to the point farthest from its
     current centroid (deterministic argmax, lowest index on ties).
+
+    ``_sample_rows`` (r16): a caller that trains several index layers
+    from the same corpus can collect the md5-ordered sample ONCE
+    (:func:`collect_training_sample`) and pass the prefix-sliced rows
+    in, skipping this function's own TakeOrdered+collect job — the rows
+    are identical by construction (same total order), so results are
+    unchanged.
     """
     import numpy as np
 
     spark = corpus.sparkSession
     sample_size = n_centroids * sample_per_centroid
     rows = (
-        corpus.select(
-            F.col(id_col).alias("__id"),
-            to_double_array(F.col(vec_col)).alias("__v"),
-            md5_int64(id_col).alias("__h"),
+        _sample_rows[:sample_size]
+        if _sample_rows is not None
+        else collect_training_sample(
+            corpus, sample_size, id_col=id_col, vec_col=vec_col
         )
-        .orderBy(F.asc("__h"), F.asc("__id"))
-        .limit(sample_size)
-        .collect()
     )
     X = np.asarray([r["__v"] for r in rows], dtype="float64")
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -262,65 +291,74 @@ def ivf_cosine_topk(
         )
         if kmeans_iters:
             centroids = _lloyd_refine(corpus, centroids, kmeans_iters, vec_col, id_col)
+    # r16 (guide §2.4 — remove shuffles outright): assignment and probing
+    # run in the Arrow kernel over the COLLECTED centroid set (bounded by
+    # n_centroids, the same constant-size-driver-state rule as training).
+    # The old form crossJoined the broadcast centroids and argmax'd with a
+    # max_by hash aggregation — one corpus-wide Exchange that existed only
+    # to reduce the |corpus|·C candidate rows back to one cell per row;
+    # the kernel's per-row lexsort replays the identical
+    # (score desc, c_id asc) total order with zero exchanges, and scores
+    # are bit-identical (sequential-fold dots — see _assign_probes_udf).
+    cent_rows = centroids.select(
+        "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+    ).collect()
+    if not cent_rows:
+        raise ValueError("empty centroid set")
     corpus = fan_out(corpus)
-
-    # corpus → nearest centroid (broadcast the tiny centroid set). argmax
-    # via max_by HASH aggregation, not a row_number window: the crossJoin
-    # emits |corpus|·C rows, and a window would shuffle ALL of them on the
-    # id then sort each group — max_by partial-aggregates map-side, so the
-    # exchange carries ~|corpus| pre-reduced rows and no sort runs (the
-    # same shuffle discipline as the S2 latest-per-key max_by, README
-    # design rule #2). Identical result: the ordering key (c_score, -c_id)
-    # is distinct per candidate, so the argmax and its low-c_id tie-break
-    # are the same total order the window spelled. any_value(vec) is
-    # deterministic in VALUE — every candidate row of a group carries the
-    # same corpus vector.
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            vec_col,
-            "c_id",
-            cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.any_value(F.col(vec_col)).alias(vec_col),
-            F.max_by(
-                F.col("c_id"),
-                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
-            ).alias("cell"),
-        )
-        .select(id_col, vec_col, "cell")
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"),
+        to_double_array(F.col(vec_col)).alias("__v"),
+        _assign_probes_udf(cent_rows, 1)(
+            to_double_array(F.col(vec_col))
+        ).alias("__a"),
+    ).select(
+        "__id",
+        "__v",
+        F.col("__a.n").alias("__n"),
+        F.element_at("__a.cells", 1).alias("cell"),
     )
 
-    # query → n_probe nearest cells
-    probe_w = Window.partitionBy(query_id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            query_vec_col,
-            "c_id",
-            cosine_similarity(F.col(query_vec_col), F.col("c_emb")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= n_probe)
-        .select(query_id_col, query_vec_col, F.col("c_id").alias("cell"))
+    # query → n_probe nearest cells, same kernel (same probe order the
+    # old row_number window spelled)
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        to_double_array(F.col(query_vec_col)).alias("__qv"),
+        _assign_probes_udf(cent_rows, n_probe)(
+            to_double_array(F.col(query_vec_col))
+        ).alias("__a"),
+    ).select(
+        "__qid",
+        "__qv",
+        F.col("__a.n").alias("__qn"),
+        F.explode("__a.cells").alias("cell"),
     )
 
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col(query_id_col) != F.col(id_col))
+    # candidate scoring + per-cell top-k through the grouped block kernel
+    # (the knn_graph r16 form — see _block_topk_udf): vectors cross the
+    # exchange once per cell instead of once per candidate pair, and the
+    # final window ranks <= n_probe·k rows per query (top-k distributes
+    # over the union of per-cell top-k lists under the strict
+    # (score desc, id asc) total order). Scores bit-identical.
+    home_g = assigned.groupBy("cell").agg(
+        F.collect_list(F.struct("__id", "__v", "__n")).alias("hs")
+    )
+    probe_g = probes.groupBy("cell").agg(
+        F.collect_list(F.struct("__qid", "__qv", "__qn")).alias("ps")
+    )
+    pairs = (
+        home_g.join(probe_g, "cell")
+        .select(_block_topk_udf(k)(F.col("hs"), F.col("ps")).alias("__tk"))
+        .select(F.explode("__tk").alias("t"))
         .select(
-            query_id_col,
-            id_col,
-            cosine_similarity(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+            F.col("t.q").alias(query_id_col),
+            F.col("t.nb").alias(id_col),
+            F.col("t.sc").alias("score"),
         )
     )
     rank_w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rn", F.row_number().over(rank_w))
+        pairs.withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "score")
     )
@@ -1219,6 +1257,7 @@ def train_pq_codebooks(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _sample_rows: list | None = None,
 ) -> DataFrame:
     """Deterministic sampled product-quantization codebook training —
     ``(sub_id, code_id, c)`` with one k-means codebook per length-``d``
@@ -1231,20 +1270,19 @@ def train_pq_codebooks(
     driver-side in numpy, fully seeded — the same corpus always yields
     the same codebooks on any cluster. Plain L2 (not spherical): PQ
     approximates the vector ITSELF; cosine comes back at ADC time from
-    the reconstructed dot and norm.
+    the reconstructed dot and norm. ``_sample_rows``: see
+    :func:`train_ivf_centroids` — a shared pre-collected sample whose
+    prefix is bit-identical to this function's own collect.
     """
     import numpy as np
 
     spark = corpus.sparkSession
     rows = (
-        corpus.select(
-            F.col(id_col).alias("__id"),
-            to_double_array(F.col(vec_col)).alias("__v"),
-            md5_int64(id_col).alias("__h"),
+        _sample_rows[:sample_size]
+        if _sample_rows is not None
+        else collect_training_sample(
+            corpus, sample_size, id_col=id_col, vec_col=vec_col
         )
-        .orderBy(F.asc("__h"), F.asc("__id"))
-        .limit(sample_size)
-        .collect()
     )
     X = np.asarray([r["__v"] for r in rows], dtype="float64")
     dim = X.shape[1]
@@ -1285,22 +1323,14 @@ def train_pq_codebooks(
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Map-only PQ encoding: ``(vec_id, codes array<int>)`` — per
-    subspace, the L2-nearest codebook entry (ties → lowest code, so the
-    encoding is deterministic).
+def _pq_encode_udf(codebooks: DataFrame):
+    """Arrow kernel for map-only PQ encoding — per subspace, the
+    L2-nearest codebook entry (ties → lowest code, deterministic).
 
-    The codebooks are collected once (m·k rows — constant-size) into an
-    Arrow ``pandas_udf`` kernel closure: the corpus never shuffles and
-    never meets a join — one vectorized numpy argmin per Arrow batch,
-    the same kernel pattern as the minhash/hyperplane signatures. A
-    corpus row compresses from dim doubles to m small ints — the 8-32×
-    storage cut that makes the PQ index scannable at 100 TB.
+    The codebooks are collected once (m·k rows — constant-size) into the
+    kernel closure: the corpus never shuffles and never meets a join —
+    one vectorized numpy argmin per Arrow batch, the same kernel pattern
+    as the minhash/hyperplane signatures.
     """
     import numpy as np
     import pandas as pd
@@ -1328,12 +1358,24 @@ def pq_encode(
     # defeat `from __future__ import annotations` stringification (the
     # repo-wide kernel pattern — see dedup.py's signature kernels)
     encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    encode = pandas_udf(encode, "array<int>")
+    return pandas_udf(encode, "array<int>")
 
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: ``(vec_id, codes array<int>)`` — the
+    :func:`_pq_encode_udf` kernel over one corpus pass. A corpus row
+    compresses from dim doubles to m small ints — the 8-32× storage cut
+    that makes the PQ index scannable at 100 TB.
+    """
     base = fan_out(corpus)
     return base.select(
         F.col(id_col).alias(id_col),
-        encode(to_double_array(F.col(vec_col))).alias("codes"),
+        _pq_encode_udf(codebooks)(to_double_array(F.col(vec_col))).alias("codes"),
     )
 
 
@@ -1358,8 +1400,10 @@ def ivf_pq_topk(
     candidate), the FAISS-taxonomy IVF-PQ shape done relationally:
 
     1. cell assignment + probing exactly as :func:`ivf_cosine_topk`
-       (broadcast centroid joins, max_by argmax — no window over the
-       corpus);
+       (the collected-centroid Arrow kernel — zero exchanges, no window
+       over the corpus; fused into the SAME projection as PQ encoding,
+       so corpus codes and cells come from one map-only pass instead of
+       two passes re-united by an id-equi-join — r16, guide §2.4);
     2. candidates = probed cells only (the IVF pruning);
     3. ADC scoring WITHOUT touching the vectors again: each candidate's
        m codes join a per-(query, subspace, code) LOOKUP TABLE built by
@@ -1394,7 +1438,6 @@ def ivf_pq_topk(
         codebooks = train_pq_codebooks(
             corpus, m=m, k_codes=k_codes, id_col=id_col, vec_col=vec_col
         )
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
 
     vecs = corpus.select(id_col, to_double_array(F.col(vec_col)).alias("__v"))
     if centroids is None:
@@ -1403,39 +1446,38 @@ def ivf_pq_topk(
             .orderBy(F.asc("c_id"))
             .limit(n_centroids)
         )
-    assigned = (
-        fan_out(vecs)
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            "c_id",
-            cosine_similarity(F.col("__v"), F.col("c_emb")).alias("c_score"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("c_id"),
-                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
-            ).alias("cell")
-        )
+    # r16 (guide §2.4): PQ encoding and cell assignment are BOTH map-only
+    # kernels over the same corpus scan, so they run fused in ONE
+    # projection — the old plan computed them as separate corpus passes
+    # and re-united them with a corpus×corpus id-equi-join (an Exchange of
+    # both sides that existed only to zip two derived columns of the same
+    # row). Assignment itself drops its crossJoin+max_by exchange for the
+    # collected-centroid Arrow kernel, identical (score desc, c_id asc)
+    # argmax — see ivf_cosine_topk / _assign_probes_udf.
+    cent_rows = centroids.select(
+        "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+    ).collect()
+    if not cent_rows:
+        raise ValueError("empty centroid set")
+    codes_cells = fan_out(corpus).select(
+        F.col(id_col).alias(id_col),
+        _pq_encode_udf(codebooks)(to_double_array(F.col(vec_col))).alias("codes"),
+        F.element_at(
+            _assign_probes_udf(cent_rows, 1)(to_double_array(F.col(vec_col)))["cells"],
+            1,
+        ).alias("cell"),
     )
 
-    probe_w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("c_score"), F.asc("c_id")
-    )
     qv = queries.select(
         query_id_col, to_double_array(F.col(query_vec_col)).alias("__q")
     )
-    probes = (
-        qv.crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            "c_id",
-            cosine_similarity(F.col("__q"), F.col("c_emb")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= n_probe)
-        .select(query_id_col, F.col("c_id").alias("cell"))
+    # query → n_probe nearest cells, same kernel (same probe order the
+    # old row_number window spelled), zero exchanges
+    probes = qv.select(
+        query_id_col,
+        F.explode(
+            _assign_probes_udf(cent_rows, n_probe)(F.col("__q"))["cells"]
+        ).alias("cell"),
     )
 
     # per-(query, subspace, code) ADC lookup table — |q|·m·k rows
@@ -1474,8 +1516,7 @@ def ivf_pq_topk(
     )
 
     cand_codes = (
-        codes.join(assigned, id_col)
-        .join(F.broadcast(probes), "cell")
+        codes_cells.join(F.broadcast(probes), "cell")
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,

@@ -832,8 +832,10 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_common_spark.operators.similarity import (
         brute_force_cosine_topk,
+        collect_training_sample,
         ivf_pq_topk,
         train_ivf_centroids,
+        train_pq_codebooks,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -847,7 +849,14 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cannot size the IVF-PQ index from n"
         )
     n_cells = 1 << max(4, round(math.log2(math.sqrt(n))))
-    cent = train_ivf_centroids(emb, n_centroids=n_cells)
+    # one md5-ordered sample collect feeds BOTH trainers (r16): the
+    # centroid trainer reads its n_cells·32-row prefix, the PQ trainer its
+    # 512-row prefix — bit-identical inputs to each training its own
+    # TakeOrdered+collect (prefix property, collect_training_sample),
+    # one corpus top-N job instead of two
+    sample = collect_training_sample(emb, max(n_cells * 32, 512))
+    cent = train_ivf_centroids(emb, n_centroids=n_cells, _sample_rows=sample)
+    cbooks = train_pq_codebooks(emb, _sample_rows=sample)
     res = ivf_pq_topk(
         emb,
         queries,
@@ -855,6 +864,7 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=max(4, n_cells // 2),
         rerank=min(max(60, n // 8), 1000),
         centroids=cent,
+        codebooks=cbooks,
     )
     exact = brute_force_cosine_topk(emb, queries, k=10).select(
         F.col("q_id").alias("__eq"), F.col("vec_id").alias("__ev")
