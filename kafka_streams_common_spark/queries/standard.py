@@ -3377,10 +3377,12 @@ def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
     )
+    # no .distinct() here (r16): triangle_count canonicalizes and
+    # deduplicates its edge input itself — the query-level distinct was a
+    # second full exchange+aggregate over the same 1.2M rows for nothing
     edges = (
         li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
         .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
-        .distinct()
     )
     return triangle_count(edges)
 
