@@ -292,10 +292,19 @@ def _read_meta_map(buf: bytes, pos: int) -> tuple[dict[str, bytes], int]:
             count = -count
             _, pos = read_long(buf, pos)
         for _ in range(count):
+            # validate lengths like the record-level readers do: a
+            # NEGATIVE length would slice empty and move pos BACKWARD —
+            # an infinite parse loop on hostile bytes (caught by the
+            # hypothesis fuzz battery in r16; the quarantine-not-wedge
+            # contract requires a clean raise, never a spin)
             n, pos = read_long(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise ValueError("corrupt OCF metadata key length")
             k = buf[pos : pos + n].decode("utf-8")
             pos += n
             n, pos = read_long(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise ValueError("corrupt OCF metadata value length")
             meta[k] = bytes(buf[pos : pos + n])
             pos += n
 

@@ -48,13 +48,17 @@ def test_near_dup_lsh_has_no_allpairs_join(spark):
 
 
 def test_ivf_centroid_seeding_has_no_global_window(spark):
-    """Centroid seeding is a TakeOrderedAndProject top-N; an unpartitioned
-    Window (row_number over orderBy with no partitionBy) would funnel the
-    whole corpus through a single partition."""
+    """Centroid seeding must never funnel the corpus through a single
+    partition. Pre-r16 that meant a TakeOrderedAndProject top-N in the
+    final plan; since the r16 optimization the seeding top-N runs as its
+    own bounded collect job (TakeOrderedAndProject at construction time)
+    and the final plan contains NO seeding subtree at all — assignment is
+    the collected-centroid Arrow kernel (ArrowEvalPython), so the
+    stronger form of the invariant holds: no unpartitioned Window, no
+    Exchange SinglePartition, and no corpus-wide Sort anywhere."""
     plan = plan_of(QUERIES["sim_ivf_topk"](spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan
-    # the only Exchanges allowed are hashpartitioning shuffles; a global
-    # Window inserts Exchange SinglePartition before a full Sort
+    assert "ArrowEvalPython" in plan  # kernel assignment, zero exchanges
+    # a global Window inserts Exchange SinglePartition before a full Sort
     assert "SinglePartition" not in plan
 
 
