@@ -630,9 +630,15 @@ def _block_topk_udf(k: int):
         "ps": pd.Series,
         "return": pd.Series,
     }
+    # asNondeterministic: guide §4.4 — the downstream explode's implicit
+    # (size > 0 AND isnotnull) filter gets pushed below the projection
+    # WITH A COPY of the UDF, so the whole block-scoring kernel ran twice
+    # (two ArrowEvalPython nodes in the pre-fix plan). The kernel is
+    # functionally deterministic; the flag only forbids the optimizer
+    # from duplicating/reordering it — values unchanged (oracle-gated).
     return pandas_udf(
         block_topk, "array<struct<q: bigint, nb: bigint, sc: double>>"
-    )
+    ).asNondeterministic()
 
 
 def _assign_probes_udf(cent_rows, n_probe: int):
@@ -677,7 +683,11 @@ def _assign_probes_udf(cent_rows, n_probe: int):
         return pd.DataFrame({"n": vn, "cells": cells})
 
     assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
-    return pandas_udf(assign, "struct<n: double, cells: array<bigint>>")
+    # asNondeterministic: same §4.4 duplication guard as _block_topk_udf —
+    # the cell join key's implicit not-null filter was pushed below the
+    # fan_out exchange with a second copy of this kernel (assignment ran
+    # twice per corpus row in the pre-fix plan)
+    return pandas_udf(assign, "struct<n: double, cells: array<bigint>>").asNondeterministic()
 
 
 def _hyperplanes(num_bits: int, dim: int) -> list[list[float]]:
@@ -1358,7 +1368,9 @@ def _pq_encode_udf(codebooks: DataFrame):
     # defeat `from __future__ import annotations` stringification (the
     # repo-wide kernel pattern — see dedup.py's signature kernels)
     encode.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    return pandas_udf(encode, "array<int>")
+    # asNondeterministic: §4.4 duplication guard (see _block_topk_udf) —
+    # downstream implicit filters otherwise clone the encode pass
+    return pandas_udf(encode, "array<int>").asNondeterministic()
 
 
 def pq_encode(

@@ -857,6 +857,11 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = collect_training_sample(emb, max(n_cells * 32, 512))
     cent = train_ivf_centroids(emb, n_centroids=n_cells, _sample_rows=sample)
     cbooks = train_pq_codebooks(emb, _sample_rows=sample)
+    # materialize the (|queries|·k)-row result ONCE (bounded: 400 rows at
+    # sf0.1): it feeds BOTH the per-query count and the recall join, and
+    # without this the whole IVF-PQ DAG — encode/assign kernels included —
+    # executed twice (r16, visible as duplicated ArrowEvalPython subtrees
+    # in the pre-fix plan)
     res = ivf_pq_topk(
         emb,
         queries,
@@ -865,7 +870,7 @@ def sim_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=min(max(60, n // 8), 1000),
         centroids=cent,
         codebooks=cbooks,
-    )
+    ).localCheckpoint(eager=True)
     exact = brute_force_cosine_topk(emb, queries, k=10).select(
         F.col("q_id").alias("__eq"), F.col("vec_id").alias("__ev")
     )
