@@ -55,15 +55,20 @@ session cannot pay 200 state-store commits per microbatch (the r15
 ``tests/test_stateful_and_bucketing.py``). Oracles unchanged for all
 45. (The ``fan_out`` streaming-passthrough guard and the IVF-PQ
 empty-corpus guard are behavior-identical on every registered query's
-path and do not force re-exposure beyond these 45.) Then the 5
-refresh slots take the COMPUTED queue VERBATIM (key: last-green round
-asc, green-count asc, registration order): the four rows displaced at
-r15 — ``p4_json_parse_agg`` (five-green) and the six-green trio
-``j5_enrichment_chain`` / ``s2_latest_per_key`` /
-``asof_join_last_order_before_event`` (greens r1-r5 + r8 each) — then
-``merge_upsert_user_state`` (r10-last, two-green, first of its tier in
-registration order). Displaced to the r17 queue head: the rest of the
-r10-last two-green tier (``dedup_soft_weights``, ``text_ngram_novelty``,
+path and do not force re-exposure beyond these 45.) The OPTIMIZATION
+round then changed ten more implementations (kNN/semantic-dedup block
+kernels, touched-only connected components, the IVF assignment/encode
+fusion, edge-iterator triangles — all oracle-identical, re-proven by
+driver_sim at sf0.01 AND sf0.1 on the changed set); under invariant
+#2 changed rows outrank the stale-green refresh tier, so the final 5
+slots hold the five LEAST-PROVEN of them (``_R16_OPT_CHANGED`` below
+derives the computed key). The r17 queue head becomes: the five
+better-proven changed rows (``sim_ivf_topk``, ``sim_knn_graph``,
+``sim_semantic_dedup``, ``sim_semantic_dedup_planted``,
+``sim_ivf_pq_rerank``), then the five displaced refresh rows
+(``p4_json_parse_agg``, ``j5_enrichment_chain``, ``s2_latest_per_key``,
+``asof_join_last_order_before_event``, ``merge_upsert_user_state``),
+then the r10-last two-green tier (``text_ngram_novelty``,
 ``dedup_containment_pairs``, ``sim_mmr_diversified_topk``,
 ``sim_knn_label_accuracy``, ``eval_classifier_auc``,
 ``eval_calibration_bins``, …) in the same computed key order.
@@ -152,23 +157,36 @@ _R16_CHANGED = (
 )
 assert all(n in QUERIES for n in _R16_CHANGED)
 
-# _R16_REFRESH — the COMPUTED stale-refresh queue (key: last-green
-# round asc, green-count asc, registration order), VERBATIM: the four
-# rows displaced at r15 (p4 five-green, the six-green trio), then the
-# first row of the r10-last two-green tier. The rest of that tier
-# (dedup_soft_weights, text_ngram_novelty, dedup_containment_pairs,
-# sim_mmr_diversified_topk, sim_knn_label_accuracy,
-# eval_classifier_auc, eval_calibration_bins, ...) heads the r17 queue.
-_R16_REFRESH = (
-    "p4_json_parse_agg",
-    "j5_enrichment_chain",
-    "s2_latest_per_key",
-    "asof_join_last_order_before_event",
-    "merge_upsert_user_state",
+# _R16_OPT_CHANGED — the OPTIMIZATION round changed ten more query
+# implementations (results oracle-identical, re-proven by driver_sim at
+# sf0.01 AND sf0.1 on the changed set): the kNN/semantic-dedup tier now
+# scores candidates through grouped cell-block Arrow kernels
+# (operators/similarity.py), connected_components iterates edge-touched
+# nodes only (operators/cluster.py), the IVF family lost its assignment
+# exchange and the PQ codes/cells re-join, and triangle counting moved
+# to the edge-iterator form. Under rotation invariant #2 these changed
+# rows outrank the stale-green refresh tier, so the five refresh slots
+# planned for this window yield to the five LEAST-PROVEN changed rows
+# (computed key: last-green round asc, green-count asc, registration
+# order — soft_weights r10/2, triangle r10/2, semantic_dedup_apply
+# r11/3, connected_components r11/5, apply_canonical r11/6). The five
+# better-proven changed rows queue at the r17 HEAD in the same key
+# order (sim_ivf_topk r12/6, sim_knn_graph r13/1, sim_semantic_dedup
+# r13/1, sim_semantic_dedup_planted r14/1, sim_ivf_pq_rerank r15/3),
+# followed by the displaced refresh rows (p4_json_parse_agg,
+# j5_enrichment_chain, s2_latest_per_key,
+# asof_join_last_order_before_event, merge_upsert_user_state) and then
+# the r10-last two-green tier as previously queued.
+_R16_OPT_CHANGED = (
+    "dedup_soft_weights",
+    "graph_triangle_count_copurchase",
+    "sim_semantic_dedup_apply",
+    "dedup_connected_components",
+    "dedup_apply_canonical_corpus",
 )
-assert all(n in QUERIES for n in _R16_REFRESH)
+assert all(n in QUERIES for n in _R16_OPT_CHANGED)
 
-_R16_WINDOW = (*_R16_CHANGED, *_R16_REFRESH)
+_R16_WINDOW = (*_R16_CHANGED, *_R16_OPT_CHANGED)
 
 # Past the window: every one of these has a green driver row from a
 # prior round on code unchanged since (r8+; after this round the
