@@ -455,6 +455,8 @@ def minhash_lsh_match(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    new_sigs: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (two-sided) MinHash+LSH near-dup matching:
     ``(new_id, corpus_id, jaccard ≥ tau)`` — each NEW document against
@@ -468,6 +470,21 @@ def minhash_lsh_match(
     form; same hashed-shingle verification, so the brute-force SQL
     ground truth is the oracle. ``max_bucket`` caps CORPUS-side bucket
     occupancy (the indexed side is where template skew accumulates).
+
+    ``new_sigs`` / ``corpus_sigs`` (r17, guide §5/§6 — don't recompute
+    what an index already persists): optionally supply PREBUILT
+    signature tables in :func:`minhash_signatures` shape ``(doc_id,
+    sig array<bigint>)`` — e.g. the parquet signature layer a
+    production index maintains, or one shared in-run signature pass
+    whose slices feed both sides — and that side's signature pass
+    (fan_out + Arrow kernel + localCheckpoint) is skipped entirely.
+    Supplied signatures MUST be the :func:`minhash_signatures` values
+    for the same ``(n, num_perm)`` over exactly that side's docs — the
+    per-row kernel is deterministic, so any slice of a signature table
+    computed over a superset of the docs is bit-identical to
+    recomputing (results unchanged by construction; the no-index
+    default path is untouched). Verification still reads the raw
+    candidate docs — only the signature pass is indexable.
 
     The banding expression intentionally mirrors
     :func:`minhash_lsh_pairs` rather than extracting a shared helper:
@@ -498,10 +515,22 @@ def minhash_lsh_match(
             ]
         )
 
-    def buckets_of(docs: DataFrame, out_id: str) -> DataFrame:
-        sig = minhash_signatures(
-            docs, n, num_perm, text_col, id_col
-        ).localCheckpoint(eager=True)
+    def buckets_of(
+        docs: DataFrame, out_id: str, sigs: DataFrame | None
+    ) -> DataFrame:
+        # prebuilt index path (r17): the signature pass is the side's only
+        # corpus-scale kernel work — when the caller already holds the
+        # signatures (persisted index, or one shared pass sliced two
+        # ways), skip it; values are bit-identical by the kernel's
+        # row-determinism, so the band keys (and everything downstream)
+        # cannot differ
+        sig = (
+            sigs.select("doc_id", "sig")
+            if sigs is not None
+            else minhash_signatures(
+                docs, n, num_perm, text_col, id_col
+            ).localCheckpoint(eager=True)
+        )
         return sig.select(
             F.col("doc_id").alias(out_id),
             F.explode(band_structs()).alias("bs"),
@@ -511,8 +540,8 @@ def minhash_lsh_match(
             F.col("bs.bkey").alias("bkey"),
         )
 
-    b_new = buckets_of(new_docs, "new_id")
-    b_cor = buckets_of(corpus_docs, "corpus_id")
+    b_new = buckets_of(new_docs, "new_id", new_sigs)
+    b_cor = buckets_of(corpus_docs, "corpus_id", corpus_sigs)
     if max_bucket is not None:
         ok = (
             b_cor.groupBy("band", "bkey")

@@ -82,42 +82,39 @@ def _lloyd_refine(
 ) -> DataFrame:
     """Refine IVF centroids with ``iters`` Lloyd (k-means) steps.
 
-    Each step: assign every corpus vector to its nearest centroid (one
-    broadcast join — the tiny centroid set replicates, the corpus never
-    shuffles), then recompute each centroid as the element-wise mean of
-    its members via posexplode → avg per (cell, dim) → re-assemble in dim
-    order. Shuffle volume per step is O(rows·dim) narrow (cell, dim, x)
-    triples with map-side partial aggregation; empty cells simply drop
-    out. Assignment keys on the caller's REAL id column — never
-    ``monotonically_increasing_id``, which is not stable under task retry
-    or stage recomputation, so results would not be deterministic on a
-    lossy cluster. Deterministic given deterministic seeding (double-avg
-    ordering aside, which is why the hash-gated driver query keeps
-    iters=0 — see queries/similarity.py). Same unique-``id_col``
-    precondition as :func:`ivf_cosine_topk`: ``any_value(vec)`` per id
-    group is only deterministic when each id carries one vector.
+    Each step: assign every corpus vector to its nearest centroid (a
+    map-only Arrow kernel over the collected centroid set — bounded
+    driver state, the :func:`_assign_probes_udf` form every IVF operator
+    uses since r16/r17; the crossJoin+max_by hash agg it replaces existed
+    only to undo the |corpus|·C crossJoin blowup, one corpus-wide
+    Exchange per step), then recompute each centroid as the element-wise
+    mean of its members via posexplode → avg per (cell, dim) →
+    re-assemble in dim order. Shuffle volume per step is O(rows·dim)
+    narrow (cell, dim, x) triples with map-side partial aggregation;
+    empty cells simply drop out. Deterministic given deterministic
+    seeding (double-avg ordering aside, which is why the hash-gated
+    driver query keeps iters=0 — see queries/similarity.py). Same
+    unique-``id_col`` precondition as :func:`ivf_cosine_topk` (duplicate
+    ids would double-weight their vectors in the mean).
     """
     for _ in range(iters):
-        # argmax via max_by hash agg — map-side combine collapses the
-        # |corpus|·C candidate rows before the exchange (same discipline
-        # as the ivf_cosine_topk assignment, identical total order)
-        assigned = (
-            corpus.select(F.col(id_col).alias("__id"), vec_col)
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                "__id",
-                vec_col,
-                "c_id",
-                cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
-            )
-            .groupBy("__id")
-            .agg(
-                F.any_value(F.col(vec_col)).alias(vec_col),
-                F.max_by(
-                    F.col("c_id"),
-                    F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
-                ).alias("c_id"),
-            )
+        # kernel argmax over the collected step centroids (≤ n_centroids
+        # rows per collect — the constant-size-driver-state rule);
+        # identical (score desc, c_id asc) total order, bit-identical
+        # sequential-fold scores
+        cent_rows = centroids.select(
+            "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+        ).collect()
+        if not cent_rows:
+            break
+        assigned = corpus.select(
+            F.col(vec_col).alias(vec_col),
+            F.element_at(
+                _assign_probes_udf(cent_rows, 1)(
+                    to_double_array(F.col(vec_col))
+                )["cells"],
+                1,
+            ).alias("c_id"),
         )
         centroids = (
             assigned.select("c_id", F.posexplode(to_double_array(F.col(vec_col))))
@@ -277,8 +274,12 @@ def ivf_cosine_topk(
     group, silently breaking the determinism the hash gate rides on (the
     old row_number window kept the top-scoring row instead). Uniqueness
     is asserted in the pytest suite; real embedding stores key on a
-    unique vector id by construction.
+    unique vector id by construction. ``id_col``/``query_id_col`` must
+    be INTEGRAL types (checked — see :func:`_require_integral_ids`);
+    narrower ints widen to bigint in the output.
     """
+    _require_integral_ids(corpus, id_col, "ivf_cosine_topk")
+    _require_integral_ids(queries, query_id_col, "ivf_cosine_topk")
     if centroids is None:
         # TakeOrderedAndProject — a top-N that partial-sorts per partition
         # and merges n_centroids rows on the driver; never funnels the
@@ -373,6 +374,7 @@ def knn_graph(
     max_cell: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Distributed k-NN GRAPH construction — every corpus vector gets its
     approximate ``k`` nearest neighbors as an edge list ``(vec_id,
@@ -404,6 +406,12 @@ def knn_graph(
       their own edges into cold cells) and routes the modal class to
       exact dedup, the established trade. It also bounds the per-cell
       block the r16 scoring kernel holds in memory.
+    - ``block_rows`` (r17) bounds the PHYSICAL row size of the grouped
+      cell blocks on BOTH sides — each side salts into hash sub-blocks
+      of ~``block_rows`` vectors before ``collect_list``, so an uncapped
+      hot cell can never form a multi-GB single Spark row; see the
+      inline note at the grouping stage for the result-equivalence
+      argument. ``None`` keeps the one-block-per-cell shape.
     - Candidate scoring + per-cell top-k run as ONE vectorized Arrow
       kernel per (cell, probe-block) — :func:`_block_topk_udf`: grouped
       cell blocks shuffle each vector once instead of once per candidate
@@ -416,8 +424,11 @@ def knn_graph(
     probed (pinned vs brute force in pytest). Deterministic end to end:
     seeding, assignment, probing, and ranking are total orders with
     explicit tie-breaks, so a SQL oracle replays the identical graph.
-    PRECONDITION: ``id_col`` unique per row (as in ``ivf_cosine_topk``).
+    PRECONDITION: ``id_col`` unique per row (as in ``ivf_cosine_topk``)
+    and INTEGRAL (checked — see :func:`_require_integral_ids`; narrower
+    ints widen to bigint in the output).
     """
+    _require_integral_ids(corpus, id_col, "knn_graph")
     if centroids is None:
         centroids = (
             corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
@@ -478,12 +489,56 @@ def knn_graph(
     # top-k lists, so the final window ranks ≤ n_probe·k rows per query
     # instead of every candidate. Measured 9.7 s → ~2.5 s for the whole
     # kNN graph on the planted corpus; identical rows (oracle-hash-gated).
-    home_g = home.groupBy("cell").agg(
-        F.collect_list(F.struct("__id", "__v", "__n")).alias("hs")
-    )
-    probe_g = probes.groupBy("cell").agg(
-        F.collect_list(F.struct("__qid", "__qv", "__qn")).alias("ps")
-    )
+    # block_rows (r17, the ADVICE r16 skew item): the grouped cell blocks
+    # put an ENTIRE cell's vectors in one collect_list row on each side —
+    # max_cell bounds only the capped HOME side, so a modal class of m
+    # near-identical vectors lands m full vectors in one probe_g row (a
+    # multi-GB single row at 100 TB — Spark's 2 GiB row buffer limit).
+    # With block_rows set, each side is salted into ceil(|cell side| /
+    # block_rows) hash sub-blocks BEFORE collect_list (deterministic —
+    # xxhash64 of the id, never rand(); guide §2.5) and the cell join
+    # crosses sub-blocks, so every (home, probe) pair still meets exactly
+    # once and row size is bounded ~block_rows·dim·8B. Result-identical
+    # by the same strict-total-order union argument as the cross-cell
+    # top-k: each probe's true cell-local top-k survives every sub-block's
+    # local top-k, and the final (score DESC, id ASC) window re-ranks the
+    # union. The two per-cell counts are narrow id-free aggregates.
+    if block_rows is not None:
+        hc = home.groupBy("cell").agg(F.count(F.lit(1)).alias("__hc"))
+        home_g = (
+            home.join(hc, "cell")
+            .withColumn(
+                "__hsub",
+                F.pmod(
+                    F.xxhash64("__id"),
+                    F.ceil(F.col("__hc") / F.lit(block_rows)),
+                ),
+            )
+            .groupBy("cell", "__hsub")
+            .agg(F.collect_list(F.struct("__id", "__v", "__n")).alias("hs"))
+            .drop("__hsub")
+        )
+        pc = probes.groupBy("cell").agg(F.count(F.lit(1)).alias("__pc"))
+        probe_g = (
+            probes.join(pc, "cell")
+            .withColumn(
+                "__psub",
+                F.pmod(
+                    F.xxhash64("__qid"),
+                    F.ceil(F.col("__pc") / F.lit(block_rows)),
+                ),
+            )
+            .groupBy("cell", "__psub")
+            .agg(F.collect_list(F.struct("__qid", "__qv", "__qn")).alias("ps"))
+            .drop("__psub")
+        )
+    else:
+        home_g = home.groupBy("cell").agg(
+            F.collect_list(F.struct("__id", "__v", "__n")).alias("hs")
+        )
+        probe_g = probes.groupBy("cell").agg(
+            F.collect_list(F.struct("__qid", "__qv", "__qn")).alias("ps")
+        )
     pairs = (
         home_g.join(probe_g, "cell")
         .select(_block_topk_udf(k)(F.col("hs"), F.col("ps")).alias("__tk"))
@@ -512,6 +567,7 @@ def semantic_dedup(
     max_cell: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication over an embedding corpus —
     the composition the k-NN graph exists for: build the approximate
@@ -527,7 +583,8 @@ def semantic_dedup(
 
     Scale shape: inherits the k-NN graph's IVF blocking (candidates ≈
     n_probe/C · |corpus|², cell-count grown with the corpus), the
-    ``max_cell`` hot-cell cap, and CC's O(log n)-round label
+    ``max_cell`` hot-cell cap, the ``block_rows`` physical row-size
+    bound on the grouped cell blocks, and CC's O(log n)-round label
     propagation with per-round localCheckpoints. The threshold prunes
     the edge list BEFORE the first CC exchange, so cluster work scales
     with near-duplicate mass, not graph size."""
@@ -541,6 +598,7 @@ def semantic_dedup(
             max_cell=max_cell,
             id_col=id_col,
             vec_col=vec_col,
+            block_rows=block_rows,
         )
         .filter(F.col("score") >= tau)
         .select(F.col(id_col).alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
@@ -553,6 +611,27 @@ def semantic_dedup(
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_ids(df: DataFrame, col: str, op: str) -> None:
+    """Fail fast on non-integral id columns (r17, the ADVICE r16 item):
+    the r16 block kernels materialize ids as int64 (numpy arrays, bigint
+    return type), so a string/decimal id would crash inside the Arrow
+    kernel with an opaque cast error — and silently narrow the output id
+    type. Pre-r16 these operators were type-generic; the kernels trade
+    that for the ~10²× scoring win, so the precondition is CHECKED, not
+    implied. Narrower integer ids still work but widen to bigint in the
+    output."""
+    dt = dict(df.dtypes).get(col)
+    if dt not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"{op}: id column {col!r} must be an integral type for the "
+            f"Arrow block kernels (got {dt}); map string/decimal ids to a "
+            "surrogate integer key upstream"
+        )
 
 
 def _block_topk_udf(k: int):
@@ -656,6 +735,15 @@ def _assign_probes_udf(cent_rows, n_probe: int):
     collected doubles, and the ranking key replays Spark's NaN-greatest
     DESC order. Only the cell IDS leave the kernel — the sorted struct's
     score fields were dead columns downstream.
+
+    Dirty-data contract (r17, the ADVICE r16 item): a NULL embedding, or
+    one whose length differs from the centroid dimension, is SKIPPED —
+    the kernel emits ``(n=NaN, cells=NULL)`` for that row, so it joins no
+    cell as home (null keys drop from the cell equi-join) and probes
+    nothing (explode of a null array emits no rows): such rows never
+    emit edges and never appear as neighbors, instead of failing the
+    task the way the raw ``np.vstack`` did (the pre-r16 HOF fold dropped
+    them via null scores; this restores drop-not-crash).
     """
     import numpy as np
     import pandas as pd
@@ -664,23 +752,34 @@ def _assign_probes_udf(cent_rows, n_probe: int):
     cid = np.asarray([int(r["c_id"]) for r in cent_rows], dtype="int64")
     C = np.asarray([r["c_emb"] for r in cent_rows], dtype="float64")
     cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    dim = C.shape[1]
 
     def assign(vs: pd.Series) -> pd.DataFrame:
         if len(vs) == 0:
             return pd.DataFrame({"n": pd.Series([], dtype="float64"),
                                  "cells": pd.Series([], dtype=object)})
-        V = np.vstack(vs.to_numpy())
-        vn = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        acc = np.zeros((len(V), len(cid)), dtype="float64")
-        for j in range(V.shape[1]):  # sequential left fold, JVM order
-            acc += V[:, j : j + 1] * C[:, j][None, :]
-        sc = acc / (vn[:, None] * cn[None, :])
-        key = np.where(np.isnan(sc), np.inf, sc)
-        cells = [
-            [int(cid[o]) for o in np.lexsort((cid, -key[i]))[:n_probe]]
-            for i in range(len(V))
-        ]
-        return pd.DataFrame({"n": vn, "cells": cells})
+        vals = vs.to_numpy()
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        n_out = np.full(len(vals), np.nan, dtype="float64")
+        cells_out: list = [None] * len(vals)
+        if ok.any():
+            V = np.vstack(vals[ok])
+            vn = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            acc = np.zeros((len(V), len(cid)), dtype="float64")
+            for j in range(V.shape[1]):  # sequential left fold, JVM order
+                acc += V[:, j : j + 1] * C[:, j][None, :]
+            sc = acc / (vn[:, None] * cn[None, :])
+            key = np.where(np.isnan(sc), np.inf, sc)
+            for row, i in enumerate(np.nonzero(ok)[0]):
+                n_out[i] = vn[row]
+                cells_out[i] = [
+                    int(cid[o]) for o in np.lexsort((cid, -key[row]))[:n_probe]
+                ]
+        return pd.DataFrame({"n": n_out, "cells": cells_out})
 
     assign.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
     # asNondeterministic: same §4.4 duplication guard as _block_topk_udf —
@@ -739,6 +838,84 @@ def _hyperplane_bits_udf(num_bits: int, dim: int):
     # explicit annotations (not the PEP-563 strings this module defers to)
     sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
     return pandas_udf(sig, "array<int>")
+
+
+def _pair_cosine_udf():
+    """Arrow kernel for the LSH VERIFY stage: exact cosine per candidate
+    pair ``(va, vb) -> dot/(||va||·||vb||)``.
+
+    Why it exists (r17, guide §4.2 — the verify-stage twin of the r16
+    block kernels): the JVM spelling is three interpreted ``F.aggregate``
+    folds per pair (dot + both norms ≈ 3·dim lambda steps, ~200
+    interpreted steps per candidate at dim 64), the same per-element
+    interpreter cost the kNN scoring kernel removed. Here the folds run
+    vectorized over the Arrow batch. Pair emission (banding, bucket
+    equi-join, distinct) stays in the JVM — this kernel only SCORES the
+    pairs the bands already emitted, so candidate RECALL is untouched
+    and the equivalence claim is purely per-pair arithmetic, not a
+    ranking/union argument.
+
+    Exactness contract (the repo's Arrow-kernel convention):
+    every accumulation is an index-ordered sequential left fold from
+    0.0 — ``acc += A[:,j]*B[:,j]`` step by step — adding the SAME IEEE
+    double each ``F.aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)``
+    step adds, in the same order (``np.dot``/``np.einsum`` would round
+    differently and are deliberately not used); norms are
+    ``sqrt(fold(x*x))`` exactly as :func:`l2_norm` composes them, and
+    the final expression replays ``dot / (sqrt(na) * sqrt(nb))`` with
+    the same operation tree. Pinned bit-identical against the JVM folds
+    by ``tests/test_operators.py::test_pair_cosine_kernel_bit_identical``.
+
+    Dirty-data contract: a NULL / length-mismatched vector in a pair
+    yields a NULL score (the pair drops at the ``score >= tau`` filter)
+    — same null-propagation the JVM folds had, instead of a task crash.
+    Zero-norm vectors (0/0 → NaN) are outside the contract: fixtures
+    and real embedding stores have nonzero norms; the JVM form kept NaN
+    (NaN ≥ tau is true in Spark), the Arrow path surfaces it as null.
+
+    asNondeterministic: guide §4.4 — the downstream ``score >= tau``
+    filter references the kernel's output column and would otherwise be
+    pushed below the projection WITH A COPY of the kernel (the
+    duplicated-ArrowEvalPython shape the r16 fix documented). The
+    kernel is functionally deterministic; the flag only forbids
+    duplication/reordering — values unchanged (oracle-gated)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def score(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a_vals = va.to_numpy()
+        b_vals = vb.to_numpy()
+        ok = np.fromiter(
+            (
+                x is not None
+                and y is not None
+                and len(x) == len(y)
+                for x, y in zip(a_vals, b_vals)
+            ),
+            dtype=bool,
+            count=len(a_vals),
+        )
+        out = np.full(len(a_vals), np.nan, dtype="float64")
+        if ok.any():
+            A = np.vstack(a_vals[ok])
+            B = np.vstack(b_vals[ok])
+            dot = np.zeros(len(A), dtype="float64")
+            na = np.zeros(len(A), dtype="float64")
+            nb = np.zeros(len(A), dtype="float64")
+            for j in range(A.shape[1]):  # sequential left fold, JVM order
+                aj = A[:, j]
+                bj = B[:, j]
+                dot += aj * bj
+                na += aj * aj
+                nb += bj * bj
+            out[ok] = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
+
+    score.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(score, "double").asNondeterministic()
 
 
 def hyperplane_lsh_near_dup_pairs(
@@ -824,13 +1001,18 @@ def hyperplane_lsh_near_dup_pairs(
     )
     va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    score = dot_product(F.col("va"), F.col("vb")) / (
-        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
-    )
+    # r17 verify kernel (guide §4.2): exact per-pair cosine, vectorized —
+    # replaces three interpreted F.aggregate folds per candidate pair
+    # (~3·dim lambda steps each). Bit-identical by construction and by
+    # pinned test; candidate emission above is untouched.
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", score.alias("score"))
+        .select(
+            "id_a",
+            "id_b",
+            _pair_cosine_udf()(F.col("va"), F.col("vb")).alias("score"),
+        )
         .filter(F.col("score") >= tau)
     )
 
@@ -844,6 +1026,8 @@ def hyperplane_lsh_match(
     bands: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    new_sigs: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (two-sided) cosine near-dup matching:
     ``(new_id, corpus_id, score ≥ tau)`` — each NEW vector against the
@@ -856,18 +1040,35 @@ def hyperplane_lsh_match(
     double-fold cosine. The banding expression intentionally mirrors
     the self-join form rather than extracting a shared helper — that
     function's code is pinned by prior driver-verified rounds.
+
+    ``new_sigs`` / ``corpus_sigs`` (r17, guide §5/§6 — don't recompute
+    what an index already persists): optionally supply PREBUILT
+    signature tables ``(id_col, sig array<int>)`` — the persisted
+    hyperplane-bit layer of a production index, or one shared in-run
+    signature pass sliced two ways — and that side's signature pass
+    (fan_out + Arrow matmul kernel + localCheckpoint) is skipped.
+    Supplied bits MUST be :func:`_hyperplane_bits_udf` values for the
+    same ``(num_bits, dim)`` over exactly that side's vectors; the
+    kernel is row-deterministic, so slices of a superset signature
+    table are bit-identical to recomputing and results cannot differ.
+    Exact-cosine verification still reads the raw vectors.
     """
     rows_per_band = num_bits // bands
 
-    def buckets_of(df: DataFrame, out_id: str) -> DataFrame:
-        vecs = fan_out(df).select(
-            F.col(id_col).alias(out_id),
-            to_double_array(F.col(vec_col)).alias("v"),
-        )
-        bits = _hyperplane_bits_udf(num_bits, dim)(F.col("v"))
-        sigs = vecs.select(out_id, bits.alias("sig")).localCheckpoint(
-            eager=True
-        )
+    def buckets_of(
+        df: DataFrame, out_id: str, prebuilt: DataFrame | None
+    ) -> DataFrame:
+        if prebuilt is not None:
+            sigs = prebuilt.select(F.col(id_col).alias(out_id), "sig")
+        else:
+            vecs = fan_out(df).select(
+                F.col(id_col).alias(out_id),
+                to_double_array(F.col(vec_col)).alias("v"),
+            )
+            bits = _hyperplane_bits_udf(num_bits, dim)(F.col("v"))
+            sigs = vecs.select(out_id, bits.alias("sig")).localCheckpoint(
+                eager=True
+            )
         band_structs = F.array(
             *[
                 F.struct(
@@ -898,8 +1099,8 @@ def hyperplane_lsh_match(
         )
 
     cand = (
-        buckets_of(new_vecs, "new_id")
-        .join(buckets_of(corpus_vecs, "corpus_id"), ["band", "bkey"])
+        buckets_of(new_vecs, "new_id", new_sigs)
+        .join(buckets_of(corpus_vecs, "corpus_id", corpus_sigs), ["band", "bkey"])
         .select("new_id", "corpus_id")
         .distinct()
     )
@@ -911,13 +1112,16 @@ def hyperplane_lsh_match(
         F.col(id_col).alias("corpus_id"),
         to_double_array(F.col(vec_col)).alias("vb"),
     )
-    score = dot_product(F.col("va"), F.col("vb")) / (
-        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
-    )
+    # r17 verify kernel — same replacement (and same bit-exactness
+    # argument) as hyperplane_lsh_near_dup_pairs above
     return (
         cand.join(va, "new_id")
         .join(vb, "corpus_id")
-        .select("new_id", "corpus_id", score.alias("score"))
+        .select(
+            "new_id",
+            "corpus_id",
+            _pair_cosine_udf()(F.col("va"), F.col("vb")).alias("score"),
+        )
         .filter(F.col("score") >= tau)
     )
 
@@ -1053,9 +1257,12 @@ def ivf_int8_rerank_topk(
     on both engines), and every ranking is a total order with the id as
     tie-break. The oracle replays the identical definition in SQL.
 
-    Plan shape: two broadcast joins against the tiny centroid set, one
-    cell-local candidate join against the broadcast probe set, one
-    broadcast re-rank join — the corpus itself never shuffles.
+    Plan shape: cell assignment and probe selection are map-only Arrow
+    kernels over the collected centroid set (zero exchanges — see
+    ``_assign_probes_udf``), one cell-local candidate join against the
+    broadcast probe set, one broadcast re-rank join — the corpus itself
+    never shuffles. Same unique-``id_col`` precondition as the other IVF
+    operators.
     """
     q8 = quantize_embeddings_int8(corpus, vec_col=vec_col)
     recon = q8.select(
@@ -1070,41 +1277,38 @@ def ivf_int8_rerank_topk(
             .orderBy(F.asc("c_id"))
             .limit(n_centroids)
         )
+    # r17 (guide §2.4 — remove shuffles outright; the r16 verdict's #1
+    # carry-over): assignment and probing run in the Arrow kernel over the
+    # COLLECTED centroid set, exactly as ivf_cosine_topk/ivf_pq_topk
+    # already do. The old form crossJoined the broadcast centroids and
+    # undid the |corpus|·C blowup with a max_by hash aggregation — a
+    # corpus-wide Exchange that existed only to reverse the crossJoin —
+    # and ranked query probes with a window over |queries|·C rows. The
+    # kernel replays the identical (score desc, c_id asc) total order
+    # with bit-identical sequential-fold scores (see _assign_probes_udf);
+    # oracle-hash-gated at sf0.01 and sf0.1.
+    cent_rows = centroids.select(
+        "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+    ).collect()
+    if not cent_rows:
+        raise ValueError("empty centroid set")
     recon = fan_out(recon)
-
-    # argmax via max_by hash agg (map-side combine, no window sort) — same
-    # rationale and same result-equivalence argument as ivf_cosine_topk
-    assigned = (
-        recon.crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            "__r",
-            "c_id",
-            cosine_similarity(F.col("__r"), F.col("c_emb")).alias("c_score"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.any_value(F.col("__r")).alias("__r"),
-            F.max_by(
-                F.col("c_id"),
-                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
-            ).alias("cell"),
-        )
-        .select(id_col, "__r", "cell")
+    assigned = recon.select(
+        id_col,
+        "__r",
+        F.element_at(
+            _assign_probes_udf(cent_rows, 1)(F.col("__r"))["cells"], 1
+        ).alias("cell"),
     )
 
-    probe_w = Window.partitionBy(query_id_col).orderBy(F.desc("c_score"), F.asc("c_id"))
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            query_vec_col,
-            "c_id",
-            cosine_similarity(F.col(query_vec_col), F.col("c_emb")).alias("c_score"),
-        )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .filter(F.col("rn") <= n_probe)
-        .select(query_id_col, query_vec_col, F.col("c_id").alias("cell"))
+    probes = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(
+            _assign_probes_udf(cent_rows, n_probe)(
+                to_double_array(F.col(query_vec_col))
+            )["cells"]
+        ).alias("cell"),
     )
 
     short_w = Window.partitionBy(query_id_col).orderBy(F.desc("score8"), F.asc(id_col))
@@ -1160,12 +1364,15 @@ def cell_diverse_sample(
     SQL-replayable — what the hash-gated query uses). Same unique-id
     precondition as the other IVF operators.
 
-    Scale shape: one broadcast centroid join + max_by argmax assignment
-    (map-side combined, no window over the corpus), then a per-cell
-    row_number window whose partition count is ``n_centroids`` — each
-    cell's rank runs on its own partition; with trained centroids cells
-    are load-balanced by construction. md5 ranking means the per-cell
-    choice is uniform-random-but-reproducible at any parallelism.
+    Scale shape: cell assignment is a map-only Arrow kernel over the
+    collected centroid set (zero exchanges before the per-cell rank —
+    r17, the same ``_assign_probes_udf`` form as ``ivf_cosine_topk``;
+    the crossJoin+max_by hash agg it replaces existed only to undo the
+    |corpus|·C crossJoin blowup), then a per-cell row_number window
+    whose partition count is ``n_centroids`` — each cell's rank runs on
+    its own partition; with trained centroids cells are load-balanced by
+    construction. md5 ranking means the per-cell choice is
+    uniform-random-but-reproducible at any parallelism.
     """
     corpus = fan_out(corpus)
     if centroids is None:
@@ -1174,20 +1381,19 @@ def cell_diverse_sample(
             .orderBy(F.asc("c_id"))
             .limit(n_centroids)
         )
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            "c_id",
-            cosine_similarity(F.col(vec_col), F.col("c_emb")).alias("c_score"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("c_id"),
-                F.struct(F.col("c_score").alias("s"), (-F.col("c_id")).alias("t")),
-            ).alias("cell")
-        )
+    cent_rows = centroids.select(
+        "c_id", to_double_array(F.col("c_emb")).alias("c_emb")
+    ).collect()
+    if not cent_rows:
+        raise ValueError("empty centroid set")
+    assigned = corpus.select(
+        id_col,
+        F.element_at(
+            _assign_probes_udf(cent_rows, 1)(
+                to_double_array(F.col(vec_col))
+            )["cells"],
+            1,
+        ).alias("cell"),
     )
     w = Window.partitionBy("cell").orderBy(
         F.asc(md5_int64(id_col)), F.asc(id_col)

@@ -33,47 +33,29 @@ Rotation invariants (held every round since r1):
   previous round on unchanged code — demotion never trades away
   unproven coverage.
 
-ROUND-16 WINDOW (``_R16_WINDOW``): NO new registrations this round —
-the wave stays frozen while the r15 verdict's perf-governance asks
-land. Head (invariant #2; invariant #1 is vacuous): the 45 rows whose
-implementation changed in round 16 itself. First the 19 rows riding
-the serde/compressed/metadata ``fan_out`` — the r15 verdict's #1 lever
-(the per-row Python wire/codec kernels no longer run at single-split
-scan parallelism; the two shard-forming encoders pin their exchange
-width against AQE small-shuffle coalescing): the 7 Kafka-serde rows
-(thrift, protobuf, confluent, OCF, avro-map, msgpack, cbor), the 8
-multimodal container/metadata rows (gzip, bz2/xz, webdataset, zip,
-mp3, flac-meta, id3v2, mp4), ``text_encoding_census``, and the 3 web
-rows (warc ingest, html extract, warc-html pipeline). Then the 26
-streaming rows — every one routes through ``streaming/runner.py``,
-which changed twice this round: the ``mem_*``/``tws_*``/``lpks_*``
-memory-sink temp views are now dropped in a finally block (the r15
-catalog-leak item), and bounded streaming runs execute under a scoped
-``spark.sql.shuffle.partitions`` override so a vanilla 200-partition
-session cannot pay 200 state-store commits per microbatch (the r15
-"What's wrong #3" hazard — enforced in code, pinned by
-``tests/test_stateful_and_bucketing.py``). Oracles unchanged for all
-45. (The ``fan_out`` streaming-passthrough guard and the IVF-PQ
-empty-corpus guard are behavior-identical on every registered query's
-path and do not force re-exposure beyond these 45.) The OPTIMIZATION
-round then changed ten more implementations (kNN/semantic-dedup block
-kernels, touched-only connected components, the IVF assignment/encode
-fusion, edge-iterator triangles — all oracle-identical, re-proven by
-driver_sim at sf0.01 AND sf0.1 on the changed set); under invariant
-#2 changed rows outrank the stale-green refresh tier, so the final 5
-slots hold the five LEAST-PROVEN of them (``_R16_OPT_CHANGED`` below
-derives the computed key). The r17 queue head becomes: the five
-better-proven changed rows (``sim_ivf_topk``, ``sim_knn_graph``,
-``sim_semantic_dedup``, ``sim_semantic_dedup_planted``,
-``sim_ivf_pq_rerank``), then the five displaced refresh rows
-(``p4_json_parse_agg``, ``j5_enrichment_chain``, ``s2_latest_per_key``,
+ROUND-17 WINDOW (``_R17_WINDOW``): NO new registrations — the wave
+stays frozen through the second OPTIMIZATION round. Head (invariant
+#2; invariant #1 is vacuous): the 12 rows whose implementation changed
+in round 17 itself (``_R17_CHANGED`` below — the persisted-signature
+parameter on both two-sided incremental forms, the last three
+crossJoin+max_by assignment sites moved to the collected-centroid
+Arrow kernel, the hyperplane-LSH verify stage's bit-identical
+pair-cosine Arrow kernel, the ``_assign_probes_udf`` null/ragged-row
+skip + integral-id fail-fast + ``block_rows`` sub-block bound from the
+three ADVICE r16 items, and pagerank's redundant query-level distinct
+— all oracle-identical, re-proven by driver_sim at sf0.01 AND sf0.1).
+The five rows the r16 queue promised first (``sim_ivf_topk``,
+``sim_knn_graph``, ``sim_semantic_dedup``,
+``sim_semantic_dedup_planted``, ``sim_ivf_pq_rerank``) all sit on the
+``_assign_probes_udf`` path, so they re-expose as CHANGED rows — the
+queue and the invariant agree. Then (invariant #3) the refresh tier
+exactly as queued: the five displaced rows (``p4_json_parse_agg``,
+``j5_enrichment_chain``, ``s2_latest_per_key``,
 ``asof_join_last_order_before_event``, ``merge_upsert_user_state``),
-then the r10-last two-green tier (``text_ngram_novelty``,
-``dedup_containment_pairs``, ``sim_mmr_diversified_topk``,
-``sim_knn_label_accuracy``, ``eval_classifier_auc``,
-``eval_calibration_bins``, …) in the same computed key order.
+then 33 rows of the r10-last two-green tier in computed key order
+(``_R17_REFRESH`` below).
 
-(Round-14/15 window derivations live in the README.md §Verification
+(Round-14/15/16 window derivations live in the README.md §Verification
 ledger, per the carry-only-the-active-window convention.)
 """
 
@@ -98,109 +80,105 @@ from kafka_streams_common_spark.queries.core import FLAGSHIP  # noqa: E402
 # runs the first ~50 registry entries; see the module docstring for the
 # rotation invariants and this round's derivation).
 
-# _R16_CHANGED — implementation changed in round 16 itself (rotation
-# invariant #2; no new registrations, so invariant #1 is vacuous):
-# the serde/compressed/metadata fan_out tier (19 rows) and the
-# streaming tier (26 rows — runner.py temp-view cleanup + scoped
-# shuffle-partition bound on every bounded run). Oracles unchanged.
-_R16_CHANGED = (
-    # Kafka-serde fan_out rows
-    "kafka_thrift_decode",
-    "kafka_protobuf_decode",
-    "kafka_confluent_avro_decode",
-    "kafka_avro_ocf_roundtrip",
-    "kafka_avro_map_decode",
-    "kafka_msgpack_decode",
-    "kafka_cbor_decode",
-    # multimodal container/metadata fan_out rows
-    "multimodal_gzip_text_ingest",
-    "multimodal_bz2_xz_text_ingest",
-    "multimodal_webdataset_ingest",
-    "multimodal_zip_bundle_ingest",
-    "multimodal_mp3_metadata",
-    "multimodal_flac_metadata",
-    "multimodal_mp3_id3v2_tags",
-    "multimodal_mp4_metadata",
-    # text + web fan_out rows
-    "text_encoding_census",
-    "web_warc_ingest",
-    "web_html_extract",
-    "web_warc_html_pipeline",
-    # streaming tier — every row routes through streaming/runner.py
-    # (mem_*/tws_*/lpks_* view cleanup + bounded_shuffle_partitions)
-    "streaming_count_by_event_type",
-    "streaming_stream_static_join",
-    "streaming_tumbling_window_counts",
-    "streaming_suppressed_window_counts",
-    "streaming_sliding_window_counts",
-    "streaming_session_window_counts",
-    "streaming_stream_stream_join",
-    "streaming_latest_per_key",
-    "streaming_fk_join_enrichment",
-    "streaming_dedup_distinct_keys",
-    "streaming_quality_gate_ingest",
-    "streaming_mix_ingest",
-    "streaming_stream_stream_left_join",
-    "streaming_stream_stream_full_outer_join",
-    "streaming_latest_per_key_state",
-    "streaming_session_state_machine",
-    "streaming_funnel_conversion",
-    "streaming_cdc_tombstones",
-    "streaming_rate_limit_ingest",
-    "streaming_ohlc_daily",
-    "streaming_temporal_asof_join",
-    "streaming_holt_trend",
-    "streaming_ewma_value",
-    "streaming_multimodal_ingest",
-    "streaming_compressed_ingest",
-    "streaming_confluent_ingest",
+# _R17_CHANGED — implementation changed in round 17 (the second
+# OPTIMIZATION round; rotation invariant #2 — no new registrations, so
+# invariant #1 is vacuous), in computed key order (last-green round
+# asc, green-count asc, registration order). Results oracle-identical
+# for every row (re-proven by driver_sim at sf0.01 AND sf0.1 on the
+# changed set; OPTIMIZATION_r17.md carries the evidence). What changed:
+# the two-sided incremental forms gained the persisted-signature
+# parameter and share ONE signature pass (minhash_lsh_match /
+# hyperplane_lsh_match — VERDICT r16 #3); the surviving crossJoin+max_by
+# assignment sites moved to the collected-centroid Arrow kernel
+# (ivf_int8_rerank_topk, cell_diverse_sample, _lloyd_refine — VERDICT
+# r16 #1); the hyperplane-LSH VERIFY stage scores candidate pairs in a
+# bit-identical Arrow kernel instead of three interpreted F.aggregate
+# folds per pair (VERDICT r16 #4); _assign_probes_udf skips null/ragged
+# embeddings instead of crashing, the block-kernel operators fail fast
+# on non-integral ids, and knn_graph gained the block_rows sub-block
+# bound (the three ADVICE r16 items — the planted query now runs
+# block_rows=4096); pagerank's query-level redundant .distinct() is
+# gone (VERDICT r16 #7). The five r16-displaced rows the queue promised
+# (sim_ivf_topk, sim_knn_graph, sim_semantic_dedup,
+# sim_semantic_dedup_planted, sim_ivf_pq_rerank) are all on the
+# _assign_probes_udf path, so they re-expose as CHANGED rows this
+# round — the queue and the invariant agree.
+_R17_CHANGED = (
+    "dedup_incremental_vs_corpus",  # r11/1
+    "sim_incremental_near_dup_vs_corpus",  # r11/1
+    "sim_diverse_cell_sample",  # r11/2
+    "sim_ivf_int8_rerank",  # r11/3
+    "sim_ivf_topk",  # r12/5
+    "sim_embedding_near_dup",  # r12/6
+    "sim_knn_graph",  # r13/1
+    "sim_semantic_dedup",  # r13/1
+    "sim_semantic_dedup_planted",  # r14/1
+    "graph_pagerank_customer_supplier",  # r15/2
+    "sim_ivf_pq_rerank",  # r15/3
+    "sim_semantic_dedup_apply",  # r16/4
 )
-assert all(n in QUERIES for n in _R16_CHANGED)
+assert all(n in QUERIES for n in _R17_CHANGED)
 
-# _R16_OPT_CHANGED — the OPTIMIZATION round changed ten more query
-# implementations (results oracle-identical, re-proven by driver_sim at
-# sf0.01 AND sf0.1 on the changed set): the kNN/semantic-dedup tier now
-# scores candidates through grouped cell-block Arrow kernels
-# (operators/similarity.py), connected_components iterates edge-touched
-# nodes only (operators/cluster.py), the IVF family lost its assignment
-# exchange and the PQ codes/cells re-join, and triangle counting moved
-# to the edge-iterator form. Under rotation invariant #2 these changed
-# rows outrank the stale-green refresh tier, so the five refresh slots
-# planned for this window yield to the five LEAST-PROVEN changed rows
-# (computed key: last-green round asc, green-count asc, registration
-# order — soft_weights r10/2, triangle r10/2, semantic_dedup_apply
-# r11/3, connected_components r11/5, apply_canonical r11/6). The five
-# better-proven changed rows queue at the r17 HEAD in the same key
-# order (sim_ivf_topk r12/6, sim_knn_graph r13/1, sim_semantic_dedup
-# r13/1, sim_semantic_dedup_planted r14/1, sim_ivf_pq_rerank r15/3),
-# followed by the displaced refresh rows (p4_json_parse_agg,
-# j5_enrichment_chain, s2_latest_per_key,
-# asof_join_last_order_before_event, merge_upsert_user_state) and then
-# the r10-last two-green tier as previously queued.
-_R16_OPT_CHANGED = (
-    "dedup_soft_weights",
-    "graph_triangle_count_copurchase",
-    "sim_semantic_dedup_apply",
-    "dedup_connected_components",
-    "dedup_apply_canonical_corpus",
+# _R17_REFRESH — remaining slots refresh the stalest green rows,
+# least-proven first (invariant #3), exactly as the r16 queue promised:
+# first the five displaced refresh rows, then the r10-last two-green
+# tier in the same computed key order (all r10/2; registration-order
+# tie-break).
+_R17_REFRESH = (
+    "p4_json_parse_agg",  # r8/5
+    "j5_enrichment_chain",  # r8/6
+    "s2_latest_per_key",  # r8/6
+    "asof_join_last_order_before_event",  # r8/6
+    "merge_upsert_user_state",  # r10/2
+    "text_ngram_novelty",
+    "dedup_containment_pairs",
+    "sim_mmr_diversified_topk",
+    "sim_knn_label_accuracy",
+    "eval_classifier_auc",
+    "eval_calibration_bins",
+    "text_bm25_search",
+    "eval_confusion_threshold",
+    "eval_score_length_spearman",
+    "er_fuzzy_match_part_names",
+    "attribution_linear_credit",
+    "events_cohort_retention",
+    "events_top_paths",
+    "events_activity_gaps",
+    "events_concurrency_sweep",
+    "events_cumulative_distinct_users",
+    "events_markov_transitions",
+    "customer_rfm_segments",
+    "basket_part_pair_lift",
+    "timeseries_gapfill_events",
+    "stat_mad_outliers",
+    "dq_benford_first_digit",
+    "events_ohlc_daily",
+    "graph_link_prediction_jaccard",
+    "events_type_overlap_matrix",
+    "window_percent_change_daily",
+    "timeseries_cusum_change",
+    "timeseries_dow_seasonality",
+    "customer_revenue_concentration",
+    "agg_countmin_heavy_hitters",
+    "stat_chi2_event_type_dow",
+    "ab_test_proportion_ztest",
+    "timeseries_ewma_daily_by_type",
 )
-assert all(n in QUERIES for n in _R16_OPT_CHANGED)
+assert all(n in QUERIES for n in _R17_REFRESH)
 
-_R16_WINDOW = (*_R16_CHANGED, *_R16_OPT_CHANGED)
+_R17_WINDOW = (*_R17_CHANGED, *_R17_REFRESH)
 
 # Past the window: every one of these has a green driver row from a
-# prior round on code unchanged since (r8+; after this round the
-# staleness floor moves past the r8 single-green tier entirely). All
-# stay covered by the local parity suite (scripts/driver_sim.py runs
-# ALL oracles) each round.
-_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R16_WINDOW)
+# prior round on code unchanged since. All stay covered by the local
+# parity suite (scripts/driver_sim.py runs ALL oracles) each round.
+_PAST_WINDOW = tuple(n for n in QUERIES if n not in _R17_WINDOW)
 
-_missing = [n for n in _R16_WINDOW if n not in QUERIES]
+_missing = [n for n in _R17_WINDOW if n not in QUERIES]
 assert not _missing, f"window names drifted from the registry: {_missing}"
-assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
-assert len(set(_R16_WINDOW)) == 50, "duplicate window entries"
+assert len(_R17_WINDOW) == 50, len(_R17_WINDOW)
+assert len(set(_R17_WINDOW)) == 50, "duplicate window entries"
 
-_reordered = {n: QUERIES[n] for n in (*_R16_WINDOW, *_PAST_WINDOW)}
+_reordered = {n: QUERIES[n] for n in (*_R17_WINDOW, *_PAST_WINDOW)}
 QUERIES.clear()
 QUERIES.update(_reordered)
 _oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

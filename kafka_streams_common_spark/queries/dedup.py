@@ -144,15 +144,36 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions only; the corpus signature layer is what you persist).
     Oracle is the brute-force cross-side ground truth; same per-pair
     miss-probability bound as the self-join row (≈5e-8 at the τ
-    boundary, ~0 for the fixture's near-exact duplicates)."""
-    from kafka_streams_common_spark.operators.dedup import minhash_lsh_match
+    boundary, ~0 for the fixture's near-exact duplicates).
+
+    r17 (guide §5/§6): both sides' signatures come from ONE shared
+    ``minhash_signatures`` pass over the whole table, sliced by the
+    same id predicate that splits the docs — the signature kernel is
+    row-deterministic, so each slice is bit-identical to recomputing
+    that side from scratch (results unchanged; oracle re-proven), and
+    the second fan_out + Arrow kernel + checkpoint pass disappears.
+    This is the production shape: the corpus-side slice stands in for
+    the persisted signature index an ingest pipeline reads instead of
+    recomputing per batch."""
+    from kafka_streams_common_spark.operators.dedup import (
+        minhash_lsh_match,
+        minhash_signatures,
+    )
 
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import functions as F
 
     new = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return minhash_lsh_match(new, corpus, n=3, tau=0.8)
+    sig = minhash_signatures(docs, n=3).localCheckpoint(eager=True)
+    return minhash_lsh_match(
+        new,
+        corpus,
+        n=3,
+        tau=0.8,
+        new_sigs=sig.filter(F.col("doc_id") % 10 == 0),
+        corpus_sigs=sig.filter(F.col("doc_id") % 10 != 0),
+    )
 
 
 @query(

@@ -168,10 +168,21 @@ def sim_incremental_near_dup_vs_corpus(
     bucket collisions only; the corpus signature layer is what a
     production index persists, so per-batch cost is O(batch), never
     O(corpus²). Oracle is the brute-force cross-side ground truth (same
-    ~2e-14 per-pair miss bound as the self-join near-dup row)."""
+    ~2e-14 per-pair miss bound as the self-join near-dup row).
+
+    r17 (guide §5/§6): both sides' hyperplane bits come from ONE shared
+    signature pass over the union corpus (ids are disjoint by the +1e6
+    offset), sliced by id — the bit kernel is row-deterministic, so each
+    slice is bit-identical to recomputing that side from scratch
+    (results unchanged; oracle re-proven) and the second fan_out +
+    Arrow kernel + checkpoint pass disappears. The corpus-side slice
+    stands in for the persisted signature index a production ingest
+    pipeline reads instead of recomputing per batch."""
     from kafka_streams_common_spark.operators.similarity import (
+        _hyperplane_bits_udf,
         hyperplane_lsh_match,
     )
+    from kafka_streams_common_spark.operators.dedup import fan_out
 
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -185,7 +196,24 @@ def sim_incremental_near_dup_vs_corpus(
             + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
         ).alias("embedding"),
     )
-    return hyperplane_lsh_match(new, corpus, tau=0.95, dim=64)
+    sig = (
+        fan_out(corpus.unionAll(new))
+        .select(
+            "vec_id",
+            _hyperplane_bits_udf(320, 64)(
+                to_double_array(F.col("embedding"))
+            ).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return hyperplane_lsh_match(
+        new,
+        corpus,
+        tau=0.95,
+        dim=64,
+        new_sigs=sig.filter(F.col("vec_id") >= 1000000),
+        corpus_sigs=sig.filter(F.col("vec_id") < 1000000),
+    )
 
 
 @query(
@@ -494,6 +522,16 @@ def sim_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=2,
         max_cell=None,
+        # r17 (the ADVICE r16 skew item): THIS query is the named hazard —
+        # max_cell stays off so clone families are never traded away, which
+        # previously meant an uncapped cell collapsed into ONE collect_list
+        # row per side. block_rows bounds the physical block row at
+        # ~4096·64·8B ≈ 2 MB regardless of cell occupancy; at this SF every
+        # cell fits one sub-block (ceil(|cell|/4096) = 1) so the grouped
+        # shape — and the result, which is sub-block-invariant anyway — is
+        # unchanged, while a modal cell at production scale splits instead
+        # of forming a multi-GB row (Spark's 2 GiB row buffer limit).
+        block_rows=4096,
     )
 
 

@@ -2929,7 +2929,15 @@ def graph_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .distinct()
     )
-    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # r17 (guide §2.4 — remove shuffles outright): no query-level
+    # .distinct() after the union. It was provably redundant — e0 is
+    # already distinct, src/dst live in disjoint 'c*'/'s*' namespaces so
+    # the reversed union cannot re-create a row, and the pagerank
+    # operator's own edge .distinct() re-dedups anyway — one full
+    # edge-list Exchange+HashAggregate pair existed only to dedup an
+    # already-distinct set. Results identical (operator dedups; oracle
+    # re-proven at sf0.01 and sf0.1).
+    e = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     pr = pagerank(e, n_iterations=3, damping=0.85)
     return pr.select(
         "node",

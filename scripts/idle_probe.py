@@ -7,7 +7,12 @@ at sf0.1, median + spread printed per query as one JSON line.
 Run on an IDLE machine only — the whole point is removing ambient load
 from the reading.
 
-Usage: python scripts/idle_probe.py query_a,query_b [n_runs]
+Usage: python scripts/idle_probe.py query_a,query_b [n_runs] [sf_dir]
+
+``sf_dir`` (r17) makes the same protocol reusable for SF-RATIO probes
+(VERDICT r16 #8 — core-ratio scaling at sf0.1 measures fixed cost, so
+scale evidence comes from input-size ratios instead): run the same
+query list at two SFs and compare medians.
 """
 
 from __future__ import annotations
@@ -26,8 +31,11 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> None:
+    global SF_DIR
     names = sys.argv[1].split(",")
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    if len(sys.argv) > 3:
+        SF_DIR = sys.argv[3]
     spark = get_spark("idle-probe")
 
     def run(name: str) -> None:

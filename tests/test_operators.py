@@ -2046,3 +2046,215 @@ def test_color_image_lake_decodes_rgb_content(spark):
         assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
         assert r["min_px"] == min(raster) and r["max_px"] == max(raster)
         assert abs(r["mean_px"] - sum(raster) / len(raster)) < 1e-9
+
+
+def test_pair_cosine_kernel_bit_identical(spark):
+    """r17 LSH verify kernel (``_pair_cosine_udf``) must reproduce the JVM
+    ``dot/(l2·l2)`` fold BIT-FOR-BIT on every emitted pair: the r16 block
+    kernels pinned the kNN scoring stage, this pins the verify stage's
+    per-pair arithmetic (a separate equivalence claim — no ranking/union
+    argument, pure IEEE accumulation order). Checked on the raw fixture
+    and the planted near-dup shape the registered queries run."""
+    from kafka_streams_common_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+        to_double_array,
+    )
+    from kafka_streams_common_spark.operators.similarity import (
+        hyperplane_lsh_near_dup_pairs,
+    )
+
+    from kafka_streams_common_spark.operators.similarity import (
+        _pair_cosine_udf,
+        embedding_near_dup_pairs,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+
+    # 1. Direct kernel pin over DIVERSE cosines: every pair of a corpus
+    # sample, kernel score vs the exact JVM fold expression it replaces.
+    vecs = emb.limit(50).select(
+        F.col("vec_id").alias("id"), to_double_array("embedding").alias("v")
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    both = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            _pair_cosine_udf()(F.col("a.v"), F.col("b.v")).alias("kernel_score"),
+            (
+                dot_product(F.col("a.v"), F.col("b.v"))
+                / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+            ).alias("jvm_score"),
+        )
+        .collect()
+    )
+    assert len(both) > 1000
+    for r in both:
+        assert r["kernel_score"] == r["jvm_score"], r  # exact float64 equality
+
+    # 2. Operator level, at the registered queries' shape (planted clones,
+    # τ=0.95 — per-pair LSH miss probability ~2e-14, deterministic in
+    # practice): banded+kernel-verified result equals the brute-force
+    # quadratic definition exactly, scores included.
+    planted = emb.unionAll(
+        emb.select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in hyperplane_lsh_near_dup_pairs(planted, tau=0.95, dim=64).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in embedding_near_dup_pairs(planted, tau=0.95).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_knn_block_rows_subblocks_identical(spark):
+    """r17 ``block_rows`` (the ADVICE r16 skew item): salting the grouped
+    cell blocks into bounded sub-blocks must not change ONE emitted edge
+    or score — the per-probe top-k is sub-block-invariant because every
+    true top-k member survives its own sub-block's local top-k and the
+    final (score DESC, id ASC) window re-ranks the union. block_rows=3
+    forces many sub-blocks per cell at fixture scale (cells ≫ 3 rows)."""
+    from kafka_streams_common_spark.operators.similarity import knn_graph
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+
+    def rows(block_rows):
+        return sorted(
+            (r["vec_id"], r["neighbor_id"], r["score"])
+            for r in knn_graph(
+                emb, k=8, n_centroids=4, n_probe=2, block_rows=block_rows
+            ).collect()
+        )
+
+    want = rows(None)
+    assert want == rows(3)  # exact float64 equality, not approx
+    assert want == rows(1)  # degenerate bound: one vector per sub-block
+
+
+def test_lsh_match_prebuilt_sigs_bit_identical(spark):
+    """r17 persisted-signature parameter (VERDICT r16 #3): supplying a
+    prebuilt signature slice must be bit-identical to the operator
+    computing that side itself — the signature kernels are
+    row-deterministic, so slices of one shared pass ARE the per-side
+    passes. Checked for both two-sided incremental forms."""
+    from kafka_streams_common_spark.operators.dedup import (
+        minhash_lsh_match,
+        minhash_signatures,
+    )
+    from kafka_streams_common_spark.operators.similarity import (
+        _hyperplane_bits_udf,
+        hyperplane_lsh_match,
+    )
+    from kafka_streams_common_spark.functions.vectors import to_double_array
+    from kafka_streams_common_spark.operators.dedup import fan_out
+
+    docs = table(spark, SF_SMOKE, "documents")
+    new_d = docs.filter(F.col("doc_id") % 10 == 0)
+    cor_d = docs.filter(F.col("doc_id") % 10 != 0)
+    base = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_match(new_d, cor_d, n=3, tau=0.8).collect()
+    )
+    shared = minhash_signatures(docs, n=3).localCheckpoint(eager=True)
+    indexed = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_match(
+            new_d,
+            cor_d,
+            n=3,
+            tau=0.8,
+            new_sigs=shared.filter(F.col("doc_id") % 10 == 0),
+            corpus_sigs=shared.filter(F.col("doc_id") % 10 != 0),
+        ).collect()
+    )
+    assert base == indexed and len(base) > 0
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    new_v = emb.filter(F.col("vec_id") % 7 == 0)
+    cor_v = emb.filter(F.col("vec_id") % 7 != 0)
+    base_v = sorted(
+        (r["new_id"], r["corpus_id"], r["score"])
+        for r in hyperplane_lsh_match(new_v, cor_v, tau=0.3, dim=64).collect()
+    )
+    shared_v = (
+        fan_out(emb)
+        .select(
+            "vec_id",
+            _hyperplane_bits_udf(320, 64)(
+                to_double_array(F.col("embedding"))
+            ).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    indexed_v = sorted(
+        (r["new_id"], r["corpus_id"], r["score"])
+        for r in hyperplane_lsh_match(
+            new_v,
+            cor_v,
+            tau=0.3,
+            dim=64,
+            new_sigs=shared_v.filter(F.col("vec_id") % 7 == 0),
+            corpus_sigs=shared_v.filter(F.col("vec_id") % 7 != 0),
+        ).collect()
+    )
+    assert base_v == indexed_v and len(base_v) > 0
+
+
+def test_integral_id_precondition_fails_fast(spark):
+    """r17 (the ADVICE r16 item): the r16 Arrow block kernels materialize
+    ids as int64, so non-integral id columns must fail fast with a clear
+    TypeError instead of an opaque kernel cast error."""
+    from kafka_streams_common_spark.operators.similarity import (
+        ivf_cosine_topk,
+        knn_graph,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        knn_graph(df, k=1, n_centroids=1, n_probe=1)
+    q = spark.createDataFrame([("q", [1.0, 0.0])], "q_id string, q_emb array<double>")
+    ok_corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ivf_cosine_topk(ok_corpus, q, k=1, n_centroids=1, n_probe=1)
+
+
+def test_assign_probes_null_and_ragged_rows_skipped(spark):
+    """r17 dirty-data contract (the ADVICE r16 item): a NULL embedding or
+    one whose length differs from the centroid dimension is silently
+    dropped — it joins no cell as home and probes nothing — instead of
+    crashing the Arrow kernel's ``np.vstack``. Clean rows' edges are
+    unchanged (pre-r16 HOF behavior restored)."""
+    from kafka_streams_common_spark.operators.similarity import knn_graph
+
+    clean = [
+        (i, [float(i == j) + 0.01 * j for j in range(4)]) for i in range(8)
+    ]
+    dirty = [(100, None), (101, [1.0, 2.0])]  # null + ragged (dim 2 vs 4)
+    clean_df = spark.createDataFrame(clean, "vec_id long, embedding array<double>")
+    dirty_df = spark.createDataFrame(
+        clean + dirty, "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        (r["vec_id"], r["neighbor_id"], r["score"])
+        for r in knn_graph(clean_df, k=3, n_centroids=2, n_probe=2).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["neighbor_id"], r["score"])
+        for r in knn_graph(dirty_df, k=3, n_centroids=2, n_probe=2).collect()
+    )
+    assert got == want and len(want) > 0
+    assert not any(v in (100, 101) or n in (100, 101) for v, n, _ in got)
